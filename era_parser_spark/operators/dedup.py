@@ -1,0 +1,253 @@
+"""Deduplication operators.
+
+``dedup_latest`` reproduces the reference's ReplacingMergeTree(insert_version)
+semantics (reference sql/001_initial_tables_up.sql:17-18, forced OPTIMIZE in
+era_state_manager.py:329-346) as an exact window dedup — unlike ClickHouse's
+eventual merge, this is deterministic.
+
+The rest are LLM-training-data dedup primitives (exact, n-gram Jaccard,
+MinHash+LSH, SimHash) designed scale-first:
+
+* exact dedup: hash-groupBy on a content digest — one shuffle of (digest, id),
+  never the payloads.
+* n-gram Jaccard: exact pairwise via a shingle inverted index (explode +
+  self-equi-join).  Quadratic in bucket size — the verification step of LSH,
+  or a standalone op for small corpora.
+* MinHash+LSH: signatures in one pass (k min-aggregates over one explode),
+  banding to candidate buckets, verify candidates exactly.  This is the
+  100 TB path: cost is O(docs·shingles) + O(candidate pairs), not O(n²).
+* SimHash: 64-bit fingerprint via an Arrow-batched pandas UDF (token loop is
+  genuinely imperative), Hamming-ball blocking on 16-bit bands.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def dedup_latest(df: DataFrame, keys: list[str], order_cols: list[Column]) -> DataFrame:
+    """Keep the newest row per key — exact ReplacingMergeTree semantics."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*keys).orderBy(*order_cols)
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def dedup_exact(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Exact dedup: one survivor (min id) per distinct content digest.
+
+    Shuffles only (digest, id) pairs; survivors re-join to recover payloads,
+    so 100 TB of text never moves through the shuffle.
+    """
+    digests = df.select(
+        F.col(id_col), F.md5(F.col(content_col)).alias("__digest")
+    )
+    survivors = digests.groupBy("__digest").agg(
+        F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies")
+    )
+    return survivors.join(df, id_col).drop("__digest")
+
+
+def tokens_col(text_col: str | Column) -> Column:
+    """Whitespace tokenization of lowercased text."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(F.trim(F.lower(c)), r"\s+")
+
+
+def shingles_col(tok: Column, n: int = 3) -> Column:
+    """Distinct n-token shingles (space-joined) from a token array."""
+    idx = F.sequence(F.lit(0), F.size(tok) - n)
+    mk = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tok, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(tok) >= n, F.array_distinct(mk)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) exploded inverted-index input."""
+    return df.select(
+        F.col(id_col), F.explode(shingles_col(tokens_col(text_col), n)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, min_inter: int = 1
+) -> DataFrame:
+    """Exact pairwise Jaccard over distinct n-gram shingles.
+
+    Inverted-index self-join: only pairs sharing >=1 shingle are generated.
+    Columns: doc_a, doc_b, inter, union_sz, jaccard.
+    """
+    ex = doc_shingles(df, id_col, text_col, n)
+    sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("nsh"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .filter(F.col("inter") >= min_inter)
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("nsh").alias("nsh_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("nsh").alias("nsh_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("union_sz", F.col("nsh_a") + F.col("nsh_b") - F.col("inter"))
+        .withColumn("jaccard", F.col("inter") / F.col("union_sz"))
+        .select("doc_a", "doc_b", "inter", "union_sz", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_perm: int = 32, shingle_n: int = 3
+) -> DataFrame:
+    """MinHash signatures: num_perm 64-bit min-hashes per document.
+
+    One explode + num_perm min-aggregates in a single hash-aggregate pass;
+    xxhash64(perm_index, shingle) plays the role of the i-th permutation.
+    """
+    ex = doc_shingles(df, id_col, text_col, shingle_n)
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}") for i in range(num_perm)
+    ]
+    return ex.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidate pairs.
+
+    Band hash = xxhash64 over that band's rows; the (band, bucket) self-join
+    only materializes colliding docs.  Returns distinct (doc_a, doc_b).
+    """
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
+                    "bucket"
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sigs.select(F.col(id_col), F.explode(band_structs).alias("bb")).select(
+        id_col, "bb.band", "bb.bucket"
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.0,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: candidates -> exact verification.
+
+    Returns (doc_a, doc_b, inter, union_sz, jaccard) for candidate pairs with
+    jaccard >= threshold.  Exact verification happens only on LSH candidates
+    (a broadcast-able set), so the quadratic step never touches the corpus.
+    """
+    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_n)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, num_perm // bands)
+    exact = ngram_jaccard_pairs(df, id_col, text_col, shingle_n)
+    return (
+        cands.join(exact, ["doc_a", "doc_b"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "inter", "union_sz", "jaccard")
+    )
+
+
+def _simhash64(tokens: list[str]) -> int:
+    """Deterministic 64-bit SimHash from blake2b token hashes."""
+    vec = [0] * 64
+    for t in tokens:
+        h = int.from_bytes(hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(), "little")
+        for i in range(64):
+            vec[i] += 1 if (h >> i) & 1 else -1
+    out = 0
+    for i in range(64):
+        if vec[i] > 0:
+            out |= 1 << i
+    return out - (1 << 64) if out >= (1 << 63) else out  # two's complement -> signed
+
+
+@F.pandas_udf(T.LongType())
+def simhash_udf(texts: pd.Series) -> pd.Series:
+    """Arrow-batched SimHash: token loop is imperative, so it rides a pandas
+    UDF rather than a 64x explode (which would be a 64x shuffle blowup)."""
+    return texts.map(lambda t: _simhash64(str(t).lower().split()))
+
+
+def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(F.col(id_col), simhash_udf(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 16) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, blocked on 16-bit bands.
+
+    Pigeonhole: hamming <= 16 over 4 bands guarantees at least one identical
+    band only for <= 3 differing bands; with max_hamming<=3*16 this blocking
+    is a standard recall/cost tradeoff (and exact for hamming < 4).
+    """
+    fp = simhash_fingerprints(df, id_col, text_col)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), 16 * b).bitwiseAND(F.lit(0xFFFF)).alias(
+                    "bucket"
+                ),
+            )
+            for b in range(4)
+        ]
+    )
+    blocked = fp.select(id_col, "simhash", F.explode(bands).alias("bb")).select(
+        id_col, "simhash", "bb.band", "bb.bucket"
+    )
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

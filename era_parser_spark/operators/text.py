@@ -1,0 +1,91 @@
+"""Text-analysis operators for LLM-data pipelines: token counting, quality
+scoring, language ID, fingerprinting.
+
+All of these are pure JVM-side column expressions (whole-stage codegen) —
+no Python in the hot path — so they scan at parquet speed at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from era_parser_spark.operators.dedup import tokens_col
+
+# Tiny high-frequency marker sets per language (heuristic n-gram/stopword ID).
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "for", "it"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "por", "con", "para"),
+    "fr": ("le", "la", "de", "et", "les", "des", "est", "un", "une", "dans"),
+    "zh": ("的", "是", "了", "在", "和", "有", "我", "不", "这", "他"),
+}
+LANG_ORDER = ("en", "de", "es", "fr", "zh")
+
+
+def token_count_col(text_col: str | Column) -> Column:
+    return F.size(tokens_col(text_col))
+
+
+def stopword_hits(tok: Column, lang: str) -> Column:
+    """Number of tokens that are marker stopwords for `lang`."""
+    words = STOPWORDS[lang]
+    return F.size(F.filter(tok, lambda x: x.isin(*words)))
+
+
+def lang_id_col(text_col: str | Column) -> Column:
+    """Argmax of per-language stopword hits; 'und' when no marker matches.
+
+    Ties break in LANG_ORDER (first listed wins), matching sql_lang_scores.
+    """
+    tok = tokens_col(text_col)
+    scores = {lang: stopword_hits(tok, lang) for lang in LANG_ORDER}
+    best = F.greatest(*scores.values())
+    expr = F.when(best == 0, F.lit("und"))
+    for lang in LANG_ORDER:
+        expr = expr.when(scores[lang] == best, F.lit(lang))
+    return expr.otherwise(F.lit("und"))
+
+
+def sql_lang_scores(tok_expr: str) -> dict[str, str]:
+    """DuckDB per-language score expressions matching stopword_hits."""
+    return {
+        lang: (
+            f"len(list_filter({tok_expr}, x -> x IN "
+            f"({', '.join(repr(w) for w in STOPWORDS[lang])})))"
+        )
+        for lang in LANG_ORDER
+    }
+
+
+def quality_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic document-quality metrics.
+
+    n_tokens, n_chars, avg_token_len, punct_ratio, stopword_ratio, and a
+    composite quality_ok flag — the usual cheap pre-filters before expensive
+    dedup/training steps.
+    """
+    tok = tokens_col(text_col)
+    n_tokens = F.size(tok)
+    n_chars = F.length(F.col(text_col))
+    nonspace = F.length(F.regexp_replace(F.col(text_col), r"\s+", ""))
+    punct = F.length(F.regexp_replace(F.col(text_col), r"[^.!?,;:]", ""))
+    stop = stopword_hits(tok, "en")
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        (nonspace.cast("double") / n_tokens).alias("avg_token_len"),
+        (punct.cast("double") / n_chars).alias("punct_ratio"),
+        (stop.cast("double") / n_tokens).alias("stopword_ratio"),
+        ((n_tokens >= 10) & (n_tokens <= 100000)).alias("quality_ok"),
+    )
+
+
+def fingerprint_col(text_col: str | Column) -> Column:
+    """Normalized-content fingerprint: md5 over whitespace-normalized tokens.
+
+    Whitespace/casing-insensitive, so reformatted copies collide — the cheap
+    tier of dedup before shingle-based near-dup.
+    """
+    return F.md5(F.concat_ws(" ", tokens_col(text_col)))

@@ -1,0 +1,92 @@
+"""Text-analysis queries over the `documents` table (north-star extensions)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from era_parser_spark.operators.text import (
+    LANG_ORDER,
+    fingerprint_col,
+    lang_id_col,
+    quality_metrics,
+    sql_lang_scores,
+    token_count_col,
+)
+from era_parser_spark.queries.registry import register, table
+
+_TOK = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
+
+@register(
+    "t1_token_count",
+    oracle=f"""
+    SELECT doc_id, len({_TOK}) AS n_tokens, length(text) AS n_chars_actual
+    FROM documents
+    """,
+)
+def t1_token_count(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count_col("text").alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+@register(
+    "t2_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           len({_TOK}) AS n_tokens,
+           length(text) AS n_chars,
+           CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+             / len({_TOK}) AS avg_token_len,
+           CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+             / length(text) AS punct_ratio,
+           CAST(len(list_filter({_TOK},
+                x -> x IN ('the','a','of','and','to','in','is','that','for','it')))
+                AS DOUBLE) / len({_TOK}) AS stopword_ratio,
+           len({_TOK}) >= 10 AND len({_TOK}) <= 100000 AS quality_ok
+    FROM documents
+    """,
+)
+def t2_quality_score(spark, sf_dir):
+    return quality_metrics(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _lang_case_sql() -> str:
+    scores = sql_lang_scores(_TOK)
+    best = f"greatest({', '.join(scores.values())})"
+    whens = " ".join(f"WHEN {scores[lang]} = {best} THEN '{lang}'" for lang in LANG_ORDER)
+    return f"CASE WHEN {best} = 0 THEN 'und' {whens} ELSE 'und' END"
+
+
+@register(
+    "t3_lang_id",
+    oracle=f"""
+    SELECT lang, {_lang_case_sql()} AS predicted_lang, count(*) AS cnt
+    FROM documents
+    GROUP BY lang, predicted_lang
+    """,
+)
+def t3_lang_id(spark, sf_dir):
+    # Heuristic stopword-marker language ID; output is the confusion matrix
+    # against the labeled `lang` column.
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", lang_id_col("text").alias("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "t4_fingerprint",
+    oracle=f"""
+    SELECT doc_id, md5(array_to_string({_TOK}, ' ')) AS fingerprint
+    FROM documents
+    """,
+)
+def t4_fingerprint(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint_col("text").alias("fingerprint"))
