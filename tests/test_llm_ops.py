@@ -1,0 +1,157 @@
+"""Semantic tests for the LLM-data operators whose queries() entries are
+rows-only (engine-specific hashing, approximate search): pin their behavior
+against exact counterparts and hand-built fixtures.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_MED
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    """documents + planted exact and near duplicates."""
+    docs = spark.read.parquet(f"{SF_MED}/documents.parquet").limit(100)
+    base = docs.select("doc_id", "text")
+    exact = base.filter(F.col("doc_id") < 3).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    near = base.filter((F.col("doc_id") >= 3) & (F.col("doc_id") < 6)).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra tail token")).alias("text"),
+    )
+    return base.unionByName(exact).unionByName(near).cache()
+
+
+def test_exact_dedup_finds_planted_copies(docs_with_dups):
+    from era_parser_spark.operators.dedup import dedup_exact
+
+    out = dedup_exact(docs_with_dups, "text", "doc_id")
+    survivors = {r.doc_id: r.n_copies for r in out.collect()}
+    assert len(survivors) == 103  # 106 rows - 3 exact copies
+    for d in (0, 1, 2):
+        assert survivors[d] == 2  # original kept (min id), copy folded in
+    assert 10000 not in survivors and 10001 not in survivors
+
+
+def test_minhash_lsh_catches_exact_and_near_dups(docs_with_dups):
+    from era_parser_spark.operators.dedup import minhash_lsh_dedup_pairs
+
+    pairs = minhash_lsh_dedup_pairs(
+        docs_with_dups, "doc_id", "text", num_perm=32, bands=8, threshold=0.5
+    )
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in pairs.collect()}
+    # exact copies have jaccard 1.0 and identical signatures -> always caught
+    for d in (0, 1, 2):
+        assert got.get((d, d + 10000)) == pytest.approx(1.0)
+    # near dups (one appended token) share almost all shingles
+    for d in (3, 4, 5):
+        assert (d, d + 20000) in got
+        assert got[(d, d + 20000)] > 0.8
+
+
+def test_lsh_candidates_subset_of_exact_pairs(spark):
+    """Every verified LSH pair must carry the exact jaccard value that the
+    exact pairwise op computes (LSH only prunes, never invents)."""
+    from era_parser_spark.operators.dedup import (
+        minhash_lsh_dedup_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF_MED}/documents.parquet").limit(120)
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text").collect()
+    }
+    lsh = minhash_lsh_dedup_pairs(docs, "doc_id", "text").collect()
+    for r in lsh:
+        assert exact[(r.doc_a, r.doc_b)] == pytest.approx(r.jaccard)
+
+
+def test_simhash_identical_and_perturbed(spark):
+    from era_parser_spark.operators.dedup import simhash_fingerprints
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog " * 5),
+            (2, "the quick brown fox jumps over the lazy dog " * 5),
+            (3, "the quick brown fox jumps over the lazy dog " * 5 + " tail"),
+            (4, "completely different content about spark engines and parquet"),
+        ],
+        ["doc_id", "text"],
+    )
+    fp = {r.doc_id: r.simhash for r in simhash_fingerprints(df, "doc_id", "text").collect()}
+    assert fp[1] == fp[2]  # identical text -> identical fingerprint
+
+    def ham(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    assert ham(fp[1], fp[3]) < ham(fp[1], fp[4])
+
+
+def test_simhash_near_pairs_blocks(spark):
+    from era_parser_spark.operators.dedup import simhash_near_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta " * 10),
+            (2, "alpha beta gamma delta epsilon zeta eta theta " * 10),
+            (3, "totally unrelated words nothing shared here at all " * 10),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in simhash_near_pairs(df, "doc_id", "text").collect()}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) not in pairs
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    from era_parser_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet(f"{SF_MED}/embeddings.parquet")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+    brute = [r.vec_id for r in cosine_topk(emb, "embedding", "vec_id", q, k=10).collect()]
+    approx = [
+        r.vec_id
+        for r in ivf_topk(emb, "embedding", "vec_id", q, k=10, every=25, nprobe=5).collect()
+    ]
+    assert brute[0] == 7  # self is most similar
+    overlap = len(set(brute) & set(approx))
+    assert overlap >= 5, f"IVF recall too low: {overlap}/10"
+
+
+def test_multimodal_features_deterministic(spark):
+    from era_parser_spark.operators.multimodal import (
+        documents_as_media,
+        extract_media_features,
+        frame_sample,
+    )
+
+    docs = spark.read.parquet(f"{SF_MED}/documents.parquet").limit(20)
+    media = documents_as_media(docs)
+    feats = extract_media_features(media).collect()
+    assert len(feats) == 20
+    by_id = {r.media_id: r for r in feats}
+    raw = {r.doc_id: r.text for r in docs.collect()}
+    for mid, r in by_id.items():
+        assert r.n_bytes == len(raw[mid].encode())
+        assert not r.decoded  # codec absent -> deterministic fake decode
+        assert 1 <= r.width <= 640 and 1 <= r.height <= 480
+
+    vids = media.withColumn(
+        "meta",
+        F.struct(
+            F.lit("video").alias("kind"),
+            F.lit("fake").alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(3500).cast("long").alias("duration_ms"),
+        ),
+    )
+    frames = frame_sample(vids, every_ms=1000)
+    per = frames.groupBy("media_id").count().collect()
+    assert all(r["count"] == 3 for r in per)  # 3500ms / 1000ms -> frames 0,1,2
