@@ -27,10 +27,23 @@ ORACLES: dict[str, str] = {}
 
 
 def register(name: str, oracle: str | None = None):
-    """Register a query builder, optionally with its DuckDB oracle SQL."""
+    """Register a query builder, optionally with its DuckDB oracle SQL.
+
+    Builders are wrapped to ship the package to executors first, so queries
+    that carry Python UDF closures (simhash, mapInPandas feature extractors)
+    work regardless of the driver's working directory.
+    """
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        QUERIES[name] = fn
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from era_parser_spark.shipping import ensure_package_shipped
+
+            ensure_package_shipped(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
         return fn

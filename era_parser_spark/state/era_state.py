@@ -1,0 +1,197 @@
+"""Era-state management (SURVEY §2.D): incremental, idempotent, resumable.
+
+The reference keeps an era_completion table in ClickHouse with
+ReplacingMergeTree(insert_version) semantics plus an era_status latest-view
+(sql/002_performance_optimizations_up.sql:2-37) and drives runs with
+"skip completed eras" anti-joins (era_state_manager.py:350-377,430-473).
+
+Spark shape: an append-only parquet log of status transitions; the latest
+state is an exact window dedup (argmax insert_version per network+era).
+Appends are tiny (one row per transition) — the log is a metadata table,
+not a data table, so a single-file append per era is the right cost model
+even at 100 TB of block data.
+
+Idempotent data writes (D3's delete-then-insert) come from dynamic
+partition overwrite on era_number: reprocessing an era atomically replaces
+exactly its own partitions.
+"""
+
+from __future__ import annotations
+
+import time
+import traceback
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("network", T.StringType(), False),
+        T.StructField("era_number", T.LongType(), False),
+        T.StructField("status", T.StringType(), False),  # processing|completed|failed
+        T.StructField("slot_start", T.LongType(), True),
+        T.StructField("slot_end", T.LongType(), True),
+        T.StructField("total_records", T.LongType(), True),
+        T.StructField("datasets_processed", T.ArrayType(T.StringType()), True),
+        T.StructField("error_message", T.StringType(), True),
+        T.StructField("retry_count", T.IntegerType(), True),
+        T.StructField("insert_version", T.LongType(), False),  # ns timestamp
+    ]
+)
+
+
+class EraStateStore:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    # -- log primitives ------------------------------------------------------
+
+    def record(
+        self,
+        network: str,
+        era_number: int,
+        status: str,
+        total_records: int | None = None,
+        datasets: list[str] | None = None,
+        error_message: str | None = None,
+        retry_count: int = 0,
+    ) -> None:
+        row = (
+            network,
+            era_number,
+            status,
+            era_number * 8192,
+            era_number * 8192 + 8191,
+            total_records,
+            datasets,
+            error_message,
+            retry_count,
+            time.time_ns(),
+        )
+        df = self.spark.createDataFrame([row], STATE_SCHEMA)
+        df.coalesce(1).write.mode("append").parquet(self.path)
+
+    def log(self) -> DataFrame:
+        try:
+            return self.spark.read.schema(STATE_SCHEMA).parquet(self.path)
+        except Exception:
+            return self.spark.createDataFrame([], STATE_SCHEMA)
+
+    # -- views (D2, D6, D7) --------------------------------------------------
+
+    def latest_state(self) -> DataFrame:
+        """D2: argmax(insert_version) per (network, era) — the era_status view."""
+        w = Window.partitionBy("network", "era_number").orderBy(F.desc("insert_version"))
+        return (
+            self.log()
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    def completed(self, network: str) -> DataFrame:
+        return (
+            self.latest_state()
+            .filter((F.col("network") == network) & (F.col("status") == "completed"))
+            .select("era_number")
+        )
+
+    def status_summary(self, network: str) -> DataFrame:
+        """D6: per-status counts + record totals."""
+        return (
+            self.latest_state()
+            .filter(F.col("network") == network)
+            .groupBy("status")
+            .agg(
+                F.count(F.lit(1)).alias("era_count"),
+                F.sum("total_records").alias("total_records"),
+            )
+        )
+
+    def max_retry(self, network: str, era_number: int) -> int:
+        """D7: COALESCE(MAX(retry_count), 0)."""
+        row = (
+            self.log()
+            .filter((F.col("network") == network) & (F.col("era_number") == era_number))
+            .agg(F.coalesce(F.max("retry_count"), F.lit(0)).alias("m"))
+            .first()
+        )
+        return int(row["m"])
+
+    def failed_eras(self, network: str) -> DataFrame:
+        return self.latest_state().filter(
+            (F.col("network") == network) & (F.col("status") == "failed")
+        )
+
+    # -- planning (D1) ---------------------------------------------------------
+
+    def plan_pending(self, inventory: DataFrame, network: str, force: bool = False) -> DataFrame:
+        """D1: available eras minus completed ones (left anti join).
+
+        `inventory` is sources.era.era_file_inventory output.  The completed
+        side is a per-network metadata set — broadcast, no shuffle of the
+        inventory."""
+        inv = inventory.filter(F.col("network") == network)
+        if force:
+            return inv
+        return inv.join(
+            F.broadcast(self.completed(network)), "era_number", "left_anti"
+        )
+
+
+def process_era_atomic(
+    store: EraStateStore,
+    network: str,
+    era_number: int,
+    tables: dict[str, DataFrame],
+    out_base: str,
+) -> dict[str, int]:
+    """D8: processing -> write all datasets -> completed / failed.
+
+    Data writes are idempotent via dynamic partition overwrite on
+    era_number (D3): a retry after a mid-write failure replaces the same
+    partitions instead of duplicating rows — no DELETE pass needed.
+    """
+    spark = store.spark
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    retry = store.max_retry(network, era_number)
+    store.record(network, era_number, "processing", retry_count=retry + 1)
+    counts: dict[str, int] = {}
+    try:
+        from era_parser_spark.sinks.writers import write_parquet
+
+        for name, df in tables.items():
+            era_df = df.withColumn("era_number", F.lit(era_number)).cache()
+            n = era_df.count()
+            if n > 0:
+                # empty datasets are skipped (reference skips them too, A13);
+                # an all-empty write would also leave no readable schema
+                write_parquet(
+                    era_df,
+                    f"{out_base}/{name}",
+                    partition_by_month=False,
+                    partition_by_era=True,
+                    mode="overwrite",
+                )
+            era_df.unpersist()
+            counts[name] = n
+        store.record(
+            network,
+            era_number,
+            "completed",
+            total_records=sum(counts.values()),
+            datasets=sorted(counts),
+            retry_count=retry + 1,
+        )
+        return counts
+    except Exception as exc:  # noqa: BLE001 - status must record any failure
+        store.record(
+            network,
+            era_number,
+            "failed",
+            error_message=f"{type(exc).__name__}: {exc}\n{traceback.format_exc()[:2000]}",
+            retry_count=retry + 1,
+        )
+        raise

@@ -1,0 +1,155 @@
+"""Incremental processing + Structured Streaming surface.
+
+run_incremental() is the reference's remote/batch lifecycle (§3.2) rebuilt
+on Spark primitives: inventory -> anti-join against the state store (D1) ->
+per-era atomic processing (D8) with partition-overwrite idempotency (D3).
+Era archives are closed/past data, so the reference needs no watermarks —
+"process new files, skip done ones" is exactly this.
+
+For live consumption of the *normalized* tables (new eras landing as
+parquet), stream_blocks()/windowed_block_rate() give a real Structured
+Streaming path (file source + event-time window + watermark), and
+slot_gap_monitor() shows a custom stateful operator
+(applyInPandasWithState): per-network last-seen-slot state emitting gaps
+across micro-batches — something no stateless query can do.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from era_parser_spark.sources.era import read_era_blocks
+from era_parser_spark.state.era_state import EraStateStore, process_era_atomic
+
+
+def run_incremental(
+    spark: SparkSession,
+    era_dir: str,
+    out_base: str,
+    state_path: str,
+    network: str = "gnosis",
+    era_range: str | None = None,
+    tables: list[str] | None = None,
+    force: bool = False,
+) -> dict[int, dict[str, int]]:
+    """Process every not-yet-completed era under era_dir. Returns
+    {era_number: {table: rows}} for the eras processed this run."""
+    from era_parser_spark.operators.normalize import all_tables
+    from era_parser_spark.sources.discovery import discover_local, filter_era_range
+
+    store = EraStateStore(spark, state_path)
+    found = filter_era_range(discover_local(era_dir, network), era_range)
+    if not found:
+        return {}
+    inventory = spark.createDataFrame(
+        [(e, p, network) for e, p in found], "era_number long, path string, network string"
+    )
+    pending = store.plan_pending(inventory, network, force=force)
+    todo = [(r.era_number, r.path) for r in pending.orderBy("era_number").collect()]
+
+    results: dict[int, dict[str, int]] = {}
+    for era_number, path in todo:
+        blocks = read_era_blocks(spark, path, network=network, tables=tables).cache()
+        try:
+            tbls = all_tables(blocks, tables)
+            results[era_number] = process_era_atomic(store, network, era_number, tbls, out_base)
+        finally:
+            blocks.unpersist()
+    return results
+
+
+# --- Structured Streaming over normalized tables -----------------------------
+
+
+def stream_blocks(spark: SparkSession, blocks_dir: str, schema: T.StructType) -> DataFrame:
+    """File-source stream over a written blocks table (new eras arriving)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(blocks_dir)
+    )
+
+
+def windowed_block_rate(stream: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Event-time windowed block counts with late-data watermark."""
+    return (
+        stream.withWatermark("timestamp_utc", "2 hours")
+        .groupBy(F.window("timestamp_utc", window), F.col("version"))
+        # streaming forbids exact distinct; approx is the documented swap
+        .agg(
+            F.count(F.lit(1)).alias("blocks"),
+            F.approx_count_distinct("slot").alias("approx_slots"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "version",
+            "blocks",
+            "approx_slots",
+        )
+    )
+
+
+_GAP_OUT_SCHEMA = "network string, gap_start long, gap_end long, missing long"
+_GAP_STATE_SCHEMA = "last_slot long"
+
+
+def _gap_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (network,) = key
+    last = state.get[0] if state.exists else None
+    rows = []
+    slots: list[int] = []
+    for pdf in pdfs:
+        slots.extend(int(s) for s in pdf["slot"])
+    for s in sorted(slots):
+        if last is not None and s > last + 1:
+            rows.append((network, last + 1, s - 1, s - last - 1))
+        if last is None or s > last:
+            last = s
+    if last is not None:
+        state.update((last,))
+    yield pd.DataFrame(rows, columns=["network", "gap_start", "gap_end", "missing"])
+
+
+def slot_gap_monitor(stream: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator: per-network last-slot state,
+    emits (gap_start, gap_end, missing) for slots skipped between
+    micro-batches — the streaming twin of the E10 batch gap query."""
+    return (
+        stream.select("network", "slot")
+        .groupBy("network")
+        .applyInPandasWithState(
+            _gap_fn,
+            outputStructType=_GAP_OUT_SCHEMA,
+            stateStructType=_GAP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_stream_once(query_df: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
+    """Drive a streaming DF to completion on currently-available data
+    (Trigger.AvailableNow) into an in-memory table; returns the result.
+
+    Windowed aggregations want output_mode='complete' here: in append mode
+    the watermark holds back still-open windows at end of input.
+    """
+    q = (
+        query_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return query_df.sparkSession.sql(f"SELECT * FROM {name}")

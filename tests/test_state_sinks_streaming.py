@@ -1,0 +1,150 @@
+"""End-to-end pipeline tests: sinks, era-state store, incremental runs,
+and the Structured Streaming surface."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from era_parser_spark.testing.era_gen import era_filename, write_synthetic_era
+
+
+@pytest.fixture(scope="module")
+def era_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("eras_inc")
+    for era in (1300, 1301, 1302):
+        write_synthetic_era(str(d / era_filename("gnosis", era)), era, "gnosis", blocks=12)
+    return str(d)
+
+
+def test_incremental_run_skips_completed(spark, era_dir, tmp_path_factory):
+    from era_parser_spark.state.era_state import EraStateStore
+    from era_parser_spark.streaming.incremental import run_incremental
+
+    out = str(tmp_path_factory.mktemp("warehouse"))
+    state_path = os.path.join(out, "_era_state")
+
+    first = run_incremental(
+        spark, era_dir, out, state_path, "gnosis", tables=["blocks", "attestations"]
+    )
+    assert sorted(first) == [1300, 1301, 1302]
+    assert all(c["blocks"] > 0 for c in first.values())
+
+    # second run: everything completed -> nothing to do (D1 anti-join)
+    second = run_incremental(
+        spark, era_dir, out, state_path, "gnosis", tables=["blocks", "attestations"]
+    )
+    assert second == {}
+
+    store = EraStateStore(spark, state_path)
+    summary = {r.status: r.era_count for r in store.status_summary("gnosis").collect()}
+    assert summary == {"completed": 3}
+    assert store.max_retry("gnosis", 1300) == 1
+
+    # data landed partitioned by era; re-running one era with force replaces
+    # exactly that partition (idempotent D3 overwrite), not duplicating rows
+    blocks = spark.read.parquet(f"{out}/blocks")
+    before = blocks.count()
+    third = run_incremental(
+        spark, era_dir, out, state_path, "gnosis", era_range="1301",
+        tables=["blocks", "attestations"], force=True,
+    )
+    assert sorted(third) == [1301]
+    assert spark.read.parquet(f"{out}/blocks").count() == before
+    assert store.max_retry("gnosis", 1301) == 2
+
+
+def test_failed_status_recorded(spark, era_dir, tmp_path_factory):
+    from era_parser_spark.state.era_state import EraStateStore, process_era_atomic
+
+    out = str(tmp_path_factory.mktemp("warehouse_fail"))
+    store = EraStateStore(spark, os.path.join(out, "_state"))
+
+    class Boom:
+        def withColumn(self, *a, **k):
+            raise RuntimeError("disk full (simulated)")
+
+    with pytest.raises(RuntimeError):
+        process_era_atomic(store, "gnosis", 99, {"blocks": Boom()}, out)
+    latest = store.latest_state().filter(F.col("era_number") == 99).first()
+    assert latest.status == "failed"
+    assert "disk full" in latest.error_message
+
+
+def test_sinks_shapes(spark, era_dir, tmp_path_factory):
+    from era_parser_spark.operators.normalize import all_tables
+    from era_parser_spark.sinks.writers import (
+        export_json_document,
+        write_csv,
+        write_parquet,
+        write_separate_datasets,
+    )
+    from era_parser_spark.sources.era import read_era_blocks
+
+    out = str(tmp_path_factory.mktemp("sinks"))
+    blocks = read_era_blocks(spark, era_dir, glob="*.era").cache()
+    tables = all_tables(blocks, ["blocks", "attestations", "withdrawals"])
+
+    # month-partitioned parquet + sidecar
+    write_parquet(tables["blocks"], f"{out}/blocks_pq", metadata={"network": "gnosis"})
+    back = spark.read.parquet(f"{out}/blocks_pq")
+    assert back.count() == tables["blocks"].count()
+    assert "month" in back.columns
+    sidecar = json.load(open(f"{out}/blocks_pq/_era_metadata.json"))
+    assert sidecar["network"] == "gnosis"
+
+    # csv with header (struct-free tables round-trip through csv)
+    write_csv(tables["withdrawals"], f"{out}/wd_csv")
+    csv_back = spark.read.option("header", True).csv(f"{out}/wd_csv")
+    assert int(csv_back.count()) == tables["withdrawals"].count()
+
+    # single-document JSON export (reference A9 shape)
+    doc = export_json_document(
+        tables["attestations"].filter(F.col("slot") < 1300 * 8192 + 6),
+        f"{out}/atts.json",
+        era_info={"era_number": 1300, "network": "gnosis"},
+        data_type="attestations",
+    )
+    loaded = json.load(open(f"{out}/atts.json"))
+    assert set(loaded) == {"era_info", "data_type", "record_count", "export_timestamp", "data"}
+    assert loaded["record_count"] == len(loaded["data"]) == doc["record_count"]
+
+    # separate datasets + SUMMARY.txt
+    counts = write_separate_datasets(tables, f"{out}/sep")
+    summary = open(f"{out}/sep/SUMMARY.txt").read()
+    for name, n in counts.items():
+        assert f"{name},{n}" in summary
+
+
+def test_streaming_window_and_gap_monitor(spark, era_dir, tmp_path_factory):
+    from era_parser_spark.operators.normalize import blocks_table
+    from era_parser_spark.sources.era import read_era_blocks
+    from era_parser_spark.streaming.incremental import (
+        run_stream_once,
+        slot_gap_monitor,
+        stream_blocks,
+        windowed_block_rate,
+    )
+
+    out = str(tmp_path_factory.mktemp("stream_src"))
+    blocks = read_era_blocks(spark, era_dir, glob="*.era")
+    full = blocks.select("network", "slot", "version", "timestamp_utc")
+    full.write.mode("overwrite").parquet(f"{out}/blocks")
+
+    stream = stream_blocks(spark, f"{out}/blocks", full.schema)
+    rates = run_stream_once(windowed_block_rate(stream, "1 hour"), "rates", "complete")
+    total_blocks = full.count()
+    got = rates.agg(F.sum("blocks")).first()[0]
+    assert got == total_blocks
+
+    gaps = run_stream_once(slot_gap_monitor(stream_blocks(spark, f"{out}/blocks", full.schema)), "gaps")
+    # generator skips every 9th slot -> gaps must be reported
+    gap_rows = gaps.collect()
+    assert len(gap_rows) > 0
+    slots = sorted(r.slot for r in full.select("slot").collect())
+    expected_missing = (max(slots) - min(slots) + 1) - len(slots)
+    assert sum(r.missing for r in gap_rows) == expected_missing
