@@ -166,23 +166,27 @@ def all_pairs_topk(
     def block(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         all_ids, all_mat = b_ids.value, b_mat.value
         pos = {int(i): p for p, i in enumerate(all_ids)}
+        k = batch_topk
         for pdf in it:
             row_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            if row_ids.size == 0:
+                continue
             block_vecs = all_mat[[pos[int(i)] for i in row_ids]]
             sims = block_vecs @ all_mat.T
-            out_a, out_b, out_s = [], [], []
-            for r, rid in enumerate(row_ids):
-                srow = sims[r]
-                # keep only pairs (rid < other) to emit each pair once
-                mask = all_ids > rid
-                cand = np.flatnonzero(mask)
-                if cand.size == 0:
-                    continue
-                top = cand[np.argsort(-srow[cand], kind="stable")[:batch_topk]]
-                out_a.extend([int(rid)] * len(top))
-                out_b.extend(all_ids[top].tolist())
-                out_s.extend(srow[top].tolist())
-            yield pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "cosine_sim": out_s})
+            # emit each pair once: mask out columns with id <= row id
+            sims[all_ids[None, :] <= row_ids[:, None]] = -np.inf
+            kk = min(k, sims.shape[1])
+            top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            vals = np.take_along_axis(sims, top, axis=1)
+            keep = np.isfinite(vals)
+            rows = np.repeat(row_ids, kk).reshape(-1, kk)
+            yield pd.DataFrame(
+                {
+                    "doc_a": rows[keep].ravel(),
+                    "doc_b": all_ids[top[keep].ravel()],
+                    "cosine_sim": vals[keep].ravel(),
+                }
+            )
 
     cand = df.select(id_col).mapInPandas(block, "doc_a long, doc_b long, cosine_sim double")
     return cand.orderBy(F.desc("cosine_sim"), "doc_a", "doc_b").limit(top_pairs)

@@ -150,15 +150,26 @@ def e06_having(spark, sf_dir):
 )
 def e07_join_left_group(spark, sf_dir):
     # E7: left equi-join + aggregate (CLICKHOUSE.md:784-794 shape).
+    # Plan: pre-aggregate lineitem per orderkey BEFORE the join — the join
+    # then moves one row per order instead of one per lineitem, and the
+    # count-distinct (which would force an expand over the joined fact
+    # rows) becomes a plain count.  Same result set, same oracle.
     orders = table(spark, sf_dir, "orders")
-    li = table(spark, sf_dir, "lineitem")
+    li_per_order = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("li_cnt"),
+            F.sum(dec("l_extendedprice")).alias("li_rev"),
+        )
+    )
     return (
-        orders.join(li, orders.o_orderkey == li.l_orderkey, "left")
+        orders.join(li_per_order, orders.o_orderkey == li_per_order.l_orderkey, "left")
         .groupBy("o_orderpriority")
         .agg(
-            F.countDistinct("o_orderkey").alias("n_orders"),
-            F.count("l_orderkey").alias("n_lineitems"),
-            dsum("l_extendedprice").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.coalesce("li_cnt", F.lit(0))).alias("n_lineitems"),
+            F.sum("li_rev").cast("double").alias("revenue"),
         )
     )
 

@@ -33,6 +33,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # Arrow for all pandas interchange (mapInPandas parse kernel, UDFs).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Split small parquet files across cores: the default 128m leaves a
+        # single-file table on one task.  At cluster scale, raise via env.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"),
+        )
+        .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.sql.ui.explainMode", "formatted")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
