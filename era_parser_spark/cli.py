@@ -1,0 +1,200 @@
+"""Command-line interface — the reference's era-parser UX on Spark.
+
+Reference command surface (README.md / era_parser/cli.py):
+  era-parser <file> all-blocks out.parquet --separate     -> `parse`
+  era-parser <file> block <slot>                          -> `block`
+  era-parser <file> stats                                 -> `stats`
+  era-parser --batch <glob> ...                           -> `parse` on a dir
+  era-parser --remote gnosis 1082-1100 ... (incremental)  -> `batch`
+  era-parser --era-status/--era-failed/--era-check        -> `era-status` etc.
+
+Usage: python -m era_parser_spark <command> ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark():
+    from era_parser_spark.session import get_spark
+
+    return get_spark(app_name="era_parser_spark_cli")
+
+
+def cmd_parse(args) -> int:
+    from era_parser_spark.operators.normalize import TABLE_BUILDERS, all_tables, wide_blocks_table
+    from era_parser_spark.sinks.writers import write_separate_datasets
+    from era_parser_spark.sources.era import read_era_blocks
+
+    spark = _spark()
+    tables = None
+    if args.table not in ("all-blocks", "blocks-wide"):
+        if args.table not in TABLE_BUILDERS:
+            print(f"unknown table {args.table!r}; one of: all-blocks, blocks-wide, "
+                  + ", ".join(TABLE_BUILDERS), file=sys.stderr)
+            return 2
+        tables = [args.table]
+    blocks = read_era_blocks(
+        spark, args.input, network=args.network, glob=args.glob, tables=tables
+    ).cache()
+    if args.table == "blocks-wide":
+        out_tables = {"blocks_wide": wide_blocks_table(blocks)}
+    elif args.separate or tables is None:
+        out_tables = all_tables(blocks, tables)
+    else:
+        out_tables = all_tables(blocks, tables)
+    counts = write_separate_datasets(out_tables, args.output, fmt=args.format)
+    print(json.dumps({"written": counts, "output": args.output}))
+    return 0
+
+
+def cmd_stats(args) -> int:
+    from era_parser_spark.sources.era import read_era_blocks, scan_stats
+
+    spark = _spark()
+    blocks = read_era_blocks(spark, args.input, network=args.network, glob=args.glob,
+                             tables=["blocks"])
+    for row in scan_stats(blocks).orderBy("era_number").collect():
+        print(json.dumps(row.asDict(), default=str))
+    return 0
+
+
+def cmd_block(args) -> int:
+    from era_parser_spark.config.networks import detect_network, fork_at_slot
+    from era_parser_spark.parsing.beacon import parse_block, stringify
+    from era_parser_spark.parsing.e2store import iter_block_payloads
+
+    # point lookup: pure-kernel path, no Spark session needed (§3.3)
+    network = args.network or detect_network(args.input)
+    with open(args.input, "rb") as f:
+        data = f.read()
+    for slot, payload in iter_block_payloads(data):
+        if slot == args.slot:
+            doc = parse_block(payload, network)
+            printable = {
+                "data": stringify(doc["data"]),
+                "version": doc["version"],
+                "timestamp_utc": doc["timestamp_utc"],
+                "metadata": doc["metadata"],
+            }
+            print(json.dumps(printable, indent=2))
+            return 0
+    print(f"slot {args.slot} not found (fork would be "
+          f"{fork_at_slot(args.slot, network)})", file=sys.stderr)
+    return 1
+
+
+def cmd_batch(args) -> int:
+    from era_parser_spark.streaming.incremental import run_incremental
+
+    spark = _spark()
+    results = run_incremental(
+        spark,
+        era_dir=args.input,
+        out_base=args.output,
+        state_path=args.state,
+        network=args.network or "gnosis",
+        era_range=args.range,
+        tables=args.tables.split(",") if args.tables else None,
+        force=args.force,
+    )
+    print(json.dumps({str(k): v for k, v in results.items()}))
+    return 0
+
+
+def _store(args):
+    from era_parser_spark.state.era_state import EraStateStore
+
+    return EraStateStore(_spark(), args.state)
+
+
+def cmd_era_status(args) -> int:
+    for row in _store(args).status_summary(args.network or "gnosis").collect():
+        print(json.dumps(row.asDict(), default=str))
+    return 0
+
+
+def cmd_era_failed(args) -> int:
+    rows = _store(args).failed_eras(args.network or "gnosis").orderBy("era_number").collect()
+    for row in rows:
+        print(json.dumps({"era_number": row.era_number, "retry_count": row.retry_count,
+                          "error_message": (row.error_message or "")[:200]}))
+    return 0
+
+
+def cmd_era_check(args) -> int:
+    latest = _store(args).latest_state()
+    row = latest.filter(
+        (latest.network == (args.network or "gnosis")) & (latest.era_number == args.era)
+    ).first()
+    print(json.dumps(row.asDict(), default=str) if row else "null")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="era_parser_spark")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common(sp):
+        sp.add_argument("--network", default=None)
+        sp.add_argument("--glob", default="*.era")
+
+    sp = sub.add_parser("parse", help="parse era file(s) into normalized tables")
+    sp.add_argument("input")
+    sp.add_argument("table", help="all-blocks | blocks-wide | <table name>")
+    sp.add_argument("output")
+    sp.add_argument("--separate", action="store_true")
+    sp.add_argument("--format", default="parquet", choices=["parquet", "csv", "jsonl"])
+    common(sp)
+    sp.set_defaults(fn=cmd_parse)
+
+    sp = sub.add_parser("stats", help="record counts + slot ranges per era file")
+    sp.add_argument("input")
+    common(sp)
+    sp.set_defaults(fn=cmd_stats)
+
+    sp = sub.add_parser("block", help="print one block as JSON by slot")
+    sp.add_argument("input")
+    sp.add_argument("slot", type=int)
+    sp.add_argument("--network", default=None)
+    sp.set_defaults(fn=cmd_block)
+
+    sp = sub.add_parser("batch", help="incremental: process new eras, skip completed")
+    sp.add_argument("input")
+    sp.add_argument("output")
+    sp.add_argument("--state", required=True)
+    sp.add_argument("--range", default=None, help="era range: N | N-M | N+")
+    sp.add_argument("--tables", default=None, help="comma-separated table subset")
+    sp.add_argument("--force", action="store_true")
+    sp.add_argument("--network", default=None)
+    sp.set_defaults(fn=cmd_batch)
+
+    for name, fn in (
+        ("era-status", cmd_era_status),
+        ("era-failed", cmd_era_failed),
+        ("era-check", cmd_era_check),
+    ):
+        sp = sub.add_parser(name)
+        sp.add_argument("--state", required=True)
+        sp.add_argument("--network", default=None)
+        if name == "era-check":
+            sp.add_argument("era", type=int)
+        sp.set_defaults(fn=fn)
+
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    try:
+        return args.fn(args)
+    except ValueError as exc:
+        print(f"error: {exc}", file=sys.stderr)
+        return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,87 @@
+"""CLI tests (main() invoked in-process; the CLI surface itself is also
+driven as a subprocess in the verify flow)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from era_parser_spark.cli import main
+from era_parser_spark.testing.era_gen import era_filename, write_synthetic_era
+
+
+@pytest.fixture(scope="module")
+def era_dir(tmp_path_factory, spark):
+    # `spark` fixture ensures the CLI's getOrCreate reuses the test session
+    d = tmp_path_factory.mktemp("cli_eras")
+    for era in (1300, 1301):
+        write_synthetic_era(str(d / era_filename("gnosis", era)), era, "gnosis", blocks=10)
+    return str(d)
+
+
+def test_parse_separate(era_dir, tmp_path, capsys):
+    out = str(tmp_path / "out")
+    assert main(["parse", era_dir, "all-blocks", out, "--separate"]) == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["written"]["blocks"] == 18  # 2 eras x 10 slots, every 9th missing
+    assert "attestations" in payload["written"]
+
+
+def test_parse_single_table_csv(era_dir, tmp_path, capsys):
+    out = str(tmp_path / "wd")
+    assert main(["parse", era_dir, "withdrawals", out, "--format", "csv"]) == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(payload["written"]) == {"withdrawals"}
+
+
+def test_parse_unknown_table(era_dir, tmp_path, capsys):
+    assert main(["parse", era_dir, "nonsense", str(tmp_path / "x")]) == 2
+    assert "unknown table" in capsys.readouterr().err
+
+
+def test_stats(era_dir, capsys):
+    assert main(["stats", era_dir]) == 0
+    lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert {r["era_number"] for r in lines} == {1300, 1301}
+    assert all(r["block_count"] == 9 for r in lines)
+
+
+def test_block_lookup(era_dir, capsys):
+    slot = 1300 * 8192
+    path = f"{era_dir}/{era_filename('gnosis', 1300)}"
+    assert main(["block", path, str(slot)]) == 0
+    doc = json.loads(capsys.readouterr().out)
+    assert doc["data"]["message"]["slot"] == str(slot)
+    assert doc["version"] == "capella"
+
+
+def test_block_lookup_missing(era_dir, capsys):
+    path = f"{era_dir}/{era_filename('gnosis', 1300)}"
+    assert main(["block", path, "12345"]) == 1
+    assert "not found" in capsys.readouterr().err
+
+
+def test_batch_and_state_commands(era_dir, tmp_path, capsys):
+    out = str(tmp_path / "wh")
+    state = str(tmp_path / "state")
+    assert main(["batch", era_dir, out, "--state", state,
+                 "--tables", "blocks,withdrawals"]) == 0
+    first = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(first) == {"1300", "1301"}
+
+    assert main(["era-status", "--state", state]) == 0
+    status = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert status[0]["status"] == "completed" and status[0]["era_count"] == 2
+
+    assert main(["era-check", "--state", state, "1300"]) == 0
+    check = json.loads(capsys.readouterr().out)
+    assert check["status"] == "completed"
+
+    assert main(["era-failed", "--state", state]) == 0
+    assert capsys.readouterr().out.strip() == ""
+
+    # re-run skips everything
+    assert main(["batch", era_dir, out, "--state", state,
+                 "--tables", "blocks,withdrawals"]) == 0
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1]) == {}
