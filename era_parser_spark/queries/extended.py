@@ -1,0 +1,270 @@
+"""Extended operator families beyond the reference's surface (SURVEY §2.G
+lists these as confirmed absences there; Spark supplies them natively, and a
+training-data pipeline leans on several).  All oracle-checked unless noted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from era_parser_spark.queries.exprs import dsum, sql_dsum
+from era_parser_spark.queries.registry import register, table
+
+
+@register(
+    "x1_asof_join",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+           last_click_value, last_click_ts
+    FROM (
+      SELECT event_id, user_id, ts, value, event_type,
+             last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+               OVER w AS last_click_value,
+             last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+               OVER w AS last_click_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    WHERE event_type = 'purchase'
+    """,
+)
+def x1_asof_join(spark, sf_dir):
+    """As-of join: each purchase picks up the latest strictly-prior click of
+    the same user.  Spark lacks a native ASOF JOIN; the scalable idiom is a
+    single partitioned window over the unioned stream (one shuffle by key,
+    no range join, no skewed band join) — pd.merge_asof via applyInPandas
+    is the fallback when the two sides can't share one relation."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    click_val = F.when(F.col("event_type") == "click", F.col("value"))
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    return (
+        ev.withColumn("last_click_value", F.last(click_val, ignorenulls=True).over(w))
+        .withColumn("last_click_ts", F.last(click_ts, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "value", "last_click_value", "last_click_ts")
+    )
+
+
+@register(
+    "x2_sessionize",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts, event_id,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id, count(DISTINCT session_id) AS n_sessions,
+           count(*) AS n_events,
+           CAST(count(*) AS DOUBLE) / count(DISTINCT session_id) AS events_per_session
+    FROM sessions GROUP BY user_id
+    """,
+)
+def x2_sessionize(spark, sf_dir):
+    """Sessionization: 30-minute inactivity gap splits sessions (lag +
+    running sum of session-start markers — the standard batch idiom)."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_session = (
+        prev_ts.isNull()
+        | (F.col("ts").cast("long") - prev_ts.cast("long") > 1800)
+    ).cast("int")
+    sessions = ev.withColumn("new_session", new_session).withColumn(
+        "session_id", F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return sessions.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.count(F.lit(1)).cast("double") / F.countDistinct("session_id")).alias(
+            "events_per_session"
+        ),
+    )
+
+
+@register(
+    "x3_rollup",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+           {sql_dsum('o_totalprice')} AS total
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def x3_rollup(spark, sf_dir):
+    """Hierarchical ROLLUP totals (status, status+priority, grand total)."""
+    return (
+        table(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("o_totalprice").alias("total"))
+    )
+
+
+@register(
+    "x4_set_ops",
+    oracle="""
+    WITH a AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'),
+         b AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01')
+    SELECT 'both_years' AS segment, count(*) AS cnt FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+    UNION ALL
+    SELECT 'only_1996' AS segment, count(*) AS cnt FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+    UNION ALL
+    SELECT 'only_1997' AS segment, count(*) AS cnt FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
+    """,
+)
+def x4_set_ops(spark, sf_dir):
+    """INTERSECT / EXCEPT customer-cohort segmentation."""
+    orders = table(spark, sf_dir, "orders")
+
+    def cohort(y0, y1):
+        return (
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit(y0).cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(y1).cast("timestamp"))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    a = cohort("1996-01-01", "1997-01-01")
+    b = cohort("1997-01-01", "1998-01-01")
+
+    def seg(name, df):
+        return df.agg(F.count(F.lit(1)).alias("cnt")).select(
+            F.lit(name).alias("segment"), "cnt"
+        )
+
+    return (
+        seg("both_years", a.intersect(b))
+        .unionByName(seg("only_1996", a.exceptAll(b)))
+        .unionByName(seg("only_1997", b.exceptAll(a)))
+    )
+
+
+@register(
+    "x5_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.25) AS p25,
+           quantile_cont(l_extendedprice, 0.50) AS p50,
+           quantile_cont(l_extendedprice, 0.90) AS p90
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def x5_percentiles(spark, sf_dir):
+    """Exact percentiles (continuous + discrete).  At 100 TB use
+    percentile_approx — exact percentile requires a per-group sort."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.25)).alias("p25"),
+        F.percentile("l_extendedprice", F.lit(0.50)).alias("p50"),
+        F.percentile("l_extendedprice", F.lit(0.90)).alias("p90"),
+    )
+
+
+@register(
+    "x6_range_join",
+    oracle="""
+    WITH buckets(lo, hi, label) AS (VALUES
+      (0.0, 10.0, 'low'), (10.0, 25.0, 'mid'), (25.0, 1e9, 'high'))
+    SELECT label, count(*) AS cnt, count(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem JOIN buckets ON l_quantity >= lo AND l_quantity < hi
+    GROUP BY label
+    """,
+)
+def x6_range_join(spark, sf_dir):
+    """Banded range join against a tiny broadcast band table (Spark plans a
+    broadcast nested-loop — the right physical plan for bands)."""
+    li = table(spark, sf_dir, "lineitem")
+    buckets = li.sparkSession.createDataFrame(
+        [(0.0, 10.0, "low"), (10.0, 25.0, "mid"), (25.0, 1e9, "high")],
+        ["lo", "hi", "label"],
+    )
+    return (
+        li.join(
+            F.broadcast(buckets),
+            (li.l_quantity >= buckets.lo) & (li.l_quantity < buckets.hi),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "x7_systematic_sample",
+    oracle=f"""
+    SELECT count(*) AS sample_rows, {sql_dsum('o_totalprice')} AS sample_total
+    FROM orders WHERE o_orderkey % 20 = 7
+    """,
+)
+def x7_systematic_sample(spark, sf_dir):
+    """Deterministic systematic sampling (key mod k) — reproducible across
+    engines/runs, unlike rand()-based TABLESAMPLE."""
+    return (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 20 == 7)
+        .agg(
+            F.count(F.lit(1)).alias("sample_rows"),
+            dsum("o_totalprice").alias("sample_total"),
+        )
+    )
+
+
+@register(
+    "x9_pivot",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click') AS click,
+           count(*) FILTER (WHERE event_type = 'view') AS view,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup') AS signup,
+           count(*) FILTER (WHERE event_type = 'error') AS error
+    FROM events GROUP BY user_id
+    """,
+)
+def x9_pivot(spark, sf_dir):
+    """Pivot event types to columns (explicit value list keeps the plan a
+    single pass — no distinct-values pre-query)."""
+    types = ["click", "view", "purchase", "signup", "error"]
+    out = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
+    )
+
+
+@register("x8_approx_stats")  # approximate by design -> rows-only check
+def x8_approx_stats(spark, sf_dir):
+    """Sketch-based approximations next to their exact values: the 100 TB
+    substitutes for count-distinct and percentile (error asserted <5% in
+    tests)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.percentile("value", F.lit(0.5)).alias("exact_p50"),
+        F.percentile_approx("value", F.lit(0.5), F.lit(5000)).alias("approx_p50"),
+    )

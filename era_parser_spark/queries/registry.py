@@ -73,6 +73,7 @@ def load_all():
     from era_parser_spark.queries import (  # noqa: F401
         analytics,
         dedup,
+        extended,
         similarity,
         state_ops,
         text,

@@ -155,3 +155,15 @@ def test_multimodal_features_deterministic(spark):
     frames = frame_sample(vids, every_ms=1000)
     per = frames.groupBy("media_id").count().collect()
     assert all(r["count"] == 3 for r in per)  # 3500ms / 1000ms -> frames 0,1,2
+
+
+def test_approx_stats_error_bounds(spark):
+    """x8: sketches must stay within advertised error of the exact values."""
+    from era_parser_spark.queries import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["x8_approx_stats"](spark, SF_MED).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.approx_users - r.exact_users) / max(r.exact_users, 1) < 0.05
+        assert abs(r.approx_p50 - r.exact_p50) / max(abs(r.exact_p50), 1e-9) < 0.05
