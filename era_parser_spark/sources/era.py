@@ -90,16 +90,38 @@ _PARSE_OUT_SCHEMA = T.StructType(
 )
 
 
-def _parser(network: str | None, body_include: set[str] | None, batch_rows: int = 2048):
+def _parser(
+    network: str | None,
+    body_include: set[str] | None,
+    on_error: str = "skip",
+    batch_rows: int = 2048,
+):
     def parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
+
         cols = [f.name for f in _PARSE_OUT_SCHEMA.fields]
         for pdf in it:
             rows: list[tuple] = []
             for path, content in zip(pdf["path"], pdf["content"]):
                 net = network or detect_network(str(path))
                 meta = parse_era_filename(str(path))
+                n_bad = 0
                 for slot, payload in iter_block_payloads(bytes(content)):
-                    parsed = parse_block(payload, net, body_include=body_include)
+                    try:
+                        parsed = parse_block(payload, net, body_include=body_include)
+                    except Exception as exc:  # noqa: BLE001
+                        # per-block error isolation (the reference defaults
+                        # bad fields rather than failing the era); one
+                        # corrupt block must not kill a 100 TB job
+                        if on_error == "fail":
+                            raise
+                        n_bad += 1
+                        print(
+                            f"era_parser_spark: skipping slot {slot} in {path}: "
+                            f"{type(exc).__name__}: {exc}",
+                            file=sys.stderr,
+                        )
+                        continue
                     rows.append(
                         (
                             str(path),
@@ -116,6 +138,11 @@ def _parser(network: str | None, body_include: set[str] | None, batch_rows: int 
                     if len(rows) >= batch_rows:
                         yield pd.DataFrame(rows, columns=cols)
                         rows = []
+                if n_bad:
+                    print(
+                        f"era_parser_spark: {n_bad} unparseable block(s) skipped in {path}",
+                        file=sys.stderr,
+                    )
             if rows:
                 yield pd.DataFrame(rows, columns=cols)
 
@@ -129,11 +156,14 @@ def read_era_blocks(
     tables: list[str] | None = None,
     body_include: set[str] | None = None,
     glob: str | None = None,
+    on_error: str = "skip",
 ) -> DataFrame:
     """Era files -> blocks DataFrame (typed, fork-superset body struct).
 
     `tables` prunes the SSZ decode to only the body fields those normalized
-    tables need; `glob` filters file names (A6 glob_batch_source).
+    tables need; `glob` filters file names (A6 glob_batch_source);
+    `on_error='skip'` isolates per-block parse failures (logged + counted
+    on executor stderr), `'fail'` surfaces them.
     """
     from era_parser_spark.shipping import ensure_package_shipped
 
@@ -147,7 +177,7 @@ def read_era_blocks(
         reader = reader.option("pathGlobFilter", glob)
     binary = reader.load(paths)
     parsed = binary.select("path", "content").mapInPandas(
-        _parser(network, body_include), _PARSE_OUT_SCHEMA
+        _parser(network, body_include, on_error), _PARSE_OUT_SCHEMA
     )
     block = F.from_json("json", BLOCK_SPARK_SCHEMA)
     return parsed.select(
@@ -167,20 +197,31 @@ def read_era_blocks(
     )
 
 
-def era_file_inventory(spark: SparkSession, paths: str | list[str], glob: str | None = None) -> DataFrame:
-    """(path, era_number, network, size) listing — the planning-side view
-    (A6): feed this to state.plan_pending_eras for incremental runs."""
+def era_file_inventory(
+    spark: SparkSession,
+    paths: str | list[str],
+    glob: str | None = None,
+    with_md5: bool = False,
+) -> DataFrame:
+    """(path, era_number, network, size[, md5]) listing — the planning-side
+    view (A6): feed this to state.plan_pending for incremental runs.
+    with_md5 adds the file-content hash the reference tracks per era (D9,
+    era_state_manager.py:477-485) — it reads every byte, so keep it off for
+    pure planning."""
     reader = spark.read.format("binaryFile")
     if glob:
         reader = reader.option("pathGlobFilter", glob)
-    files = reader.load(paths).select("path", "length")
+    cols = ["path", "length"] + (["content"] if with_md5 else [])
+    files = reader.load(paths).select(*cols)
     era_re = r"([a-z0-9]+)-(\d{5})-([0-9a-f]+)\.era$"
-    return files.select(
+    out = files.select(
         "path",
         F.regexp_extract("path", era_re, 1).alias("network"),
         F.regexp_extract("path", era_re, 2).cast("long").alias("era_number"),
         F.col("length").alias("size_bytes"),
+        *([F.md5("content").alias("file_md5")] if with_md5 else []),
     )
+    return out
 
 
 def scan_stats(df: DataFrame) -> DataFrame:

@@ -192,3 +192,49 @@ def test_wide_blocks(blocks_df, era_dir):
         w = r[msg["slot"]]
         assert w.attestation_count == len(msg["body"]["attestations"])
         assert w.execution_block_number == msg["body"]["execution_payload"]["block_number"]
+
+
+def test_inventory_md5(spark, era_dir):
+    import hashlib
+
+    from era_parser_spark.sources.era import era_file_inventory
+
+    d, _ = era_dir
+    inv = {r.era_number: r for r in era_file_inventory(spark, d, glob="*.era", with_md5=True).collect()}
+    path = inv[0].path.replace("file:", "")
+    expected = hashlib.md5(open(path, "rb").read()).hexdigest()
+    assert inv[0].file_md5 == expected
+
+
+def test_corrupt_block_isolation(spark, tmp_path):
+    """One corrupt block record must not kill the scan (on_error='skip');
+    on_error='fail' must surface it."""
+    import struct
+
+    from era_parser_spark.parsing import snappy as snappy_mod
+    from era_parser_spark.parsing.beacon import encode_signed_block
+    from era_parser_spark.sources.era import read_era_blocks
+    from era_parser_spark.testing.era_gen import make_block_doc
+
+    good = [
+        snappy_mod.frame_compress(encode_signed_block(make_block_doc(s, "gnosis"), "phase0"))
+        for s in (300, 301)
+    ]
+    # corrupt: valid snappy, truncated SSZ that still slot-peeks as 302
+    bad_ssz = struct.pack("<I", 100) + b"\x00" * 96 + struct.pack("<Q", 302)
+    bad = snappy_mod.frame_compress(bad_ssz)
+
+    header = struct.Struct("<2sIH")
+    out = bytearray(header.pack(b"e2", 0, 0))
+    for payload in (good[0], bad, good[1]):
+        out += header.pack(b"\x01\x00", len(payload), 0) + payload
+    p = tmp_path / "gnosis-00000-deadbeef.era"
+    p.write_bytes(bytes(out))
+
+    df = read_era_blocks(spark, str(p))
+    assert sorted(r.slot for r in df.select("slot").collect()) == [300, 301]
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        read_era_blocks(spark, str(p), on_error="fail").collect()
