@@ -1,0 +1,87 @@
+"""Plan-property regression tests: the physical plans documented in
+docs/PLANS.md are invariants, not happy accidents.  If a refactor loses a
+pushdown or turns a broadcast into a shuffle, these fail.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_MED
+
+
+@pytest.fixture(scope="module")
+def queries():
+    from era_parser_spark.queries import load_all
+
+    q, _ = load_all()
+    return q
+
+
+def test_filter_and_projection_pushdown(spark, queries):
+    from era_parser_spark.plans import pushed_filters, read_schema_columns
+
+    df = queries["e01_filter_project"](spark, SF_MED)
+    filters = " ".join(pushed_filters(df))
+    assert "l_shipdate" in filters and "l_discount" in filters
+    (cols,) = read_schema_columns(df)
+    # scan must read only the referenced columns, not the 11-column table
+    assert cols == {
+        "l_orderkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_shipdate",
+    }
+
+
+def test_q3_broadcasts_dimensions(spark, queries):
+    from era_parser_spark.plans import broadcast_join_count, plan_summary
+
+    df = queries["q3_shipping_priority"](spark, SF_MED)
+    assert broadcast_join_count(df) >= 1  # customer side must broadcast
+    assert plan_summary(df)["sort_merge_joins"] <= 1
+
+
+def test_q5_star_join_all_broadcast(spark, queries):
+    from era_parser_spark.plans import broadcast_join_count
+
+    df = queries["q5_local_supplier_volume"](spark, SF_MED)
+    # supplier, customer, nation, region sides all broadcast
+    assert broadcast_join_count(df) >= 4
+
+
+def test_topk_avoids_global_sort(spark, queries):
+    from era_parser_spark.plans import uses_take_ordered
+
+    assert uses_take_ordered(queries["e05_topk"](spark, SF_MED))
+
+
+def test_q1_partial_aggregation(spark, queries):
+    from era_parser_spark.plans import formatted_plan
+
+    plan = formatted_plan(queries["q1_pricing_summary"](spark, SF_MED))
+    # two HashAggregates (partial + final) around one exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_range_join_is_broadcast_nested_loop(spark, queries):
+    from era_parser_spark.plans import formatted_plan
+
+    plan = formatted_plan(queries["x6_range_join"](spark, SF_MED))
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_month_partition_pruning(spark, tmp_path):
+    """Partitioned warehouse writes must prune on month filters."""
+    from pyspark.sql import functions as F
+
+    from era_parser_spark.plans import formatted_plan
+    from era_parser_spark.queries.registry import table
+    from era_parser_spark.sinks.writers import write_parquet
+
+    ev = table(spark, SF_MED, "events").select(
+        "event_id", F.col("ts").alias("timestamp_utc"), "value"
+    )
+    out = str(tmp_path / "part_events")
+    write_parquet(ev, out, partition_by_month=True)
+    back = spark.read.parquet(out).filter(F.col("month") == "2024-01")
+    plan = formatted_plan(back)
+    assert "PartitionFilters" in plan and "month" in plan.split("PartitionFilters")[1][:200]
