@@ -89,3 +89,15 @@ def fingerprint_col(text_col: str | Column) -> Column:
     tier of dedup before shingle-based near-dup.
     """
     return F.md5(F.concat_ws(" ", tokens_col(text_col)))
+
+
+# BPE-ish pre-tokenizer: letter runs | single digits | punctuation runs.
+# Deliberately lookahead-free so Java regex (Spark) and RE2 (DuckDB) agree.
+BPE_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count_col(text_col: str | Column) -> Column:
+    """Subword-style token count via the BPE-ish pre-tokenization regex —
+    the cheap stand-in for a real tokenizer when budgeting training data."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.regexp_count(c, F.lit(BPE_PATTERN))

@@ -90,3 +90,42 @@ def t3_lang_id(spark, sf_dir):
 def t4_fingerprint(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     return docs.select("doc_id", fingerprint_col("text").alias("fingerprint"))
+
+
+@register(
+    "t5_bpe_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+'))
+             AS n_bpe_tokens,
+           len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def t5_bpe_token_count(spark, sf_dir):
+    # BPE-ish pre-tokenization count next to the whitespace count — the
+    # pattern is lookahead-free so Java regex and RE2 agree.
+    from era_parser_spark.operators.text import bpe_token_count_col
+
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        bpe_token_count_col("text").alias("n_bpe_tokens"),
+        token_count_col("text").alias("n_ws_tokens"),
+    )
+
+
+@register("wn1_winnowing_overlap")  # engine-specific hashing -> rows-only
+def wn1_winnowing_overlap(spark, sf_dir):
+    # Rolling-hash winnowing fingerprints -> substring-overlap pairs
+    # (semantics pinned in tests/test_winnowing.py).
+    from pyspark.sql import functions as F
+
+    from era_parser_spark.operators.winnowing import overlap_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    return (
+        overlap_pairs(docs, "doc_id", "text", k=8, w=4, min_shared=5)
+        .orderBy(F.desc("containment"), "doc_a", "doc_b")
+        .limit(50)
+    )

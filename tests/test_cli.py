@@ -85,3 +85,23 @@ def test_batch_and_state_commands(era_dir, tmp_path, capsys):
     assert main(["batch", era_dir, out, "--state", state,
                  "--tables", "blocks,withdrawals"]) == 0
     assert json.loads(capsys.readouterr().out.strip().splitlines()[-1]) == {}
+
+
+def test_sql_views(spark, era_dir, tmp_path):
+    """spark.sql over registered synthetic + warehouse views."""
+    from era_parser_spark.sql import register_synthetic_views, register_warehouse_views
+    from tests.conftest import SF_MED
+
+    register_synthetic_views(spark, SF_MED)
+    row = spark.sql(
+        "SELECT count(*) AS n, count(DISTINCT user_id) AS u FROM events"
+    ).first()
+    assert row.n == 10000 and row.u == 150
+
+    out = str(tmp_path / "wh_sql")
+    state = str(tmp_path / "state_sql")
+    assert main(["batch", era_dir, out, "--state", state, "--tables", "blocks"]) == 0
+    views = register_warehouse_views(spark, out)
+    assert "blocks" in views
+    got = spark.sql("SELECT count(*) AS n FROM blocks").first().n
+    assert got == 18
