@@ -134,6 +134,19 @@ def cmd_era_check(args) -> int:
     return 0
 
 
+def cmd_migrate(args) -> int:
+    from era_parser_spark.state.migrations import MigrationRunner, builtin_migrations
+
+    runner = MigrationRunner(_spark(), args.warehouse, builtin_migrations())
+    if args.action in ("status", "list"):
+        for m in runner.status():
+            print(json.dumps(m))
+        return 0
+    applied = runner.run()
+    print(json.dumps({"applied": applied}))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="era_parser_spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -183,6 +196,11 @@ def build_parser() -> argparse.ArgumentParser:
         if name == "era-check":
             sp.add_argument("era", type=int)
         sp.set_defaults(fn=fn)
+
+    sp = sub.add_parser("migrate", help="warehouse schema migrations")
+    sp.add_argument("action", choices=["status", "run", "list"])
+    sp.add_argument("warehouse")
+    sp.set_defaults(fn=cmd_migrate)
 
     return p
 

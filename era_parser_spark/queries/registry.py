@@ -76,6 +76,7 @@ def load_all():
         extended,
         similarity,
         state_ops,
+        streaming_q,
         text,
         tpch,
     )

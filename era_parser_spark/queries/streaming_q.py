@@ -1,0 +1,67 @@
+"""Structured Streaming parity query: a windowed streaming aggregation run
+to completion with Trigger.AvailableNow must equal the equivalent batch SQL
+— exactly-once semantics made oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import functions as F
+
+from era_parser_spark.queries.registry import register, table
+
+
+@register(
+    "st1_stream_windowed_counts",
+    oracle="""
+    SELECT TIMESTAMP '1970-01-01 00:00:00'
+             + to_seconds(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT))
+             AS window_start,
+           event_type, count(*) AS cnt
+    FROM events GROUP BY 1, 2
+    """,
+)
+def st1_stream_windowed_counts(spark, sf_dir):
+    """Tumbling 1-hour windowed counts computed via readStream +
+    Trigger.AvailableNow (real micro-batched streaming execution), returned
+    as the final in-memory table.  Spark's window() is epoch-aligned, so
+    the oracle is a plain floor-to-hour GROUP BY."""
+    # streaming needs an explicit schema; reuse the batch loader's (which
+    # also resolves the nanos-timestamp conversion for `ts`)
+    batch = table(spark, sf_dir, "events")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the streaming file source wants a directory; expose the single table
+    # file through one (a real deployment streams a growing table dir)
+    stream_dir = os.path.join(
+        tempfile.gettempdir(), f"st1_src_{abs(hash(sf_dir)) % 10**8}"
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    stream = spark.readStream.schema(raw_schema).parquet(stream_dir)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "cnt",
+        )
+    )
+    name = f"st1_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert batch is not None  # loader call above also validated the path
+    return spark.sql(f"SELECT * FROM {name}")

@@ -78,6 +78,18 @@ class MigrationRunner:
         return applied
 
 
+def builtin_migrations() -> list[Migration]:
+    """The engine's own migration sequence for era warehouses (grows over
+    releases; version numbers are permanent)."""
+    return [
+        Migration(
+            1,
+            "blocks_add_graffiti_text",
+            add_column_migration("blocks", "graffiti_text", "string", None),
+        ),
+    ]
+
+
 def add_column_migration(
     table: str, column: str, dtype: str, default=None
 ) -> Callable[[SparkSession, str], None]:

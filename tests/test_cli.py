@@ -105,3 +105,21 @@ def test_sql_views(spark, era_dir, tmp_path):
     assert "blocks" in views
     got = spark.sql("SELECT count(*) AS n FROM blocks").first().n
     assert got == 18
+
+
+def test_migrate_cli(spark, era_dir, tmp_path, capsys):
+    out = str(tmp_path / "wh_mig")
+    state = str(tmp_path / "state_mig")
+    assert main(["batch", era_dir, out, "--state", state, "--tables", "blocks"]) == 0
+    capsys.readouterr()
+
+    assert main(["migrate", "status", out]) == 0
+    status = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert status[0] == {"version": 1, "name": "blocks_add_graffiti_text", "status": "pending"}
+
+    assert main(["migrate", "run", out]) == 0
+    assert json.loads(capsys.readouterr().out.strip())["applied"] == [1]
+    assert "graffiti_text" in spark.read.parquet(f"{out}/blocks").columns
+
+    assert main(["migrate", "run", out]) == 0  # idempotent
+    assert json.loads(capsys.readouterr().out.strip())["applied"] == []
