@@ -90,6 +90,15 @@ _PARSE_OUT_SCHEMA = T.StructType(
 )
 
 
+def _local_path(path: str) -> str | None:
+    """Filesystem path if the URI is local, else None."""
+    if path.startswith("file:"):
+        return path[len("file:"):]
+    if "://" not in path:
+        return path
+    return None
+
+
 def _parser(
     network: str | None,
     body_include: set[str] | None,
@@ -102,7 +111,16 @@ def _parser(
         cols = [f.name for f in _PARSE_OUT_SCHEMA.fields]
         for pdf in it:
             rows: list[tuple] = []
-            for path, content in zip(pdf["path"], pdf["content"]):
+            has_content = "content" in pdf.columns
+            for i, path in enumerate(pdf["path"]):
+                if has_content:
+                    content = pdf["content"].iloc[i]
+                else:
+                    # paths-only mode: the task opens its own file, so era
+                    # bytes never ride through Arrow/pandas (one era file
+                    # can be hundreds of MB)
+                    with open(_local_path(str(path)), "rb") as f:
+                        content = f.read()
                 net = network or detect_network(str(path))
                 meta = parse_era_filename(str(path))
                 n_bad = 0
@@ -176,7 +194,14 @@ def read_era_blocks(
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     binary = reader.load(paths)
-    parsed = binary.select("path", "content").mapInPandas(
+    # Local files: distribute paths only and open inside the task — era
+    # bytes never cross the JVM->Arrow->pandas boundary.  Remote schemes
+    # (s3a/hdfs/...) keep binaryFile's content column (the JVM filesystem
+    # layer owns credentials/retries there).
+    first = binary.select("path").first()
+    local = first is not None and _local_path(str(first["path"])) is not None
+    src = binary.select("path") if local else binary.select("path", "content")
+    parsed = src.mapInPandas(
         _parser(network, body_include, on_error), _PARSE_OUT_SCHEMA
     )
     block = F.from_json("json", BLOCK_SPARK_SCHEMA)
