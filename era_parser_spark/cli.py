@@ -100,6 +100,7 @@ def cmd_batch(args) -> int:
         era_range=args.range,
         tables=args.tables.split(",") if args.tables else None,
         force=args.force,
+        per_era=args.per_era,
     )
     print(json.dumps({str(k): v for k, v in results.items()}))
     return 0
@@ -183,6 +184,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--tables", default=None, help="comma-separated table subset")
     sp.add_argument("--force", action="store_true")
     sp.add_argument("--network", default=None)
+    sp.add_argument("--per-era", action="store_true", dest="per_era",
+                    help="serial era-at-a-time processing (reference-shaped); "
+                         "default is one distributed job over all pending eras")
     sp.set_defaults(fn=cmd_batch)
 
     for name, fn in (

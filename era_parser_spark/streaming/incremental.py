@@ -38,10 +38,19 @@ def run_incremental(
     era_range: str | None = None,
     tables: list[str] | None = None,
     force: bool = False,
+    per_era: bool = False,
 ) -> dict[int, dict[str, int]]:
     """Process every not-yet-completed era under era_dir. Returns
-    {era_number: {table: rows}} for the eras processed this run."""
-    from era_parser_spark.operators.normalize import all_tables
+    {era_number: {table: rows}} for the eras processed this run.
+
+    Default (batched): ALL pending eras go through one distributed job per
+    table — one scan parallelized across era files, one partitioned write —
+    which is the 100 TB shape (the reference loops eras serially; so does
+    per_era=True here, trading throughput for era-granular status rows).
+    Idempotency is identical either way: era_number partition overwrite +
+    status log; a mid-job failure leaves eras 'processing' and the next run
+    redoes exactly those partitions.
+    """
     from era_parser_spark.sources.discovery import discover_local, filter_era_range
 
     store = EraStateStore(spark, state_path)
@@ -53,16 +62,96 @@ def run_incremental(
     )
     pending = store.plan_pending(inventory, network, force=force)
     todo = [(r.era_number, r.path) for r in pending.orderBy("era_number").collect()]
+    if not todo:
+        return {}
 
-    results: dict[int, dict[str, int]] = {}
-    for era_number, path in todo:
-        blocks = read_era_blocks(spark, path, network=network, tables=tables).cache()
-        try:
-            tbls = all_tables(blocks, tables)
-            results[era_number] = process_era_atomic(store, network, era_number, tbls, out_base)
-        finally:
-            blocks.unpersist()
-    return results
+    if per_era:
+        from era_parser_spark.operators.normalize import all_tables
+
+        results: dict[int, dict[str, int]] = {}
+        for era_number, path in todo:
+            blocks = read_era_blocks(spark, path, network=network, tables=tables).cache()
+            try:
+                tbls = all_tables(blocks, tables)
+                results[era_number] = process_era_atomic(
+                    store, network, era_number, tbls, out_base
+                )
+            finally:
+                blocks.unpersist()
+        return results
+
+    return process_eras_batch(
+        store, network, todo, out_base, tables=tables
+    )
+
+
+def process_eras_batch(
+    store: EraStateStore,
+    network: str,
+    todo: list[tuple[int, str]],
+    out_base: str,
+    tables: list[str] | None = None,
+) -> dict[int, dict[str, int]]:
+    """One distributed job for all pending eras: scan every era file in
+    parallel, write each table once partitioned by era_number (dynamic
+    overwrite replaces exactly the touched eras), then flip all statuses.
+    """
+    from pyspark.sql import functions as F
+
+    from era_parser_spark.operators.normalize import TABLE_BUILDERS
+    from era_parser_spark.sinks.writers import write_parquet
+
+    spark = store.spark
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    eras = [e for e, _ in todo]
+    for era in eras:
+        store.record(network, era, "processing",
+                     retry_count=store.max_retry(network, era) + 1)
+    try:
+        blocks = read_era_blocks(
+            spark, [p for _, p in todo], network=network, tables=tables
+        ).cache()
+        names = tables or list(TABLE_BUILDERS)
+        counts: dict[int, dict[str, int]] = {e: {} for e in eras}
+        for name in names:
+            df = TABLE_BUILDERS[name](blocks)
+            # era_number rides along from the source via slot -> era math
+            era_df = df.withColumn("era_number", F.expr("slot div 8192"))
+            per_era_counts = {
+                r.era_number: r.cnt
+                for r in era_df.groupBy("era_number")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .collect()
+            }
+            if sum(per_era_counts.values()) > 0:
+                write_parquet(
+                    era_df,
+                    f"{out_base}/{name}",
+                    partition_by_month=False,
+                    partition_by_era=True,
+                    mode="overwrite",
+                )
+            for era in eras:
+                counts[era][name] = int(per_era_counts.get(era, 0))
+        blocks.unpersist()
+        for era in eras:
+            store.record(
+                network,
+                era,
+                "completed",
+                total_records=sum(counts[era].values()),
+                datasets=sorted(counts[era]),
+                retry_count=store.max_retry(network, era),
+            )
+        return counts
+    except Exception as exc:  # noqa: BLE001 - every era's status must resolve
+        for era in eras:
+            store.record(
+                network, era, "failed",
+                error_message=f"{type(exc).__name__}: {exc}"[:2000],
+                retry_count=store.max_retry(network, era),
+            )
+        raise
 
 
 # --- Structured Streaming over normalized tables -----------------------------

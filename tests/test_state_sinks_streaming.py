@@ -46,12 +46,14 @@ def test_incremental_run_skips_completed(spark, era_dir, tmp_path_factory):
     assert store.max_retry("gnosis", 1300) == 1
 
     # data landed partitioned by era; re-running one era with force replaces
-    # exactly that partition (idempotent D3 overwrite), not duplicating rows
+    # exactly that partition (idempotent D3 overwrite), not duplicating rows.
+    # per_era=True drives the serial (reference-shaped) path over the same
+    # warehouse the batched default wrote — identical layout either way.
     blocks = spark.read.parquet(f"{out}/blocks")
     before = blocks.count()
     third = run_incremental(
         spark, era_dir, out, state_path, "gnosis", era_range="1301",
-        tables=["blocks", "attestations"], force=True,
+        tables=["blocks", "attestations"], force=True, per_era=True,
     )
     assert sorted(third) == [1301]
     assert spark.read.parquet(f"{out}/blocks").count() == before
