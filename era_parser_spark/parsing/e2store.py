@@ -54,24 +54,60 @@ def iter_records(data: bytes) -> Iterator[EraRecord]:
         pos += _HEADER.size + length
 
 
-def iter_block_payloads(data: bytes) -> Iterator[tuple[int, bytes]]:
-    """(slot, compressed_payload) for each block record, file order."""
+def iter_block_payloads(
+    data: bytes, slot_range: tuple[int, int] | None = None
+) -> Iterator[tuple[int, bytes]]:
+    """(slot, compressed_payload) for each block record, file order.
+
+    With `slot_range=(lo, hi)` (inclusive) the SlotIndex — which the
+    reference writes off as unused (docs/ERA_FILE_FORMAT.md:38: "not
+    currently used") — becomes a pushdown: only the matching records are
+    sliced and NOTHING ELSE is even snappy-decompressed, because the slot
+    comes from the index instead of peek_slot.  Files without a readable
+    index fall back to the full scan + filter.
+    """
+    if slot_range is not None:
+        idx = find_block_index(data)
+        if idx is not None:
+            lo, hi = slot_range
+            for slot, off in idx.entries():
+                if lo <= slot <= hi:
+                    rtype, length, _ = _HEADER.unpack_from(data, off)
+                    if rtype == TYPE_COMPRESSED_BLOCK:
+                        yield slot, data[off + _HEADER.size : off + _HEADER.size + length]
+            return
     for rec in iter_records(data):
         if rec.record_type == TYPE_COMPRESSED_BLOCK:
-            yield peek_slot(snappy.decompress(rec.payload)), rec.payload
+            slot = peek_slot(snappy.decompress(rec.payload))
+            if slot_range is None or slot_range[0] <= slot <= slot_range[1]:
+                yield slot, rec.payload
 
 
 def era_stats(data: bytes) -> dict:
-    """Record counts by kind + block slot range (reference era_reader:135-155)."""
+    """Record counts by kind + block slot range (reference era_reader:135-155).
+
+    Slot min/max come from the SlotIndex when present (no decompression);
+    the record walk still counts every record kind.
+    """
     counts: dict[str, int] = {}
-    slots: list[int] = []
+    block_offsets: list[int] = []
     for rec in iter_records(data):
         counts[rec.kind] = counts.get(rec.kind, 0) + 1
         if rec.record_type == TYPE_COMPRESSED_BLOCK:
-            slots.append(peek_slot(snappy.decompress(rec.payload)))
+            block_offsets.append(rec.offset)
+    idx = find_block_index(data)
+    if idx is not None:
+        known = set(block_offsets)
+        slots = [s for s, off in idx.entries() if off in known]
+    else:
+        slots = [
+            peek_slot(snappy.decompress(rec.payload))
+            for rec in iter_records(data)
+            if rec.record_type == TYPE_COMPRESSED_BLOCK
+        ]
     return {
         "record_counts": counts,
-        "block_count": len(slots),
+        "block_count": len(block_offsets),
         "min_slot": min(slots) if slots else None,
         "max_slot": max(slots) if slots else None,
     }
