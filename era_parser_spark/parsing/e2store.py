@@ -42,6 +42,80 @@ class EraRecord:
         }.get(self.record_type, "unknown")
 
 
+@dataclass
+class SlotIndex:
+    """Parsed `i2` record (e2store spec; reference docs/ERA_FILE_FORMAT.md:38).
+
+    Payload layout: start_slot i64 | offset i64 × count | count i64.  Each
+    offset is relative to the *start of the index record header*; 0 marks an
+    empty slot.  `offsets` here are already resolved to absolute file offsets
+    of the record headers they point at (0 kept as the absent marker).
+    """
+
+    start_slot: int
+    offsets: list[int]
+
+    def entries(self) -> Iterator[tuple[int, int]]:
+        for i, off in enumerate(self.offsets):
+            if off:
+                yield self.start_slot + i, off
+
+
+def _parse_slot_index(rec: EraRecord) -> SlotIndex | None:
+    p = rec.payload
+    if len(p) < 24 or (len(p) - 16) % 8:
+        return None
+    count = struct.unpack_from("<q", p, len(p) - 8)[0]
+    if count != (len(p) - 16) // 8:
+        return None
+    start_slot = struct.unpack_from("<q", p, 0)[0]
+    rel = struct.unpack_from(f"<{count}q", p, 8)
+    return SlotIndex(start_slot, [rec.offset + r if r else 0 for r in rel])
+
+
+def find_block_index(data: bytes) -> SlotIndex | None:
+    """Locate the block SlotIndex without decompressing anything.
+
+    Era files end with the state index; the block index precedes it
+    (reference docs/ERA_FILE_FORMAT.md:33-38).  Walk backward from the tail:
+    the final i64 of any index record is its entry count, which determines
+    the record's full length and therefore the previous record's end.  An
+    index qualifies as the *block* index when every resolved entry points at
+    a CompressedSignedBeaconBlock record header inside the file.
+    """
+    end = len(data)
+    for _ in range(2):  # trailing state index, then block index before it
+        if end < 8 + 24:
+            return None
+        count = struct.unpack_from("<q", data, end - 8)[0]
+        if count <= 0 or count > (1 << 32):
+            return None
+        rec_start = end - (_HEADER.size + 16 + 8 * count)
+        if rec_start < 0:
+            return None
+        rtype, length, _ = _HEADER.unpack_from(data, rec_start)
+        if rtype != TYPE_SLOT_INDEX or length != 16 + 8 * count:
+            return None
+        idx = _parse_slot_index(
+            EraRecord(rtype, data[rec_start + _HEADER.size : rec_start + _HEADER.size + length], rec_start)
+        )
+        if idx is not None and _points_at_blocks(data, idx):
+            return idx
+        end = rec_start
+    return None
+
+
+def _points_at_blocks(data: bytes, idx: SlotIndex) -> bool:
+    saw_any = False
+    for _, off in idx.entries():
+        if off < 0 or off + _HEADER.size > len(data):
+            return False
+        if data[off : off + 2] != TYPE_COMPRESSED_BLOCK:
+            return False
+        saw_any = True
+    return saw_any
+
+
 def iter_records(data: bytes) -> Iterator[EraRecord]:
     pos = 0
     n = len(data)
@@ -125,15 +199,23 @@ def write_era(block_ssz_payloads: list[bytes], state: bytes | None = None) -> by
     file exercises the scanner's skip paths like a real archive would.
     """
     out = bytearray(_record(TYPE_VERSION, b""))
-    slots = []
+    positions: list[tuple[int, int]] = []  # (slot, record-header file offset)
     for ssz in block_ssz_payloads:
-        slots.append(peek_slot(ssz))
+        positions.append((peek_slot(ssz), len(out)))
         out += _record(TYPE_COMPRESSED_BLOCK, snappy.frame_compress(ssz))
     if state is not None:
         out += _record(TYPE_COMPRESSED_STATE, snappy.frame_compress(state))
-    if slots:
-        index = struct.pack("<q", min(slots)) + b"".join(
-            struct.pack("<q", 0) for _ in slots
-        ) + struct.pack("<q", len(slots))
+    if positions:
+        start = min(s for s, _ in positions)
+        count = max(s for s, _ in positions) - start + 1
+        index_start = len(out)  # offsets are relative to the index header
+        rel = [0] * count
+        for slot, pos in positions:
+            rel[slot - start] = pos - index_start
+        index = (
+            struct.pack("<q", start)
+            + b"".join(struct.pack("<q", r) for r in rel)
+            + struct.pack("<q", count)
+        )
         out += _record(TYPE_SLOT_INDEX, index)
     return bytes(out)

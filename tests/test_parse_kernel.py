@@ -141,6 +141,33 @@ def test_e2store_roundtrip_and_stats():
     assert stats["record_counts"] == {"version": 1, "block": 3, "state": 1, "slot_index": 1}
 
 
+def test_slot_index_pushdown_skips_decompression(monkeypatch):
+    """slot_range over a real index must not snappy-decompress non-matches."""
+    from era_parser_spark.parsing import e2store
+
+    docs = [make_block_doc(s, "gnosis") for s in (300, 301, 303)]
+    payloads = [encode_signed_block(d, "phase0") for d in docs]
+    era = write_era(payloads, state=b"state-bytes")
+
+    idx = e2store.find_block_index(era)
+    assert idx is not None
+    assert dict(idx.entries()).keys() == {300, 301, 303}
+
+    calls = []
+    real = snappy.decompress
+    monkeypatch.setattr(e2store.snappy, "decompress", lambda b: calls.append(1) or real(b))
+    got = list(iter_block_payloads(era, slot_range=(301, 301)))
+    assert calls == []  # slot came from the index, nothing decompressed
+    assert [s for s, _ in got] == [301]
+    assert real(got[0][1]) == payloads[1]
+
+    # A file without a readable index falls back to scan-and-filter.
+    truncated = era[: len(era) - (8 + 16 + 8 * 4)]  # strip the i2 record
+    assert e2store.find_block_index(truncated) is None
+    got_fb = list(iter_block_payloads(truncated, slot_range=(301, 303)))
+    assert [s for s, _ in got_fb] == [301, 303]
+
+
 def test_filename_and_era_math():
     meta = parse_era_filename("/data/gnosis-01267-0a1b2c3d.era")
     assert meta == {"network": "gnosis", "era_number": 1267, "short_hash": "0a1b2c3d"}
