@@ -55,15 +55,17 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact cosine top-k against one query vector (brute-force baseline).
 
-    The similarity is emitted as DECIMAL(10,6): engines disagree on the last
-    ulp of a float reduction, and the decimal quantization (plus the id
-    tie-break) makes the top-k deterministic and oracle-comparable.
+    The similarity is quantized through DECIMAL(10,6) — engines disagree on
+    the last ulp of a float reduction, and the quantization (plus the id
+    tie-break) makes the top-k deterministic — then surfaced as DOUBLE so
+    the column representation is stable across engines.
     """
     emb = F.col(vec_col).cast("array<double>")
     q = lit_vector(query)
     return (
         df.select(
-            F.col(id_col), cosine_expr(emb, q).cast("decimal(10,6)").alias("cosine_sim")
+            F.col(id_col),
+            cosine_expr(emb, q).cast("decimal(10,6)").cast("double").alias("cosine_sim"),
         )
         .orderBy(F.desc("cosine_sim"), id_col)
         .limit(k)

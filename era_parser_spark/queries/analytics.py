@@ -341,7 +341,7 @@ def e13_case_classify(spark, sf_dir):
 @register(
     "e14_json_extract",
     oracle="""
-    SELECT event_type, count(*) AS cnt, sum(k_val) AS k_sum
+    SELECT event_type, count(*) AS cnt, CAST(sum(k_val) AS BIGINT) AS k_sum
     FROM (SELECT event_type,
                  CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k_val
           FROM events)
@@ -451,7 +451,7 @@ def e17_derived_metric(spark, sf_dir):
 @register(
     "e18_string_cast",
     oracle="""
-    SELECT c_nationkey, count(*) AS cnt, sum(cust_num) AS custnum_sum
+    SELECT c_nationkey, count(*) AS cnt, CAST(sum(cust_num) AS BIGINT) AS custnum_sum
     FROM (SELECT c_nationkey,
                  CAST(regexp_extract(c_name, 'Customer#([0-9]+)', 1) AS BIGINT) AS cust_num
           FROM customer WHERE c_name IS NOT NULL AND c_name <> '')

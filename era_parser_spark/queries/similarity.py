@@ -27,10 +27,10 @@ def _query_vec(spark, sf_dir, vec_id: int = 0) -> list[float]:
     "s1_cosine_topk",
     oracle="""
     SELECT vec_id,
-           CAST(list_cosine_similarity(
+           CAST(CAST(list_cosine_similarity(
              embedding::DOUBLE[],
              (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]
-           ) AS DECIMAL(10,6)) AS cosine_sim
+           ) AS DECIMAL(10,6)) AS DOUBLE) AS cosine_sim
     FROM embeddings
     ORDER BY cosine_sim DESC, vec_id
     LIMIT 10
