@@ -37,29 +37,37 @@ HEADLINE = [
 
 
 ERA_BENCH_FILES = 64
-ERA_BENCH_BLOCKS = 512  # per file, deneb-era gnosis (heaviest common fork)
+# Per-file block count: real era files hold up to 8192 slots; 4096 keeps
+# one-time generation manageable while making the corpus big enough that
+# measured throughput reflects the parse kernel, not Spark's fixed per-job
+# overhead (at 512 blocks/file the job floor dominated the number).
+ERA_BENCH_BLOCKS = 4096
+
+
+def _gen_one_era(args: tuple[str, int]) -> int:
+    path, era = args
+    from era_parser_spark.testing.era_gen import write_synthetic_era
+
+    return len(write_synthetic_era(path, era, "gnosis", blocks=ERA_BENCH_BLOCKS))
 
 
 def _era_bench_dir() -> tuple[str, int]:
     """Cached synthetic era corpus for parse-throughput measurement."""
     import glob
+    from concurrent.futures import ProcessPoolExecutor
 
-    from era_parser_spark.testing.era_gen import era_filename, write_synthetic_era
+    from era_parser_spark.testing.era_gen import era_filename
 
     d = f"/tmp/era_bench_{ERA_BENCH_FILES}x{ERA_BENCH_BLOCKS}"
     marker = os.path.join(d, "_DONE")
     if not os.path.exists(marker):
-        n = 0
-        for i in range(ERA_BENCH_FILES):
-            era = 1800 + i
-            n += len(
-                write_synthetic_era(
-                    os.path.join(d, era_filename("gnosis", era)),
-                    era,
-                    "gnosis",
-                    blocks=ERA_BENCH_BLOCKS,
-                )
-            )
+        jobs = [
+            (os.path.join(d, era_filename("gnosis", 1800 + i)), 1800 + i)
+            for i in range(ERA_BENCH_FILES)
+        ]
+        workers = min(16, os.cpu_count() or 4)
+        with ProcessPoolExecutor(max_workers=workers) as pool:
+            n = sum(pool.map(_gen_one_era, jobs))
         with open(marker, "w") as f:
             f.write(str(n))
     else:

@@ -157,6 +157,17 @@ def iter_block_payloads(
                 yield slot, rec.payload
 
 
+def iter_blocks_decompressed(data: bytes) -> Iterator[tuple[int, int, bytes]]:
+    """(slot, compressed_size, raw_ssz) per block record, decompressing each
+    payload exactly once (the scan kernel's iterator — iter_block_payloads
+    would decompress for the slot peek and hand back compressed bytes the
+    parser decompresses again)."""
+    for rec in iter_records(data):
+        if rec.record_type == TYPE_COMPRESSED_BLOCK:
+            raw = snappy.decompress(rec.payload)
+            yield peek_slot(raw), len(rec.payload), raw
+
+
 def era_stats(data: bytes) -> dict:
     """Record counts by kind + block slot range (reference era_reader:135-155).
 

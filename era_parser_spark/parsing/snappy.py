@@ -7,13 +7,22 @@ implements a complete raw-format decoder (all four tag types), a framed
 decoder, and a valid literal-only encoder used by the test data generator
 (literal-only output is legal snappy, just uncompressed).
 
-No C extension needed: decode cost is amortized inside Spark tasks and the
-per-block payloads are a few KB.
+Decoding uses the C++ snappy codec that ships inside pyarrow when present
+(the varint preamble gives the exact output size the codec needs); the
+pure-Python decoder below is the always-available fallback and the
+reference implementation the property tests pin both paths against.
 """
 
 from __future__ import annotations
 
 import struct
+
+try:  # C fast path: pyarrow bundles google/snappy (raw block format)
+    import pyarrow as _pa
+
+    _PA_SNAPPY = _pa.Codec("snappy") if _pa.Codec.is_available("snappy") else None
+except Exception:  # pragma: no cover - pyarrow is expected in this env
+    _PA_SNAPPY = None
 
 _MAGIC_BODY = b"sNaPpY"
 _MAGIC_CHUNK = b"\xff\x06\x00\x00" + _MAGIC_BODY
@@ -77,7 +86,15 @@ def _write_varint(n: int) -> bytes:
 
 
 def decompress_raw(data: bytes) -> bytes:
-    """Decode the snappy raw block format (literal + copy1/2/4 tags)."""
+    """Decode the snappy raw block format (C codec when available)."""
+    if _PA_SNAPPY is not None:
+        expected, _ = _read_varint(data, 0)
+        return _PA_SNAPPY.decompress(data, expected).to_pybytes()
+    return _decompress_raw_py(data)
+
+
+def _decompress_raw_py(data: bytes) -> bytes:
+    """Pure-Python raw decoder (literal + copy1/2/4 tags) — fallback + oracle."""
     expected, pos = _read_varint(data, 0)
     out = bytearray()
     n = len(data)

@@ -2,10 +2,10 @@
 
 Pipeline (reference lifecycle §3.1, rebuilt Spark-shaped):
   spark.read.format("binaryFile")      one row per era file, one task per file
-    -> mapInPandas(parse kernel)       snappy + SSZ decode inside each task,
-                                       Arrow-batched, JSON out
-    -> from_json(BLOCK_SCHEMA)         JVM-side typing into the fork-superset
-                                       struct (earlier forks leave nulls)
+    -> mapInArrow(parse kernel)        snappy + SSZ decode inside each task;
+                                       typed nested Arrow batches out — no
+                                       JSON round-trip, no pandas objects
+    -> select(block.*)                 JVM-side column flattening only
 
 Scale model: one era file (= 8192 slots, hundreds of MB) is one task; a
 100 TB archive is ~hundreds of thousands of files, so parallelism scales
@@ -14,25 +14,27 @@ pushed into the SSZ layer via `tables=`/`body_include=` — the scan only
 decodes the body fields the requested tables need (the reference always
 decodes everything).
 
-The Spark schema is GENERATED from the SSZ schema (one source of truth).
+The Spark schema is GENERATED from the SSZ schema (one source of truth);
+the Arrow schema the kernel emits is derived from the Spark schema with
+pyspark's own converter, so the two can never drift.
 """
 
 from __future__ import annotations
 
-import json
 import os
 from collections.abc import Iterator
 
-import pandas as pd
+import pyarrow as pa
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.pandas.types import to_arrow_schema
 
 from era_parser_spark.config.networks import detect_network, parse_era_filename
 from era_parser_spark.parsing import ssz
 from era_parser_spark.parsing.beacon import BODY_SCHEMAS, block_schema
-from era_parser_spark.parsing.e2store import iter_block_payloads
+from era_parser_spark.parsing.e2store import iter_blocks_decompressed
 from era_parser_spark.parsing.beacon import parse_block
 
 # body fields each normalized table needs (drives pruned decode)
@@ -85,9 +87,10 @@ _PARSE_OUT_SCHEMA = T.StructType(
         T.StructField("timestamp_sec", T.LongType(), False),
         T.StructField("compressed_size", T.LongType(), True),
         T.StructField("decompressed_size", T.LongType(), True),
-        T.StructField("json", T.StringType(), False),
+        T.StructField("block", BLOCK_SPARK_SCHEMA, False),
     ]
 )
+_PARSE_OUT_ARROW: pa.Schema = to_arrow_schema(_PARSE_OUT_SCHEMA)
 
 
 def _local_path(path: str) -> str | None:
@@ -105,28 +108,70 @@ def _parser(
     on_error: str = "skip",
     batch_rows: int = 2048,
 ):
-    def parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-native parse kernel: era bytes in, typed nested batches out.
+
+    The parsed block documents go straight into a pyarrow struct array (one
+    C-side conversion) instead of the old json.dumps -> from_json round-trip,
+    which serialized every block twice (Python json encode + JVM Jackson
+    parse) and moved the data as strings.
+    """
+    out_schema = _PARSE_OUT_ARROW
+    block_type = out_schema.field("block").type
+
+    def parse(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import gc
         import sys
 
-        cols = [f.name for f in _PARSE_OUT_SCHEMA.fields]
-        for pdf in it:
-            rows: list[tuple] = []
-            has_content = "content" in pdf.columns
-            for i, path in enumerate(pdf["path"]):
-                if has_content:
-                    content = pdf["content"].iloc[i]
+        # The kernel allocates millions of small dicts/lists per era file;
+        # cyclic GC scans that live graph repeatedly and costs ~2-4x
+        # throughput.  Nothing here creates reference cycles (plain dicts,
+        # lists, scalars), so refcounting alone reclaims everything —
+        # disable the cycle collector for the duration of the task batch.
+        gc_was_enabled = gc.isenabled()
+        gc.disable()
+        try:
+            yield from _parse_batches(it, sys.stderr)
+        finally:
+            if gc_was_enabled:
+                gc.enable()
+
+    def _parse_batches(it: Iterator[pa.RecordBatch], stderr) -> Iterator[pa.RecordBatch]:
+        import sys
+
+        scalars: list[tuple] = []  # per-block metadata columns
+        blocks: list[dict] = []  # parsed block documents
+
+        def flush() -> pa.RecordBatch:
+            nonlocal scalars, blocks
+            cols = list(zip(*scalars))
+            arrays = [
+                pa.array(cols[i], type=out_schema.field(i).type) for i in range(8)
+            ] + [pa.array(blocks, type=block_type)]
+            scalars, blocks = [], []
+            return pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+
+        for rb in it:
+            names = rb.schema.names
+            paths = rb.column(names.index("path"))
+            content_col = rb.column(names.index("content")) if "content" in names else None
+            for i in range(rb.num_rows):
+                path = paths[i].as_py()
+                if content_col is not None:
+                    content = content_col[i].as_py()
                 else:
                     # paths-only mode: the task opens its own file, so era
-                    # bytes never ride through Arrow/pandas (one era file
-                    # can be hundreds of MB)
-                    with open(_local_path(str(path)), "rb") as f:
+                    # bytes never ride through the JVM->Arrow boundary (one
+                    # era file can be hundreds of MB)
+                    with open(_local_path(path), "rb") as f:
                         content = f.read()
-                net = network or detect_network(str(path))
-                meta = parse_era_filename(str(path))
+                net = network or detect_network(path)
+                meta = parse_era_filename(path)
                 n_bad = 0
-                for slot, payload in iter_block_payloads(bytes(content)):
+                for slot, comp_size, raw in iter_blocks_decompressed(content):
                     try:
-                        parsed = parse_block(payload, net, body_include=body_include)
+                        parsed = parse_block(
+                            raw, net, is_compressed=False, body_include=body_include
+                        )
                     except Exception as exc:  # noqa: BLE001
                         # per-block error isolation (the reference defaults
                         # bad fields rather than failing the era); one
@@ -140,29 +185,28 @@ def _parser(
                             file=sys.stderr,
                         )
                         continue
-                    rows.append(
+                    scalars.append(
                         (
-                            str(path),
+                            path,
                             net,
                             meta["era_number"] if meta else slot // 8192,
                             slot,
                             parsed["version"],
                             parsed["timestamp_utc"],
-                            parsed["metadata"]["compressed_size"],
+                            comp_size,
                             parsed["metadata"]["decompressed_size"],
-                            json.dumps(parsed["data"], separators=(",", ":")),
                         )
                     )
-                    if len(rows) >= batch_rows:
-                        yield pd.DataFrame(rows, columns=cols)
-                        rows = []
+                    blocks.append(parsed["data"])
+                    if len(blocks) >= batch_rows:
+                        yield flush()
                 if n_bad:
                     print(
                         f"era_parser_spark: {n_bad} unparseable block(s) skipped in {path}",
                         file=sys.stderr,
                     )
-            if rows:
-                yield pd.DataFrame(rows, columns=cols)
+        if blocks:
+            yield flush()
 
     return parse
 
@@ -195,16 +239,17 @@ def read_era_blocks(
         reader = reader.option("pathGlobFilter", glob)
     binary = reader.load(paths)
     # Local files: distribute paths only and open inside the task — era
-    # bytes never cross the JVM->Arrow->pandas boundary.  Remote schemes
+    # bytes never cross the JVM->Arrow boundary.  Remote schemes
     # (s3a/hdfs/...) keep binaryFile's content column (the JVM filesystem
-    # layer owns credentials/retries there).
-    first = binary.select("path").first()
-    local = first is not None and _local_path(str(first["path"])) is not None
+    # layer owns credentials/retries there).  Local-ness comes from the
+    # input path strings — no extra Spark job to probe the data.
+    in_paths = [paths] if isinstance(paths, str) else list(paths)
+    local = all(_local_path(str(p)) is not None for p in in_paths)
     src = binary.select("path") if local else binary.select("path", "content")
-    parsed = src.mapInPandas(
+    parsed = src.mapInArrow(
         _parser(network, body_include, on_error), _PARSE_OUT_SCHEMA
     )
-    block = F.from_json("json", BLOCK_SPARK_SCHEMA)
+    block = F.col("block")
     return parsed.select(
         "network",
         "era_number",

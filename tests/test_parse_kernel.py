@@ -117,15 +117,18 @@ def test_snappy_crc32c_vector():
 @pytest.mark.parametrize("blob", [b"", b"a", b"ab" * 40000, bytes(range(256)) * 123])
 def test_snappy_roundtrips(blob):
     assert snappy.decompress_raw(snappy.compress_raw(blob)) == blob
+    assert snappy._decompress_raw_py(snappy.compress_raw(blob)) == blob
     assert snappy.frame_decompress(snappy.frame_compress(blob), verify_crc=True) == blob
     assert snappy.decompress(snappy.frame_compress(blob)) == blob
 
 
 def test_snappy_copy_tags():
-    """Hand-built raw stream exercising copy-with-overlap (RLE) decoding."""
+    """Hand-built raw stream exercising copy-with-overlap (RLE) decoding —
+    the C fast path and the pure-Python fallback must agree."""
     # varint(9), literal 'abc', copy1 offset=3 len=6 -> 'abcabcabc'
     stream = bytes([9, (3 - 1) << 2]) + b"abc" + bytes([((6 - 4) << 2) | 1, 3])
     assert snappy.decompress_raw(stream) == b"abcabcabc"
+    assert snappy._decompress_raw_py(stream) == b"abcabcabc"
 
 
 def test_e2store_roundtrip_and_stats():

@@ -65,7 +65,30 @@ _hex = lambda n: st.binary(min_size=n, max_size=n).map(lambda b: "0x" + b.hex())
     )
 )
 def test_ssz_mixed_container_roundtrip(doc):
-    assert _MIXED.decode(_MIXED.encode(doc)) == doc
+    encoded = _MIXED.encode(doc)
+    assert _MIXED.decode(encoded) == doc
+    # the schema-compiled fast decoder and the generic walk must agree
+    assert _MIXED.decode_generic(encoded) == _MIXED.decode(encoded)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=512))
+def test_ssz_compiled_matches_generic_on_garbage(blob):
+    """Compiled and generic decoders agree on arbitrary bytes: same value
+    or both raise (defensive-decode semantics must not drift)."""
+    try:
+        got = _MIXED.decode(blob)
+        err = None
+    except Exception as exc:  # noqa: BLE001
+        got, err = None, type(exc)
+    try:
+        want = _MIXED.decode_generic(blob)
+        gen_err = None
+    except Exception as exc:  # noqa: BLE001
+        want, gen_err = None, type(exc)
+    assert (err is None) == (gen_err is None)
+    if err is None:
+        assert got == want
 
 
 @settings(max_examples=30, deadline=None)
