@@ -1,20 +1,28 @@
 """Embedding similarity search over array<float> columns.
 
-Two tiers, mirroring how ANN is actually deployed on big corpora:
+Three tiers, mirroring how similarity is actually deployed on big corpora:
 
-* brute-force cosine top-k — exact baseline.  Pure JVM column expressions
-  (zip_with + aggregate fold), so Catalyst/codegen runs it; per-row cost is
-  O(dim) with no shuffle at all for a single query vector.
-* IVF (inverted-file) — k centroids chosen deterministically, every vector
-  assigned to its nearest centroid once (a broadcast nested-loop against a
-  tiny centroid table); queries probe only the closest nprobe cells.  At
-  100 TB the assignment is a single pass and each query touches ~nprobe/k
-  of the data.  The vectors-vs-vectors pair search uses an Arrow-batched
-  numpy matmul (block matrix multiply), not a per-row UDF.
+* brute-force cosine top-k — exact baseline against one query vector.
+  Pure JVM column expressions (zip_with + aggregate fold), so
+  Catalyst/codegen runs it; per-row cost is O(dim) with no shuffle.
+* IVF (inverted-file) — a FIXED number of centroids chosen by a
+  deterministic id rule (never collected to the driver as an unbounded
+  sample), every vector assigned to its nearest centroid by a broadcast
+  single-row centroid array evaluated in codegen; queries probe only the
+  closest nprobe cells via a semi join.  At 100 TB the assignment is one
+  broadcast pass and each query touches ~nprobe/k of the data.
+* exact all-pairs top-N — block-grid formulation: vectors hash into B
+  blocks, one row per block (collect_list), the B(B+1)/2 block pairs fan
+  out as tasks, and each task runs a numpy blocked matmul to nominate
+  candidates whose exact cosine it then recomputes with a sequential
+  float64 fold (bitwise-identical to the JVM/DuckDB fold).  Nothing ever
+  collects to the driver; shuffle volume is O(n*dim*B) and per-task memory
+  is two blocks.  This replaces the old driver-side full-matrix broadcast.
 """
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import numpy as np
@@ -46,78 +54,87 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / F.sqrt(sumsq_expr(a) * sumsq_expr(b))
 
 
+def sq_l2_expr(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def lit_vector(vec: list[float]) -> Column:
     return F.array(*[F.lit(float(v)) for v in vec])
+
+
+def quantized_cosine(c: Column) -> Column:
+    """DECIMAL(10,6)-quantized cosine surfaced as DOUBLE: engines disagree
+    on the last ulp of a float reduction; this representation is stable."""
+    return c.cast("decimal(10,6)").cast("double")
 
 
 def cosine_topk(
     df: DataFrame, vec_col: str, id_col: str, query: list[float], k: int = 10
 ) -> DataFrame:
-    """Exact cosine top-k against one query vector (brute-force baseline).
-
-    The similarity is quantized through DECIMAL(10,6) — engines disagree on
-    the last ulp of a float reduction, and the quantization (plus the id
-    tie-break) makes the top-k deterministic — then surfaced as DOUBLE so
-    the column representation is stable across engines.
-    """
+    """Exact cosine top-k against one query vector (brute-force baseline)."""
     emb = F.col(vec_col).cast("array<double>")
     q = lit_vector(query)
     return (
         df.select(
             F.col(id_col),
-            cosine_expr(emb, q).cast("decimal(10,6)").cast("double").alias("cosine_sim"),
+            quantized_cosine(cosine_expr(emb, q)).alias("cosine_sim"),
         )
         .orderBy(F.desc("cosine_sim"), id_col)
         .limit(k)
     )
 
 
+def centroid_table(
+    df: DataFrame, vec_col: str, id_col: str, stride: int = 25, k: int = 64
+) -> DataFrame:
+    """Fixed-k deterministic centroid seed: the first k vectors whose id is a
+    multiple of `stride` — bounded regardless of corpus size, reproducible in
+    plain SQL, and never materialized on the driver.  (Stand-in for k-means
+    training; swap in Spark ML KMeans offline for quality.)"""
+    return (
+        df.filter(F.col(id_col) % stride == 0)
+        .orderBy(id_col)
+        .limit(k)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).cast("array<double>").alias("cvec"),
+        )
+    )
+
+
 def ivf_assign(
-    df: DataFrame, vec_col: str, id_col: str, centroids: list[tuple[int, list[float]]]
+    df: DataFrame, vec_col: str, id_col: str, centroids: DataFrame
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (squared-L2 argmin).
 
-    Centroids ride along as one literal array-of-structs — a broadcast in
-    spirit, evaluated entirely in codegen; ties break on centroid id.
+    The centroid table collapses to ONE row holding an array of structs and
+    broadcast-joins onto the corpus — the argmin is an array_min over a
+    transform, fully codegen'd, with no shuffle of the big side and no
+    driver-side centroid literals; ties break on centroid id.
     """
-    emb = F.col(vec_col).cast("array<double>")
-    dists = F.array(
-        *[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(emb, lit_vector(c), lambda x, y: (x - y) * (x - y)),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("dist"),
-                F.lit(cid).alias("centroid_id"),
-            )
-            for cid, c in centroids
-        ]
+    cents = centroids.agg(
+        F.collect_list(F.struct("centroid_id", "cvec")).alias("cents")
     )
-    best = F.array_min(dists)
-    return df.select(
+    emb = F.col(vec_col).cast("array<double>")
+    best = F.array_min(
+        F.transform(
+            "cents",
+            lambda c: F.struct(
+                sq_l2_expr(emb, c.getField("cvec")).alias("dist"),
+                c.getField("centroid_id").alias("centroid_id"),
+            ),
+        )
+    )
+    return df.crossJoin(F.broadcast(cents)).select(
         F.col(id_col),
         F.col(vec_col),
         best.getField("centroid_id").alias("centroid_id"),
         best.getField("dist").alias("centroid_dist"),
     )
-
-
-def pick_centroids(
-    df: DataFrame, vec_col: str, id_col: str, every: int
-) -> list[tuple[int, list[float]]]:
-    """Deterministic centroid seed: every `every`-th vector by id.
-
-    (Stand-in for k-means training; the assignment/probe machinery is what
-    matters for the engine.  Swap in Spark ML KMeans offline for quality.)
-    """
-    rows = (
-        df.filter(F.col(id_col) % every == 0)
-        .select(id_col, vec_col)
-        .orderBy(id_col)
-        .collect()
-    )
-    return [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
 
 
 def ivf_topk(
@@ -126,69 +143,144 @@ def ivf_topk(
     id_col: str,
     query: list[float],
     k: int = 10,
-    every: int = 25,
+    stride: int = 25,
+    n_centroids: int = 64,
     nprobe: int = 3,
 ) -> DataFrame:
-    """IVF approximate top-k: probe the nprobe nearest cells, brute inside."""
-    centroids = pick_centroids(df, vec_col, id_col, every)
-    q = np.asarray(query, dtype=np.float64)
-    by_dist = sorted(
-        centroids, key=lambda c: (float(np.sum((np.asarray(c[1]) - q) ** 2)), c[0])
+    """IVF approximate top-k: probe the nprobe nearest cells, brute inside.
+
+    Probe-cell selection is a tiny orderBy/limit on the centroid table and
+    reaches the corpus as a broadcast semi join — no centroid or vector data
+    ever rides through the driver.
+    """
+    centroids = centroid_table(df, vec_col, id_col, stride, n_centroids)
+    q = lit_vector(query)
+    probe = (
+        centroids.select(
+            "centroid_id", sq_l2_expr(F.col("cvec"), q).alias("qdist")
+        )
+        .orderBy("qdist", "centroid_id")
+        .limit(nprobe)
+        .select("centroid_id")
     )
-    probe_ids = [cid for cid, _ in by_dist[:nprobe]]
     assigned = ivf_assign(df, vec_col, id_col, centroids)
     emb = F.col(vec_col).cast("array<double>")
     return (
-        assigned.filter(F.col("centroid_id").isin(probe_ids))
-        .select(F.col(id_col), cosine_expr(emb, lit_vector(query)).alias("cosine_sim"))
+        assigned.join(F.broadcast(probe), "centroid_id", "semi")
+        .select(
+            F.col(id_col),
+            quantized_cosine(cosine_expr(emb, q)).alias("cosine_sim"),
+        )
         .orderBy(F.desc("cosine_sim"), id_col)
         .limit(k)
     )
 
 
 def all_pairs_topk(
-    df: DataFrame, vec_col: str, id_col: str, top_pairs: int = 20, batch_topk: int = 8
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    top_pairs: int = 20,
+    block_size: int = 512,
+    candidates_per_pair: int = 64,
+    n_rows: int | None = None,
 ) -> DataFrame:
-    """Most-similar vector pairs via blocked matrix multiplication.
+    """Exact most-similar pairs via a distributed block-grid matmul.
 
-    The full (normalized) matrix broadcasts to every task; each Arrow batch
-    computes sims for its rows against everything with one numpy matmul and
-    keeps its local top candidates; a tiny global top-N finishes.  At scale
-    the broadcast side becomes the IVF cell or an LSH bucket — the blocked
-    matmul inner loop is the part that stays.
+    Vectors hash into B = ceil(n/block_size) blocks; each block becomes one
+    row (id+vector chunk), the B(B+1)/2 block pairs fan out as independent
+    tasks, and each task nominates its top `candidates_per_pair` pairs with
+    one numpy matmul then recomputes those candidates' cosines with a
+    sequential float64 fold, so the surfaced values are bitwise identical to
+    the JVM zip_with/aggregate fold (and DuckDB's list_cosine_similarity).
+    Correctness: the global top-N is contained in the union of per-block-pair
+    top-N, and candidates_per_pair >= top_pairs.
+
+    Scale: no driver collect; shuffle is O(n*dim) for the grouping plus each
+    block travelling to its B grid partners; per-task memory is two blocks.
+    Tune block_size so a block pair fits an executor; for near-dup mining at
+    extreme scale prefer the LSH tier (operators/dedup.py) which prunes the
+    grid to colliding buckets.
     """
-    spark = df.sparkSession
-    rows = df.select(id_col, vec_col).orderBy(id_col).collect()
-    ids = np.array([int(r[0]) for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
+    if candidates_per_pair < top_pairs:
+        raise ValueError("candidates_per_pair must be >= top_pairs")
+    if n_rows is None:
+        n_rows = df.count()
+    n_blocks = max(1, math.ceil(n_rows / block_size))
+    blocks = (
+        df.select(
+            F.pmod(F.col(id_col), F.lit(n_blocks)).cast("int").alias("blk"),
+            F.col(id_col).alias("pair_id"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+        )
+        .groupBy("blk")
+        .agg(F.collect_list(F.struct("pair_id", "vec")).alias("chunk"))
+    )
+    a = blocks.select(
+        F.col("blk").alias("blk_a"), F.col("chunk").alias("chunk_a")
+    )
+    b = blocks.select(
+        F.col("blk").alias("blk_b"), F.col("chunk").alias("chunk_b")
+    )
+    grid = a.join(b, F.col("blk_a") <= F.col("blk_b"))
 
-    def block(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        all_ids, all_mat = b_ids.value, b_mat.value
-        pos = {int(i): p for p, i in enumerate(all_ids)}
-        k = batch_topk
+    topc = candidates_per_pair
+
+    def block_pairs(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            row_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            if row_ids.size == 0:
-                continue
-            block_vecs = all_mat[[pos[int(i)] for i in row_ids]]
-            sims = block_vecs @ all_mat.T
-            # emit each pair once: mask out columns with id <= row id
-            sims[all_ids[None, :] <= row_ids[:, None]] = -np.inf
-            kk = min(k, sims.shape[1])
-            top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-            vals = np.take_along_axis(sims, top, axis=1)
-            keep = np.isfinite(vals)
-            rows = np.repeat(row_ids, kk).reshape(-1, kk)
+            out_a: list[int] = []
+            out_b: list[int] = []
+            out_sim: list[float] = []
+            for row in pdf.itertuples(index=False):
+                ids_a = np.array([c["pair_id"] for c in row.chunk_a], dtype=np.int64)
+                mat_a = np.array([c["vec"] for c in row.chunk_a], dtype=np.float64)
+                ids_b = np.array([c["pair_id"] for c in row.chunk_b], dtype=np.int64)
+                mat_b = np.array([c["vec"] for c in row.chunk_b], dtype=np.float64)
+                na = mat_a / np.linalg.norm(mat_a, axis=1, keepdims=True)
+                nb = mat_b / np.linalg.norm(mat_b, axis=1, keepdims=True)
+                sims = na @ nb.T
+                if row.blk_a == row.blk_b:
+                    # diagonal cell: each unordered pair appears twice —
+                    # keep one triangle.  Off-diagonal cells hold each
+                    # unordered pair exactly once (ids need not be ordered
+                    # by block, so no id mask there; order is normalized on
+                    # emit instead).
+                    sims[ids_a[:, None] >= ids_b[None, :]] = -np.inf
+                flat = sims.ravel()
+                kk = min(topc, flat.size)
+                cand = np.argpartition(-flat, kk - 1)[:kk]
+                cand = cand[np.isfinite(flat[cand])]
+                for c in cand:
+                    i, j = divmod(int(c), sims.shape[1])
+                    va, vb = mat_a[i], mat_b[j]
+                    # sequential fold — same rounding sequence as the JVM
+                    # aggregate/zip_with expression and DuckDB
+                    dot = 0.0
+                    sa = 0.0
+                    sb = 0.0
+                    for x, y in zip(va.tolist(), vb.tolist()):
+                        dot += x * y
+                        sa += x * x
+                        sb += y * y
+                    lo, hi = int(ids_a[i]), int(ids_b[j])
+                    if lo > hi:
+                        lo, hi = hi, lo
+                    out_a.append(lo)
+                    out_b.append(hi)
+                    out_sim.append(dot / math.sqrt(sa * sb))
             yield pd.DataFrame(
-                {
-                    "doc_a": rows[keep].ravel(),
-                    "doc_b": all_ids[top[keep].ravel()],
-                    "cosine_sim": vals[keep].ravel(),
-                }
+                {"doc_a": out_a, "doc_b": out_b, "cosine_sim": out_sim}
             )
 
-    cand = df.select(id_col).mapInPandas(block, "doc_a long, doc_b long, cosine_sim double")
-    return cand.orderBy(F.desc("cosine_sim"), "doc_a", "doc_b").limit(top_pairs)
+    cand = grid.mapInPandas(
+        block_pairs, "doc_a long, doc_b long, cosine_sim double"
+    )
+    return (
+        cand.select(
+            "doc_a",
+            "doc_b",
+            quantized_cosine(F.col("cosine_sim")).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), "doc_a", "doc_b")
+        .limit(top_pairs)
+    )

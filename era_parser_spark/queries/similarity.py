@@ -1,8 +1,12 @@
 """Similarity-search queries over `embeddings` (north-star extensions).
 
-s1 is the exact brute-force baseline with a DuckDB oracle
-(list_cosine_similarity); s2/s3 are the scale paths (IVF probe, blocked
-all-pairs matmul) checked rows-only + against s1 in tests/.
+s1 is the exact brute-force baseline; s2 is the IVF scale path (fixed-k
+deterministic centroids, broadcast assignment, semi-join probe); s3 is the
+exact all-pairs block-grid matmul.  All three carry full DuckDB oracles —
+the IVF rule (id-stride centroids, L2 argmin with id tie-break) was chosen
+to be expressible in plain SQL so the approximate path is still exactly
+checkable, and every surfaced cosine is DECIMAL(10,6)-quantized then cast
+to DOUBLE on both sides (see docs/PLANS.md float-determinism rules).
 """
 
 from __future__ import annotations
@@ -42,17 +46,65 @@ def s1_cosine_topk(spark, sf_dir):
     return cosine_topk(emb, "embedding", "vec_id", _query_vec(spark, sf_dir, 0), k=10)
 
 
-@register("s2_ann_ivf_topk")  # approximate -> rows-only check (recall in tests/)
+@register(
+    "s2_ann_ivf_topk",
+    oracle="""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+      FROM embeddings WHERE vec_id % 25 = 0 ORDER BY vec_id LIMIT 64
+    ),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    assign AS (
+      SELECT e.vec_id, e.embedding,
+             (SELECT c.cid FROM cent c
+               ORDER BY list_distance(e.embedding::DOUBLE[], c.cvec) ASC, c.cid ASC
+               LIMIT 1) AS centroid_id
+      FROM embeddings e
+    ),
+    probe AS (
+      SELECT c.cid FROM cent c, q
+      ORDER BY list_distance(c.cvec, q.qv) ASC, c.cid ASC LIMIT 3
+    )
+    SELECT a.vec_id,
+           CAST(CAST(list_cosine_similarity(
+             a.embedding::DOUBLE[], (SELECT qv FROM q)
+           ) AS DECIMAL(10,6)) AS DOUBLE) AS cosine_sim
+    FROM assign a
+    WHERE a.centroid_id IN (SELECT cid FROM probe)
+    ORDER BY cosine_sim DESC, a.vec_id LIMIT 10
+    """,
+)
 def s2_ann_ivf_topk(spark, sf_dir):
-    # IVF approximate top-10: deterministic centroids, probe 3 cells.
+    # IVF approximate top-10: fixed-k deterministic centroids (first 64 ids
+    # divisible by 25), broadcast argmin assignment, probe the 3 nearest
+    # cells.  The deterministic rule makes the whole approximate pipeline
+    # reproducible in the SQL oracle above.
     emb = table(spark, sf_dir, "embeddings")
     return ivf_topk(
-        emb, "embedding", "vec_id", _query_vec(spark, sf_dir, 0), k=10, every=25, nprobe=3
+        emb,
+        "embedding",
+        "vec_id",
+        _query_vec(spark, sf_dir, 0),
+        k=10,
+        stride=25,
+        n_centroids=64,
+        nprobe=3,
     )
 
 
-@register("s3_embedding_dup_pairs")  # numpy matmul path -> rows-only check
+@register(
+    "s3_embedding_dup_pairs",
+    oracle="""
+    SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+           CAST(CAST(list_cosine_similarity(
+             a.embedding::DOUBLE[], b.embedding::DOUBLE[]
+           ) AS DECIMAL(10,6)) AS DOUBLE) AS cosine_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ORDER BY cosine_sim DESC, doc_a, doc_b LIMIT 20
+    """,
+)
 def s3_embedding_dup_pairs(spark, sf_dir):
-    # Top-20 most-similar embedding pairs (near-dup by cosine), blocked matmul.
+    # Top-20 most-similar embedding pairs (near-dup by cosine): exact
+    # block-grid distributed matmul — no driver-side matrix collect.
     emb = table(spark, sf_dir, "embeddings")
     return all_pairs_topk(emb, "embedding", "vec_id", top_pairs=20)

@@ -117,7 +117,9 @@ def test_ivf_recall_vs_brute_force(spark):
     brute = [r.vec_id for r in cosine_topk(emb, "embedding", "vec_id", q, k=10).collect()]
     approx = [
         r.vec_id
-        for r in ivf_topk(emb, "embedding", "vec_id", q, k=10, every=25, nprobe=5).collect()
+        for r in ivf_topk(
+            emb, "embedding", "vec_id", q, k=10, stride=25, nprobe=5
+        ).collect()
     ]
     assert brute[0] == 7  # self is most similar
     overlap = len(set(brute) & set(approx))
