@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from era_parser_spark.operators.sequence import gap_rows
+
 BEACON_ORACLES: dict[str, str] = {}
 
 
@@ -59,13 +61,16 @@ _oracle(
 
 
 def missing_slots(blocks: DataFrame) -> DataFrame:
-    """Missing-slots gap detection (CLICKHOUSE.md:501-509)."""
-    w = W.orderBy("slot")
-    return (
-        blocks.select("slot", F.lag("slot").over(w).alias("prev_slot"))
-        .withColumn("missing_slots", F.col("slot") - F.col("prev_slot") - 1)
-        .filter(F.col("missing_slots") > 0)
-    )
+    """Missing-slots gap detection (CLICKHOUSE.md:501-509) via the
+    distributed lag operator — one bucket per era (width 8192), so the
+    window runs one task per era instead of one global task."""
+    return gap_rows(
+        blocks.select("slot"),
+        "slot",
+        bucket_width=8192,
+        prev_col="prev_slot",
+        gap_col="missing_slots",
+    ).select("slot", "prev_slot", "missing_slots")
 
 
 _oracle(

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from era_parser_spark.operators.sequence import gap_rows
 from era_parser_spark.queries.exprs import davg, dec, dsum, sql_davg, sql_dsum
 from era_parser_spark.queries.registry import register, table
 
@@ -253,18 +254,18 @@ def e09_union_conform(spark, sf_dir):
     """,
 )
 def e10_gap_detect(spark, sf_dir):
-    # E10: missing-slot gap detection via lag (CLICKHOUSE.md:501-509).
-    # Scale note: a global orderBy window is single-partition; at 100 TB this
-    # becomes repartitionByRange(event_id) + per-partition lag + an exchange
-    # of each partition's boundary row (lag depth 1). Fine at bench SF.
-    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
-    w = W.orderBy("event_id")
-    return (
-        ev.select("event_id", F.lag("event_id").over(w).alias("prev_event_id"))
-        .withColumn("gap", F.col("event_id") - F.col("prev_event_id") - 1)
-        .filter(F.col("gap") > 0)
-        .select("prev_event_id", "event_id", "gap")
+    # E10: missing-slot gap detection via lag (CLICKHOUSE.md:501-509),
+    # computed with the distributed lag operator: bucketed parallel window
+    # + broadcast boundary carry instead of a single-partition global sort
+    # (operators/sequence.py). Result is identical to lag() OVER (ORDER BY).
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id")
     )
+    return gap_rows(
+        ev, "event_id", bucket_width=4096, prev_col="prev_event_id", gap_col="gap"
+    ).select("prev_event_id", "event_id", "gap")
 
 
 @register(

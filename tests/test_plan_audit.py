@@ -85,3 +85,15 @@ def test_month_partition_pruning(spark, tmp_path):
     back = spark.read.parquet(out).filter(F.col("month") == "2024-01")
     plan = formatted_plan(back)
     assert "PartitionFilters" in plan and "month" in plan.split("PartitionFilters")[1][:200]
+
+def test_gap_detect_window_is_bucketed(spark, queries):
+    """e10's lag window must hash-partition on the range bucket, never
+    run the full relation through one SinglePartition window task."""
+    from era_parser_spark.plans import formatted_plan
+
+    plan = formatted_plan(queries["e10_gap_detect"](spark, SF_MED))
+    assert "hashpartitioning(__lag_bucket" in plan
+    # the only SinglePartition window allowed is the tiny per-bucket
+    # boundary carry (input: one row per bucket)
+    main, _, carry = plan.partition("Exchange SinglePartition")
+    assert "__lag_bucket" in main
