@@ -134,6 +134,73 @@ def write_separate_datasets(
     return counts
 
 
+def _insert_with_retry(
+    client,
+    make_client,
+    table: str,
+    columns: list[str],
+    batch: list[list],
+    max_retries: int,
+    backoff: float,
+):
+    """One batch insert with the reference's retry loop
+    (clickhouse_service.py:139-162): exponential backoff, ping, reconnect.
+    Returns the (possibly reconnected) client."""
+    for attempt in range(max_retries):
+        try:
+            client.insert(table, batch, column_names=columns)
+            return client
+        except Exception:
+            if attempt == max_retries - 1:
+                raise
+            time.sleep(backoff * (2**attempt))
+            try:
+                client.command("SELECT 1")
+            except Exception:
+                client = make_client()
+    return client
+
+
+def write_clickhouse(
+    df: DataFrame,
+    table: str,
+    client_factory,
+    batch_size: int = CLICKHOUSE_BATCH,
+    max_retries: int = 3,
+    backoff: float = 1.0,
+) -> None:
+    """A14: distributed ClickHouse load via foreachPartition.
+
+    Each task builds its own client from ``client_factory`` (a picklable
+    zero-arg callable returning an object with
+    ``insert(table, rows, column_names=)`` and ``command(sql)`` —
+    clickhouse_connect's client shape) and streams its partition in
+    ``batch_size`` chunks with exponential-backoff retry + reconnect,
+    mirroring the reference's GLOBAL_BATCH_SIZE=100000 streaming insert
+    (clickhouse_service.py:17,115-162).  Unlike the reference, the load
+    is one insert stream *per partition in parallel*, so a 100 TB table
+    loads at cluster width, not driver width.
+    """
+    columns = list(df.columns)
+
+    def _load(rows) -> None:
+        client = client_factory()
+        batch: list[list] = []
+        for row in rows:
+            batch.append([row[c] for c in columns])
+            if len(batch) >= batch_size:
+                client = _insert_with_retry(
+                    client, client_factory, table, columns, batch, max_retries, backoff
+                )
+                batch = []
+        if batch:
+            _insert_with_retry(
+                client, client_factory, table, columns, batch, max_retries, backoff
+            )
+
+    df.foreachPartition(_load)
+
+
 def clickhouse_writer(
     df: DataFrame,
     url: str,

@@ -4,21 +4,35 @@ Discovery is driver-side metadata work (listing a few 10^5 names), so it
 stays plain Python; the heavy lifting (download/read) happens in tasks via
 the s3a/http Hadoop filesystems when given remote URIs.
 
-The reference's S3 ListObjectsV2 pagination / HTML-listing regex / parallel
-HEAD probing (remote_downloader.py:135-437) are reproduced structurally;
-the network-touching paths are import-gated (requests/boto3 are not in this
-environment) with the local-glob path fully functional.
+The reference's three discovery modes (remote_downloader.py:135-437) are
+reproduced with *injectable* clients so every loop runs under test:
+
+* ``discover_s3`` — ListObjectsV2 pagination, 1000 keys/page with
+  continuation tokens (the reference's fast path: 2000 files ~2s).
+* ``discover_http`` — HTML directory-listing scrape.
+* ``probe_http_eras`` — parallel HEAD probing fallback for servers with
+  no listing (reference ``_discover_parallel``/``_url_exists``), with
+  the open-ended early-stop after consecutive empty batches.
+
+Only the default client constructors touch boto3/requests (absent in
+this environment); pass any object with the same call shape.
 """
 
 from __future__ import annotations
 
+import concurrent.futures
 import glob as _glob
 import os
 import re
+from typing import Callable
 
 from era_parser_spark.config.networks import parse_era_filename
 
 ERA_RANGE = re.compile(r"^(\d+)(?:-(\d+)|(\+))?$")
+S3_PAGE_KEYS = 1000  # reference remote_downloader.py:155 max-keys
+PROBE_BATCH = 100  # reference remote_downloader.py:307
+PROBE_WORKERS = 20  # reference remote_downloader.py:376
+EMPTY_BATCHES_STOP = 3  # reference remote_downloader.py:321-324
 
 
 def parse_era_range(spec: str) -> tuple[int, int | None]:
@@ -60,22 +74,38 @@ def filter_era_range(
     return [(e, p) for e, p in found if e >= start and (end is None or e <= end)]
 
 
-def discover_s3(bucket: str, prefix: str, network: str) -> list[tuple[int, str]]:
-    """A7: bulk ListObjectsV2 (1000 keys/page, continuation tokens) — the
-    reference's fast path (2000 files ~2s vs ~200s probing)."""
+def _default_s3_client():
     try:
         import boto3  # type: ignore
     except ImportError as exc:  # pragma: no cover - boto3 absent here
         raise NotImplementedError(
-            "S3 discovery needs boto3 (not in this environment); "
-            "use discover_local or pass s3a:// paths straight to "
+            "S3 discovery needs boto3 (not in this environment) or an "
+            "injected client; or pass s3a:// paths straight to "
             "read_era_blocks (the Hadoop s3a filesystem lists and reads)"
         ) from exc
-    client = boto3.client("s3")  # pragma: no cover
-    out: list[tuple[int, str]] = []  # pragma: no cover
-    token: str | None = None  # pragma: no cover
-    while True:  # pragma: no cover
-        kw = {"Bucket": bucket, "Prefix": prefix, "MaxKeys": 1000}
+    return boto3.client("s3")  # pragma: no cover
+
+
+def discover_s3(
+    bucket: str,
+    prefix: str,
+    network: str,
+    client=None,
+    page_keys: int = S3_PAGE_KEYS,
+) -> list[tuple[int, str]]:
+    """A7: bulk ListObjectsV2 with continuation-token pagination.
+
+    ``client`` needs one method, boto3-shaped:
+    ``list_objects_v2(Bucket=, Prefix=, MaxKeys=, ContinuationToken=?) ->
+    {"Contents": [{"Key": ...}], "IsTruncated": bool,
+    "NextContinuationToken": str?}``.
+    """
+    if client is None:
+        client = _default_s3_client()
+    out: list[tuple[int, str]] = []
+    token: str | None = None
+    while True:
+        kw = {"Bucket": bucket, "Prefix": prefix, "MaxKeys": page_keys}
         if token:
             kw["ContinuationToken"] = token
         page = client.list_objects_v2(**kw)
@@ -88,19 +118,94 @@ def discover_s3(bucket: str, prefix: str, network: str) -> list[tuple[int, str]]
         token = page.get("NextContinuationToken")
 
 
-def discover_http(base_url: str, network: str) -> list[tuple[int, str]]:
-    """A7 fallback: HTML directory-listing scrape."""
+def _default_http_get() -> Callable[[str], str]:
     try:
         import requests  # type: ignore
     except ImportError as exc:  # pragma: no cover - requests absent here
         raise NotImplementedError(
-            "HTTP discovery needs requests (not in this environment)"
+            "HTTP discovery needs requests (not in this environment) "
+            "or an injected http_get"
         ) from exc
-    resp = requests.get(base_url, timeout=30)  # pragma: no cover
-    resp.raise_for_status()  # pragma: no cover
-    out = []  # pragma: no cover
-    for name in re.findall(r'href="([^"]+\.era)"', resp.text):  # pragma: no cover
+
+    def _get(url: str) -> str:  # pragma: no cover
+        resp = requests.get(url, timeout=30)
+        resp.raise_for_status()
+        return resp.text
+
+    return _get
+
+
+def discover_http(
+    base_url: str,
+    network: str,
+    http_get: Callable[[str], str] | None = None,
+) -> list[tuple[int, str]]:
+    """A7 fallback: HTML directory-listing scrape.
+
+    ``http_get(url) -> body`` (raises on HTTP errors)."""
+    if http_get is None:
+        http_get = _default_http_get()
+    body = http_get(base_url)
+    out = []
+    for name in re.findall(r'href="([^"]+\.era)"', body):
         meta = parse_era_filename(name)
         if meta and meta["network"] == network:
             out.append((meta["era_number"], base_url.rstrip("/") + "/" + name))
-    return sorted(out)  # pragma: no cover
+    return sorted(out)
+
+
+def _default_http_head() -> Callable[[str], bool]:
+    try:
+        import requests  # type: ignore
+    except ImportError as exc:  # pragma: no cover - requests absent here
+        raise NotImplementedError(
+            "HTTP probing needs requests (not in this environment) "
+            "or an injected http_head"
+        ) from exc
+
+    def _head(url: str) -> bool:  # pragma: no cover
+        try:
+            return requests.head(url, timeout=5, allow_redirects=True).status_code == 200
+        except Exception:
+            return False
+
+    return _head
+
+
+def probe_http_eras(
+    base_url: str,
+    network: str,
+    start_era: int,
+    end_era: int | None,
+    http_head: Callable[[str], bool] | None = None,
+    max_workers: int = PROBE_WORKERS,
+    batch_size: int = PROBE_BATCH,
+    open_end_limit: int = 10_000,
+) -> list[tuple[int, str]]:
+    """A7 last resort: parallel HEAD probing for servers with no listing
+    (reference _discover_parallel, remote_downloader.py:295-327).
+
+    Probes ``{base_url}/{network}-{era:05d}.era`` in batches; an
+    open-ended range stops after EMPTY_BATCHES_STOP consecutive batches
+    with no hits. ``http_head(url) -> exists`` is injectable.
+    """
+    if http_head is None:
+        http_head = _default_http_head()
+    base = base_url.rstrip("/")
+    last = end_era if end_era is not None else start_era + open_end_limit
+    found: list[tuple[int, str]] = []
+    empty_run = 0
+    for batch_start in range(start_era, last + 1, batch_size):
+        batch = range(batch_start, min(batch_start + batch_size, last + 1))
+        urls = {era: f"{base}/{network}-{era:05d}.era" for era in batch}
+        hits = 0
+        with concurrent.futures.ThreadPoolExecutor(max_workers=max_workers) as pool:
+            for era, ok in zip(urls, pool.map(http_head, urls.values())):
+                if ok:
+                    found.append((era, urls[era]))
+                    hits += 1
+        if end_era is None:
+            empty_run = empty_run + 1 if hits == 0 else 0
+            if empty_run >= EMPTY_BATCHES_STOP:
+                break
+    return sorted(found)
