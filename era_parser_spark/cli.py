@@ -135,6 +135,27 @@ def cmd_era_check(args) -> int:
     return 0
 
 
+def cmd_clean_failed(args) -> int:
+    """Reference `era-parser --clean-failed-eras <network>`
+    (commands/state.py:106-127): drop partial data for every failed era
+    and reset its state so the next batch retries it."""
+    cleaned = _store(args).clean_failed(
+        args.network or "gnosis",
+        out_base=args.output,
+        datasets=args.tables.split(",") if args.tables else None,
+    )
+    print(json.dumps({"cleaned_eras": cleaned, "count": len(cleaned)}))
+    return 0
+
+
+def cmd_compact_state(args) -> int:
+    """Rewrite the append-only transition log into one file (the
+    reference's OPTIMIZE TABLE ... FINAL moment between runs)."""
+    rows = _store(args).compact_log()
+    print(json.dumps({"rows": rows}))
+    return 0
+
+
 def cmd_migrate(args) -> int:
     from era_parser_spark.state.migrations import MigrationRunner, builtin_migrations
 
@@ -200,6 +221,22 @@ def build_parser() -> argparse.ArgumentParser:
         if name == "era-check":
             sp.add_argument("era", type=int)
         sp.set_defaults(fn=fn)
+
+    sp = sub.add_parser(
+        "clean-failed-eras",
+        help="delete partial data for failed eras and reset their state",
+    )
+    sp.add_argument("--state", required=True)
+    sp.add_argument("--output", default=None,
+                    help="warehouse base dir whose era partitions get dropped")
+    sp.add_argument("--tables", default=None, help="comma-separated dataset subset")
+    sp.add_argument("--network", default=None)
+    sp.set_defaults(fn=cmd_clean_failed)
+
+    sp = sub.add_parser("compact-state", help="compact the state transition log")
+    sp.add_argument("--state", required=True)
+    sp.add_argument("--network", default=None)
+    sp.set_defaults(fn=cmd_compact_state)
 
     sp = sub.add_parser("migrate", help="warehouse schema migrations")
     sp.add_argument("action", choices=["status", "run", "list"])

@@ -58,19 +58,47 @@ class EraStateStore:
         error_message: str | None = None,
         retry_count: int = 0,
     ) -> None:
-        row = (
-            network,
-            era_number,
-            status,
-            era_number * 8192,
-            era_number * 8192 + 8191,
-            total_records,
-            datasets,
-            error_message,
-            retry_count,
-            time.time_ns(),
+        self.record_many(
+            [
+                {
+                    "network": network,
+                    "era_number": era_number,
+                    "status": status,
+                    "total_records": total_records,
+                    "datasets": datasets,
+                    "error_message": error_message,
+                    "retry_count": retry_count,
+                }
+            ]
         )
-        df = self.spark.createDataFrame([row], STATE_SCHEMA)
+
+    def record_many(self, rows: list[dict]) -> None:
+        """One append for N status transitions: one Spark job, one file.
+
+        A 100k-era batch flipping status per-era would be 100k jobs and
+        100k log files; batched it is one of each.  insert_version stays
+        strictly increasing within the batch (ns timestamp + row index)
+        so the ReplacingMergeTree-style argmax dedup is deterministic.
+        """
+        if not rows:
+            return
+        now = time.time_ns()
+        data = [
+            (
+                r["network"],
+                r["era_number"],
+                r["status"],
+                r["era_number"] * 8192,
+                r["era_number"] * 8192 + 8191,
+                r.get("total_records"),
+                r.get("datasets"),
+                r.get("error_message"),
+                r.get("retry_count", 0),
+                now + i,
+            )
+            for i, r in enumerate(rows)
+        ]
+        df = self.spark.createDataFrame(data, STATE_SCHEMA)
         df.coalesce(1).write.mode("append").parquet(self.path)
 
     def log(self) -> DataFrame:
@@ -120,10 +148,102 @@ class EraStateStore:
         )
         return int(row["m"])
 
+    def max_retries(self, network: str, eras: list[int]) -> dict[int, int]:
+        """Bulk D7: one aggregation job for a whole batch of eras
+        (max_retry per era is N jobs; this is 1)."""
+        if not eras:
+            return {}
+        rows = (
+            self.log()
+            .filter((F.col("network") == network) & F.col("era_number").isin(eras))
+            .groupBy("era_number")
+            .agg(F.coalesce(F.max("retry_count"), F.lit(0)).alias("m"))
+            .collect()
+        )
+        got = {int(r.era_number): int(r.m) for r in rows}
+        return {e: got.get(e, 0) for e in eras}
+
     def failed_eras(self, network: str) -> DataFrame:
         return self.latest_state().filter(
             (F.col("network") == network) & (F.col("status") == "failed")
         )
+
+    # -- maintenance (reference --clean-failed-eras / state.py:106-127) -------
+
+    def clean_failed(
+        self,
+        network: str,
+        out_base: str | None = None,
+        datasets: list[str] | None = None,
+    ) -> list[int]:
+        """Clean every failed era: delete its partial data partitions and
+        reset its state so the next batch reprocesses it from scratch.
+
+        Reference semantics (era_state_manager.py:237-249 +
+        clean_era_completely): DELETE rows in the era's slot range from
+        every beacon table, then remove its completion records.  Spark
+        shape: each dataset is partitioned by era_number, so "delete the
+        era's rows" is a partition-directory drop through the Hadoop
+        FileSystem API (works for file://, hdfs://, s3a:// alike —
+        driver-side metadata ops, no job), and "remove completion
+        records" is one appended `cleaned` transition per era (the
+        append-only log keeps history; `cleaned` is neither `completed`
+        nor `failed`, so plan_pending picks the era up again and
+        failed_eras stops listing it).
+
+        Returns the cleaned era numbers, like the reference.
+        """
+        failed = sorted(
+            int(r.era_number)
+            for r in self.failed_eras(network).select("era_number").collect()
+        )
+        if not failed:
+            return []
+        if out_base is not None:
+            jvm = self.spark._jvm
+            conf = self.spark._jsc.hadoopConfiguration()
+            base = jvm.org.apache.hadoop.fs.Path(out_base)
+            fs = base.getFileSystem(conf)
+            if datasets is None:
+                datasets = (
+                    [st.getPath().getName() for st in fs.listStatus(base) if st.isDirectory()]
+                    if fs.exists(base)
+                    else []
+                )
+            for name in datasets:
+                for era in failed:
+                    part = jvm.org.apache.hadoop.fs.Path(
+                        f"{out_base.rstrip('/')}/{name}/era_number={era}"
+                    )
+                    if fs.exists(part):
+                        fs.delete(part, True)
+        self.record_many(
+            [{"network": network, "era_number": e, "status": "cleaned"} for e in failed]
+        )
+        return failed
+
+    def compact_log(self, target_files: int = 1) -> int:
+        """Rewrite the transition log into `target_files` parquet files.
+
+        Long-running deployments accrete one small file per recorded
+        batch; at 100k eras that is filesystem-metadata pressure on
+        every latest_state() read.  Compaction is a rewrite-and-swap
+        (not atomic vs concurrent writers — run it between batches, as
+        the reference runs OPTIMIZE TABLE ... FINAL between runs,
+        era_state_manager.py optimize_tables).  Returns rows kept.
+        """
+        df = self.log()
+        n = df.count()
+        tmp = self.path.rstrip("/") + ".__compact__"
+        df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+        jvm = self.spark._jvm
+        conf = self.spark._jsc.hadoopConfiguration()
+        src = jvm.org.apache.hadoop.fs.Path(tmp)
+        dst = jvm.org.apache.hadoop.fs.Path(self.path)
+        fs = dst.getFileSystem(conf)
+        fs.delete(dst, True)
+        fs.rename(src, dst)
+        return int(n)
 
     # -- planning (D1) ---------------------------------------------------------
 

@@ -104,9 +104,16 @@ def process_eras_batch(
     spark = store.spark
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     eras = [e for e, _ in todo]
-    for era in eras:
-        store.record(network, era, "processing",
-                     retry_count=store.max_retry(network, era) + 1)
+    # one retry-count aggregation + one log append for the whole batch
+    # (per-era record() would be 2N Spark jobs and N tiny files)
+    retries = store.max_retries(network, eras)
+    store.record_many(
+        [
+            {"network": network, "era_number": era, "status": "processing",
+             "retry_count": retries[era] + 1}
+            for era in eras
+        ]
+    )
     try:
         blocks = read_era_blocks(
             spark, [p for _, p in todo], network=network, tables=tables
@@ -134,23 +141,25 @@ def process_eras_batch(
             for era in eras:
                 counts[era][name] = int(per_era_counts.get(era, 0))
         blocks.unpersist()
-        for era in eras:
-            store.record(
-                network,
-                era,
-                "completed",
-                total_records=sum(counts[era].values()),
-                datasets=sorted(counts[era]),
-                retry_count=store.max_retry(network, era),
-            )
+        store.record_many(
+            [
+                {"network": network, "era_number": era, "status": "completed",
+                 "total_records": sum(counts[era].values()),
+                 "datasets": sorted(counts[era]),
+                 "retry_count": retries[era] + 1}
+                for era in eras
+            ]
+        )
         return counts
     except Exception as exc:  # noqa: BLE001 - every era's status must resolve
-        for era in eras:
-            store.record(
-                network, era, "failed",
-                error_message=f"{type(exc).__name__}: {exc}"[:2000],
-                retry_count=store.max_retry(network, era),
-            )
+        store.record_many(
+            [
+                {"network": network, "era_number": era, "status": "failed",
+                 "error_message": f"{type(exc).__name__}: {exc}"[:2000],
+                 "retry_count": retries[era] + 1}
+                for era in eras
+            ]
+        )
         raise
 
 

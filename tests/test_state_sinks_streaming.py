@@ -150,3 +150,80 @@ def test_streaming_window_and_gap_monitor(spark, era_dir, tmp_path_factory):
     slots = sorted(r.slot for r in full.select("slot").collect())
     expected_missing = (max(slots) - min(slots) + 1) - len(slots)
     assert sum(r.missing for r in gap_rows) == expected_missing
+
+
+def test_clean_failed_eras_roundtrip(spark, era_dir, tmp_path_factory):
+    """fail -> clean (partitions dropped, state reset) -> reprocess green."""
+    from era_parser_spark.state.era_state import EraStateStore
+    from era_parser_spark.streaming.incremental import run_incremental
+
+    out = str(tmp_path_factory.mktemp("warehouse_clean"))
+    state_path = os.path.join(out, "_era_state")
+    store = EraStateStore(spark, state_path)
+
+    # complete 1300, then hand-mark 1301 failed with partial data on disk
+    run_incremental(spark, era_dir, out, state_path, "gnosis",
+                    era_range="1300", tables=["blocks"])
+    run_incremental(spark, era_dir, out, state_path, "gnosis",
+                    era_range="1301", tables=["blocks"])
+    store.record("gnosis", 1301, "failed", error_message="simulated", retry_count=1)
+    assert [r.era_number for r in store.failed_eras("gnosis").collect()] == [1301]
+    part = f"{out}/blocks/era_number=1301"
+    assert os.path.isdir(part)
+
+    cleaned = store.clean_failed("gnosis", out_base=out, datasets=["blocks"])
+    assert cleaned == [1301]
+    assert not os.path.exists(part)  # partial partition dropped
+    assert os.path.isdir(f"{out}/blocks/era_number=1300")  # others untouched
+    assert store.failed_eras("gnosis").count() == 0
+    assert store.clean_failed("gnosis", out_base=out) == []  # idempotent
+
+    # cleaned era is pending again and reprocesses successfully
+    redo = run_incremental(spark, era_dir, out, state_path, "gnosis",
+                           tables=["blocks"])
+    assert sorted(redo) == [1301, 1302]
+    assert os.path.isdir(part)
+    latest = store.latest_state().filter(F.col("era_number") == 1301).first()
+    assert latest.status == "completed"
+
+
+def test_clean_failed_cli_and_compact(spark, era_dir, tmp_path_factory):
+    from era_parser_spark.cli import main
+    from era_parser_spark.state.era_state import EraStateStore
+
+    out = str(tmp_path_factory.mktemp("warehouse_cli_clean"))
+    state = os.path.join(out, "_state")
+    store = EraStateStore(spark, state)
+    store.record("gnosis", 7, "failed", error_message="boom", retry_count=2)
+    store.record("gnosis", 8, "completed", total_records=10)
+    assert main(["clean-failed-eras", "--state", state, "--output", out]) == 0
+    assert store.failed_eras("gnosis").count() == 0
+    assert store.latest_state().filter(F.col("status") == "completed").count() == 1
+
+    # compaction: many tiny appended files -> one, same rows back
+    n_before = store.log().count()
+    files_before = len([f for f in os.listdir(state) if f.endswith(".parquet")])
+    assert main(["compact-state", "--state", state]) == 0
+    assert store.log().count() == n_before
+    files_after = len([f for f in os.listdir(state) if f.endswith(".parquet")])
+    assert files_after < files_before
+    assert files_after == 1
+
+
+def test_record_many_batches_one_file(spark, tmp_path_factory):
+    from era_parser_spark.state.era_state import EraStateStore
+
+    state = str(tmp_path_factory.mktemp("state_batch") / "log")
+    store = EraStateStore(spark, state)
+    store.record_many(
+        [{"network": "gnosis", "era_number": e, "status": "processing",
+          "retry_count": 1} for e in range(50)]
+    )
+    # one append -> one parquet file for 50 transitions
+    assert len([f for f in os.listdir(state) if f.endswith(".parquet")]) == 1
+    assert store.log().count() == 50
+    # insert_version strictly increasing -> argmax dedup deterministic
+    versions = [r.insert_version for r in
+                store.log().orderBy("era_number").collect()]
+    assert versions == sorted(versions) and len(set(versions)) == 50
+    assert store.max_retries("gnosis", [0, 1, 999]) == {0: 1, 1: 1, 999: 0}
