@@ -131,6 +131,58 @@ def documents_as_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     )
 
 
+RESIZED_SCHEMA = (
+    "media_id long, payload binary, width int, height int, "
+    "src_n_bytes long, n_bytes long"
+)
+
+
+def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize plumbing: binary in -> binary out at (width, height).
+
+    The real pipeline resamples pixels with a codec (absent here); the
+    deterministic stand-in emits a payload whose bytes are a seeded
+    xor-fold of the source at the target byte budget (3 bytes/px), so
+    output size, schema, and content are all reproducible and testable.
+    Like `extract_media_features`, one Arrow crossing per batch and no
+    shuffle: resize is embarrassingly parallel over the source layout.
+    """
+    budget = width * height * 3
+
+    def _fake_resize(data: bytes) -> bytes:
+        if not data:
+            return b"\x00" * budget
+        # deterministic "resample": tile source bytes to the byte budget,
+        # xor-mixed with a position byte so tiles aren't pure repeats
+        reps = -(-budget // len(data))
+        tiled = (data * reps)[:budget]
+        return bytes(b ^ (i & 0xFF) for i, b in enumerate(tiled))
+
+    def _resize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                out = _fake_resize(data)
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "payload": out,
+                        "width": width,
+                        "height": height,
+                        "src_n_bytes": len(data),
+                        "n_bytes": len(out),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "payload", "width", "height",
+                         "src_n_bytes", "n_bytes"],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(_resize, RESIZED_SCHEMA)
+
+
 def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame sampling plan: one row per sampled frame timestamp.
 

@@ -16,7 +16,12 @@ from era_parser_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_near_pairs,
 )
-from era_parser_spark.operators.multimodal import documents_as_media, extract_media_features
+from era_parser_spark.operators.multimodal import (
+    documents_as_media,
+    extract_media_features,
+    frame_sample,
+    resize_media,
+)
 from era_parser_spark.queries.registry import register, table
 
 _TOK = "regexp_split_to_array(trim(lower(text)), '\\s+')"
@@ -97,3 +102,63 @@ def mm1_binary_features(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     media = documents_as_media(docs)
     return extract_media_features(media).orderBy("media_id")
+
+
+_DURATION = "(length(text) % 7) * 900 + (doc_id % 5) * 350"
+
+
+@register(
+    "mm2_frame_sample",
+    oracle=f"""
+    WITH vids AS (
+      SELECT doc_id AS media_id, {_DURATION} AS duration_ms FROM documents
+    ), nf AS (
+      SELECT media_id,
+             greatest(CAST(floor(duration_ms / 1000.0) AS INTEGER) - 1, 0)
+               AS last_frame
+      FROM vids
+    )
+    SELECT media_id,
+           unnest(range(0, last_frame + 1)) AS frame_no,
+           unnest(range(0, last_frame + 1)) * 1000 AS frame_ts_ms
+    FROM nf
+    """,
+)
+def mm2_frame_sample(spark, sf_dir):
+    # Video frame-sampling plan: the which-frames explode is pure Spark SQL
+    # (decode itself is the stubbed codec step); durations synthesized
+    # deterministically per doc so the oracle can reproduce them.
+    docs = table(spark, sf_dir, "documents")
+    vids = documents_as_media(docs).join(
+        docs.select(
+            F.col("doc_id").alias("media_id"),
+            F.expr(_DURATION).alias("duration_ms"),
+        ),
+        "media_id",
+    ).withColumn(
+        "meta",
+        F.struct(
+            F.lit("video").alias("kind"),
+            F.lit("fake").alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.col("duration_ms").cast("long").alias("duration_ms"),
+        ),
+    )
+    return frame_sample(vids, every_ms=1000)
+
+
+@register("mm3_resize")  # binary out -> rows-only check; bytes pinned in tests
+def mm3_resize(spark, sf_dir):
+    # Resize plumbing: binary -> binary at a fixed target, deterministic
+    # fake resampler (real codec absent); surfaced as digests not blobs.
+    docs = table(spark, sf_dir, "documents")
+    media = documents_as_media(docs)
+    return (
+        resize_media(media, width=32, height=16)
+        .select(
+            "media_id", "width", "height", "src_n_bytes", "n_bytes",
+            F.md5("payload").alias("payload_md5"),
+        )
+        .orderBy("media_id")
+    )

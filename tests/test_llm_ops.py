@@ -169,3 +169,44 @@ def test_approx_stats_error_bounds(spark):
     for r in rows:
         assert abs(r.approx_users - r.exact_users) / max(r.exact_users, 1) < 0.05
         assert abs(r.approx_p50 - r.exact_p50) / max(abs(r.exact_p50), 1e-9) < 0.05
+
+
+def test_resize_media_deterministic_and_budgeted(spark):
+    from era_parser_spark.operators.multimodal import resize_media
+
+    media = spark.createDataFrame(
+        [(1, b"abc"), (2, b""), (3, bytes(range(200)))],
+        "media_id long, payload binary",
+    )
+    out = {r.media_id: r for r in resize_media(media, width=2, height=1).collect()}
+    # byte budget is width*height*3 for every row, regardless of input size
+    assert all(r.n_bytes == 6 and len(r.payload) == 6 for r in out.values())
+    assert out[1].src_n_bytes == 3 and out[2].src_n_bytes == 0
+    # independent expectation of the fake resampler: tile then xor position
+    tiled = (b"abc" * 2)[:6]
+    assert bytes(out[1].payload) == bytes(b ^ (i & 0xFF) for i, b in enumerate(tiled))
+    assert bytes(out[2].payload) == b"\x00" * 6
+    # deterministic: a second run yields identical bytes
+    again = {r.media_id: bytes(r.payload)
+             for r in resize_media(media, width=2, height=1).collect()}
+    assert again == {k: bytes(v.payload) for k, v in out.items()}
+
+
+def test_mm_query_entries(spark):
+    from era_parser_spark.queries import ORACLES, QUERIES, load_all
+
+    load_all()
+    frames = QUERIES["mm2_frame_sample"](spark, SF_MED)
+    rows = frames.collect()
+    assert rows and "mm2_frame_sample" in ORACLES
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r.media_id, []).append((r.frame_no, r.frame_ts_ms))
+    for frames_list in by_media.values():
+        nos = sorted(n for n, _ in frames_list)
+        assert nos == list(range(len(nos)))  # contiguous from 0
+        assert all(ts == n * 1000 for n, ts in frames_list)
+
+    resized = QUERIES["mm3_resize"](spark, SF_MED).limit(5).collect()
+    assert all(r.n_bytes == 32 * 16 * 3 for r in resized)
+    assert all(len(r.payload_md5) == 32 for r in resized)
