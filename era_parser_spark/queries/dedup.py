@@ -129,21 +129,18 @@ def mm2_frame_sample(spark, sf_dir):
     # (decode itself is the stubbed codec step); durations synthesized
     # deterministically per doc so the oracle can reproduce them.
     docs = table(spark, sf_dir, "documents")
-    vids = documents_as_media(docs).join(
-        docs.select(
-            F.col("doc_id").alias("media_id"),
-            F.expr(_DURATION).alias("duration_ms"),
-        ),
-        "media_id",
-    ).withColumn(
-        "meta",
+    # duration comes from the same row as the payload: single projection,
+    # no self-join (and no shuffle — explode preserves partitioning)
+    vids = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
         F.struct(
             F.lit("video").alias("kind"),
             F.lit("fake").alias("format"),
             F.lit(None).cast("int").alias("width"),
             F.lit(None).cast("int").alias("height"),
-            F.col("duration_ms").cast("long").alias("duration_ms"),
-        ),
+            F.expr(_DURATION).cast("long").alias("duration_ms"),
+        ).alias("meta"),
     )
     return frame_sample(vids, every_ms=1000)
 
