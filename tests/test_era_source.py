@@ -238,3 +238,29 @@ def test_corrupt_block_isolation(spark, tmp_path):
 
     with _pytest.raises(Exception):
         read_era_blocks(spark, str(p), on_error="fail").collect()
+
+
+def test_content_riding_branch_matches_paths_only(spark, blocks_df, era_dir):
+    """A8: remote schemes (s3a/hdfs) keep binaryFile's content column and
+    the kernel parses the bytes that rode through the JVM->Arrow boundary.
+    No object store here, so drive that branch directly: path+content in,
+    and assert identical output to the local paths-only branch."""
+    from era_parser_spark.sources.era import _PARSE_OUT_SCHEMA, _parser
+
+    d, _ = era_dir
+    src = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.era")
+        .load(d)
+        .select("path", "content")  # what a remote read keeps
+    )
+    parsed = src.mapInArrow(_parser(None, None), _PARSE_OUT_SCHEMA)
+    got = sorted(
+        (r.slot, r.version, r.block.signature)
+        for r in parsed.select("slot", "version", "block").collect()
+    )
+    want = sorted(
+        (r.slot, r.version, r.signature)
+        for r in blocks_df.select("slot", "version", "signature").collect()
+    )
+    assert got == want
