@@ -90,11 +90,15 @@ def bench_era_parse(spark, times: dict[str, float]) -> dict:
     got = blocks.count()
     dt = time.perf_counter() - t0
     times["era_parse_scan"] = round(dt, 3)
-    # second scan on warm executors: the steady-state number a long-lived
-    # job sees (the reference's figure is also from a warm process loop)
-    t0 = time.perf_counter()
-    read_era_blocks(spark, d, glob="*.era").count()
-    dt_warm = time.perf_counter() - t0
+    # warm-executor scans: the steady-state number a long-lived job sees
+    # (the reference's figure is also from a warm process loop).  Best-of-2
+    # like every other bench query — the first warm pass still pays some
+    # Python-worker/JIT warmup.
+    dt_warm = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        read_era_blocks(spark, d, glob="*.era").count()
+        dt_warm = min(dt_warm, time.perf_counter() - t0)
     times["era_parse_scan_warm"] = round(dt_warm, 3)
 
     t1 = time.perf_counter()

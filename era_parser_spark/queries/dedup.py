@@ -95,13 +95,32 @@ def dd4_simhash(spark, sf_dir):
     )
 
 
-@register("mm1_binary_features")  # binary plumbing demo -> rows-only check
+@register(
+    "mm1_binary_features",
+    # Oracle pins the deterministic fallback decoder (codec libs absent in
+    # the driver env) and relies on the corpus being ASCII (checked: it is),
+    # so substring-by-chars == slice-by-bytes for the head digest.  The
+    # crc32 column stays operator-side only (DuckDB has no crc32).
+    oracle="""
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(substring(text, 1, 64)) AS head_md5,
+           CAST((octet_length(encode(text)) % 640) + 1 AS INTEGER) AS width,
+           CAST((octet_length(encode(text)) % 480) + 1 AS INTEGER) AS height,
+           FALSE AS decoded
+    FROM documents
+    """,
+)
 def mm1_binary_features(spark, sf_dir):
     # Multimodal plumbing: binary payload column -> Arrow-batched feature
     # extraction (deterministic fake decode; real codec gated on import).
     docs = table(spark, sf_dir, "documents")
     media = documents_as_media(docs)
-    return extract_media_features(media).orderBy("media_id")
+    return (
+        extract_media_features(media)
+        .select("media_id", "n_bytes", "head_md5", "width", "height", "decoded")
+        .orderBy("media_id")
+    )
 
 
 _DURATION = "(length(text) % 7) * 900 + (doc_id % 5) * 350"
