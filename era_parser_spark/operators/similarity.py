@@ -216,13 +216,27 @@ def all_pairs_topk(
         .groupBy("blk")
         .agg(F.collect_list(F.struct("pair_id", "vec")).alias("chunk"))
     )
+    # Triangular grid as an EQUI-join: block i serves the cells (i, i..B-1)
+    # on the a-side and (0..j, j) on the b-side, so each block is exploded
+    # to its grid partners and the join shuffles on the cell key.  A naive
+    # `a.join(b, blk_a <= blk_b)` is a non-equi join — Catalyst can only
+    # run it as a BroadcastNestedLoopJoin, i.e. broadcast the whole blocked
+    # corpus to every task: exactly the full-matrix broadcast this operator
+    # exists to avoid (pinned in tests/test_plan_audit.py).
     a = blocks.select(
-        F.col("blk").alias("blk_a"), F.col("chunk").alias("chunk_a")
+        F.col("blk").alias("blk_a"),
+        F.col("chunk").alias("chunk_a"),
+        F.explode(F.sequence(F.col("blk"), F.lit(n_blocks - 1))).alias("cell_b"),
     )
     b = blocks.select(
-        F.col("blk").alias("blk_b"), F.col("chunk").alias("chunk_b")
+        F.col("blk").alias("blk_b"),
+        F.col("chunk").alias("chunk_b"),
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("cell_a"),
     )
-    grid = a.join(b, F.col("blk_a") <= F.col("blk_b"))
+    grid = a.join(
+        b,
+        (F.col("blk_a") == F.col("cell_a")) & (F.col("cell_b") == F.col("blk_b")),
+    )
 
     topc = candidates_per_pair
 

@@ -97,3 +97,21 @@ def test_gap_detect_window_is_bucketed(spark, queries):
     # boundary carry (input: one row per bucket)
     main, _, carry = plan.partition("Exchange SinglePartition")
     assert "__lag_bucket" in main
+
+
+def test_all_pairs_grid_is_equi_join(spark, queries):
+    """s3's triangular block grid must be an equi-join on the cell key.
+    A non-equi grid join plans as BroadcastNestedLoopJoin — i.e. the whole
+    blocked corpus broadcast to every task, the full-matrix anti-pattern
+    this operator exists to avoid."""
+    df = queries["s3_embedding_dup_pairs"](spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Cartesian" not in plan
+
+
+def test_frame_sample_no_shuffle(spark, queries):
+    """mm2 is a projection + explode over one scan: no Exchange anywhere."""
+    df = queries["mm2_frame_sample"](spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
