@@ -65,3 +65,47 @@ def st1_stream_windowed_counts(spark, sf_dir):
     q.awaitTermination()
     assert batch is not None  # loader call above also validated the path
     return spark.sql(f"SELECT * FROM {name}")
+
+
+@register(
+    "st2_stateful_gap_monitor",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, event_id,
+             lag(event_id) OVER (PARTITION BY event_type ORDER BY event_id)
+               AS prev
+      FROM events
+    )
+    SELECT event_type AS network,
+           prev + 1 AS gap_start,
+           event_id - 1 AS gap_end,
+           event_id - prev - 1 AS missing
+    FROM s
+    WHERE prev IS NOT NULL AND event_id > prev + 1
+    """,
+)
+def st2_stateful_gap_monitor(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState) driven to
+    completion: per-key last-seen state emits the id gaps between arrivals.
+    Over a single AvailableNow batch the emitted gaps equal the batch lag
+    query, so the exactly-once state path gets an exact SQL oracle (the
+    streaming twin of e10, reference gap-detection family)."""
+    from era_parser_spark.streaming.incremental import run_stream_once, slot_gap_monitor
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream_dir = os.path.join(
+        tempfile.gettempdir(), f"st2_src_{abs(hash(sf_dir)) % 10**8}"
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(stream_dir)
+        .select(
+            F.col("event_type").alias("network"),
+            F.col("event_id").alias("slot"),
+        )
+    )
+    return run_stream_once(slot_gap_monitor(stream), f"st2_{uuid.uuid4().hex[:8]}")
