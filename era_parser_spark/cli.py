@@ -182,7 +182,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("table", help="all-blocks | blocks-wide | <table name>")
     sp.add_argument("output")
     sp.add_argument("--separate", action="store_true")
-    sp.add_argument("--format", default="parquet", choices=["parquet", "csv", "jsonl"])
+    sp.add_argument("--format", default="parquet",
+                    choices=["parquet", "csv", "jsonl", "json"])
     common(sp)
     sp.set_defaults(fn=cmd_parse)
 

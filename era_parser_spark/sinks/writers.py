@@ -123,6 +123,12 @@ def write_separate_datasets(
             write_csv(df, out)
         elif fmt == "jsonl":
             write_jsonl(df, out)
+        elif fmt == "json":
+            # reference json_exporter's wrapped-document shape (per dataset)
+            export_json_document(
+                df, os.path.join(base_path, f"{name}.json"),
+                era_info=kw.get("era_info", {}), data_type=name,
+            )
         else:
             raise ValueError(f"unknown format {fmt}")
         counts[name] = n

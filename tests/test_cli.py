@@ -123,3 +123,19 @@ def test_migrate_cli(spark, era_dir, tmp_path, capsys):
 
     assert main(["migrate", "run", out]) == 0  # idempotent
     assert json.loads(capsys.readouterr().out.strip())["applied"] == []
+
+
+def test_parse_json_document_format(era_dir, tmp_path, capsys):
+    """--format json writes the reference json_exporter's wrapped document
+    ({era_info, data_type, record_count, export_timestamp, data})."""
+    out = str(tmp_path / "doc")
+    assert main(["parse", era_dir, "blocks", out, "--format", "json"]) == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["written"]["blocks"] == 18
+    doc = json.load(open(f"{out}/blocks.json"))
+    assert doc["data_type"] == "blocks"
+    assert doc["record_count"] == 18 and len(doc["data"]) == 18
+    assert {"era_info", "export_timestamp"} <= set(doc)
+    slots = sorted(r["slot"] for r in doc["data"])
+    assert len(set(slots)) == 18
+    assert all(s // 8192 in (1300, 1301) for s in slots)
