@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from era_parser_spark.queries.exprs import DEC, DEC2, davg, dec, dec2, dsum, sql_davg, sql_dsum
+from era_parser_spark.queries.exprs import DEC, DEC2, dec, dec2, sql_davg, sql_dsum
 from era_parser_spark.queries.registry import register, table
 
 # All money/rate inputs enter at scale 2, so the (12,2)x(13,2) product is
@@ -57,15 +57,28 @@ def q1_pricing_summary(spark, sf_dir):
     disc_price = _disc_price()
     # (18,4) x (13,2) -> (32,6): exact, and the scale-6 sum stays < 2^53.
     charge = disc_price * (F.lit(1).cast(DEC2) + dec2("l_tax"))
+
+    # Integer fast path: the per-row decimal quantization is unchanged
+    # (same HALF_UP rounding as the oracle's casts), but accumulation
+    # happens on the decimals' UNSCALED long values — plain codegen long
+    # adds instead of Decimal-object aggregation buffers (~2x on the agg;
+    # the win grows with group count at scale).  The final /10^scale is
+    # one correctly-rounded double division of an exactly-converted sum
+    # (< 2^53 per the exprs.py magnitude contract), bit-identical to the
+    # decimal path — verified value-identical at sf0.1 and oracle-green.
+    def usum(dcol, scale: int):
+        return F.sum((dcol * F.lit(10**scale)).cast("long")) / F.lit(float(10**scale))
+
+    cnt = F.count(F.lit(1))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        dsum("l_quantity").alias("sum_qty"),
-        dsum("l_extendedprice").alias("sum_base_price"),
-        F.sum(disc_price).cast("double").alias("sum_disc_price"),
-        F.sum(charge).cast("double").alias("sum_charge"),
-        davg("l_quantity").alias("avg_qty"),
-        davg("l_extendedprice").alias("avg_price"),
-        davg("l_discount").alias("avg_disc"),
-        F.count(F.lit(1)).alias("count_order"),
+        usum(dec("l_quantity"), 4).alias("sum_qty"),
+        usum(dec("l_extendedprice"), 4).alias("sum_base_price"),
+        usum(disc_price, 4).alias("sum_disc_price"),
+        usum(charge, 6).alias("sum_charge"),
+        (usum(dec("l_quantity"), 4) / cnt).cast("double").alias("avg_qty"),
+        (usum(dec("l_extendedprice"), 4) / cnt).cast("double").alias("avg_price"),
+        (usum(dec("l_discount"), 4) / cnt).cast("double").alias("avg_disc"),
+        cnt.alias("count_order"),
     )
 
 
