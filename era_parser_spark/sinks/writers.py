@@ -230,3 +230,30 @@ def clickhouse_writer(
         .option("isolationLevel", "NONE")
         .mode("append")
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    num_buckets: int = 64,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: pre-shuffled layout for co-located joins.
+
+    Two 100 TB fact tables joined on their natural key (blocks x
+    transactions on slot, lineitem x orders on orderkey) shuffle BOTH
+    sides on every query; bucketing pays that shuffle once at write time.
+    Reads of two tables bucketed the same way join with zero Exchange —
+    pinned in tests/test_plan_audit.py.  Buckets also split each
+    partition's data into `num_buckets` files, so parallelism survives
+    partition skew.  (Spark bucketing requires saveAsTable — the bucket
+    spec lives in the session catalog, spark.sql.warehouse.dir.)
+    """
+    writer = df.write.mode(mode).format("parquet")
+    if sort_col is not None:
+        writer = writer.bucketBy(num_buckets, bucket_col).sortBy(sort_col)
+    else:
+        writer = writer.bucketBy(num_buckets, bucket_col)
+    writer.saveAsTable(table_name)

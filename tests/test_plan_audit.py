@@ -115,3 +115,43 @@ def test_frame_sample_no_shuffle(spark, queries):
     df = queries["mm2_frame_sample"](spark, SF_MED)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-located fact-fact join: two tables bucketed on the join key join
+    with zero shuffle — the write-once-shuffle-never layout for 100 TB
+    fact joins (blocks x transactions on slot)."""
+    from pyspark.sql import functions as F
+
+    from era_parser_spark.sinks.writers import write_bucketed
+
+    left = spark.range(0, 10_000).select(
+        F.col("id").alias("slot"), (F.col("id") * 2).alias("gas_used")
+    )
+    right = spark.range(0, 30_000).select(
+        (F.col("id") % 10_000).alias("slot"), F.col("id").alias("tx_id")
+    )
+    write_bucketed(left, "ba_blocks", "slot", num_buckets=8)
+    write_bucketed(right, "ba_txs", "slot", num_buckets=8)
+    try:
+        joined = (
+            spark.table("ba_blocks")
+            .join(spark.table("ba_txs"), "slot")
+            .groupBy("slot")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        # disable broadcast so the join strategy is decided by layout alone
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        join_part = plan.split("HashAggregate")[-1]  # below the final agg
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        # neither join input re-shuffles: the bucket layout satisfies the
+        # join's distribution requirement on both sides
+        assert "Exchange hashpartitioning(slot" not in join_part
+        assert joined.count() == 10_000
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ba_blocks")
+        spark.sql("DROP TABLE IF EXISTS ba_txs")
