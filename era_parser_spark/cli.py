@@ -24,12 +24,26 @@ def _spark():
     return get_spark(app_name="era_parser_spark_cli")
 
 
+def _resolve_input(path: str, network: str | None):
+    """Remote sources (s3://, http(s)://) resolve to a discovered URL list;
+    local paths pass through untouched."""
+    if path.startswith(("s3://", "http://", "https://")):
+        from era_parser_spark.sources.discovery import discover_auto
+
+        found = discover_auto(path, network or "gnosis")
+        if not found:
+            raise ValueError(f"no era files discovered at {path}")
+        return [p for _, p in found]
+    return path
+
+
 def cmd_parse(args) -> int:
     from era_parser_spark.operators.normalize import TABLE_BUILDERS, all_tables, wide_blocks_table
     from era_parser_spark.sinks.writers import write_separate_datasets
     from era_parser_spark.sources.era import read_era_blocks
 
     spark = _spark()
+    args.input = _resolve_input(args.input, args.network)
     tables = None
     if args.table not in ("all-blocks", "blocks-wide"):
         if args.table not in TABLE_BUILDERS:
@@ -51,10 +65,32 @@ def cmd_parse(args) -> int:
     return 0
 
 
+def cmd_discover(args) -> int:
+    """List discoverable era files (local dir / s3:// / http(s)://)."""
+    from era_parser_spark.sources.discovery import (
+        discover_auto,
+        filter_era_range,
+        parse_era_range,
+        probe_http_eras,
+    )
+
+    if args.probe:
+        start, end = parse_era_range(args.range or "0+")
+        found = probe_http_eras(args.source, args.network or "gnosis", start, end)
+    else:
+        found = filter_era_range(
+            discover_auto(args.source, args.network or "gnosis"), args.range
+        )
+    for era, path in found:
+        print(json.dumps({"era_number": era, "path": path}))
+    return 0
+
+
 def cmd_stats(args) -> int:
     from era_parser_spark.sources.era import read_era_blocks, scan_stats
 
     spark = _spark()
+    args.input = _resolve_input(args.input, args.network)
     blocks = read_era_blocks(spark, args.input, network=args.network, glob=args.glob,
                              tables=["blocks"])
     for row in scan_stats(blocks).orderBy("era_number").collect():
@@ -191,6 +227,14 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("input")
     common(sp)
     sp.set_defaults(fn=cmd_stats)
+
+    sp = sub.add_parser("discover", help="list era files at a local/s3/http source")
+    sp.add_argument("source")
+    sp.add_argument("--range", default=None, help="era range: N | N-M | N+")
+    sp.add_argument("--probe", action="store_true",
+                    help="HEAD-probe {source}/{network}-NNNNN.era instead of listing")
+    sp.add_argument("--network", default=None)
+    sp.set_defaults(fn=cmd_discover)
 
     sp = sub.add_parser("block", help="print one block as JSON by slot")
     sp.add_argument("input")

@@ -119,18 +119,13 @@ def discover_s3(
 
 
 def _default_http_get() -> Callable[[str], str]:
-    try:
-        import requests  # type: ignore
-    except ImportError as exc:  # pragma: no cover - requests absent here
-        raise NotImplementedError(
-            "HTTP discovery needs requests (not in this environment) "
-            "or an injected http_get"
-        ) from exc
+    # stdlib urllib: no optional dependency for the reference's primary
+    # public source (an https file server)
+    import urllib.request
 
-    def _get(url: str) -> str:  # pragma: no cover
-        resp = requests.get(url, timeout=30)
-        resp.raise_for_status()
-        return resp.text
+    def _get(url: str) -> str:
+        with urllib.request.urlopen(url, timeout=30) as resp:
+            return resp.read().decode("utf-8", "replace")
 
     return _get
 
@@ -155,17 +150,13 @@ def discover_http(
 
 
 def _default_http_head() -> Callable[[str], bool]:
-    try:
-        import requests  # type: ignore
-    except ImportError as exc:  # pragma: no cover - requests absent here
-        raise NotImplementedError(
-            "HTTP probing needs requests (not in this environment) "
-            "or an injected http_head"
-        ) from exc
+    import urllib.request
 
-    def _head(url: str) -> bool:  # pragma: no cover
+    def _head(url: str) -> bool:
         try:
-            return requests.head(url, timeout=5, allow_redirects=True).status_code == 200
+            req = urllib.request.Request(url, method="HEAD")
+            with urllib.request.urlopen(req, timeout=5) as resp:
+                return 200 <= resp.status < 300
         except Exception:
             return False
 
@@ -209,3 +200,26 @@ def probe_http_eras(
             if empty_run >= EMPTY_BATCHES_STOP:
                 break
     return sorted(found)
+
+
+def discover_auto(
+    source: str,
+    network: str,
+    s3_client=None,
+    http_get: Callable[[str], str] | None = None,
+) -> list[tuple[int, str]]:
+    """Scheme-dispatching discovery: one entry point for the reference's
+    `--remote` flow and local dirs alike.
+
+    * ``s3://bucket/prefix`` -> ListObjectsV2 (returns s3a:// paths for
+      the Hadoop reader)
+    * ``http(s)://...`` -> HTML listing scrape (urllib; era bytes are then
+      fetched task-side by the kernel)
+    * anything else -> local directory glob
+    """
+    if source.startswith("s3://"):
+        bucket, _, prefix = source[len("s3://"):].partition("/")
+        return discover_s3(bucket, prefix, network, client=s3_client)
+    if source.startswith(("http://", "https://")):
+        return discover_http(source, network, http_get=http_get)
+    return discover_local(source, network)

@@ -102,6 +102,22 @@ def _local_path(path: str) -> str | None:
     return None
 
 
+def _fetch_era_bytes(path: str) -> bytes:
+    """Task-side era-file read: local filesystem or HTTP(S) via stdlib
+    urllib (A8 — the reference's primary public source is an https file
+    server; downloads happen inside tasks, never through the driver)."""
+    local = _local_path(path)
+    if local is not None:
+        with open(local, "rb") as f:
+            return f.read()
+    if path.startswith(("http://", "https://")):
+        import urllib.request
+
+        with urllib.request.urlopen(path, timeout=120) as resp:
+            return resp.read()
+    raise ValueError(f"no task-side fetch for {path!r}")
+
+
 def _parser(
     network: str | None,
     body_include: set[str] | None,
@@ -159,11 +175,11 @@ def _parser(
                 if content_col is not None:
                     content = content_col[i].as_py()
                 else:
-                    # paths-only mode: the task opens its own file, so era
-                    # bytes never ride through the JVM->Arrow boundary (one
-                    # era file can be hundreds of MB)
-                    with open(_local_path(path), "rb") as f:
-                        content = f.read()
+                    # paths-only mode: the task reads its own bytes (local
+                    # open or task-side HTTP fetch), so era bytes never
+                    # ride through the JVM->Arrow boundary (one era file
+                    # can be hundreds of MB)
+                    content = _fetch_era_bytes(path)
                 net = network or detect_network(path)
                 meta = parse_era_filename(path)
                 n_bad = 0
@@ -234,18 +250,33 @@ def read_era_blocks(
         body_include = set()
         for t in tables:
             body_include |= TABLE_BODY_FIELDS[t]
-    reader = spark.read.format("binaryFile")
-    if glob:
-        reader = reader.option("pathGlobFilter", glob)
-    binary = reader.load(paths)
-    # Local files: distribute paths only and open inside the task — era
-    # bytes never cross the JVM->Arrow boundary.  Remote schemes
-    # (s3a/hdfs/...) keep binaryFile's content column (the JVM filesystem
-    # layer owns credentials/retries there).  Local-ness comes from the
-    # input path strings — no extra Spark job to probe the data.
+    # Three source shapes, chosen from the input path strings (no Spark
+    # job to probe the data):
+    #  * local files -> binaryFile listing, paths only; the task opens its
+    #    own file so era bytes never cross the JVM->Arrow boundary
+    #  * http(s) URLs (A8) -> plain path rows, one per task; the kernel
+    #    fetches with urllib inside the task (the driver never downloads)
+    #  * other remote schemes (s3a/hdfs/...) -> binaryFile with content:
+    #    the JVM filesystem layer owns credentials/retries there
     in_paths = [paths] if isinstance(paths, str) else list(paths)
-    local = all(_local_path(str(p)) is not None for p in in_paths)
-    src = binary.select("path") if local else binary.select("path", "content")
+    is_http = all(str(p).startswith(("http://", "https://")) for p in in_paths)
+    if is_http:
+        import fnmatch
+
+        urls = [
+            p for p in in_paths
+            if glob is None or fnmatch.fnmatch(str(p).rsplit("/", 1)[-1], glob)
+        ]
+        src = spark.createDataFrame(
+            [(u,) for u in urls], T.StructType([T.StructField("path", T.StringType())])
+        ).repartition(len(urls) or 1)
+    else:
+        reader = spark.read.format("binaryFile")
+        if glob:
+            reader = reader.option("pathGlobFilter", glob)
+        binary = reader.load(paths)
+        local = all(_local_path(str(p)) is not None for p in in_paths)
+        src = binary.select("path") if local else binary.select("path", "content")
     parsed = src.mapInArrow(
         _parser(network, body_include, on_error), _PARSE_OUT_SCHEMA
     )

@@ -51,10 +51,12 @@ def run_incremental(
     status log; a mid-job failure leaves eras 'processing' and the next run
     redoes exactly those partitions.
     """
-    from era_parser_spark.sources.discovery import discover_local, filter_era_range
+    from era_parser_spark.sources.discovery import discover_auto, filter_era_range
 
     store = EraStateStore(spark, state_path)
-    found = filter_era_range(discover_local(era_dir, network), era_range)
+    # era_dir may be a local dir, s3://bucket/prefix, or an http(s) listing
+    # URL (the reference's --remote flow); downloads stay task-side either way
+    found = filter_era_range(discover_auto(era_dir, network), era_range)
     if not found:
         return {}
     inventory = spark.createDataFrame(
