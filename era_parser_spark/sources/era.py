@@ -118,11 +118,23 @@ def _fetch_era_bytes(path: str) -> bytes:
     raise ValueError(f"no task-side fetch for {path!r}")
 
 
+def _era_path_filter(slot_range: tuple[int, int]) -> F.Column:
+    """File-level pruning predicate: drop era files whose slot span
+    [era*8192, era*8192+8191] cannot intersect the requested range.  Paths
+    without a parseable era number are kept (no safe pruning)."""
+    lo, hi = slot_range
+    era = F.regexp_extract("path", r"-(\d{5})-", 1)
+    era_num = F.when(era != "", era.cast("long"))
+    keep = (era_num * 8192 <= hi) & (era_num * 8192 + 8191 >= lo)
+    return F.coalesce(keep, F.lit(True))
+
+
 def _parser(
     network: str | None,
     body_include: set[str] | None,
     on_error: str = "skip",
     batch_rows: int = 2048,
+    slot_range: tuple[int, int] | None = None,
 ):
     """Arrow-native parse kernel: era bytes in, typed nested batches out.
 
@@ -183,7 +195,19 @@ def _parser(
                 net = network or detect_network(path)
                 meta = parse_era_filename(path)
                 n_bad = 0
-                for slot, comp_size, raw in iter_blocks_decompressed(content):
+                if slot_range is None:
+                    block_iter = iter_blocks_decompressed(content)
+                else:
+                    # SlotIndex pushdown (A3): only matching records are
+                    # sliced; nothing else is even snappy-decompressed
+                    from era_parser_spark.parsing import snappy as _snappy
+                    from era_parser_spark.parsing.e2store import iter_block_payloads
+
+                    block_iter = (
+                        (slot, len(comp), _snappy.decompress(comp))
+                        for slot, comp in iter_block_payloads(content, slot_range=slot_range)
+                    )
+                for slot, comp_size, raw in block_iter:
                     try:
                         parsed = parse_block(
                             raw, net, is_compressed=False, body_include=body_include
@@ -235,13 +259,17 @@ def read_era_blocks(
     body_include: set[str] | None = None,
     glob: str | None = None,
     on_error: str = "skip",
+    slot_range: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Era files -> blocks DataFrame (typed, fork-superset body struct).
 
     `tables` prunes the SSZ decode to only the body fields those normalized
     tables need; `glob` filters file names (A6 glob_batch_source);
     `on_error='skip'` isolates per-block parse failures (logged + counted
-    on executor stderr), `'fail'` surfaces them.
+    on executor stderr), `'fail'` surfaces them.  `slot_range=(lo, hi)`
+    (inclusive) is a two-level pushdown: era files whose slot span cannot
+    intersect are pruned from the listing, and inside surviving files the
+    SlotIndex is used so non-matching blocks are never snappy-decompressed.
     """
     from era_parser_spark.shipping import ensure_package_shipped
 
@@ -277,8 +305,11 @@ def read_era_blocks(
         binary = reader.load(paths)
         local = all(_local_path(str(p)) is not None for p in in_paths)
         src = binary.select("path") if local else binary.select("path", "content")
+    if slot_range is not None:
+        src = src.filter(_era_path_filter(slot_range))
     parsed = src.mapInArrow(
-        _parser(network, body_include, on_error), _PARSE_OUT_SCHEMA
+        _parser(network, body_include, on_error, slot_range=slot_range),
+        _PARSE_OUT_SCHEMA,
     )
     block = F.col("block")
     return parsed.select(

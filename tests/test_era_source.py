@@ -264,3 +264,28 @@ def test_content_riding_branch_matches_paths_only(spark, blocks_df, era_dir):
         for r in blocks_df.select("slot", "version", "signature").collect()
     )
     assert got == want
+
+
+def test_slot_range_pushdown(spark, blocks_df, era_dir):
+    """slot_range: same rows as a post-filter, era files pruned from the
+    listing, and (per test_parse_kernel's index test) non-matching blocks
+    inside surviving files are never snappy-decompressed."""
+    from era_parser_spark.sources.era import _era_path_filter, read_era_blocks
+
+    d, _ = era_dir
+    all_slots = sorted(r.slot for r in blocks_df.select("slot").collect())
+    lo, hi = all_slots[3], all_slots[-4]
+    pushed = read_era_blocks(spark, d, glob="*.era", slot_range=(lo, hi))
+    got = sorted(r.slot for r in pushed.select("slot").collect())
+    assert got == [s for s in all_slots if lo <= s <= hi]
+
+    # file-level pruning predicate: only eras overlapping the range survive
+    paths = spark.createDataFrame(
+        [(f"/x/gnosis-{e:05d}-aabbccdd.era",) for e in (1, 2, 3)]
+        + [("/x/not-an-era-file.bin",)],
+        "path string",
+    )
+    kept = sorted(
+        r.path for r in paths.filter(_era_path_filter((2 * 8192, 2 * 8192 + 10))).collect()
+    )
+    assert kept == ["/x/gnosis-00002-aabbccdd.era", "/x/not-an-era-file.bin"]
