@@ -115,10 +115,63 @@ def t5_bpe_token_count(spark, sf_dir):
     )
 
 
-@register("wn1_winnowing_overlap")  # engine-specific hashing -> rows-only
+def _winnowing_oracle(k: int = 8, w: int = 4, min_shared: int = 5) -> str:
+    """The whole winnowing scheme re-derived in SQL: polynomial rolling
+    hash per k-gram (precomputed power table, HUGEINT accumulation mod
+    2^61-1 — same math as operators/winnowing.py), window minima over w
+    complete windows (min VALUE per window is tie-break-free), distinct
+    fingerprints, inverted-index pair join, containment.  Verified
+    set-identical to winnow_text on fixtures and oracle-green at sf0.01."""
+    from era_parser_spark.operators.winnowing import _B, _M
+
+    pows = "[" + ",".join(str(pow(_B, k - 1 - j, _M)) for j in range(k)) + "]"
+    return f"""
+    WITH lowered AS (SELECT doc_id, lower(text) AS t FROM documents),
+    grams AS (
+      SELECT doc_id, i,
+             (list_sum(list_transform(range(1, {k} + 1),
+                j -> CAST(ord(substring(t, CAST(i + j - 1 AS INTEGER), 1))
+                     AS HUGEINT) * ({pows})[j])) % {_M}) AS h
+      FROM lowered, unnest(range(1, length(t) - {k} + 2)) AS u(i)
+      WHERE length(t) >= {k}
+    ),
+    counted AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+    wins AS (
+      SELECT g.doc_id, g.i,
+             min(g.h) OVER (PARTITION BY g.doc_id ORDER BY g.i
+                            ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW)
+               AS mh
+      FROM grams g JOIN counted c USING (doc_id) WHERE c.n > {w}
+    ),
+    fp AS (
+      SELECT DISTINCT doc_id, CAST(mh AS BIGINT) AS fingerprint
+      FROM wins WHERE i >= {w}
+      UNION
+      SELECT g.doc_id, CAST(min(g.h) AS BIGINT)
+      FROM grams g JOIN counted c USING (doc_id)
+      WHERE c.n <= {w} GROUP BY g.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS nfp FROM fp GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      FROM fp a JOIN fp b
+        ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= {min_shared}
+    )
+    SELECT doc_a, doc_b, shared,
+           shared / least(sa.nfp, sb.nfp) AS containment
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    ORDER BY containment DESC, doc_a, doc_b
+    LIMIT 50
+    """
+
+
+@register("wn1_winnowing_overlap", oracle=_winnowing_oracle())
 def wn1_winnowing_overlap(spark, sf_dir):
     # Rolling-hash winnowing fingerprints -> substring-overlap pairs
-    # (semantics pinned in tests/test_winnowing.py).
+    # (semantics also pinned in tests/test_winnowing.py).
     from pyspark.sql import functions as F
 
     from era_parser_spark.operators.winnowing import overlap_pairs
