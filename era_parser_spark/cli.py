@@ -102,12 +102,14 @@ def cmd_block(args) -> int:
     from era_parser_spark.config.networks import detect_network, fork_at_slot
     from era_parser_spark.parsing.beacon import parse_block, stringify
     from era_parser_spark.parsing.e2store import iter_block_payloads
+    from era_parser_spark.sources.era import _fetch_era_bytes
 
-    # point lookup: pure-kernel path, no Spark session needed (§3.3)
+    # point lookup: pure-kernel path, no Spark session needed (§3.3);
+    # slot_range engages the SlotIndex so only the one matching record is
+    # sliced (nothing else decompressed); works on local paths and http(s)
     network = args.network or detect_network(args.input)
-    with open(args.input, "rb") as f:
-        data = f.read()
-    for slot, payload in iter_block_payloads(data):
+    data = _fetch_era_bytes(args.input)
+    for slot, payload in iter_block_payloads(data, slot_range=(args.slot, args.slot)):
         if slot == args.slot:
             doc = parse_block(payload, network)
             printable = {

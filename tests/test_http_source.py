@@ -88,3 +88,13 @@ def test_cli_discover_and_parse_http(http_era_server, tmp_path, capsys, spark):
     assert main(["parse", base, "blocks", out, "--network", "gnosis"]) == 0
     payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert payload["written"]["blocks"] > 0
+
+
+def test_cli_block_lookup_over_http(http_era_server, capsys):
+    from era_parser_spark.cli import main
+
+    base, d = http_era_server
+    name = os.path.basename(sorted(os.listdir(d))[0])
+    assert main(["block", f"{base}{name}", str(1500 * 8192)]) == 0
+    doc = json.loads(capsys.readouterr().out)
+    assert doc["data"]["message"]["slot"] == str(1500 * 8192)
