@@ -29,6 +29,8 @@ HEADLINE = [
     "dd1_exact_dedup",
     "dd2_ngram_jaccard_topk",
     "dd3_minhash_lsh",
+    "dd5_dup_clusters",
+    "p1_curation_pipeline",
     "t2_quality_score",
     "t3_lang_id",
     "s1_cosine_topk",

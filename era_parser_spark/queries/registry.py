@@ -74,6 +74,7 @@ def load_all():
         analytics,
         dedup,
         extended,
+        pipeline,
         similarity,
         state_ops,
         streaming_q,

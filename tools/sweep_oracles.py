@@ -4,7 +4,8 @@ set, value equality over name-sorted columns — PLUS a type audit the
 driver's hash is sensitive to (round-1 lesson: DuckDB HUGEINT vs Spark
 BIGINT hash-mismatch with identical values).
 
-Usage: python tools/sweep_oracles.py [sf_dir]   (exit 1 on any mismatch)
+Usage: python tools/sweep_oracles.py [sf_dir] [name_substring ...]
+(exit 1 on any mismatch; extra args filter to matching query names)
 """
 
 from __future__ import annotations
@@ -15,6 +16,7 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = sys.argv[2:]
 
 # DuckDB type -> the Spark dtype the driver would see after its own
 # normalization; pairs NOT in this map are flagged for eyeballing.
@@ -63,6 +65,8 @@ def main() -> int:
     Q, O = m.queries(), m.oracle_sql()
     bad: list[str] = []
     for name in sorted(Q):
+        if ONLY and not any(s in name for s in ONLY):
+            continue
         if name not in O:
             print(f"{name:28s} rows-only (no oracle)")
             continue
