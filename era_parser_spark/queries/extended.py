@@ -81,9 +81,13 @@ def x2_sessionize(spark, sf_dir):
     ev = table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     prev_ts = F.lag("ts").over(w)
+    # Interval comparison (not a cast-to-long) so the expression is valid for
+    # both TIMESTAMP and TIMESTAMP_NTZ inputs: Spark 4 reads parquet
+    # isAdjustedToUTC=false timestamps as TIMESTAMP_NTZ, which cannot be cast
+    # to BIGINT.
     new_session = (
         prev_ts.isNull()
-        | (F.col("ts").cast("long") - prev_ts.cast("long") > 1800)
+        | ((F.col("ts") - prev_ts) > F.expr("INTERVAL 30 MINUTES"))
     ).cast("int")
     sessions = ev.withColumn("new_session", new_session).withColumn(
         "session_id", F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0))
