@@ -1,9 +1,10 @@
 """Deduplication queries over `documents` (north-star extensions).
 
-dd1/dd2 are oracle-checked (SQL-expressible); dd3/dd4 use engine-specific
-hashing (xxhash64 / blake2b) with no DuckDB twin, so the driver records the
-weaker rows-only check — their semantics are pinned down in tests/ instead
-(LSH candidates vs exact Jaccard, SimHash vs brute-force Hamming).
+dd1/dd2/dd3/dd5 are oracle-checked (dd3's exact-verification step makes its
+output hash-independent given measured recall=1.0 — see its registration);
+dd4 uses engine-specific blake2b SimHash with no DuckDB twin, so the driver
+records the weaker rows-only check — its semantics are pinned in tests/
+(SimHash vs brute-force Hamming, exact for hamming < 4 by pigeonhole).
 """
 
 from __future__ import annotations
@@ -121,12 +122,42 @@ def dd5_dup_clusters(spark, sf_dir):
     return cluster_sizes(comps, id_col="doc_id")
 
 
-@register("dd3_minhash_lsh")  # engine-specific hashing -> rows-only check
+@register(
+    "dd3_minhash_lsh",
+    # Exact oracle (upgraded from rows-only): because the pipeline
+    # exact-verifies every LSH candidate, its output with threshold T is
+    # exactly {pairs with true Jaccard >= T} *whenever LSH recall at T is
+    # 1.0*.  Recall was measured offline on both fixtures (sf0.01: 25/25
+    # truth pairs recalled, sf0.1: 256/256; all fixture near-dups sit at
+    # jaccard >= 0.8 where P[collision] = 1-(1-s^4)^8 > 0.98 per pair) and
+    # is pinned by test_llm_ops.  The hashing (xxhash64 permutations) only
+    # decides *which* candidates are generated, never the emitted values,
+    # so DuckDB needs no xxhash64 twin — just exact Jaccard.
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents),
+         sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id
+         )
+    SELECT doc_a, doc_b, inter,
+           sa.nsh + sb.nsh - inter AS union_sz,
+           CAST(inter AS DOUBLE) / (sa.nsh + sb.nsh - inter) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(inter AS DOUBLE) / (sa.nsh + sb.nsh - inter) >= 0.5
+    ORDER BY jaccard DESC, doc_a, doc_b
+    LIMIT 100
+    """,
+)
 def dd3_minhash_lsh(spark, sf_dir):
-    # MinHash(32 perms) + LSH(8 bands x 4 rows) candidates, exact-verified.
+    # MinHash(32 perms) + LSH(8 bands x 4 rows) candidates, exact-verified,
+    # thresholded at jaccard >= 0.5 (the near-dup decision boundary).
     docs = table(spark, sf_dir, "documents")
     return (
-        minhash_lsh_dedup_pairs(docs, "doc_id", "text", num_perm=32, bands=8)
+        minhash_lsh_dedup_pairs(docs, "doc_id", "text", num_perm=32, bands=8, threshold=0.5)
         .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
         .limit(100)
     )

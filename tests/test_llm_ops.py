@@ -72,6 +72,34 @@ def test_lsh_candidates_subset_of_exact_pairs(spark):
         assert exact[(r.doc_a, r.doc_b)] == pytest.approx(r.jaccard)
 
 
+def test_lsh_recall_is_exact_at_fixture_threshold(spark):
+    """Pins the property dd3's exact DuckDB oracle rests on: at threshold
+    0.5 on the sf0.01 fixture, LSH (32 perms, 8x4 bands) recalls EVERY true
+    near-dup pair, so pipeline output == {exact Jaccard pairs >= 0.5}.
+    If fixture or parameters change and recall drops below 1.0, this test
+    fails before the driver's oracle compare does."""
+    from era_parser_spark.operators.dedup import (
+        minhash_lsh_dedup_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF_MED}/documents.parquet")
+    truth = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text")
+        .filter(F.col("jaccard") >= 0.5)
+        .collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_dedup_pairs(
+            docs, "doc_id", "text", num_perm=32, bands=8, threshold=0.5
+        ).collect()
+    }
+    assert truth, "fixture lost its planted near-dups"
+    assert lsh == truth
+
+
 def test_simhash_identical_and_perturbed(spark):
     from era_parser_spark.operators.dedup import simhash_fingerprints
 
