@@ -101,15 +101,47 @@ def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataF
     return df.select(id_col, text_col).mapInPandas(gen, f"{id_col} long, shingle string")
 
 
-def _jaccard_from_index(ex: DataFrame, id_col: str, min_inter: int = 1) -> DataFrame:
+def hot_shingles(ex: DataFrame, max_doc_freq: int) -> DataFrame:
+    """Diagnostic: shingles appearing in more than `max_doc_freq` documents.
+
+    Columns (shingle, doc_freq) — the boilerplate the frequency guard in
+    `_jaccard_from_index` drops.  Tiny by construction: at most
+    total_index_rows / max_doc_freq distinct shingles can exceed the cutoff.
+    """
+    return (
+        ex.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .filter(F.col("doc_freq") > max_doc_freq)
+    )
+
+
+def _jaccard_from_index(
+    ex: DataFrame, id_col: str, min_inter: int = 1, max_doc_freq: int | None = None
+) -> DataFrame:
     """Pair Jaccard from an exploded (id, shingle) inverted index.
 
     `ex` feeds three plan branches (sizes + both self-join sides); callers
     pass it cached so shingle generation runs once, and the self-join keys
     on xxhash64(shingle) — an 8-byte shuffle key instead of the full text.
+
+    `max_doc_freq` is the hot-shingle guard: a shingle shared by k docs
+    emits k^2 join rows, so one viral boilerplate string ("click here to
+    subscribe") turns the self-join quadratic at corpus scale.  With the
+    guard, shingles in more than `max_doc_freq` docs are anti-joined out of
+    BOTH join sides first (an aggregation on the same 8-byte key the join
+    shuffles on, so the exchange is reused).  Doc sizes still count ALL
+    shingles, so the reported jaccard is a lower bound for pairs that
+    shared a dropped shingle — standard bounded-recall-loss practice.
     """
     sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("nsh"))
     hashed = ex.select(F.col(id_col), F.xxhash64("shingle").alias("sh"))
+    if max_doc_freq is not None:
+        hot = (
+            hashed.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+        )
+        hashed = hashed.join(hot.select("sh"), "sh", "left_anti")
     a = hashed.alias("a")
     b = hashed.alias("b")
     pairs = (
@@ -130,15 +162,25 @@ def _jaccard_from_index(ex: DataFrame, id_col: str, min_inter: int = 1) -> DataF
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, min_inter: int = 1
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_inter: int = 1,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact pairwise Jaccard over distinct n-gram shingles.
 
     Inverted-index self-join: only pairs sharing >=1 shingle are generated.
     Columns: doc_a, doc_b, inter, union_sz, jaccard.
+
+    Pass `max_doc_freq` at corpus scale: it drops shingles shared by more
+    than that many docs before the self-join (see `_jaccard_from_index`),
+    bounding the quadratic hot-bucket blowup at a small recall cost.
+    Inspect what would be dropped with `hot_shingles(doc_shingles(...), N)`.
     """
     ex = doc_shingles(df, id_col, text_col, n).cache()
-    return _jaccard_from_index(ex, id_col, min_inter)
+    return _jaccard_from_index(ex, id_col, min_inter, max_doc_freq)
 
 
 def minhash_signatures(

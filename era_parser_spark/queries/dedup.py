@@ -46,12 +46,23 @@ def dd1_exact_dedup(spark, sf_dir):
 
 @register(
     "dd2_ngram_jaccard_topk",
+    # The hot-shingle guard (doc_freq <= 100) is mirrored in SQL: `joinable`
+    # drops viral shingles from the self-join while `sizes` still counts
+    # them, exactly like the engine's `_jaccard_from_index(max_doc_freq=)`.
+    # On the fixtures the max doc_freq is 7 (sf0.01) / 25 (sf0.1) so the
+    # guard is value-neutral here; it exists for the 100 TB viral-
+    # boilerplate case and is exercised for real in tests/test_llm_ops.
     oracle=f"""
     WITH sh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents),
          sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+         joinable AS (
+           SELECT doc_id, shingle FROM sh
+           QUALIFY count(*) OVER (PARTITION BY shingle) <= 100
+         ),
          pairs AS (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           FROM joinable a
+           JOIN joinable b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
            GROUP BY a.doc_id, b.doc_id
          )
     SELECT doc_a, doc_b, inter,
@@ -65,10 +76,11 @@ def dd1_exact_dedup(spark, sf_dir):
     """,
 )
 def dd2_ngram_jaccard_topk(spark, sf_dir):
-    # Exact 3-gram Jaccard near-dup, top-20 pairs (inverted-index self-join).
+    # Exact 3-gram Jaccard near-dup, top-20 pairs (inverted-index self-join)
+    # with the viral-shingle frequency guard active.
     docs = table(spark, sf_dir, "documents")
     return (
-        ngram_jaccard_pairs(docs, "doc_id", "text", n=3)
+        ngram_jaccard_pairs(docs, "doc_id", "text", n=3, max_doc_freq=100)
         .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
         .limit(20)
     )

@@ -72,6 +72,47 @@ def test_lsh_candidates_subset_of_exact_pairs(spark):
         assert exact[(r.doc_a, r.doc_b)] == pytest.approx(r.jaccard)
 
 
+def test_hot_shingle_guard_bounds_viral_blowup(spark):
+    """One shingle shared by every doc makes the unguarded self-join emit a
+    full quadratic pair set; the frequency guard confines pairs to docs
+    that share a *rare* shingle, and reports the viral shingle."""
+    from era_parser_spark.operators.dedup import (
+        doc_shingles,
+        hot_shingles,
+        ngram_jaccard_pairs,
+    )
+
+    n = 60
+    rows = [
+        # every doc carries the same viral boilerplate; only consecutive
+        # doc pairs also share a rare 3-gram ("uniq{i} uniq{i} uniq{i+1}"
+        # chains don't exist — we plant an explicit shared tail instead)
+        (i, f"click here to subscribe now pair{i // 2} pair{i // 2} pair{i // 2}")
+        for i in range(n)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    unguarded = ngram_jaccard_pairs(docs, "doc_id", "text", n=3)
+    assert unguarded.count() == n * (n - 1) // 2  # full quadratic blowup
+
+    guarded = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, max_doc_freq=10)
+    got = {(r.doc_a, r.doc_b) for r in guarded.collect()}
+    # only the planted even/odd twins survive the guard
+    assert got == {(2 * k, 2 * k + 1) for k in range(n // 2)}
+    # sizes still count dropped shingles: jaccard is the true value here
+    # because the surviving pairs' rare shingles were never dropped but
+    # their viral intersection was -> inter undercounts by the guard's
+    # design (lower bound)
+    for r in guarded.collect():
+        assert r.inter >= 1 and r.jaccard > 0
+
+    # the diagnostic surfaces exactly the viral boilerplate shingles
+    ex = doc_shingles(docs, "doc_id", "text", 3)
+    hot = {r.shingle: r.doc_freq for r in hot_shingles(ex, 10).collect()}
+    assert all(v == n for v in hot.values())
+    assert "click here to" in hot
+
+
 def test_lsh_recall_is_exact_at_fixture_threshold(spark):
     """Pins the property dd3's exact DuckDB oracle rests on: at threshold
     0.5 on the sf0.01 fixture, LSH (32 perms, 8x4 bands) recalls EVERY true
