@@ -178,6 +178,46 @@ def test_simhash_near_pairs_blocks(spark):
     assert (1, 3) not in pairs
 
 
+def test_simhash_blocking_exact_below_hamming_4(spark):
+    """Pigeonhole exactness region: with 4 bands of 16 bits over a 64-bit
+    fingerprint, a pair differing in <= 3 bits can touch at most 3 bands,
+    so at least one band collides and the pair is ALWAYS blocked together.
+    Assert recall 1.0 vs brute force in that region on real fixture docs
+    plus planted low-distance perturbations."""
+    from era_parser_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_near_pairs,
+    )
+
+    base = spark.read.parquet(f"{SF_MED}/documents.parquet").limit(200).select("doc_id", "text")
+    # plant guaranteed-low-hamming pairs: exact copies (hamming 0) and
+    # single-token tweaks (usually a handful of bits)
+    copies = base.filter(F.col("doc_id") < 8).select(
+        (F.col("doc_id") + 50000).alias("doc_id"), "text"
+    )
+    tweaked = base.filter((F.col("doc_id") >= 8) & (F.col("doc_id") < 16)).select(
+        (F.col("doc_id") + 60000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    docs = base.unionByName(copies).unionByName(tweaked).cache()
+
+    fp = {r.doc_id: r.simhash for r in simhash_fingerprints(docs, "doc_id", "text").collect()}
+    ids = sorted(fp)
+    truth = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin((fp[a] ^ fp[b]) & (2**64 - 1)).count("1") <= 3
+    }
+    assert truth, "no low-hamming pairs planted — fixture drifted"
+
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_near_pairs(docs, "doc_id", "text", max_hamming=3).collect()
+    }
+    assert got == truth  # exact, both directions, in the pigeonhole region
+
+
 def test_ivf_recall_vs_brute_force(spark):
     from era_parser_spark.operators.similarity import cosine_topk, ivf_topk
 
