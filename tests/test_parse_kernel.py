@@ -171,6 +171,56 @@ def test_slot_index_pushdown_skips_decompression(monkeypatch):
     assert [s for s, _ in got_fb] == [301, 303]
 
 
+def test_slot_index_spec_byte_fixture():
+    """Reader vs the e2store spec itself, not vs our own writer.
+
+    Hand-assembled byte-literal era layout (reference docs/ERA_FILE_FORMAT.md
+    :27-40): version | block | block | state | block-SlotIndex | state-
+    SlotIndex.  Unlike write_era output this has the real-archive trailing
+    *state* index after the block index (write_era emits only the block
+    index), so the backward two-record walk and the points-at-blocks
+    discrimination are both exercised against spec-derived bytes that the
+    writer couldn't have co-invented.  SlotIndex payload per spec:
+    start_slot i64 | offset i64 x count | count i64, offsets relative to the
+    start of the index record header, 0 = empty slot.
+    """
+    import struct
+
+    from era_parser_spark.parsing.e2store import find_block_index
+
+    def rec(rtype: bytes, payload: bytes) -> bytes:
+        return rtype + struct.pack("<IH", len(payload), 0) + payload
+
+    q = lambda v: struct.pack("<q", v)
+
+    out = bytearray()
+    out += rec(b"e2", b"")                              # version @ 0
+    blk_a = len(out)                                    # 8
+    out += rec(b"\x01\x00", b"AAAA")                    # block @ 8, len 4
+    blk_b = len(out)                                    # 20
+    out += rec(b"\x01\x00", b"BBBBBB")                  # block @ 20, len 6
+    state_off = len(out)                                # 34
+    out += rec(b"\x02\x00", b"SSSSS")                   # state @ 34
+    blk_idx_off = len(out)                              # 47
+    # slots 100..102, slot 101 empty (offset 0)
+    out += rec(
+        b"i2",
+        q(100) + q(blk_a - blk_idx_off) + q(0) + q(blk_b - blk_idx_off) + q(3),
+    )
+    st_idx_off = len(out)
+    out += rec(b"i2", q(100) + q(state_off - st_idx_off) + q(1))
+
+    idx = find_block_index(bytes(out))
+    assert idx is not None
+    assert idx.start_slot == 100
+    # absolute offsets resolved, empty slot skipped, state index rejected
+    assert list(idx.entries()) == [(100, blk_a), (102, blk_b)]
+
+    # corrupt the trailing count -> no index, reader must signal fallback
+    bad = bytes(out[:-8]) + struct.pack("<q", 999)
+    assert find_block_index(bad) is None
+
+
 def test_filename_and_era_math():
     meta = parse_era_filename("/data/gnosis-01267-0a1b2c3d.era")
     assert meta == {"network": "gnosis", "era_number": 1267, "short_hash": "0a1b2c3d"}
