@@ -14,6 +14,16 @@ even at 100 TB of block data.
 Idempotent data writes (D3's delete-then-insert) come from dynamic
 partition overwrite on era_number: reprocessing an era atomically replaces
 exactly its own partitions.
+
+Concurrency contract: the log is SINGLE-DRIVER.  Appends are plain parquet
+file adds (safe to interleave — readers see a union), but `compact_log`'s
+rewrite-and-swap and the read-plan-write cycle of a batch run are not
+serialized by any commit protocol, matching the reference's one-process
+model (its ClickHouse table has no cross-run transaction either; it runs
+OPTIMIZE between runs).  Deployments that might run two drivers against
+one state path should wrap runs in `EraStateStore.exclusive()` — a
+best-effort lock file via atomic create (atomic on HDFS/local; best-effort
+on S3, where a manifest-conditional-put service should replace it).
 """
 
 from __future__ import annotations
@@ -41,10 +51,80 @@ STATE_SCHEMA = T.StructType(
 )
 
 
+class StateLockHeld(RuntimeError):
+    """Another driver holds the state-log lock (holder info in args)."""
+
+
 class EraStateStore:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
+
+    # -- multi-driver guard (see module docstring: single-driver contract) ---
+
+    def _fs_and_path(self, p: str):
+        jvm = self.spark._jvm
+        conf = self.spark._jsc.hadoopConfiguration()
+        hp = jvm.org.apache.hadoop.fs.Path(p)
+        return hp.getFileSystem(conf), hp, jvm
+
+    @property
+    def _lock_path(self) -> str:
+        return self.path.rstrip("/") + ".__lock__"
+
+    def acquire_lock(self, owner: str = "driver", stale_after_s: float = 3600.0) -> None:
+        """Best-effort exclusive lock on the state log.
+
+        Atomic `create(overwrite=False)` of a lock file (truly atomic on
+        HDFS and local FS; S3 offers no atomic create — treat as advisory
+        there).  A lock older than `stale_after_s` is presumed abandoned
+        (crashed driver) and broken.  Raises StateLockHeld when live.
+        """
+        fs, hp, jvm = self._fs_and_path(self._lock_path)
+        if fs.exists(hp):
+            age = time.time() - fs.getFileStatus(hp).getModificationTime() / 1000.0
+            if age < stale_after_s:
+                # byte-at-a-time via py4j (int-returning read(); the
+                # byte[]-filling overload can't mutate a Python bytearray);
+                # error path only, lock files are ~40 bytes
+                holder = bytearray()
+                st = fs.open(hp)
+                try:
+                    for _ in range(256):
+                        c = st.read()
+                        if c < 0:
+                            break
+                        holder.append(c)
+                finally:
+                    st.close()
+                raise StateLockHeld(
+                    f"state log {self.path} locked by {holder.decode(errors='replace')!r} "
+                    f"({age:.0f}s ago); pass stale_after_s to override"
+                )
+            fs.delete(hp, False)  # stale: break it
+        out = fs.create(hp, False)  # throws if a racer re-created it
+        try:
+            out.write(f"{owner}@{time.time_ns()}".encode())
+        finally:
+            out.close()
+
+    def release_lock(self) -> None:
+        fs, hp, _ = self._fs_and_path(self._lock_path)
+        fs.delete(hp, False)
+
+    def exclusive(self, owner: str = "driver", stale_after_s: float = 3600.0):
+        """Context manager: `with store.exclusive(): run_batch(...)`."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def _cm():
+            self.acquire_lock(owner, stale_after_s)
+            try:
+                yield self
+            finally:
+                self.release_lock()
+
+        return _cm()
 
     # -- log primitives ------------------------------------------------------
 

@@ -227,3 +227,35 @@ def test_record_many_batches_one_file(spark, tmp_path_factory):
                 store.log().orderBy("era_number").collect()]
     assert versions == sorted(versions) and len(set(versions)) == 50
     assert store.max_retries("gnosis", [0, 1, 999]) == {0: 1, 1: 1, 999: 0}
+
+
+def test_state_lock_mutual_exclusion(spark, tmp_path_factory):
+    """Best-effort multi-driver guard: second acquire fails with holder info,
+    release frees, a stale lock is broken, exclusive() releases on error."""
+    import time
+
+    import pytest
+
+    from era_parser_spark.state.era_state import EraStateStore, StateLockHeld
+
+    state = str(tmp_path_factory.mktemp("state_lock") / "log")
+    a = EraStateStore(spark, state)
+    b = EraStateStore(spark, state)
+
+    a.acquire_lock(owner="driver-a")
+    with pytest.raises(StateLockHeld, match="driver-a"):
+        b.acquire_lock(owner="driver-b")
+    a.release_lock()
+    b.acquire_lock(owner="driver-b")  # freed -> acquirable
+
+    # stale break: pretend driver-b died an hour ago
+    time.sleep(0.05)
+    a.acquire_lock(owner="driver-a2", stale_after_s=0.01)
+    a.release_lock()
+
+    # context manager releases even when the batch raises
+    with pytest.raises(ValueError):
+        with a.exclusive(owner="driver-a3"):
+            raise ValueError("batch blew up")
+    b.acquire_lock(owner="driver-b2")
+    b.release_lock()
