@@ -120,6 +120,52 @@ def bench_era_parse(spark, times: dict[str, float]) -> dict:
     }
 
 
+def bench_scaling(spark) -> dict:
+    """Marginal per-core scan efficiency at 1/8/32 tasks.
+
+    The headline blocks/s number conflates fixed job overhead with marginal
+    parse cost on a 2-second job; this isolates scaling by pinning the scan
+    to n tasks (paths-only repartition) and comparing per-task throughput
+    against the 1-task run.  The 1-task run uses a quarter of the corpus so
+    it stays ~5 s; throughput ratios don't need equal corpora.
+
+    Note on reading the numbers: n tasks == n concurrent cores with equal
+    files per task, so there are no extra waves to hide a slow core — the
+    wall-clock is gated by the slowest core (saturated worst case).  The
+    era_parse section's warm number (64 tasks on 32 cores, 2 waves) shows
+    the same corpus with overdecomposition smoothing that tail out; the
+    gap between them is scheduler headroom, not kernel cost.
+    """
+    import glob as _glob
+
+    from era_parser_spark.sources.era import read_era_blocks
+
+    d, _ = _era_bench_dir()
+    files = sorted(_glob.glob(os.path.join(d, "*.era")))
+    runs: dict[str, dict] = {}
+    for n_tasks, subset in ((1, files[: len(files) // 4]), (8, files), (32, files)):
+        best, blocks = float("inf"), 0
+        for _ in range(2):  # best-of-2: steady-state, page cache warm
+            t0 = time.perf_counter()
+            blocks = read_era_blocks(spark, subset, partitions=n_tasks).count()
+            best = min(best, time.perf_counter() - t0)
+        runs[str(n_tasks)] = {
+            "files": len(subset),
+            "blocks": blocks,
+            "sec": round(best, 3),
+            "blocks_per_sec": round(blocks / best, 1),
+        }
+    b1 = runs["1"]["blocks_per_sec"]
+    return {
+        "runs": runs,
+        "per_core_efficiency_vs_1_task": {
+            n: round(r["blocks_per_sec"] / (int(n) * b1), 3)
+            for n, r in runs.items()
+            if n != "1"
+        },
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -156,6 +202,7 @@ def main() -> None:
         times[name] = round(best, 3)
 
     era = bench_era_parse(spark, times)
+    scaling = bench_scaling(spark)
 
     print(
         json.dumps(
@@ -166,6 +213,7 @@ def main() -> None:
                 "queries": times,
                 "sf": sf,
                 "era_parse": era,
+                "scaling": scaling,
             }
         )
     )

@@ -260,6 +260,7 @@ def read_era_blocks(
     glob: str | None = None,
     on_error: str = "skip",
     slot_range: tuple[int, int] | None = None,
+    partitions: int | None = None,
 ) -> DataFrame:
     """Era files -> blocks DataFrame (typed, fork-superset body struct).
 
@@ -270,6 +271,10 @@ def read_era_blocks(
     (inclusive) is a two-level pushdown: era files whose slot span cannot
     intersect are pruned from the listing, and inside surviving files the
     SlotIndex is used so non-matching blocks are never snappy-decompressed.
+    `partitions` pins the number of scan tasks (default: one task per file
+    via the binaryFile listing) — the source rows are paths, so this
+    repartition shuffles strings, never era bytes.  Use it to bound task
+    count on huge archives or to bin-pack many small eras per task.
     """
     from era_parser_spark.shipping import ensure_package_shipped
 
@@ -307,6 +312,8 @@ def read_era_blocks(
         src = binary.select("path") if local else binary.select("path", "content")
     if slot_range is not None:
         src = src.filter(_era_path_filter(slot_range))
+    if partitions is not None:
+        src = src.repartition(partitions)
     parsed = src.mapInArrow(
         _parser(network, body_include, on_error, slot_range=slot_range),
         _PARSE_OUT_SCHEMA,
