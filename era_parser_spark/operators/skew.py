@@ -26,12 +26,19 @@ def salted_join(
     key: str,
     salt_factor: int = 8,
     how: str = "inner",
+    join_hint: str | None = None,
 ) -> DataFrame:
     """Equi-join with the probe side salted and the build side replicated.
 
     Result equals probe.join(build, key, how) for inner/left joins with a
     unique-keyed build side; each of the probe's hot-key rows lands in one
-    of `salt_factor` shuffle partitions instead of all in one.
+    of `salt_factor` shuffle partitions instead of one.
+
+    `join_hint` ("shuffle_hash" / "merge") pins the build side's join
+    strategy.  Salting targets the build-too-big-to-broadcast regime; on a
+    small test corpus Catalyst would happily broadcast the replicated build
+    and silently bypass the very mechanism under test, so tests and demo
+    entries pass a hint to get the production-shaped plan.
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left (build side must be unique-keyed)")
@@ -41,6 +48,8 @@ def salted_join(
     replicated_build = build.withColumn(
         SALT, F.explode(F.sequence(F.lit(0), F.lit(salt_factor - 1)))
     )
+    if join_hint is not None:
+        replicated_build = replicated_build.hint(join_hint)
     out = salted_probe.join(replicated_build, [key, SALT], how)
     return out.drop(SALT)
 

@@ -272,3 +272,37 @@ def x8_approx_stats(spark, sf_dir):
         F.percentile("value", F.lit(0.5)).alias("exact_p50"),
         F.percentile_approx("value", F.lit(0.5), F.lit(5000)).alias("approx_p50"),
     )
+
+
+@register(
+    "x10_salted_skew_join",
+    # Salting is result-neutral: the oracle is the plain join+agg.  The
+    # plan-side guarantees (build replicated salt_factor ways, join keyed on
+    # (key, salt), no broadcast) are pinned in tests/test_plan_audit.py.
+    oracle=f"""
+    SELECT c_nationkey AS nationkey,
+           count(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+    """,
+)
+def x10_salted_skew_join(spark, sf_dir):
+    """Hot-key-safe fact-to-dimension join (operators/skew.py::salted_join):
+    orders' custkey is salted 8 ways and customer replicated 8 ways, so a
+    pathological customer spreads over 8 tasks instead of stalling one.
+    shuffle_hash hint = the production regime (build too big to broadcast).
+    """
+    from era_parser_spark.operators.skew import salted_join
+
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_nationkey"
+    )
+    return (
+        salted_join(orders, cust, "custkey", salt_factor=8, join_hint="shuffle_hash")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("revenue"))
+    )

@@ -155,3 +155,24 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS ba_blocks")
         spark.sql("DROP TABLE IF EXISTS ba_txs")
+
+
+def test_salted_join_replicates_and_never_broadcasts(spark, queries):
+    """x10: the build side must appear exploded over the salt sequence, the
+    join must key on (custkey, __salt), and no broadcast may sneak in —
+    a broadcast would bypass the hot-key spreading entirely."""
+    from era_parser_spark.plans import formatted_plan
+
+    import re
+
+    df = queries["x10_salted_skew_join"](spark, SF_MED)
+    # 8-way replication: the optimizer constant-folds sequence(0,7) into an
+    # opaque array literal, so read the analyzed plan for the intent
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "explode(sequence(0, 7" in analyzed
+    plan = formatted_plan(df)
+    assert re.search(r"Left keys \[2\]: \[custkey#\d+L?, __salt", plan)
+    assert re.search(r"Right keys \[2\]: \[custkey#\d+L?, __salt", plan)
+    exec_plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in exec_plan
+    assert "ShuffledHashJoin" in exec_plan or "SortMergeJoin" in exec_plan
