@@ -1,0 +1,110 @@
+"""Training-data curation operators: sequence packing and quota sampling.
+
+``pack_token_windows`` is the standard LLM-pretraining "concat and chunk"
+step: documents are laid end-to-end in a deterministic order and cut into
+fixed-size token windows; the output says which docs (and how many of their
+tokens) land in each window, which is exactly the shuffle-free metadata a
+downstream tokenizer job needs to build batches.
+
+The global token offset is an exclusive prefix sum — the one genuinely
+sequential dependency — computed with the same two-phase trick as
+``operators/sequence.py::distributed_lag``:
+
+1. bucket docs by ``floor(id / bucket_width)`` and run the running sum
+   *within* buckets (hash-partitioned window, parallel);
+2. per-bucket totals (one row per bucket, map-side combined) get their own
+   exclusive cumsum — a single-partition window over only ~n/bucket_width
+   rows — and broadcast back as each bucket's base offset.
+
+Everything after the offset is per-row arithmetic plus a local explode of
+each doc's window span: no further shuffle, and a doc only produces more
+than one output row when it actually straddles a window boundary.
+
+``quota_per_group`` caps rows per group (docs per source/domain) keeping
+the top-N by an explicit order — the standard per-domain cap in curation
+pipelines.  One hash shuffle on the group key; row_number, not rank, so
+the cap is exact.  Pathologically hot groups are bounded by the cap
+itself; AQE's skew handling (on by default in session.py) splits oversized
+partitions at runtime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+_BUCKET = "__pack_bucket"
+_BASE = "__pack_base"
+
+
+def pack_token_windows(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    window: int,
+    bucket_width: int = 1 << 20,
+) -> DataFrame:
+    """Assign docs to fixed-size token windows (concat-and-chunk packing).
+
+    Input: one row per doc with a unique orderable ``id_col`` and its token
+    count.  Docs are packed in ``id_col`` order.  Output (one row per
+    (window, doc) overlap): window_id, id, tok_start (global offset),
+    n_tokens, n_in_window.  Zero-token docs occupy no window and are
+    dropped.  Deterministic given the ids — the oracle is plain SQL.
+    """
+    if window <= 0 or bucket_width <= 0:
+        raise ValueError("window and bucket_width must be positive")
+    toks = F.col(n_tokens_col).cast("long")
+    bucketed = df.select(
+        F.col(id_col), toks.alias("n_tokens"),
+        F.floor(F.col(id_col) / F.lit(bucket_width)).alias(_BUCKET),
+    )
+    # running sum within each bucket (parallel across buckets)
+    local = bucketed.withColumn(
+        "__cum",
+        F.sum("n_tokens").over(
+            W.partitionBy(_BUCKET).orderBy(id_col).rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    # per-bucket totals -> exclusive cumsum over the tiny bucket table
+    bounds = bucketed.groupBy(_BUCKET).agg(F.sum("n_tokens").alias("__bsum"))
+    base = bounds.select(
+        F.col(_BUCKET),
+        F.coalesce(
+            F.sum("__bsum").over(W.orderBy(_BUCKET).rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias(_BASE),
+    )
+    spans = (
+        local.join(F.broadcast(base), _BUCKET)
+        .withColumn("tok_start", F.col(_BASE) + F.col("__cum") - F.col("n_tokens"))
+        .filter(F.col("n_tokens") > 0)
+    )
+    wlit = F.lit(int(window)).cast("long")
+    w0 = F.floor(F.col("tok_start") / wlit)
+    w1 = F.floor((F.col("tok_start") + F.col("n_tokens") - 1) / wlit)
+    return spans.select(
+        F.explode(F.sequence(w0, w1)).alias("window_id"),
+        F.col(id_col),
+        F.col("tok_start"),
+        F.col("n_tokens"),
+    ).withColumn(
+        "n_in_window",
+        F.least(F.col("tok_start") + F.col("n_tokens"), (F.col("window_id") + 1) * wlit)
+        - F.greatest(F.col("tok_start"), F.col("window_id") * wlit),
+    )
+
+
+def quota_per_group(
+    df: DataFrame, group_col: str, order_by: list[Column], n: int, rank_col: str = "rn"
+) -> DataFrame:
+    """Keep at most ``n`` rows per group, best-first by ``order_by``.
+
+    The order must be total within a group (include a unique tiebreaker)
+    or the survivors are nondeterministic.
+    """
+    w = W.partitionBy(group_col).orderBy(*order_by)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= n)
+    )

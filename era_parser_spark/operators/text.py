@@ -101,3 +101,32 @@ def bpe_token_count_col(text_col: str | Column) -> Column:
     the cheap stand-in for a real tokenizer when budgeting training data."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     return F.regexp_count(c, F.lit(BPE_PATTERN))
+
+
+def term_salience(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Top-k salient terms per document by tf/df (a div-exact tf-idf stand-in).
+
+    score = term_frequency / document_frequency: division of two exact
+    integers, so engines agree bitwise (a log-based idf would be at the
+    mercy of each engine's libm rounding).
+
+    Scale shape: the token explode combines map-side into one row per
+    (doc, term); document frequency is an aggregate OVER that tf table
+    (never the raw token stream), and the tf-to-df join keys on the term —
+    a stopword in every doc costs one df row and |docs| tf rows, linear
+    not quadratic.  The per-doc top-k window shuffles on doc_id only.
+    """
+    from pyspark.sql import Window as W
+
+    ex = df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("term"))
+    tf = ex.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(dfreq, "term").withColumn(
+        "score", F.col("tf").cast("double") / F.col("df")
+    )
+    w = W.partitionBy(id_col).orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(id_col, "term", "tf", "df", "score", "rn")
+    )

@@ -72,3 +72,67 @@ def p1_curation_pipeline(spark, sf_dir):
     return keep.join(filt, ["fingerprint", "doc_id"]).select(
         "doc_id", "predicted_lang", "n_tokens", "n_bpe_tokens", "n_copies", "fingerprint"
     )
+
+
+@register(
+    "p2_sequence_packing",
+    # DuckDB twin of the two-phase prefix sum is a plain global window
+    # cumsum (the oracle doesn't need to scale); CASTs pin BIGINT vs
+    # DuckDB's HUGEINT window sums.
+    oracle=f"""
+    WITH tc AS (SELECT doc_id, len({_TOK}) AS n_tokens FROM documents),
+    cum AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+      FROM tc
+    ),
+    spans AS (
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(s AS BIGINT) AS tok_start
+      FROM cum WHERE n_tokens > 0
+    )
+    SELECT CAST(u.w AS BIGINT) AS window_id, doc_id, tok_start, n_tokens,
+           CAST(least(tok_start + n_tokens, (u.w + 1) * 512)
+                - greatest(tok_start, u.w * 512) AS BIGINT) AS n_in_window
+    FROM spans,
+         unnest(range(tok_start // 512, (tok_start + n_tokens - 1) // 512 + 1))
+           AS u(w)
+    """,
+)
+def p2_sequence_packing(spark, sf_dir):
+    # Concat-and-chunk pretraining packing: docs laid end-to-end in doc_id
+    # order, cut into 512-token windows; one output row per (window, doc)
+    # overlap.  Prefix sum is the distributed two-phase scan.
+    from era_parser_spark.operators.curation import pack_token_windows
+
+    docs = table(spark, sf_dir, "documents")
+    counted = docs.select("doc_id", token_count_col("text").alias("n_toks"))
+    return pack_token_windows(counted, "doc_id", "n_toks", window=512, bucket_width=128)
+
+
+@register(
+    "p3_source_quota",
+    oracle=f"""
+    SELECT doc_id, source, n_tokens, rn FROM (
+      SELECT doc_id, source, CAST(len({_TOK}) AS BIGINT) AS n_tokens,
+             CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY len({_TOK}) DESC, doc_id) AS INTEGER) AS rn
+      FROM documents
+    ) WHERE rn <= 15
+    """,
+)
+def p3_source_quota(spark, sf_dir):
+    # Per-source document cap (the per-domain quota step of a curation
+    # pipeline): keep the 15 longest docs per source, deterministic
+    # tiebreak on doc_id.
+    from era_parser_spark.operators.curation import quota_per_group
+
+    docs = table(spark, sf_dir, "documents")
+    counted = docs.select(
+        "doc_id", "source", token_count_col("text").cast("long").alias("n_tokens")
+    )
+    return quota_per_group(
+        counted, "source", [F.desc("n_tokens"), F.asc("doc_id")], n=15
+    )

@@ -182,3 +182,29 @@ def wn1_winnowing_overlap(spark, sf_dir):
         .orderBy(F.desc("containment"), "doc_a", "doc_b")
         .limit(50)
     )
+
+
+@register(
+    "t6_term_salience",
+    oracle=f"""
+    WITH ex AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY 1, 2),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+    SELECT doc_id, term, tf, df, score, rn FROM (
+      SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf,
+             CAST(dfq.df AS BIGINT) AS df,
+             CAST(tf.tf AS DOUBLE) / dfq.df AS score,
+             CAST(row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY CAST(tf.tf AS DOUBLE) / dfq.df DESC, tf.term)
+               AS INTEGER) AS rn
+      FROM tf JOIN dfq USING (term)
+    ) WHERE rn <= 3
+    """,
+)
+def t6_term_salience(spark, sf_dir):
+    # Top-3 distinctive terms per doc by tf/df (div-exact tf-idf stand-in).
+    from era_parser_spark.operators.text import term_salience
+
+    docs = table(spark, sf_dir, "documents")
+    return term_salience(docs, "doc_id", "text", k=3)
