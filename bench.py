@@ -31,10 +31,13 @@ HEADLINE = [
     "dd3_minhash_lsh",
     "dd5_dup_clusters",
     "p1_curation_pipeline",
+    "p2_sequence_packing",
     "t2_quality_score",
     "t3_lang_id",
+    "t6_term_salience",
     "s1_cosine_topk",
     "s3_embedding_dup_pairs",
+    "x10_salted_skew_join",
 ]
 
 

@@ -298,3 +298,31 @@ def all_pairs_topk(
         .orderBy(F.desc("cosine_sim"), "doc_a", "doc_b")
         .limit(top_pairs)
     )
+
+
+def label_centroids(
+    df: DataFrame, vec_col: str, label_col: str, quant: int = 1_000_000
+) -> DataFrame:
+    """Per-label centroid components, deterministic by quantization.
+
+    A float mean is order-dependent under parallel summation, so the
+    components are quantized first — q = floor(v * quant) — and summed as
+    exact integers; the mean is reconstructed as a double at the end.  The
+    result is bit-identical across any partitioning (and in plain SQL),
+    at a 1/quant resolution floor nobody training on float32 will notice.
+
+    One map-side-combinable shuffle of (label, dim) partial sums — the
+    vectors themselves never move; output is |labels| x dims rows.
+    """
+    ex = df.select(
+        F.col(label_col),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "v"),
+    )
+    return (
+        ex.groupBy(label_col, "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("v") * quant).cast("long")).alias("qsum"),
+        )
+        .withColumn("mean_v", F.col("qsum") / (F.lit(float(quant)) * F.col("n")))
+    )

@@ -108,3 +108,30 @@ def s3_embedding_dup_pairs(spark, sf_dir):
     # block-grid distributed matmul — no driver-side matrix collect.
     emb = table(spark, sf_dir, "embeddings")
     return all_pairs_topk(emb, "embedding", "vec_id", top_pairs=20)
+
+
+@register(
+    "s4_label_centroids",
+    # floor(v*1e6) quantization makes the parallel mean exact-integer math;
+    # double product + floor are bitwise-identical in Spark and DuckDB.
+    oracle="""
+    WITH ex AS (
+      SELECT label, i - 1 AS dim, embedding[i] AS v
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    )
+    SELECT label, CAST(dim AS INTEGER) AS dim,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT)
+             AS qsum,
+           CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+             / (1000000.0 * count(*)) AS mean_v
+    FROM ex GROUP BY label, dim
+    """,
+)
+def s4_label_centroids(spark, sf_dir):
+    # Per-label mean embedding (centroid build for classifier probing /
+    # IVF seeding), deterministic under any partitioning via quantization.
+    from era_parser_spark.operators.similarity import label_centroids
+
+    emb = table(spark, sf_dir, "embeddings")
+    return label_centroids(emb, "embedding", "label")
