@@ -79,3 +79,37 @@ def test_quota_per_group_cap_and_determinism(spark):
         for d in dropped:
             if f"g{d % 3}" == r.grp:
                 assert float(d % 5) <= worst_kept or len(by_g[r.grp]) == 7
+
+
+def test_pack_token_windows_property(spark):
+    """Randomized counts/window/bucket vs the single-threaded reference."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from era_parser_spark.operators.curation import pack_token_windows
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        counts=st.dictionaries(
+            st.integers(0, 200), st.integers(0, 50), min_size=1, max_size=30
+        ),
+        window=st.sampled_from([1, 5, 16, 64]),
+        bucket_width=st.sampled_from([1, 4, 1024]),
+    )
+    def run(counts, window, bucket_width):
+        df = spark.createDataFrame(
+            [(i, n) for i, n in counts.items()], "doc_id long, n_toks long"
+        )
+        got = {
+            (r.window_id, r.doc_id, r.tok_start, r.n_tokens, r.n_in_window)
+            for r in pack_token_windows(
+                df, "doc_id", "n_toks", window=window, bucket_width=bucket_width
+            ).collect()
+        }
+        assert got == _pack_ref(counts, window)
+
+    run()
