@@ -139,6 +139,7 @@ def cmd_batch(args) -> int:
         tables=args.tables.split(",") if args.tables else None,
         force=args.force,
         per_era=args.per_era,
+        exclusive=args.exclusive,
     )
     print(json.dumps({str(k): v for k, v in results.items()}))
     return 0
@@ -191,6 +192,35 @@ def cmd_compact_state(args) -> int:
     reference's OPTIMIZE TABLE ... FINAL moment between runs)."""
     rows = _store(args).compact_log()
     print(json.dumps({"rows": rows}))
+    return 0
+
+
+def cmd_query(args) -> int:
+    """Ad-hoc SQL over a written warehouse: every dataset directory under
+    the base becomes a temp view named after itself (blocks, attestations,
+    ...), then the statement runs through Spark SQL.  The reference pushes
+    this job to ClickHouse (docs/CLICKHOUSE.md); a standalone engine should
+    answer its own SQL.  Prints JSON lines, or writes with --output."""
+    from era_parser_spark.sql import register_warehouse_views
+
+    spark = _spark()
+    names = register_warehouse_views(spark, args.warehouse)
+    if not names:
+        raise ValueError(f"no dataset directories under {args.warehouse}")
+    df = spark.sql(args.sql)
+    if args.output:
+        from era_parser_spark.sinks import writers
+
+        if args.format == "parquet":
+            writers.write_parquet(df, args.output, partition_by_month=False)
+        elif args.format == "csv":
+            writers.write_csv(df, args.output)
+        else:
+            writers.write_jsonl(df, args.output)
+        print(json.dumps({"output": args.output, "format": args.format}))
+        return 0
+    for row in df.limit(args.limit).collect():
+        print(json.dumps(row.asDict(), default=str))
     return 0
 
 
@@ -255,7 +285,19 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--per-era", action="store_true", dest="per_era",
                     help="serial era-at-a-time processing (reference-shaped); "
                          "default is one distributed job over all pending eras")
+    sp.add_argument("--exclusive", action="store_true",
+                    help="take the state-log lock for the run (multi-driver guard)")
     sp.set_defaults(fn=cmd_batch)
+
+    sp = sub.add_parser("query", help="run SQL over a written warehouse")
+    sp.add_argument("warehouse")
+    sp.add_argument("sql")
+    sp.add_argument("--output", default=None, help="write result instead of printing")
+    sp.add_argument("--format", default="parquet",
+                    choices=["parquet", "csv", "jsonl"])
+    sp.add_argument("--limit", type=int, default=100,
+                    help="rows to print when no --output (default 100)")
+    sp.set_defaults(fn=cmd_query)
 
     for name, fn in (
         ("era-status", cmd_era_status),

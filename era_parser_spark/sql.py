@@ -5,9 +5,6 @@ plans either way.
 
 from __future__ import annotations
 
-import glob
-import os
-
 from pyspark.sql import SparkSession
 
 from era_parser_spark.queries.registry import table
@@ -25,12 +22,22 @@ def register_synthetic_views(spark: SparkSession, sf_dir: str) -> list[str]:
 
 
 def register_warehouse_views(spark: SparkSession, warehouse_dir: str) -> list[str]:
-    """Temp views over a normalized-era warehouse (one dir per table)."""
-    registered = []
-    for path in sorted(glob.glob(os.path.join(warehouse_dir, "*"))):
-        name = os.path.basename(path)
-        if name.startswith("_") or not os.path.isdir(path):
-            continue
-        spark.read.parquet(path).createOrReplaceTempView(name)
-        registered.append(name)
-    return registered
+    """Temp views over a normalized-era warehouse (one dir per table).
+
+    Listing goes through the Hadoop FileSystem API so the same call works
+    on file://, hdfs:// and s3a:// warehouses (driver-side metadata op).
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    base = jvm.org.apache.hadoop.fs.Path(warehouse_dir)
+    fs = base.getFileSystem(conf)
+    if not fs.exists(base):
+        return []
+    names = sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(base)
+        if st.isDirectory() and not st.getPath().getName().startswith("_")
+    )
+    for name in names:
+        spark.read.parquet(f"{warehouse_dir.rstrip('/')}/{name}").createOrReplaceTempView(name)
+    return names

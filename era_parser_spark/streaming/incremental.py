@@ -39,6 +39,7 @@ def run_incremental(
     tables: list[str] | None = None,
     force: bool = False,
     per_era: bool = False,
+    exclusive: bool = False,
 ) -> dict[int, dict[str, int]]:
     """Process every not-yet-completed era under era_dir. Returns
     {era_number: {table: rows}} for the eras processed this run.
@@ -50,10 +51,21 @@ def run_incremental(
     Idempotency is identical either way: era_number partition overwrite +
     status log; a mid-job failure leaves eras 'processing' and the next run
     redoes exactly those partitions.
+
+    `exclusive=True` wraps the whole run in the state store's best-effort
+    lock (see EraStateStore.exclusive) — use it when more than one driver
+    might target the same state path; raises StateLockHeld if another run
+    is live.
     """
     from era_parser_spark.sources.discovery import discover_auto, filter_era_range
 
     store = EraStateStore(spark, state_path)
+    if exclusive:
+        with store.exclusive(owner=f"run_incremental:{network}"):
+            return run_incremental(
+                spark, era_dir, out_base, state_path, network=network,
+                era_range=era_range, tables=tables, force=force, per_era=per_era,
+            )
     # era_dir may be a local dir, s3://bucket/prefix, or an http(s) listing
     # URL (the reference's --remote flow); downloads stay task-side either way
     found = filter_era_range(discover_auto(era_dir, network), era_range)

@@ -139,3 +139,52 @@ def test_parse_json_document_format(era_dir, tmp_path, capsys):
     slots = sorted(r["slot"] for r in doc["data"])
     assert len(set(slots)) == 18
     assert all(s // 8192 in (1300, 1301) for s in slots)
+
+
+def test_query_cli(era_dir, tmp_path, capsys):
+    """`query` answers SQL over a written warehouse (print + file output)."""
+    out = str(tmp_path / "wh_q")
+    state = str(tmp_path / "state_q")
+    assert main(["batch", era_dir, out, "--state", state, "--tables", "blocks"]) == 0
+    capsys.readouterr()
+
+    assert main(["query", out,
+                 "SELECT count(*) AS n, min(slot) AS lo, max(slot) AS hi FROM blocks"]) == 0
+    row = json.loads(capsys.readouterr().out.strip())
+    assert row["n"] == 18 and row["lo"] == 1300 * 8192
+
+    dest = str(tmp_path / "q_out")
+    assert main(["query", out, "SELECT slot, proposer_index FROM blocks",
+                 "--output", dest, "--format", "jsonl"]) == 0
+    import glob as _g
+    lines = []
+    for f in set(_g.glob(f"{dest}/*.json") + _g.glob(f"{dest}/part-*")):
+        lines += [ln for ln in open(f).read().splitlines() if ln.strip()]
+    assert len(lines) == 18
+
+    # empty warehouse -> clean error, not a stack trace
+    assert main(["query", str(tmp_path / "nope"), "SELECT 1"]) == 2
+
+
+def test_batch_exclusive_lock(era_dir, tmp_path, capsys):
+    """--exclusive takes the state lock; a held lock fails the run fast."""
+    from era_parser_spark.session import get_spark
+    from era_parser_spark.state.era_state import EraStateStore, StateLockHeld
+
+    import pytest
+
+    out = str(tmp_path / "wh_x")
+    state = str(tmp_path / "state_x")
+    assert main(["batch", era_dir, out, "--state", state,
+                 "--tables", "blocks", "--exclusive"]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(res) == {"1300", "1301"}  # lock released after success
+
+    store = EraStateStore(get_spark(app_name="test"), state)
+    store.acquire_lock(owner="other-driver")
+    try:
+        with pytest.raises(StateLockHeld):
+            main(["batch", era_dir, out, "--state", state,
+                  "--tables", "blocks", "--exclusive", "--force"])
+    finally:
+        store.release_lock()
