@@ -55,10 +55,14 @@ def pack_token_windows(
     if window <= 0 or bucket_width <= 0:
         raise ValueError("window and bucket_width must be positive")
     toks = F.col(n_tokens_col).cast("long")
+    # cached: the (id, count, bucket) projection feeds both the bucketed
+    # cumsum and the per-bucket totals; without it Catalyst recomputes the
+    # upstream token counting (a full corpus scan) once per branch.  The
+    # cache holds ~16 bytes/row — the payloads never enter it.
     bucketed = df.select(
         F.col(id_col), toks.alias("n_tokens"),
         F.floor(F.col(id_col) / F.lit(bucket_width)).alias(_BUCKET),
-    )
+    ).cache()
     # running sum within each bucket (parallel across buckets)
     local = bucketed.withColumn(
         "__cum",

@@ -111,19 +111,20 @@ def term_salience(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Data
     mercy of each engine's libm rounding).
 
     Scale shape: the token explode combines map-side into one row per
-    (doc, term); document frequency is an aggregate OVER that tf table
-    (never the raw token stream), and the tf-to-df join keys on the term —
-    a stopword in every doc costs one df row and |docs| tf rows, linear
-    not quadratic.  The per-doc top-k window shuffles on doc_id only.
+    (doc, term); document frequency is a count window OVER that tf table
+    partitioned by term (never the raw token stream, and — plan-audited —
+    never a second scan: an aggregate-and-join formulation makes Catalyst
+    recompute the explode for each branch).  A stopword in every doc costs
+    |docs| tf rows, linear not quadratic.  The final top-k runs under
+    WindowGroupLimit: partial limit before the doc_id shuffle.
     """
     from pyspark.sql import Window as W
 
     ex = df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("term"))
     tf = ex.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(dfreq, "term").withColumn(
-        "score", F.col("tf").cast("double") / F.col("df")
-    )
+    scored = tf.withColumn(
+        "df", F.count(F.lit(1)).over(W.partitionBy("term"))
+    ).withColumn("score", F.col("tf").cast("double") / F.col("df"))
     w = W.partitionBy(id_col).orderBy(F.desc("score"), "term")
     return (
         scored.withColumn("rn", F.row_number().over(w))

@@ -176,3 +176,22 @@ def test_salted_join_replicates_and_never_broadcasts(spark, queries):
     exec_plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" not in exec_plan
     assert "ShuffledHashJoin" in exec_plan or "SortMergeJoin" in exec_plan
+
+
+def test_term_salience_single_scan(spark, queries):
+    """t6: df must come from a window over the tf table, not an
+    aggregate-and-join back — the join formulation makes Catalyst scan and
+    explode the corpus twice."""
+    plan = queries["t6_term_salience"](spark, SF_MED)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1
+    assert plan.count("Generate explode") == 1
+    assert "WindowGroupLimit" in plan  # partial top-k before the shuffle
+
+
+def test_sequence_packing_caches_counted_projection(spark, queries):
+    """p2: both prefix-sum branches must read the cached (id, count, bucket)
+    projection — an uncached plan re-tokenizes the whole corpus per branch."""
+    plan = queries["p2_sequence_packing"](spark, SF_MED)._jdf.queryExecution().executedPlan().toString()
+    # both branches read the cache (the FileScan string still appears once
+    # inside the InMemoryRelation definition; it executes only to fill it)
+    assert plan.count("InMemoryTableScan") >= 2
