@@ -255,7 +255,33 @@ def mm2_frame_sample(spark, sf_dir):
     return frame_sample(vids, every_ms=1000)
 
 
-@register("mm3_resize")  # binary out -> rows-only check; bytes pinned in tests
+@register(
+    "mm3_resize",
+    # Exact oracle (upgraded from rows-only): the deterministic fake
+    # resampler is pure byte arithmetic — tile the source to the byte
+    # budget, xor each byte with its position — so SQL can re-derive the
+    # output bytes exactly (ASCII corpus: substr-by-char == byte, the same
+    # assumption mm1 documents).  DuckDB's md5 is VARCHAR-only, so the
+    # digest is pinned over the lowercase hex encoding in both engines.
+    oracle="""
+    WITH src AS (
+      SELECT doc_id AS media_id, text, octet_length(encode(text)) AS src_n
+      FROM documents
+    ),
+    bytes AS (
+      SELECT media_id, src_n,
+             string_agg(
+               format('{:02x}', xor(ord(substr(text, (i % src_n) + 1, 1)), i % 256)),
+               '' ORDER BY i) AS hexstr
+      FROM src, unnest(range(0, 1536)) AS t(i)
+      GROUP BY media_id, src_n
+    )
+    SELECT media_id, 32 AS width, 16 AS height,
+           CAST(src_n AS BIGINT) AS src_n_bytes, CAST(1536 AS BIGINT) AS n_bytes,
+           md5(hexstr) AS payload_md5
+    FROM bytes ORDER BY media_id
+    """,
+)
 def mm3_resize(spark, sf_dir):
     # Resize plumbing: binary -> binary at a fixed target, deterministic
     # fake resampler (real codec absent); surfaced as digests not blobs.
@@ -265,7 +291,7 @@ def mm3_resize(spark, sf_dir):
         resize_media(media, width=32, height=16)
         .select(
             "media_id", "width", "height", "src_n_bytes", "n_bytes",
-            F.md5("payload").alias("payload_md5"),
+            F.md5(F.lower(F.hex("payload"))).alias("payload_md5"),
         )
         .orderBy("media_id")
     )
