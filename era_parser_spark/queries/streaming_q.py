@@ -109,3 +109,58 @@ def st2_stateful_gap_monitor(spark, sf_dir):
         )
     )
     return run_stream_once(slot_gap_monitor(stream), f"st2_{uuid.uuid4().hex[:8]}")
+
+
+@register(
+    "st3_stream_sessionize",
+    # The open-session snapshot at trigger end makes one AvailableNow batch
+    # equal the batch sessionization exactly - same derivation as x2's
+    # oracle, aggregated per (user, session).
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM marked
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           count(*) AS n_events,
+           CAST(epoch_us(min(ts)) AS BIGINT) AS start_us,
+           CAST(epoch_us(max(ts)) AS BIGINT) AS end_us
+    FROM sessions GROUP BY user_id, session_seq
+    """,
+)
+def st3_stream_sessionize(spark, sf_dir):
+    """Stateful streaming sessionization driven to completion: per-user
+    open-session state via applyInPandasWithState; one AvailableNow batch
+    equals the batch window derivation, so the exactly-once state path gets
+    an exact SQL oracle (the streaming twin of x2_sessionize)."""
+    from era_parser_spark.streaming.incremental import run_stream_once, session_monitor
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream_dir = os.path.join(
+        tempfile.gettempdir(), f"st3_src_{abs(hash(sf_dir)) % 10**8}"
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(stream_dir)
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        )
+    )
+    return run_stream_once(session_monitor(stream), f"st3_{uuid.uuid4().hex[:8]}")

@@ -265,3 +265,63 @@ def run_stream_once(query_df: DataFrame, name: str, output_mode: str = "append")
     )
     q.awaitTermination()
     return query_df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+_SESS_OUT_SCHEMA = "user_id long, session_seq long, n_events long, start_us long, end_us long"
+_SESS_STATE_SCHEMA = "last_us long, seq long, start_us long, n_events long"
+_SESSION_GAP_US = 1800 * 1_000_000  # 30 min, matching the batch sessionizer
+
+
+def _sessionize_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user,) = key
+    if state.exists:
+        last_us, seq, start_us, n_ev = (int(v) for v in state.get)
+    else:
+        last_us = None
+        seq = start_us = n_ev = 0
+    events: list[tuple[int, int]] = []
+    for pdf in pdfs:
+        events.extend(zip((int(t) for t in pdf["ts_us"]), (int(e) for e in pdf["event_id"])))
+    events.sort()
+    rows = []
+    for ts_us, _eid in events:
+        if last_us is None:
+            seq, start_us, n_ev = 1, ts_us, 1
+        elif ts_us - last_us > _SESSION_GAP_US:
+            rows.append((user, seq, n_ev, start_us, last_us))
+            seq, start_us, n_ev = seq + 1, ts_us, 1
+        else:
+            n_ev += 1
+        last_us = ts_us
+    if last_us is not None:
+        # snapshot of the still-open session at trigger end: over a single
+        # AvailableNow batch this makes the emitted set exactly the batch
+        # answer; across batches the open session re-emits with updated
+        # stats under the same session_seq (last-write-wins downstream)
+        rows.append((user, seq, n_ev, start_us, last_us))
+        state.update((last_us, seq, start_us, n_ev))
+    yield pd.DataFrame(
+        rows, columns=["user_id", "session_seq", "n_events", "start_us", "end_us"]
+    )
+
+
+def session_monitor(stream: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator #2: 30-minute-gap sessionization
+    (the streaming twin of x2_sessionize).  Per-user state carries the open
+    session (last event time, sequence number, start, count); closed
+    sessions emit as their gap is observed.  Input needs `user_id`,
+    `event_id` and `ts_us` (epoch microseconds — callers convert their
+    timestamp once, JVM-side, so the state schema stays tz-free)."""
+    return (
+        stream.select("user_id", "event_id", "ts_us")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_fn,
+            outputStructType=_SESS_OUT_SCHEMA,
+            stateStructType=_SESS_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

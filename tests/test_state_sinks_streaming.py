@@ -259,3 +259,49 @@ def test_state_lock_mutual_exclusion(spark, tmp_path_factory):
             raise ValueError("batch blew up")
     b.acquire_lock(owner="driver-b2")
     b.release_lock()
+
+
+def test_session_monitor_state_across_microbatches(spark, tmp_path_factory):
+    """The sessionizer's per-user state must survive micro-batch boundaries:
+    a session spanning two batches re-emits under the SAME session_seq with
+    updated stats (last-write-wins), and a cross-batch gap closes the old
+    session and opens seq+1 — behavior no single-batch oracle can check."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from era_parser_spark.streaming.incremental import run_stream_once, session_monitor
+
+    src = tmp_path_factory.mktemp("st_sess_src")
+    us = lambda h, m: (h * 3600 + m * 60) * 1_000_000
+    # file order == micro-batch order (maxFilesPerTrigger=1, names sorted)
+    spark.createDataFrame(
+        [(1, 100, us(10, 0)), (2, 200, us(10, 0))],
+        "user_id long, event_id long, ts_us long",
+    ).coalesce(1).write.parquet(str(src / "a_batch1"))
+    spark.createDataFrame(
+        [(1, 101, us(10, 10)), (2, 201, us(11, 0))],
+        "user_id long, event_id long, ts_us long",
+    ).coalesce(1).write.parquet(str(src / "b_batch2"))
+
+    stream = (
+        spark.readStream.schema("user_id long, event_id long, ts_us long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    out = run_stream_once(session_monitor(stream), f"sess_{_uuid.uuid4().hex[:8]}")
+    # last-write-wins per (user, session): max n_events carries the final state
+    final = {
+        (r.user_id, r.session_seq): (r.n_events, r.start_us, r.end_us)
+        for r in out.groupBy("user_id", "session_seq")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.min("start_us").alias("start_us"),
+            F.max("end_us").alias("end_us"),
+        )
+        .collect()
+    }
+    assert final[(1, 1)] == (2, us(10, 0), us(10, 10))  # continued across batches
+    assert final[(2, 1)] == (1, us(10, 0), us(10, 0))   # closed by the gap
+    assert final[(2, 2)] == (1, us(11, 0), us(11, 0))   # new session after gap
+    assert (1, 2) not in final
