@@ -80,6 +80,108 @@ def connected_components(
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
 
 
+def _checksum(edges: DataFrame) -> tuple[int, int]:
+    # decimal accumulator: a long sum of xxhash64 values overflows under
+    # ANSI mode after a few thousand edges
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")), F.lit(0)
+        ).cast("decimal(38,0)").alias("h"),
+    ).first()
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components_alternating(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 60,
+) -> DataFrame:
+    """Connected components in O(log n) rounds for ANY graph shape —
+    the alternating large-star/small-star algorithm (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14; public
+    algorithm, re-derived here for DataFrames).
+
+    ``connected_components`` (hash-min) costs O(diameter) rounds: ideal for
+    near-dup graphs (stars/cliques, diameter 2-4) but pathological on
+    chain-shaped graphs — a 10k-link chain is 10k rounds.  The star
+    operations contract chains exponentially instead:
+
+    * large-star: every node points its LARGER neighbors at its minimum
+      neighborhood member — `m(u) = min({u} ∪ Γ(u))`;
+    * small-star: each node and its smaller neighbors re-attach to the
+      minimum of that smaller closed neighborhood.
+
+    Each round is two (groupBy min + join + distinct) passes over the edge
+    list; at fixpoint the edges form stars rooted at component minima.
+    Convergence is detected by an (edge count, xxhash64 sum) checksum —
+    one tiny aggregate, no driver-side edge materialization.
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .unionByName(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cur = sym
+    prev_sig = _checksum(cur)
+    for _ in range(max_iter):
+        # -- large star: for each u, m = min(u, neighbors); larger
+        #    neighbors v > u re-point to m
+        m = cur.groupBy("src").agg(F.min("dst").alias("__mn"))
+        m = m.select("src", F.least("src", "__mn").alias("__m"))
+        large = (
+            cur.filter(F.col("dst") > F.col("src"))
+            .join(m, "src")
+            .select(F.col("dst").alias("src"), F.col("__m").alias("dst"))
+            .unionByName(m.select("src", F.col("__m").alias("dst")))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        sym2 = (
+            large.unionByName(large.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+            .distinct()
+        )
+        # -- small star: per u, the closed smaller neighborhood re-attaches
+        #    to its minimum
+        down = sym2.filter(F.col("dst") < F.col("src"))
+        ms = down.groupBy("src").agg(F.min("dst").alias("__m"))
+        small = (
+            down.join(ms, "src")
+            .select(F.col("dst").alias("src"), F.col("__m").alias("dst"))
+            .unionByName(ms.select("src", F.col("__m").alias("dst")))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        cur = (
+            small.unionByName(small.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        sig = _checksum(cur)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(f"alternating CC did not converge in {max_iter} rounds")
+
+    roots = cur.filter(F.col("dst") < F.col("src")).select(
+        F.col("src").alias("node"), F.col("dst").alias("label")
+    ).groupBy("node").agg(F.min("label").alias("label"))
+    return (
+        nodes.select(F.col(id_col))
+        .join(roots.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("label", F.col(id_col)).alias("cluster_id"),
+        )
+    )
+
+
 def cluster_sizes(components: DataFrame, id_col: str = "id") -> DataFrame:
     """(id_col, cluster_id, cluster_sz) — components annotated with size."""
     sizes = components.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_sz"))

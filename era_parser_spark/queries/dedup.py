@@ -1,7 +1,7 @@
 """Deduplication queries over `documents` (north-star extensions).
 
-dd1/dd2/dd3/dd5 are oracle-checked (dd3's exact-verification step makes its
-output hash-independent given measured recall=1.0 — see its registration);
+dd1/dd2/dd3/dd5/dd6 are oracle-checked (dd3's exact-verification step makes
+its output hash-independent given measured recall=1.0 — see its registration);
 dd4 uses engine-specific blake2b SimHash with no DuckDB twin, so the driver
 records the weaker rows-only check — its semantics are pinned in tests/
 (SimHash vs brute-force Hamming, exact for hamming < 4 by pigeonhole).
@@ -173,6 +173,56 @@ def dd3_minhash_lsh(spark, sf_dir):
         .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
         .limit(100)
     )
+
+
+@register(
+    "dd6_dup_clusters_alternating",
+    # Same clusters as dd5, same recursive-CTE oracle - but computed by the
+    # O(log n) alternating large-star/small-star algorithm instead of
+    # O(diameter) hash-min, proving the adversarial-shape path end-to-end.
+    oracle=f"""
+    WITH RECURSIVE
+    sh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents),
+    sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+    raw_pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    dup_edges AS (
+      SELECT doc_a, doc_b FROM raw_pairs
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(inter AS DOUBLE) / (sa.nsh + sb.nsh - inter) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM dup_edges
+      UNION ALL SELECT doc_b, doc_a FROM dup_edges
+    ),
+    reach(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    labels AS (SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node),
+    csz AS (SELECT cluster_id, count(*) AS cluster_sz FROM labels GROUP BY cluster_id)
+    SELECT doc_id, labels.cluster_id, cluster_sz
+    FROM labels JOIN csz ON labels.cluster_id = csz.cluster_id
+    """,
+)
+def dd6_dup_clusters_alternating(spark, sf_dir):
+    # dd5's clusters via the O(log n) star-contraction algorithm.
+    from era_parser_spark.operators.graph import (
+        cluster_sizes,
+        connected_components_alternating,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(docs, "doc_id", "text", n=3).filter(F.col("jaccard") >= 0.5)
+    comps = connected_components_alternating(
+        docs.select("doc_id"), edges, id_col="doc_id", src_col="doc_a", dst_col="doc_b"
+    )
+    return cluster_sizes(comps, id_col="doc_id")
 
 
 @register("dd4_simhash")  # engine-specific hashing -> rows-only check

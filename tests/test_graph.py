@@ -84,3 +84,51 @@ def test_nonconvergence_raises(spark):
     edf = spark.createDataFrame([(i, i + 1) for i in range(5)], "src long, dst long")
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(ndf, edf, id_col="id", max_iter=1)
+
+
+def _run_alt(spark, nodes, edges):
+    from era_parser_spark.operators.graph import connected_components_alternating
+
+    ndf = spark.createDataFrame([(v,) for v in nodes], "id long")
+    edf = spark.createDataFrame(edges or [(None, None)], "src long, dst long")
+    if not edges:
+        edf = edf.filter("src IS NOT NULL")
+    out = connected_components_alternating(ndf, edf, id_col="id")
+    return {r["id"]: r["cluster_id"] for r in out.collect()}
+
+
+def test_alternating_matches_union_find_random(spark):
+    rng = random.Random(13)
+    nodes = list(range(150))
+    edges = [(rng.randrange(150), rng.randrange(150)) for _ in range(90)]
+    edges = [(a, b) for a, b in edges if a != b]
+    got = _run_alt(spark, nodes, edges)
+    assert got == _union_find(nodes, edges)
+
+
+def test_alternating_long_chain_logarithmic_rounds(spark):
+    """The case hash-min can't do: a 300-link chain (diameter 300) must
+    finish inside the 60-round cap — star contraction is O(log n), and
+    hash-min at max_iter=60 provably fails on it."""
+    from era_parser_spark.operators.graph import connected_components_alternating
+
+    n = 300
+    nodes = list(range(n))
+    edges = [(i, i + 1) for i in range(n - 1)]
+    got = _run_alt(spark, nodes, edges)
+    assert got == {v: 0 for v in nodes}
+
+    ndf = spark.createDataFrame([(v,) for v in nodes], "id long")
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(ndf, edf, id_col="id", max_iter=60)
+
+
+def test_alternating_singletons_and_shapes(spark):
+    nodes = [1, 2, 3, 50, 60] + list(range(100, 112))
+    edges = [(a, b) for a, b in zip(range(100, 112), range(101, 112))]
+    edges += [(1, 2), (2, 3), (1, 3)]
+    got = _run_alt(spark, nodes, edges)
+    assert got == _union_find(nodes, edges)
+    got_empty = _run_alt(spark, [5, 6, 7], [])
+    assert got_empty == {5: 5, 6: 6, 7: 7}
