@@ -187,6 +187,31 @@ def cmd_clean_failed(args) -> int:
     return 0
 
 
+def cmd_compact_data(args) -> int:
+    """Small-file compaction across warehouse datasets (the parquet version
+    of the reference's OPTIMIZE TABLE ... FINAL between runs)."""
+    from era_parser_spark.sinks.writers import compact_dataset
+    from era_parser_spark.sql import register_warehouse_views
+
+    spark = _spark()
+    datasets = (
+        args.tables.split(",")
+        if args.tables
+        else register_warehouse_views(spark, args.warehouse)
+    )
+    report = {}
+    for name in datasets:
+        done = compact_dataset(
+            spark,
+            f"{args.warehouse.rstrip('/')}/{name}",
+            target_file_bytes=args.target_mb * 1024 * 1024,
+        )
+        if done:
+            report[name] = done
+    print(json.dumps({"compacted": report}))
+    return 0
+
+
 def cmd_compact_state(args) -> int:
     """Rewrite the append-only transition log into one file (the
     reference's OPTIMIZE TABLE ... FINAL moment between runs)."""
@@ -321,6 +346,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--tables", default=None, help="comma-separated dataset subset")
     sp.add_argument("--network", default=None)
     sp.set_defaults(fn=cmd_clean_failed)
+
+    sp = sub.add_parser("compact-data", help="merge small files in warehouse datasets")
+    sp.add_argument("warehouse")
+    sp.add_argument("--tables", default=None, help="comma-separated dataset subset")
+    sp.add_argument("--target-mb", type=int, default=128, dest="target_mb")
+    sp.set_defaults(fn=cmd_compact_data)
 
     sp = sub.add_parser("compact-state", help="compact the state transition log")
     sp.add_argument("--state", required=True)

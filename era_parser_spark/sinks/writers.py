@@ -257,3 +257,59 @@ def write_bucketed(
     else:
         writer = writer.bucketBy(num_buckets, bucket_col)
     writer.saveAsTable(table_name)
+
+
+def compact_dataset(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files_to_compact: int = 4,
+) -> dict:
+    """Small-file compaction for a partitioned warehouse dataset.
+
+    Incremental runs add one file per batch per touched partition; after
+    10k batches a partition is 10k tiny files and every scan pays 10k
+    opens.  This is the parquet-warehouse version of the reference's
+    OPTIMIZE TABLE ... FINAL between runs (era_state_manager.py
+    optimize_tables): rewrite each oversized-file-count partition into
+    ceil(bytes / target_file_bytes) files via dynamic partition overwrite —
+    partitions already compact are left untouched (their bytes never move),
+    and the rewrite of partition P replaces exactly P, so a crash mid-way
+    loses nothing (the partition is re-written or intact, never half).
+
+    Single-writer: run between batches like compact_log.  Returns
+    {partition_value: files_before} for the partitions rewritten.
+    """
+    import math
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    base = jvm.org.apache.hadoop.fs.Path(path)
+    fs = base.getFileSystem(conf)
+    if not fs.exists(base):
+        return {}
+    todo: dict[str, tuple[int, int]] = {}  # partition dir -> (n_files, bytes)
+    for st in fs.listStatus(base):
+        name = st.getPath().getName()
+        if not st.isDirectory() or "=" not in name:
+            continue
+        files = [
+            f for f in fs.listStatus(st.getPath())
+            if f.isFile() and not f.getPath().getName().startswith(("_", "."))
+        ]
+        if len(files) >= min_files_to_compact:
+            todo[name] = (len(files), sum(f.getLen() for f in files))
+    if not todo:
+        return {}
+    col, _ = next(iter(todo)).split("=", 1)
+    values = [k.split("=", 1)[1] for k in todo]
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    df = spark.read.parquet(path).filter(F.col(col).isin(values))
+    n_out = max(1, math.ceil(sum(b for _, b in todo.values()) / target_file_bytes))
+    (
+        df.repartition(n_out)
+        .write.mode("overwrite")
+        .partitionBy(col)
+        .parquet(path)
+    )
+    return {k.split("=", 1)[1]: n for k, (n, _) in sorted(todo.items())}

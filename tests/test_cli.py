@@ -188,3 +188,17 @@ def test_batch_exclusive_lock(era_dir, tmp_path, capsys):
                   "--tables", "blocks", "--exclusive", "--force"])
     finally:
         store.release_lock()
+
+
+def test_compact_data_cli(era_dir, tmp_path, capsys):
+    out = str(tmp_path / "wh_cd")
+    state = str(tmp_path / "state_cd")
+    # two separate batches (per-era) -> multiple small files per partition
+    assert main(["batch", era_dir, out, "--state", state,
+                 "--tables", "blocks", "--per-era"]) == 0
+    assert main(["batch", era_dir, out, "--state", state,
+                 "--tables", "blocks", "--per-era", "--force"]) == 0
+    capsys.readouterr()
+    assert main(["compact-data", out, "--tables", "blocks"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip())
+    assert "compacted" in rep  # shape; partitions below threshold may skip

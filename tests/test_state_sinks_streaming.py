@@ -305,3 +305,43 @@ def test_session_monitor_state_across_microbatches(spark, tmp_path_factory):
     assert final[(2, 1)] == (1, us(10, 0), us(10, 0))   # closed by the gap
     assert final[(2, 2)] == (1, us(11, 0), us(11, 0))   # new session after gap
     assert (1, 2) not in final
+
+
+def test_compact_dataset_merges_small_files(spark, tmp_path_factory):
+    """Many tiny per-batch files per era partition collapse to a few sized
+    files; rows and partition values survive; compact partitions untouched."""
+    import glob as _g
+
+    from pyspark.sql import functions as F
+
+    from era_parser_spark.sinks.writers import compact_dataset
+
+    out = str(tmp_path_factory.mktemp("compact_ds") / "blocks")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # 6 append batches -> 6 files in each of two era partitions
+    for i in range(6):
+        spark.createDataFrame(
+            [(1300, i * 10 + j, "x" * 50) for j in range(10)]
+            + [(1301, 1000 + i * 10 + j, "y" * 50) for j in range(10)],
+            "era_number long, slot long, payload string",
+        ).coalesce(1).write.mode("append").partitionBy("era_number").parquet(out)
+    # one already-compact partition (single file, below min_files_to_compact)
+    spark.createDataFrame(
+        [(1399, 5, "z")], "era_number long, slot long, payload string"
+    ).coalesce(1).write.mode("append").partitionBy("era_number").parquet(out)
+
+    before = spark.read.parquet(out)
+    rows_before = sorted((r.era_number, r.slot) for r in before.collect())
+    files_1399 = set(_g.glob(f"{out}/era_number=1399/*.parquet"))
+
+    done = compact_dataset(spark, out, target_file_bytes=1 << 30)
+    assert set(done) == {"1300", "1301"} and all(v >= 6 for v in done.values())
+
+    after = spark.read.parquet(out)
+    assert sorted((r.era_number, r.slot) for r in after.collect()) == rows_before
+    for era in (1300, 1301):
+        files = _g.glob(f"{out}/era_number={era}/*.parquet")
+        assert 1 <= len(files) <= 2
+    assert set(_g.glob(f"{out}/era_number=1399/*.parquet")) == files_1399
+    # idempotent: nothing left to compact
+    assert compact_dataset(spark, out) == {}
