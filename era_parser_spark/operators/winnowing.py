@@ -84,15 +84,37 @@ def winnowing_fingerprints(
 
 
 def overlap_pairs(
-    df: DataFrame, id_col: str, text_col: str, k: int = 8, w: int = 4, min_shared: int = 5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Document pairs sharing >= min_shared winnowed fingerprints, with the
     containment ratio (shared / min fingerprint-set size) — substring-level
-    overlap detection, complementary to token-shingle Jaccard."""
+    overlap detection, complementary to token-shingle Jaccard.
+
+    `max_doc_freq` is the ubiquitous-fingerprint guard (same blowup as
+    dd2's viral shingles: a fingerprint in f docs makes f^2 join rows, and
+    boilerplate substrings are everywhere at corpus scale — on the sf0.1
+    fixture it cuts the self-join from ~99M to ~1.3M rows).  Dropped
+    fingerprints still count toward set sizes, so containment is a lower
+    bound for affected pairs — standard practice, mirrored in wn1's SQL
+    oracle."""
     fp = winnowing_fingerprints(df, id_col, text_col, k, w).cache()
     sizes = fp.groupBy(id_col).agg(F.count(F.lit(1)).alias("nfp"))
-    a = fp.alias("a")
-    b = fp.alias("b")
+    joinable = fp
+    if max_doc_freq is not None:
+        hot = (
+            fp.groupBy("fingerprint")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+        )
+        joinable = fp.join(hot.select("fingerprint"), "fingerprint", "left_anti")
+    a = joinable.alias("a")
+    b = joinable.alias("b")
     pairs = (
         a.join(
             b,

@@ -115,7 +115,7 @@ def t5_bpe_token_count(spark, sf_dir):
     )
 
 
-def _winnowing_oracle(k: int = 8, w: int = 4, min_shared: int = 5) -> str:
+def _winnowing_oracle(k: int = 8, w: int = 4, min_shared: int = 5, max_doc_freq: int = 100) -> str:
     """The whole winnowing scheme re-derived in SQL: polynomial rolling
     hash per k-gram (precomputed power table, HUGEINT accumulation mod
     2^61-1 — same math as operators/winnowing.py), window minima over w
@@ -152,9 +152,13 @@ def _winnowing_oracle(k: int = 8, w: int = 4, min_shared: int = 5) -> str:
       WHERE c.n <= {w} GROUP BY g.doc_id
     ),
     sizes AS (SELECT doc_id, count(*) AS nfp FROM fp GROUP BY doc_id),
+    joinable AS (
+      SELECT doc_id, fingerprint FROM fp
+      QUALIFY count(*) OVER (PARTITION BY fingerprint) <= {max_doc_freq}
+    ),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-      FROM fp a JOIN fp b
+      FROM joinable a JOIN joinable b
         ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
       GROUP BY 1, 2 HAVING count(*) >= {min_shared}
     )
@@ -178,7 +182,7 @@ def wn1_winnowing_overlap(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     return (
-        overlap_pairs(docs, "doc_id", "text", k=8, w=4, min_shared=5)
+        overlap_pairs(docs, "doc_id", "text", k=8, w=4, min_shared=5, max_doc_freq=100)
         .orderBy(F.desc("containment"), "doc_a", "doc_b")
         .limit(50)
     )
