@@ -343,3 +343,54 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: i
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def cross_corpus_overlap(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_inter: int = 1,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Decontamination: training docs sharing n-gram shingles with a
+    benchmark/eval corpus.
+
+    The two-corpus variant of the inverted-index join: the train side
+    explodes to (id, shingle), the (much smaller) benchmark side likewise,
+    and they equi-join on the 8-byte shingle hash — so the full training
+    corpus is screened in one shuffle keyed by shingle, never pairwise.
+    Returns (train_id, bench_id, inter, train_sz, bench_sz,
+    containment) where containment = inter / bench_sz — the fraction of
+    the benchmark doc present in the training doc, the decontamination
+    decision metric (a benchmark fully quoted inside a big train doc has
+    low Jaccard but containment 1.0).
+
+    `max_doc_freq` drops shingles in more than that many TRAIN docs first
+    (boilerplate guard, same as `_jaccard_from_index`).
+    """
+    ex_t = doc_shingles(train, id_col, text_col, n)
+    ex_b = doc_shingles(bench, id_col, text_col, n)
+    sz_t = ex_t.groupBy(id_col).agg(F.count(F.lit(1)).alias("train_sz"))
+    sz_b = ex_b.groupBy(id_col).agg(F.count(F.lit(1)).alias("bench_sz"))
+    ht = ex_t.select(F.col(id_col).alias("train_id"), F.xxhash64("shingle").alias("sh"))
+    if max_doc_freq is not None:
+        hot = (
+            ht.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+        )
+        ht = ht.join(hot.select("sh"), "sh", "left_anti")
+    hb = ex_b.select(F.col(id_col).alias("bench_id"), F.xxhash64("shingle").alias("sh"))
+    pairs = (
+        ht.join(hb, "sh")
+        .groupBy("train_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .filter(F.col("inter") >= min_inter)
+    )
+    return (
+        pairs.join(sz_t.select(F.col(id_col).alias("train_id"), "train_sz"), "train_id")
+        .join(sz_b.select(F.col(id_col).alias("bench_id"), "bench_sz"), "bench_id")
+        .withColumn("containment", F.col("inter") / F.col("bench_sz"))
+        .select("train_id", "bench_id", "inter", "train_sz", "bench_sz", "containment")
+    )

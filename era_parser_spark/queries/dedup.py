@@ -1,6 +1,6 @@
 """Deduplication queries over `documents` (north-star extensions).
 
-dd1/dd2/dd3/dd5/dd6 are oracle-checked (dd3's exact-verification step makes
+dd1/dd2/dd3/dd5/dd6/dd7 are oracle-checked (dd3's exact-verification step makes
 its output hash-independent given measured recall=1.0 — see its registration);
 dd4 uses engine-specific blake2b SimHash with no DuckDB twin, so the driver
 records the weaker rows-only check — its semantics are pinned in tests/
@@ -344,4 +344,48 @@ def mm3_resize(spark, sf_dir):
             F.md5(F.lower(F.hex("payload"))).alias("payload_md5"),
         )
         .orderBy("media_id")
+    )
+
+
+@register(
+    "dd7_decontamination",
+    # Benchmark corpus = every 17th doc; a train doc is contaminated when it
+    # contains >= 60% of a benchmark doc's shingles.  Containment (inter /
+    # bench size), not Jaccard: a benchmark quoted inside a long train doc
+    # has low Jaccard but containment ~1.0.
+    oracle=f"""
+    WITH train AS (SELECT * FROM documents WHERE doc_id % 17 <> 0),
+         bench AS (SELECT * FROM documents WHERE doc_id % 17 = 0),
+         sh_t AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM train),
+         sh_b AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM bench),
+         sz_t AS (SELECT doc_id, count(*) AS train_sz FROM sh_t GROUP BY doc_id),
+         sz_b AS (SELECT doc_id, count(*) AS bench_sz FROM sh_b GROUP BY doc_id),
+         pairs AS (
+           SELECT t.doc_id AS train_id, b.doc_id AS bench_id, count(*) AS inter
+           FROM sh_t t JOIN sh_b b ON t.shingle = b.shingle
+           GROUP BY 1, 2
+         )
+    SELECT train_id, bench_id, inter, train_sz, bench_sz,
+           CAST(inter AS DOUBLE) / bench_sz AS containment
+    FROM pairs
+    JOIN sz_t ON sz_t.doc_id = train_id
+    JOIN sz_b ON sz_b.doc_id = bench_id
+    WHERE CAST(inter AS DOUBLE) / bench_sz >= 0.6
+    ORDER BY containment DESC, train_id, bench_id
+    LIMIT 100
+    """,
+)
+def dd7_decontamination(spark, sf_dir):
+    # Train/eval decontamination: screen the training split against the
+    # benchmark split in one shingle-keyed shuffle (never pairwise).
+    from era_parser_spark.operators.dedup import cross_corpus_overlap
+
+    docs = table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 17 != 0)
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    return (
+        cross_corpus_overlap(train, bench, "doc_id", "text", n=3)
+        .filter(F.col("containment") >= 0.6)
+        .orderBy(F.desc("containment"), "train_id", "bench_id")
+        .limit(100)
     )
