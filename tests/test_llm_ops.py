@@ -319,3 +319,30 @@ def test_mm_query_entries(spark):
     resized = QUERIES["mm3_resize"](spark, SF_MED).limit(5).collect()
     assert all(r.n_bytes == 32 * 16 * 3 for r in resized)
     assert all(len(r.payload_md5) == 32 for r in resized)
+
+
+def test_decontamination_finds_planted_quote(spark):
+    """A benchmark doc quoted verbatim inside a longer training doc must
+    surface with containment 1.0 (every benchmark shingle present) even
+    though Jaccard vs the long doc is low — the metric dd7 exists for."""
+    from era_parser_spark.operators.dedup import cross_corpus_overlap
+
+    bench = spark.createDataFrame(
+        [(900, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    filler = " ".join(f"w{i}" for i in range(200))
+    train = spark.createDataFrame(
+        [
+            (1, f"{filler} alpha beta gamma delta epsilon zeta eta theta iota kappa {filler}"),
+            (2, "totally unrelated content with no overlap at all " * 5),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.train_id, r.bench_id): (r.inter, r.bench_sz, r.containment)
+        for r in cross_corpus_overlap(train, bench, "doc_id", "text", n=3).collect()
+    }
+    inter, bench_sz, containment = got[(1, 900)]
+    assert containment == 1.0 and inter == bench_sz
+    assert (2, 900) not in got
