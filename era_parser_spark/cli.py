@@ -98,6 +98,23 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_validate(args) -> int:
+    """Strict archive integrity: CRC32C on every block, SlotIndex
+    consistency, truncation detection — one JSON report line per file;
+    exit 1 if anything fails."""
+    from era_parser_spark.sources.era import validate_era_files
+
+    spark = _spark()
+    args.input = _resolve_input(args.input, args.network)
+    rows = validate_era_files(spark, args.input, glob=args.glob).orderBy("path").collect()
+    bad = 0
+    for row in rows:
+        d = row.asDict()
+        bad += 0 if d["ok"] else 1
+        print(json.dumps(d, default=str))
+    return 1 if bad else 0
+
+
 def cmd_block(args) -> int:
     from era_parser_spark.config.networks import detect_network, fork_at_slot
     from era_parser_spark.parsing.beacon import parse_block, stringify
@@ -292,6 +309,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="HEAD-probe {source}/{network}-NNNNN.era instead of listing")
     sp.add_argument("--network", default=None)
     sp.set_defaults(fn=cmd_discover)
+
+    sp = sub.add_parser("validate", help="strict integrity check per era file")
+    sp.add_argument("input")
+    common(sp)
+    sp.set_defaults(fn=cmd_validate)
 
     sp = sub.add_parser("block", help="print one block as JSON by slot")
     sp.add_argument("input")

@@ -230,3 +230,60 @@ def write_era(block_ssz_payloads: list[bytes], state: bytes | None = None) -> by
         )
         out += _record(TYPE_SLOT_INDEX, index)
     return bytes(out)
+
+
+def validate_era(data: bytes) -> dict:
+    """Strict integrity report for one era file (ops `validate` verb).
+
+    Checks beyond era_stats: leading version record, full record-walk
+    (truncation detected), per-block snappy CRC32C verification + slot
+    peek, and SlotIndex consistency — every index entry must point at a
+    block record whose actual slot equals the indexed slot.  Read-only,
+    allocation-light; one pass over the file plus the index walk.
+    """
+    from era_parser_spark.parsing.beacon import peek_slot as _peek
+
+    report = {
+        "n_records": 0, "n_blocks": 0, "bad_crc": 0, "bad_slot_peek": 0,
+        "truncated": False, "has_version_header": False,
+        "has_block_index": False, "index_mismatches": 0,
+        "min_slot": None, "max_slot": None,
+    }
+    slots_by_offset: dict[int, int] = {}
+    try:
+        for rec in iter_records(data):
+            if report["n_records"] == 0:
+                report["has_version_header"] = rec.record_type == TYPE_VERSION
+            report["n_records"] += 1
+            if rec.record_type == TYPE_COMPRESSED_BLOCK:
+                report["n_blocks"] += 1
+                try:
+                    raw = snappy.frame_decompress(rec.payload, verify_crc=True)
+                except Exception:
+                    report["bad_crc"] += 1
+                    continue
+                try:
+                    slot = _peek(raw)
+                except Exception:
+                    report["bad_slot_peek"] += 1
+                    continue
+                slots_by_offset[rec.offset] = slot
+    except ValueError:
+        report["truncated"] = True
+    if slots_by_offset:
+        report["min_slot"] = min(slots_by_offset.values())
+        report["max_slot"] = max(slots_by_offset.values())
+    idx = find_block_index(data)
+    if idx is not None:
+        report["has_block_index"] = True
+        for slot, off in idx.entries():
+            if slots_by_offset.get(off) != slot:
+                report["index_mismatches"] += 1
+    report["ok"] = bool(
+        report["has_version_header"]
+        and not report["truncated"]
+        and report["bad_crc"] == 0
+        and report["bad_slot_peek"] == 0
+        and report["index_mismatches"] == 0
+    )
+    return report

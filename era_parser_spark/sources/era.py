@@ -34,7 +34,6 @@ from pyspark.sql.pandas.types import to_arrow_schema
 from era_parser_spark.config.networks import detect_network, parse_era_filename
 from era_parser_spark.parsing import ssz
 from era_parser_spark.parsing.beacon import BODY_SCHEMAS, block_schema
-from era_parser_spark.parsing.e2store import iter_blocks_decompressed
 from era_parser_spark.parsing.beacon import parse_block
 
 # body fields each normalized table needs (drives pruned decode)
@@ -135,6 +134,7 @@ def _parser(
     on_error: str = "skip",
     batch_rows: int = 2048,
     slot_range: tuple[int, int] | None = None,
+    error_counter=None,
 ):
     """Arrow-native parse kernel: era bytes in, typed nested batches out.
 
@@ -195,19 +195,52 @@ def _parser(
                 net = network or detect_network(path)
                 meta = parse_era_filename(path)
                 n_bad = 0
-                if slot_range is None:
-                    block_iter = iter_blocks_decompressed(content)
-                else:
-                    # SlotIndex pushdown (A3): only matching records are
-                    # sliced; nothing else is even snappy-decompressed
-                    from era_parser_spark.parsing import snappy as _snappy
-                    from era_parser_spark.parsing.e2store import iter_block_payloads
+                from era_parser_spark.parsing import snappy as _snappy
+                from era_parser_spark.parsing.beacon import peek_slot as _peek
+                from era_parser_spark.parsing.e2store import (
+                    TYPE_COMPRESSED_BLOCK as _TBLK,
+                    iter_block_payloads,
+                    iter_records,
+                )
 
-                    block_iter = (
-                        (slot, len(comp), _snappy.decompress(comp))
-                        for slot, comp in iter_block_payloads(content, slot_range=slot_range)
-                    )
-                for slot, comp_size, raw in block_iter:
+                # per-RECORD error isolation, not just per-parse: a payload
+                # that fails snappy or is too short for the slot peek must
+                # skip like any other bad block, and the iteration must
+                # survive it (a generator that raises is dead, so the
+                # try sits inside the loop, around decompress+peek)
+                def robust_blocks():
+                    nonlocal n_bad
+                    if slot_range is None:
+                        source = (
+                            (None, rec.payload)
+                            for rec in iter_records(content)
+                            if rec.record_type == _TBLK
+                        )
+                    else:
+                        # SlotIndex pushdown (A3): only matching records are
+                        # sliced; nothing else is even snappy-decompressed
+                        source = iter_block_payloads(content, slot_range=slot_range)
+                    for known_slot, comp in source:
+                        try:
+                            raw = _snappy.decompress(comp)
+                            yield (
+                                known_slot if known_slot is not None else _peek(raw),
+                                len(comp),
+                                raw,
+                            )
+                        except Exception as exc:  # noqa: BLE001
+                            if on_error == "fail":
+                                raise
+                            n_bad += 1
+                            if error_counter is not None:
+                                error_counter.add(1)
+                            print(
+                                f"era_parser_spark: skipping undecodable block "
+                                f"record in {path}: {type(exc).__name__}: {exc}",
+                                file=sys.stderr,
+                            )
+
+                for slot, comp_size, raw in robust_blocks():
                     try:
                         parsed = parse_block(
                             raw, net, is_compressed=False, body_include=body_include
@@ -219,6 +252,8 @@ def _parser(
                         if on_error == "fail":
                             raise
                         n_bad += 1
+                        if error_counter is not None:
+                            error_counter.add(1)
                         print(
                             f"era_parser_spark: skipping slot {slot} in {path}: "
                             f"{type(exc).__name__}: {exc}",
@@ -251,6 +286,14 @@ def _parser(
     return parse
 
 
+def parse_error_counter(spark: SparkSession):
+    """Accumulator for `read_era_blocks(error_counter=...)`: counts blocks
+    skipped by on_error='skip' across all tasks (exact under Spark's
+    at-least-once accumulator semantics only when tasks don't retry —
+    treat as a health signal, not an audit total)."""
+    return spark.sparkContext.accumulator(0)
+
+
 def read_era_blocks(
     spark: SparkSession,
     paths: str | list[str],
@@ -261,6 +304,7 @@ def read_era_blocks(
     on_error: str = "skip",
     slot_range: tuple[int, int] | None = None,
     partitions: int | None = None,
+    error_counter=None,
 ) -> DataFrame:
     """Era files -> blocks DataFrame (typed, fork-superset body struct).
 
@@ -275,6 +319,9 @@ def read_era_blocks(
     via the binaryFile listing) — the source rows are paths, so this
     repartition shuffles strings, never era bytes.  Use it to bound task
     count on huge archives or to bin-pack many small eras per task.
+    `error_counter` (from `parse_error_counter(spark)`) receives one task-
+    side increment per skipped block, so an ops job can assert corruption
+    rates without grepping executor stderr; read it AFTER an action.
     """
     from era_parser_spark.shipping import ensure_package_shipped
 
@@ -315,7 +362,8 @@ def read_era_blocks(
     if partitions is not None:
         src = src.repartition(partitions)
     parsed = src.mapInArrow(
-        _parser(network, body_include, on_error, slot_range=slot_range),
+        _parser(network, body_include, on_error, slot_range=slot_range,
+                error_counter=error_counter),
         _PARSE_OUT_SCHEMA,
     )
     block = F.col("block")
@@ -377,3 +425,53 @@ def lookup_block(df: DataFrame, slot: int) -> DataFrame:
     """Point lookup (§3.3): slot equality predicate; with parquet-backed
     tables this prunes via min/max stats rather than a linear rescan."""
     return df.filter(F.col("slot") == slot)
+
+
+def validate_era_files(
+    spark: SparkSession, paths: str | list[str], glob: str | None = "*.era"
+) -> DataFrame:
+    """Distributed strict integrity check: one validate_era report per file.
+
+    Same source shapes as read_era_blocks (local binaryFile listing /
+    http(s) URL rows), bytes read task-side — validating a 100 TB archive
+    is one map over the file listing.
+    """
+    from era_parser_spark.parsing.e2store import validate_era
+    from era_parser_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    in_paths = [paths] if isinstance(paths, str) else list(paths)
+    if all(str(p).startswith(("http://", "https://")) for p in in_paths):
+        import fnmatch
+
+        urls = [
+            p for p in in_paths
+            if glob is None or fnmatch.fnmatch(str(p).rsplit("/", 1)[-1], glob)
+        ]
+        src = spark.createDataFrame(
+            [(u,) for u in urls], T.StructType([T.StructField("path", T.StringType())])
+        ).repartition(len(urls) or 1)
+    else:
+        reader = spark.read.format("binaryFile")
+        if glob:
+            reader = reader.option("pathGlobFilter", glob)
+        src = reader.load(paths).select("path")
+
+    out_schema = (
+        "path string, ok boolean, n_records long, n_blocks long, bad_crc long, "
+        "bad_slot_peek long, truncated boolean, has_version_header boolean, "
+        "has_block_index boolean, index_mismatches long, min_slot long, max_slot long"
+    )
+
+    def check(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for path in pdf["path"]:
+                rep = validate_era(_fetch_era_bytes(str(path)))
+                rep["path"] = str(path)
+                rows.append(rep)
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(check, out_schema)

@@ -289,3 +289,78 @@ def test_slot_range_pushdown(spark, blocks_df, era_dir):
         r.path for r in paths.filter(_era_path_filter((2 * 8192, 2 * 8192 + 10))).collect()
     )
     assert kept == ["/x/gnosis-00002-aabbccdd.era", "/x/not-an-era-file.bin"]
+
+
+def test_validate_era_files_and_corruption(spark, tmp_path):
+    """validate: clean files pass every check; a flipped payload byte is
+    caught by CRC; a truncated tail is flagged; CLI exit mirrors it."""
+    import json as _json
+
+    from era_parser_spark.cli import main as cli_main
+    from era_parser_spark.sources.era import validate_era_files
+    from era_parser_spark.testing.era_gen import era_filename, write_synthetic_era
+
+    d = tmp_path / "val_eras"
+    d.mkdir()
+    for era in (1500, 1501):
+        write_synthetic_era(str(d / era_filename("gnosis", era)), era, "gnosis", blocks=8)
+
+    reports = {r.path.rsplit("/", 1)[-1]: r.asDict()
+               for r in validate_era_files(spark, str(d)).collect()}
+    assert len(reports) == 2 and all(r["ok"] for r in reports.values())
+    good = next(iter(reports.values()))
+    assert good["has_version_header"] and good["has_block_index"]
+    assert good["bad_crc"] == 0 and good["index_mismatches"] == 0
+    assert good["min_slot"] == 1500 * 8192 or good["min_slot"] == 1501 * 8192
+
+    # corrupt one block payload byte (inside the first block record body)
+    f = d / era_filename("gnosis", 1500)
+    blob = bytearray(f.read_bytes())
+    blob[8 + 8 + 40] ^= 0xFF  # version rec + block header + 40 into payload
+    f.write_bytes(bytes(blob))
+    # truncate the other file's tail
+    f2 = d / era_filename("gnosis", 1501)
+    f2.write_bytes(f2.read_bytes()[:-13])
+
+    reports = {r.path.rsplit("/", 1)[-1]: r.asDict()
+               for r in validate_era_files(spark, str(d)).collect()}
+    r1500 = reports[era_filename("gnosis", 1500)]
+    r1501 = reports[era_filename("gnosis", 1501)]
+    assert not r1500["ok"] and r1500["bad_crc"] >= 1
+    assert not r1501["ok"] and r1501["truncated"]
+
+    assert cli_main(["validate", str(d)]) == 1
+
+
+def test_parse_error_counter_accumulator(spark, tmp_path):
+    """on_error='skip' + error_counter: corrupt SSZ blocks count task-side
+    without failing the scan (CRC intact, body undecodable)."""
+    from era_parser_spark.parsing import snappy as _snappy
+    from era_parser_spark.parsing.e2store import (
+        _HEADER, TYPE_COMPRESSED_BLOCK, iter_records,
+    )
+    from era_parser_spark.sources.era import parse_error_counter, read_era_blocks
+    from era_parser_spark.testing.era_gen import era_filename, write_synthetic_era
+
+    d = tmp_path / "acc_eras"
+    d.mkdir()
+    path = str(d / era_filename("gnosis", 1600))
+    write_synthetic_era(path, 1600, "gnosis", blocks=8)
+
+    # replace one block's payload with valid-snappy garbage: CRC passes,
+    # SSZ decode fails -> exercises the skip path, not the CRC path
+    blob = bytearray(open(path, "rb").read())
+    rec = next(r for r in iter_records(bytes(blob)) if r.record_type == TYPE_COMPRESSED_BLOCK)
+    garbage = _snappy.frame_compress(b"\x01" * 40)
+    new = (
+        bytes(blob[: rec.offset])
+        + _HEADER.pack(TYPE_COMPRESSED_BLOCK, len(garbage), 0)
+        + garbage
+        + bytes(blob[rec.offset + _HEADER.size + len(rec.payload):])
+    )
+    open(path, "wb").write(new)
+
+    acc = parse_error_counter(spark)
+    got = read_era_blocks(spark, str(d), error_counter=acc).count()
+    assert got == 7  # 8 blocks, 1 skipped
+    assert acc.value == 1
