@@ -51,8 +51,13 @@ def cmd_parse(args) -> int:
                   + ", ".join(TABLE_BUILDERS), file=sys.stderr)
             return 2
         tables = [args.table]
+    slot_range = None
+    if args.slots:
+        lo, _, hi = args.slots.partition(":")
+        slot_range = (int(lo), int(hi or lo))
     blocks = read_era_blocks(
-        spark, args.input, network=args.network, glob=args.glob, tables=tables
+        spark, args.input, network=args.network, glob=args.glob, tables=tables,
+        slot_range=slot_range,
     ).cache()
     if args.table == "blocks-wide":
         out_tables = {"blocks_wide": wide_blocks_table(blocks)}
@@ -294,6 +299,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--separate", action="store_true")
     sp.add_argument("--format", default="parquet",
                     choices=["parquet", "csv", "jsonl", "json"])
+    sp.add_argument("--slots", default=None, metavar="LO:HI",
+                    help="inclusive slot range; prunes files by span and "
+                         "uses the SlotIndex inside surviving files")
     common(sp)
     sp.set_defaults(fn=cmd_parse)
 

@@ -202,3 +202,12 @@ def test_compact_data_cli(era_dir, tmp_path, capsys):
     assert main(["compact-data", out, "--tables", "blocks"]) == 0
     rep = json.loads(capsys.readouterr().out.strip())
     assert "compacted" in rep  # shape; partitions below threshold may skip
+
+
+def test_parse_slot_range(era_dir, tmp_path, capsys):
+    """--slots engages the two-level pushdown through the public CLI."""
+    out = str(tmp_path / "slots_out")
+    lo = 1301 * 8192
+    assert main(["parse", era_dir, "blocks", out, "--slots", f"{lo}:{lo + 3}"]) == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["written"]["blocks"] == 4  # slots lo..lo+3, none missing
