@@ -45,9 +45,14 @@ def connected_components(
     undirected edge list (`src_col`, `dst_col`).  Nodes with no edges keep
     their own id (singleton clusters).  Returns (id_col, cluster_id).
     """
+    # materialize the edge list BEFORE the symmetrize union: both union
+    # branches read the checkpoint instead of re-deriving the (potentially
+    # expensive — dd5: a full Jaccard self-join) upstream pipeline twice
+    base = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=True)
     sym = (
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .unionByName(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+        base.unionByName(base.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -120,9 +125,11 @@ def connected_components_alternating(
     Convergence is detected by an (edge count, xxhash64 sum) checksum —
     one tiny aggregate, no driver-side edge materialization.
     """
+    base = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=True)  # see connected_components: one derivation
     sym = (
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .unionByName(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+        base.unionByName(base.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
         .localCheckpoint(eager=True)
