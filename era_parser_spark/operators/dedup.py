@@ -370,8 +370,10 @@ def cross_corpus_overlap(
     `max_doc_freq` drops shingles in more than that many TRAIN docs first
     (boilerplate guard, same as `_jaccard_from_index`).
     """
-    ex_t = doc_shingles(train, id_col, text_col, n)
-    ex_b = doc_shingles(bench, id_col, text_col, n)
+    # cached: each index feeds its size aggregate AND its join side —
+    # uncached, the mapInPandas shingle generation runs twice per corpus
+    ex_t = doc_shingles(train, id_col, text_col, n).cache()
+    ex_b = doc_shingles(bench, id_col, text_col, n).cache()
     sz_t = ex_t.groupBy(id_col).agg(F.count(F.lit(1)).alias("train_sz"))
     sz_b = ex_b.groupBy(id_col).agg(F.count(F.lit(1)).alias("bench_sz"))
     ht = ex_t.select(F.col(id_col).alias("train_id"), F.xxhash64("shingle").alias("sh"))

@@ -63,9 +63,13 @@ def p1_curation_pipeline(spark, sf_dir):
         lang_id_col("text").alias("predicted_lang"),
         fingerprint_col("text").alias("fingerprint"),
     )
+    # cached: filt feeds both the dedup groupBy and the survivor join;
+    # uncached, Catalyst re-runs the whole enrichment (lang-id scoring,
+    # fingerprint md5, BPE regex) once per branch.  The cache holds only
+    # doc_id + 4 derived columns — the text never enters it.
     filt = enriched.filter(
         F.col("n_tokens").between(10, 100000) & (F.col("predicted_lang") != "und")
-    )
+    ).cache()
     keep = filt.groupBy("fingerprint").agg(
         F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies")
     )
