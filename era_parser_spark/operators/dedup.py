@@ -309,8 +309,12 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: i
     Pigeonhole: hamming <= 16 over 4 bands guarantees at least one identical
     band only for <= 3 differing bands; with max_hamming<=3*16 this blocking
     is a standard recall/cost tradeoff (and exact for hamming < 4).
+
+    The fingerprint frame is cached (16 bytes/row, no text): both self-join
+    sides branch from it, and uncached the pandas-UDF SimHash would run
+    twice over the corpus.
     """
-    fp = simhash_fingerprints(df, id_col, text_col)
+    fp = simhash_fingerprints(df, id_col, text_col).cache()
     bands = F.array(
         *[
             F.struct(
