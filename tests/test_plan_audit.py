@@ -195,3 +195,14 @@ def test_sequence_packing_caches_counted_projection(spark, queries):
     # both branches read the cache (the FileScan string still appears once
     # inside the InMemoryRelation definition; it executes only to fill it)
     assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_shared_branches_are_cached(spark, queries):
+    """Entries whose expensive subtree feeds 2+ plan branches must read a
+    cache, not recompute: dd4 (pandas-UDF fingerprints x2 join sides),
+    p1 (enrichment -> dedup groupBy + survivor join), dd7 (shingle index ->
+    size aggregate + join side, per corpus)."""
+    for name, min_cached in (("dd4_simhash", 2), ("p1_curation_pipeline", 2),
+                             ("dd7_decontamination", 4)):
+        plan = queries[name](spark, SF_MED)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("InMemoryTableScan") >= min_cached, name
