@@ -120,6 +120,33 @@ def cmd_validate(args) -> int:
     return 1 if bad else 0
 
 
+def cmd_slice(args) -> int:
+    """Extract a slot range into a new standalone era file: SlotIndex-
+    pushdown read (non-matching blocks never decompressed), re-encoded
+    with a fresh block index.  Pure-kernel path like `block` — works on
+    local paths and http(s)."""
+    from era_parser_spark.parsing import snappy as _snappy
+    from era_parser_spark.parsing.e2store import iter_block_payloads, write_era
+    from era_parser_spark.sources.era import _fetch_era_bytes
+
+    lo, _, hi = args.slots.partition(":")
+    lo, hi = int(lo), int(hi or lo)
+    data = _fetch_era_bytes(args.input)
+    payloads = [
+        _snappy.decompress(comp)
+        for _slot, comp in iter_block_payloads(data, slot_range=(lo, hi))
+    ]
+    if not payloads:
+        print(f"no blocks in slot range {lo}:{hi}", file=sys.stderr)
+        return 1
+    out = write_era(payloads)
+    with open(args.output, "wb") as f:
+        f.write(out)
+    print(json.dumps({"output": args.output, "blocks": len(payloads),
+                      "bytes": len(out), "slots": [lo, hi]}))
+    return 0
+
+
 def cmd_block(args) -> int:
     from era_parser_spark.config.networks import detect_network, fork_at_slot
     from era_parser_spark.parsing.beacon import parse_block, stringify
@@ -322,6 +349,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("input")
     common(sp)
     sp.set_defaults(fn=cmd_validate)
+
+    sp = sub.add_parser("slice", help="extract a slot range into a new era file")
+    sp.add_argument("input")
+    sp.add_argument("slots", metavar="LO:HI")
+    sp.add_argument("output")
+    sp.set_defaults(fn=cmd_slice)
 
     sp = sub.add_parser("block", help="print one block as JSON by slot")
     sp.add_argument("input")

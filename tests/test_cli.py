@@ -211,3 +211,31 @@ def test_parse_slot_range(era_dir, tmp_path, capsys):
     assert main(["parse", era_dir, "blocks", out, "--slots", f"{lo}:{lo + 3}"]) == 0
     payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert payload["written"]["blocks"] == 4  # slots lo..lo+3, none missing
+
+
+def test_slice_era_roundtrip(era_dir, tmp_path, capsys):
+    """slice: extracted range re-parses identically and passes validation."""
+    from era_parser_spark.parsing.e2store import era_stats
+    from era_parser_spark.parsing.beacon import parse_block
+    from era_parser_spark.parsing import snappy as _snappy
+    from era_parser_spark.parsing.e2store import iter_block_payloads
+
+    src = f"{era_dir}/{era_filename('gnosis', 1300)}"
+    lo = 1300 * 8192 + 2
+    out = str(tmp_path / "sliced.era")
+    assert main(["slice", src, f"{lo}:{lo + 4}", out]) == 0
+    rep = json.loads(capsys.readouterr().out.strip())
+    assert rep["blocks"] == 5  # slots lo..lo+4 present in the fixture
+
+    stats = era_stats(open(out, "rb").read())
+    assert stats["block_count"] == 5
+    assert stats["min_slot"] == lo and stats["max_slot"] == lo + 4
+    # block content survives the re-encode byte-exactly
+    orig = {s: _snappy.decompress(c) for s, c in
+            iter_block_payloads(open(src, "rb").read(), slot_range=(lo, lo + 4))}
+    got = {s: _snappy.decompress(c) for s, c in
+           iter_block_payloads(open(out, "rb").read())}
+    assert got == orig
+    assert main(["validate", out, "--glob", "*.era"]) == 0
+
+    assert main(["slice", src, "1:2", str(tmp_path / "empty.era")]) == 1
