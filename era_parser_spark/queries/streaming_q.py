@@ -14,6 +14,23 @@ from pyspark.sql import functions as F
 from era_parser_spark.queries.registry import register, table
 
 
+def _stream_src_dir(prefix: str, sf_dir: str) -> str:
+    """Stable per-sf_dir /tmp dir exposing events.parquet to the streaming
+    file source.  Stable digest, not hash(): Python string hashing is
+    per-process randomized, so hash() would mint a fresh dir every run."""
+    import hashlib
+
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"{prefix}_src_{hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]}",
+    )
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    return d
+
+
 @register(
     "st1_stream_windowed_counts",
     oracle="""
@@ -35,13 +52,7 @@ def st1_stream_windowed_counts(spark, sf_dir):
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the streaming file source wants a directory; expose the single table
     # file through one (a real deployment streams a growing table dir)
-    stream_dir = os.path.join(
-        tempfile.gettempdir(), f"st1_src_{abs(hash(sf_dir)) % 10**8}"
-    )
-    os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    stream_dir = _stream_src_dir("st1", sf_dir)
     stream = spark.readStream.schema(raw_schema).parquet(stream_dir)
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -93,13 +104,7 @@ def st2_stateful_gap_monitor(spark, sf_dir):
     from era_parser_spark.streaming.incremental import run_stream_once, slot_gap_monitor
 
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream_dir = os.path.join(
-        tempfile.gettempdir(), f"st2_src_{abs(hash(sf_dir)) % 10**8}"
-    )
-    os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    stream_dir = _stream_src_dir("st2", sf_dir)
     stream = (
         spark.readStream.schema(raw_schema)
         .parquet(stream_dir)
@@ -147,13 +152,7 @@ def st3_stream_sessionize(spark, sf_dir):
     from era_parser_spark.streaming.incremental import run_stream_once, session_monitor
 
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream_dir = os.path.join(
-        tempfile.gettempdir(), f"st3_src_{abs(hash(sf_dir)) % 10**8}"
-    )
-    os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    stream_dir = _stream_src_dir("st3", sf_dir)
     stream = (
         spark.readStream.schema(raw_schema)
         .parquet(stream_dir)

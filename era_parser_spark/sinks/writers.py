@@ -303,13 +303,42 @@ def compact_dataset(
         return {}
     col, _ = next(iter(todo)).split("=", 1)
     values = [k.split("=", 1)[1] for k in todo]
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    df = spark.read.parquet(path).filter(F.col(col).isin(values))
-    n_out = max(1, math.ceil(sum(b for _, b in todo.values()) / target_file_bytes))
-    (
-        df.repartition(n_out)
-        .write.mode("overwrite")
-        .partitionBy(col)
-        .parquet(path)
+    # Files must be sized PER PARTITION: a global repartition(n_out) before
+    # partitionBy spreads every partition's rows over all n_out tasks, so each
+    # rewritten partition would get up to n_out files — on a 100-partition
+    # warehouse that's *more* small files than before compaction.  Instead
+    # shuffle on (partition col, salt) where partition P gets
+    # ceil(bytes_P / target) salt buckets: P's rows land in at most that many
+    # tasks, so at most that many output files.
+    buckets = {
+        k.split("=", 1)[1]: max(1, math.ceil(b / target_file_bytes))
+        for k, (_, b) in todo.items()
+    }
+    n_out = sum(buckets.values())
+    bucket_map = F.create_map(
+        *[F.lit(x) for kv in buckets.items() for x in kv]
     )
+    df = spark.read.parquet(path).filter(F.col(col).isin(values))
+    salted = df.withColumn(
+        "__salt",
+        F.floor(
+            F.rand(42)
+            * F.element_at(bucket_map, F.col(col).cast("string"))
+        ).cast("int"),
+    )
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            salted.repartition(n_out, F.col(col), F.col("__salt"))
+            .drop("__salt")
+            .write.mode("overwrite")
+            .partitionBy(col)
+            .parquet(path)
+        )
+    finally:
+        if prev_mode is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
     return {k.split("=", 1)[1]: n for k, (n, _) in sorted(todo.items())}

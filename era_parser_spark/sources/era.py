@@ -220,7 +220,31 @@ def _parser(
                         # SlotIndex pushdown (A3): only matching records are
                         # sliced; nothing else is even snappy-decompressed
                         source = iter_block_payloads(content, slot_range=slot_range)
-                    for known_slot, comp in source:
+                    # The record iterator itself can raise mid-file on a
+                    # truncated era (partial download — the most common real
+                    # corruption), which a `for` loop would let escape and
+                    # kill the task.  Drive it manually: truncation yields
+                    # the blocks parsed so far, then skips the file's
+                    # remainder under on_error='skip'.
+                    src_it = iter(source)
+                    while True:
+                        try:
+                            known_slot, comp = next(src_it)
+                        except StopIteration:
+                            break
+                        except Exception as exc:  # noqa: BLE001
+                            if on_error == "fail":
+                                raise
+                            n_bad += 1
+                            if error_counter is not None:
+                                error_counter.add(1)
+                            print(
+                                f"era_parser_spark: truncated/corrupt era "
+                                f"record stream in {path}, skipping rest of "
+                                f"file: {type(exc).__name__}: {exc}",
+                                file=sys.stderr,
+                            )
+                            break
                         try:
                             raw = _snappy.decompress(comp)
                             yield (

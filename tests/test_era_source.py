@@ -240,6 +240,46 @@ def test_corrupt_block_isolation(spark, tmp_path):
         read_era_blocks(spark, str(p), on_error="fail").collect()
 
 
+def test_truncated_era_file_isolation(spark, tmp_path):
+    """A truncated era file (partial download — the record stream itself dies
+    mid-file) must yield the blocks parsed so far and skip the remainder under
+    on_error='skip', not kill the task; other files in the same scan are
+    unaffected.  on_error='fail' surfaces it."""
+    import struct
+
+    from era_parser_spark.parsing import snappy as snappy_mod
+    from era_parser_spark.parsing.beacon import encode_signed_block
+    from era_parser_spark.sources.era import read_era_blocks
+    from era_parser_spark.testing.era_gen import make_block_doc
+
+    payloads = [
+        snappy_mod.frame_compress(encode_signed_block(make_block_doc(s, "gnosis"), "phase0"))
+        for s in (300, 301, 302)
+    ]
+    header = struct.Struct("<2sIH")
+    out = bytearray(header.pack(b"e2", 0, 0))
+    out += header.pack(b"\x01\x00", len(payloads[0]), 0) + payloads[0]
+    # second record's header declares the full length but the file ends
+    # halfway through the payload
+    out += header.pack(b"\x01\x00", len(payloads[1]), 0) + payloads[1][: len(payloads[1]) // 2]
+    p_trunc = tmp_path / "gnosis-00000-deadbeef.era"
+    p_trunc.write_bytes(bytes(out))
+
+    # a healthy sibling file in the same scan
+    out2 = bytearray(header.pack(b"e2", 0, 0))
+    out2 += header.pack(b"\x01\x00", len(payloads[2]), 0) + payloads[2]
+    p_ok = tmp_path / "gnosis-00001-deadbeef.era"
+    p_ok.write_bytes(bytes(out2))
+
+    df = read_era_blocks(spark, [str(p_trunc), str(p_ok)])
+    assert sorted(r.slot for r in df.select("slot").collect()) == [300, 302]
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        read_era_blocks(spark, str(p_trunc), on_error="fail").collect()
+
+
 def test_content_riding_branch_matches_paths_only(spark, blocks_df, era_dir):
     """A8: remote schemes (s3a/hdfs) keep binaryFile's content column and
     the kernel parses the bytes that rode through the JVM->Arrow boundary.

@@ -345,3 +345,55 @@ def test_compact_dataset_merges_small_files(spark, tmp_path_factory):
     assert set(_g.glob(f"{out}/era_number=1399/*.parquet")) == files_1399
     # idempotent: nothing left to compact
     assert compact_dataset(spark, out) == {}
+
+
+def test_compact_dataset_sizes_files_per_partition(spark, tmp_path_factory):
+    """With many partitions and a small target, each partition ends up with
+    ceil(partition_bytes/target) files — NOT the global ceil(total/target)
+    (the round-robin-before-partitionBy bug: every output task touches every
+    partition, multiplying files).  Also: the overwrite-mode conf is restored."""
+    import glob as _g
+    import math
+    import os
+
+    from era_parser_spark.sinks.writers import compact_dataset
+
+    out = str(tmp_path_factory.mktemp("compact_sz") / "events")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    rng_payloads = ["".join(chr(97 + (i * 7 + k) % 26) for k in range(400)) for i in range(60)]
+    for i in range(6):  # 6 append batches x 8 partitions
+        spark.createDataFrame(
+            [
+                (era, i * 10 + j, rng_payloads[(era * 6 + i + j) % 60])
+                for era in range(8)
+                for j in range(10)
+            ],
+            "era long, seq long, payload string",
+        ).coalesce(1).write.mode("append").partitionBy("era").parquet(out)
+
+    part_bytes = {
+        era: sum(os.path.getsize(f) for f in _g.glob(f"{out}/era={era}/*.parquet"))
+        for era in range(8)
+    }
+    rows_before = sorted(
+        (r.era, r.seq) for r in spark.read.parquet(out).collect()
+    )
+    # target = half the biggest partition -> each partition needs 1-2 buckets,
+    # while the buggy global n_out would be sum(bytes)/target ~ 14-16.
+    target = max(part_bytes.values()) // 2 + 1
+    expected = {era: max(1, math.ceil(b / target)) for era, b in part_bytes.items()}
+    assert sum(expected.values()) >= 8  # the global count the bug would smear
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    done = compact_dataset(spark, out, target_file_bytes=target)
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "static"
+    assert set(done) == {str(e) for e in range(8)}
+
+    for era in range(8):
+        files = _g.glob(f"{out}/era={era}/*.parquet")
+        assert 1 <= len(files) <= expected[era], (
+            f"era={era}: {len(files)} files, expected <= {expected[era]}"
+        )
+    after = sorted((r.era, r.seq) for r in spark.read.parquet(out).collect())
+    assert after == rows_before
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
