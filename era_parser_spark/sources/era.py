@@ -329,6 +329,7 @@ def read_era_blocks(
     slot_range: tuple[int, int] | None = None,
     partitions: int | None = None,
     error_counter=None,
+    batch_rows: int = 2048,
 ) -> DataFrame:
     """Era files -> blocks DataFrame (typed, fork-superset body struct).
 
@@ -386,8 +387,8 @@ def read_era_blocks(
     if partitions is not None:
         src = src.repartition(partitions)
     parsed = src.mapInArrow(
-        _parser(network, body_include, on_error, slot_range=slot_range,
-                error_counter=error_counter),
+        _parser(network, body_include, on_error, batch_rows=batch_rows,
+                slot_range=slot_range, error_counter=error_counter),
         _PARSE_OUT_SCHEMA,
     )
     block = F.col("block")
