@@ -183,6 +183,47 @@ def ngram_jaccard_pairs(
     return _jaccard_from_index(ex, id_col, min_inter, max_doc_freq)
 
 
+def ngram_jaccard_with_guard_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_inter: int = 1,
+    max_doc_freq: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """`ngram_jaccard_pairs` plus the guard's measured impact.
+
+    Returns (pairs_df, stats) where stats = {"n_hot_shingles": distinct
+    shingles the guard dropped, "dropped_index_rows": inverted-index rows
+    removed (sum of their doc frequencies), "max_hot_doc_freq": the most
+    viral shingle's doc count}.  The stats aggregate is a driver-side
+    scalar over the same cached shingle index the join uses, so the
+    mapInPandas shingle generation still runs once.  Use it to monitor the
+    guard's recall cost in production: dropped_index_rows / total index
+    rows is the fraction of shingle evidence the pair join never sees
+    (measured recall-vs-max_doc_freq curve: docs/PLANS.md).
+    """
+    ex = doc_shingles(df, id_col, text_col, n).cache()
+    pairs = _jaccard_from_index(ex, id_col, min_inter, max_doc_freq)
+    if max_doc_freq is None:
+        return pairs, {"n_hot_shingles": 0, "dropped_index_rows": 0,
+                       "max_hot_doc_freq": 0}
+    row = (
+        hot_shingles(ex, max_doc_freq)
+        .agg(
+            F.count(F.lit(1)).alias("n_hot"),
+            F.coalesce(F.sum("doc_freq"), F.lit(0)).alias("dropped"),
+            F.coalesce(F.max("doc_freq"), F.lit(0)).alias("max_df"),
+        )
+        .first()
+    )
+    return pairs, {
+        "n_hot_shingles": row["n_hot"],
+        "dropped_index_rows": int(row["dropped"]),
+        "max_hot_doc_freq": int(row["max_df"]),
+    }
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_perm: int = 32, shingle_n: int = 3
 ) -> DataFrame:

@@ -113,6 +113,94 @@ def test_hot_shingle_guard_bounds_viral_blowup(spark):
     assert "click here to" in hot
 
 
+def test_hot_shingle_guard_recall_curve(spark):
+    """Quantifies the guard's recall cost on a corpus with KNOWN near-dup
+    pairs whose similarity depends on boilerplate of known virality.
+
+    Three planted pair classes (all true Jaccard >= 0.5 unguarded):
+      R (40 pairs): similarity from a rare pair-unique tail alone
+                    (J = 28/48 ~ 0.583) — survives any guard.
+      B (30 pairs): needs boilerplate shared by 300 docs to cross 0.5
+                    (J = 23/43 ~ 0.535 with it, 10/43 ~ 0.233 without).
+      C (30 pairs): same shape, boilerplate shared by 80 docs.
+    Pair-recall@0.5 by max_doc_freq is therefore exactly:
+      500 -> 1.0 (nothing viral enough), 100 -> 0.7 (drops B's
+      boilerplate, df=300), 50 -> 0.4 (drops B and C, df=80).
+    The guard-stats metadata must report exactly the dropped boilerplate:
+    each block is 15 tokens = 13 shingles.  Curve recorded in
+    docs/PLANS.md; doc-unique junction tokens keep every other shingle
+    disjoint so the numbers are exact, not approximate."""
+    from era_parser_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_with_guard_stats,
+    )
+
+    def paired_doc(i, pair, boil, tail_len, fill_len):
+        fill = " ".join(f"u{i}x{k}" for k in range(fill_len))
+        tail = " ".join(f"p{pair}t{k}" for k in range(tail_len))
+        segs = [fill] + ([boil] if boil else []) + [tail]
+        return f" w{i}a w{i}b ".join(segs)
+
+    def plain_doc(i, boil):
+        fill = " ".join(f"u{i}x{k}" for k in range(10))
+        return f"{fill} w{i}a w{i}b {boil}"
+
+    boil_b = " ".join(f"bb{k}" for k in range(15))  # ends up in 300 docs
+    boil_c = " ".join(f"cc{k}" for k in range(15))  # ends up in 80 docs
+    rows = []
+    for k in range(40):  # class R: docs 0..79
+        for j in (0, 1):
+            i = 2 * k + j
+            rows.append((i, paired_doc(i, f"R{k}", None, 30, 8)))
+    for k in range(30):  # class B pairs: docs 100..159
+        for j in (0, 1):
+            i = 100 + 2 * k + j
+            rows.append((i, paired_doc(i, f"B{k}", boil_b, 12, 4)))
+    rows += [(i, plain_doc(i, boil_b)) for i in range(160, 400)]  # df_B=300
+    for k in range(30):  # class C pairs: docs 500..559
+        for j in (0, 1):
+            i = 500 + 2 * k + j
+            rows.append((i, paired_doc(i, f"C{k}", boil_c, 12, 4)))
+    rows += [(i, plain_doc(i, boil_c)) for i in range(560, 580)]  # df_C=80
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    truth = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", n=3).collect()
+        if r.jaccard >= 0.5
+    }
+    planted = (
+        {(2 * k, 2 * k + 1) for k in range(40)}
+        | {(100 + 2 * k, 100 + 2 * k + 1) for k in range(30)}
+        | {(500 + 2 * k, 500 + 2 * k + 1) for k in range(30)}
+    )
+    assert truth == planted and len(truth) == 100
+
+    expected = {
+        50: (0.40, 26, 13 * 300 + 13 * 80),
+        100: (0.70, 13, 13 * 300),
+        500: (1.00, 0, 0),
+    }
+    for mdf, (want_recall, want_hot, want_dropped) in expected.items():
+        pairs, stats = ngram_jaccard_with_guard_stats(
+            docs, "doc_id", "text", n=3, max_doc_freq=mdf
+        )
+        got = {
+            (r.doc_a, r.doc_b) for r in pairs.collect() if r.jaccard >= 0.5
+        }
+        assert got <= truth  # the guard never invents pairs
+        recall = len(got & truth) / len(truth)
+        assert recall == pytest.approx(want_recall), (mdf, recall)
+        assert stats["n_hot_shingles"] == want_hot
+        assert stats["dropped_index_rows"] == want_dropped
+
+    # unguarded stats are all-zero and the pairs df is the plain operator
+    _, stats0 = ngram_jaccard_with_guard_stats(docs, "doc_id", "text", n=3)
+    assert stats0 == {
+        "n_hot_shingles": 0, "dropped_index_rows": 0, "max_hot_doc_freq": 0
+    }
+
+
 def test_lsh_recall_is_exact_at_fixture_threshold(spark):
     """Pins the property dd3's exact DuckDB oracle rests on: at threshold
     0.5 on the sf0.01 fixture, LSH (32 perms, 8x4 bands) recalls EVERY true
