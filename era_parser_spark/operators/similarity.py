@@ -89,12 +89,48 @@ def cosine_topk(
 
 
 def centroid_table(
-    df: DataFrame, vec_col: str, id_col: str, stride: int = 25, k: int = 64
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    stride: int = 25,
+    k: int = 64,
+    trainer: str = "stride",
+    seed: int = 42,
+    max_train_rows: int = 10_000,
 ) -> DataFrame:
-    """Fixed-k deterministic centroid seed: the first k vectors whose id is a
-    multiple of `stride` — bounded regardless of corpus size, reproducible in
-    plain SQL, and never materialized on the driver.  (Stand-in for k-means
-    training; swap in Spark ML KMeans offline for quality.)"""
+    """IVF centroid table: (centroid_id, cvec array<double>).
+
+    trainer="stride" (default): the first k vectors whose id is a multiple
+    of `stride` — bounded regardless of corpus size, reproducible in plain
+    SQL (it's the oracle-checkable path), and never materialized on the
+    driver.
+
+    trainer="kmeans": Spark ML KMeans fit on a bounded training sample
+    (`max_train_rows` — a narrow limit(), so at corpus scale only the
+    first partitions are read; the fit shuffles only k×dim aggregates).
+    Real centroid quality for production recall; the model's k×dim
+    centers are tiny and safe to materialize.  Same output schema, so
+    ivf_assign / ivf_topk work unchanged.
+    """
+    if trainer == "kmeans":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        train = (
+            df.select(F.col(vec_col).cast("array<double>").alias("v"))
+            .limit(max_train_rows)
+            .select(array_to_vector("v").alias("features"))
+        )
+        k_eff = min(k, train.count())
+        model = KMeans(k=k_eff, seed=seed, maxIter=20).fit(train)
+        cents = [
+            (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+        ]
+        return df.sparkSession.createDataFrame(
+            cents, "centroid_id long, cvec array<double>"
+        )
+    if trainer != "stride":
+        raise ValueError(f"unknown centroid trainer: {trainer!r}")
     return (
         df.filter(F.col(id_col) % stride == 0)
         .orderBy(id_col)
@@ -146,14 +182,17 @@ def ivf_topk(
     stride: int = 25,
     n_centroids: int = 64,
     nprobe: int = 3,
+    trainer: str = "stride",
 ) -> DataFrame:
     """IVF approximate top-k: probe the nprobe nearest cells, brute inside.
 
     Probe-cell selection is a tiny orderBy/limit on the centroid table and
     reaches the corpus as a broadcast semi join — no centroid or vector data
-    ever rides through the driver.
+    ever rides through the driver.  trainer="kmeans" swaps in Spark ML
+    trained centroids (see centroid_table); the registry oracle stays on
+    the deterministic stride path.
     """
-    centroids = centroid_table(df, vec_col, id_col, stride, n_centroids)
+    centroids = centroid_table(df, vec_col, id_col, stride, n_centroids, trainer=trainer)
     q = lit_vector(query)
     probe = (
         centroids.select(

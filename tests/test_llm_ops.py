@@ -307,20 +307,59 @@ def test_simhash_blocking_exact_below_hamming_4(spark):
 
 
 def test_ivf_recall_vs_brute_force(spark):
+    """recall@10 vs the s1 brute-force baseline for BOTH centroid seeding
+    modes (deterministic stride = the oracle path; Spark ML KMeans =
+    production quality).  The sf0.01 fixture is 500 near-uniform random
+    vectors over 64 cells (~8 vectors/cell), so per-query recall is noisy
+    and neither mode dominates — the pinned bound is the mean over three
+    queries; measured curve: stride 5-8/10, kmeans 4-8/10 at nprobe=5."""
     from era_parser_spark.operators.similarity import cosine_topk, ivf_topk
 
     emb = spark.read.parquet(f"{SF_MED}/embeddings.parquet")
-    q = [float(x) for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
-    brute = [r.vec_id for r in cosine_topk(emb, "embedding", "vec_id", q, k=10).collect()]
-    approx = [
-        r.vec_id
-        for r in ivf_topk(
-            emb, "embedding", "vec_id", q, k=10, stride=25, nprobe=5
-        ).collect()
-    ]
-    assert brute[0] == 7  # self is most similar
-    overlap = len(set(brute) & set(approx))
-    assert overlap >= 5, f"IVF recall too low: {overlap}/10"
+    recalls: dict[str, list[int]] = {"stride": [], "kmeans": []}
+    for qid in (7, 0, 123):
+        q = [float(x) for x in emb.filter(F.col("vec_id") == qid).first()["embedding"]]
+        brute = [
+            r.vec_id for r in cosine_topk(emb, "embedding", "vec_id", q, k=10).collect()
+        ]
+        assert brute[0] == qid  # self is most similar
+        for trainer in ("stride", "kmeans"):
+            approx = [
+                r.vec_id
+                for r in ivf_topk(
+                    emb, "embedding", "vec_id", q, k=10,
+                    stride=25, nprobe=5, trainer=trainer,
+                ).collect()
+            ]
+            recalls[trainer].append(len(set(brute) & set(approx)))
+    for trainer, per_q in recalls.items():
+        mean = sum(per_q) / (10 * len(per_q))
+        print(f"ivf recall@10 [{trainer}]: {per_q} mean={mean:.2f}")
+        assert mean >= 0.5, f"{trainer} recall too low: {per_q}"
+        assert min(per_q) >= 3, f"{trainer} has a collapsed query: {per_q}"
+
+
+def test_kmeans_centroids_deterministic_and_usable(spark):
+    """trainer='kmeans' is seed-deterministic, emits the same (centroid_id,
+    cvec) schema as the stride path, and its assignment covers the corpus."""
+    from era_parser_spark.operators.similarity import centroid_table, ivf_assign
+
+    emb = spark.read.parquet(f"{SF_MED}/embeddings.parquet")
+    c1 = centroid_table(emb, "embedding", "vec_id", k=16, trainer="kmeans")
+    c2 = centroid_table(emb, "embedding", "vec_id", k=16, trainer="kmeans")
+    assert c1.columns == ["centroid_id", "cvec"]
+    rows1 = sorted((r.centroid_id, tuple(r.cvec)) for r in c1.collect())
+    rows2 = sorted((r.centroid_id, tuple(r.cvec)) for r in c2.collect())
+    assert rows1 == rows2  # same seed -> same centers
+    assert len(rows1) == 16
+    assigned = ivf_assign(emb, "embedding", "vec_id", c1)
+    assert assigned.count() == emb.count()
+    n_cells = assigned.select("centroid_id").distinct().count()
+    assert n_cells > 1  # the assignment actually spreads over cells
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        centroid_table(emb, "embedding", "vec_id", trainer="bogus")
 
 
 def test_multimodal_features_deterministic(spark):
