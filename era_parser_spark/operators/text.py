@@ -96,10 +96,23 @@ def fingerprint_col(text_col: str | Column) -> Column:
 BPE_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+"
 
 
-def bpe_token_count_col(text_col: str | Column) -> Column:
-    """Subword-style token count via the BPE-ish pre-tokenization regex —
-    the cheap stand-in for a real tokenizer when budgeting training data."""
+def bpe_token_count_col(
+    text_col: str | Column, merges_path: str | None = None
+) -> Column:
+    """Subword-style token count.
+
+    Default (merges_path=None): the BPE-ish pre-tokenization regex — a
+    cheap, exactly-oracle-able stand-in that stays in whole-stage codegen.
+    With `merges_path`: the real byte-pair-encoding merge loop from a
+    merges.txt-style file, run task-side as an Arrow-batched pandas UDF
+    over the SAME pre-token pieces (see operators/tokenizer.py) — counts
+    change, every consumer (packing, quotas) works unchanged.
+    """
     c = F.col(text_col) if isinstance(text_col, str) else text_col
+    if merges_path is not None:
+        from era_parser_spark.operators.tokenizer import real_bpe_token_count_col
+
+        return real_bpe_token_count_col(c, merges_path)
     return F.regexp_count(c, F.lit(BPE_PATTERN))
 
 
