@@ -339,6 +339,168 @@ def all_pairs_topk(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup-style embedding-space dedup (Abbas et al. 2023,
+    arXiv:2303.09540): cluster vectors, then within each cluster drop
+    every vector that has a smaller-id neighbor with cosine >= threshold
+    (keep-min-id survivor, the same convention as exact dedup).  Returns
+    the survivors as (id, centroid_id).
+
+    Scale shape: the corpus never self-joins globally — candidate pairs
+    come from an EQUI-join on centroid_id, so the quadratic term is
+    bounded per cluster; pick k ~ n/target_cluster_size (SemDeDup itself
+    clusters for exactly this reason).  The assignment projection is
+    cached because it feeds three plan branches (both pair sides + the
+    anti-join); uncached, Catalyst re-runs the scan and the broadcast
+    argmin once per branch.  Cosines are DECIMAL(10,6)-quantized BEFORE
+    the threshold compare so the keep/drop decision is reproducible
+    across engines and partitionings.
+    """
+    assigned = (
+        ivf_assign(df, vec_col, id_col, centroids)
+        .select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+            "centroid_id",
+        )
+        .cache()
+    )
+    a = assigned.select(
+        F.col(id_col).alias("__ida"), F.col("__v").alias("__va"), "centroid_id"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("__idb"), F.col("__v").alias("__vb"), "centroid_id"
+    )
+    dropped = (
+        a.join(b, "centroid_id")
+        .where(F.col("__ida") > F.col("__idb"))
+        .where(
+            quantized_cosine(cosine_expr(F.col("__va"), F.col("__vb")))
+            >= threshold
+        )
+        .select(F.col("__ida").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(dropped, id_col, "left_anti").select(
+        id_col, "centroid_id"
+    )
+
+
+def knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Batch k-NN join: for every query vector, its k nearest corpus
+    vectors by cosine — the retrieval-eval / cross-corpus-dedup shape.
+    Output: (query_id, nbr_id, cosine_sim, rnk), rnk 1..k per query with
+    ties broken on neighbor id ascending.
+
+    The query side collapses to ONE row (array of id+vector structs) and
+    broadcasts — the k-NN analog of a broadcast hash join's build side;
+    contract: the query set fits an executor (thousands, not billions).
+    Scoring is a codegen'd explode(transform(qs, ...)) per corpus row, so
+    only (query_id, nbr_id, sim) scalars ever materialize.  Per-query
+    top-k then reduces in two phases so the shuffle carries
+    O(partitions * n_queries * k) rows, never the n_queries * n scored
+    set: (1) an Arrow-batched per-partition streaming heap (Python
+    justified: a bounded-memory running top-k over batches has no
+    DataFrame expression; the cosines arrive already computed and
+    quantized from the JVM), (2) a tiny JVM sort_array/slice merge per
+    query_id.
+    """
+    import heapq
+
+    qs = queries.agg(
+        F.collect_list(
+            F.struct(
+                F.col(id_col).alias("qid"),
+                F.col(vec_col).cast("array<double>").alias("qv"),
+            )
+        ).alias("qs")
+    )
+    emb = F.col(vec_col).cast("array<double>")
+    scored = (
+        corpus.crossJoin(F.broadcast(qs))
+        .select(
+            F.col(id_col).alias("nbr_id"),
+            F.explode(
+                F.transform(
+                    F.col("qs"),
+                    lambda q: F.struct(
+                        q.getField("qid").alias("query_id"),
+                        quantized_cosine(
+                            cosine_expr(emb, q.getField("qv"))
+                        ).alias("cosine_sim"),
+                    ),
+                )
+            ).alias("s"),
+        )
+        .select(F.col("s.query_id"), F.col("nbr_id"), F.col("s.cosine_sim"))
+        .where(F.col("nbr_id") != F.col("query_id"))
+    )
+
+    def part_topk(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # min-heap of (sim, -nbr_id): evicts the worst under the exact
+        # global order (sim desc, nbr_id asc), k entries per query max
+        best: dict[int, list[tuple[float, int]]] = {}
+        for pdf in it:
+            for qid, nbr, sim in zip(
+                pdf["query_id"], pdf["nbr_id"], pdf["cosine_sim"]
+            ):
+                heap = best.setdefault(int(qid), [])
+                item = (float(sim), -int(nbr))
+                if len(heap) < k:
+                    heapq.heappush(heap, item)
+                elif item > heap[0]:
+                    heapq.heapreplace(heap, item)
+        rows = [(q, -ni, s) for q, h in best.items() for s, ni in h]
+        yield pd.DataFrame(
+            {
+                "query_id": pd.Series([r[0] for r in rows], dtype="int64"),
+                "nbr_id": pd.Series([r[1] for r in rows], dtype="int64"),
+                "cosine_sim": pd.Series(
+                    [r[2] for r in rows], dtype="float64"
+                ),
+            }
+        )
+
+    local = scored.mapInPandas(
+        part_topk, "query_id long, nbr_id long, cosine_sim double"
+    )
+    merged = local.groupBy("query_id").agg(
+        F.slice(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("cosine_sim").alias("cosine_sim"),
+                        (-F.col("nbr_id")).alias("__negid"),
+                    )
+                ),
+                asc=False,
+            ),
+            1,
+            k,
+        ).alias("top")
+    )
+    return merged.select(
+        "query_id", F.posexplode("top").alias("__pos", "t")
+    ).select(
+        "query_id",
+        (-F.col("t.__negid")).alias("nbr_id"),
+        F.col("t.cosine_sim").alias("cosine_sim"),
+        (F.col("__pos") + 1).cast("int").alias("rnk"),
+    )
+
+
 def label_centroids(
     df: DataFrame, vec_col: str, label_col: str, quant: int = 1_000_000
 ) -> DataFrame:

@@ -116,6 +116,51 @@ def bpe_token_count_col(
     return F.regexp_count(c, F.lit(BPE_PATTERN))
 
 
+def repetition_metrics(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2
+) -> DataFrame:
+    """Gopher-style within-document repetition signal (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1): the fraction of word n-grams that are repeats
+    of an earlier n-gram in the same document — boilerplate- and
+    template-spam documents score high and get filtered before training.
+
+    dup_ngram_ratio = 1 - distinct_ngrams / total_ngrams (0.0 when the
+    document is shorter than n words).
+
+    Pure JVM higher-order expressions — transform over an index sequence
+    builds the n-gram array, array_distinct counts uniques — so the whole
+    signal is per-row codegen with NO shuffle and no Python: it scans at
+    parquet speed at any corpus size, like the other quality pre-filters.
+    """
+    base = df.select(F.col(id_col), tokens_col(text_col).alias("__tok"))
+    t = F.col("__tok")
+    # sequence() flips to a descending range when end < start, so short
+    # docs must short-circuit to an empty gram list, not sequence(1, 0)
+    grams = F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = base.select(
+        F.col(id_col), F.size(t).alias("n_tokens"), grams.alias("__g")
+    )
+    n_grams = F.size("__g")
+    n_distinct = F.size(F.array_distinct("__g"))
+    return g.select(
+        F.col(id_col),
+        "n_tokens",
+        n_grams.alias("n_ngrams"),
+        n_distinct.alias("n_distinct_ngrams"),
+        F.when(
+            n_grams > 0, F.lit(1.0) - n_distinct.cast("double") / n_grams
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_ngram_ratio"),
+    )
+
+
 def term_salience(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
     """Top-k salient terms per document by tf/df (a div-exact tf-idf stand-in).
 

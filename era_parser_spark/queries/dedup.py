@@ -389,3 +389,45 @@ def dd7_decontamination(spark, sf_dir):
         .orderBy(F.desc("containment"), "train_id", "bench_id")
         .limit(100)
     )
+
+
+@register(
+    "dd8_semdedup",
+    # The IVF rule (stride-25 centroids, L2 argmin, id tie-break) and the
+    # DECIMAL(10,6)-quantized cosine threshold are both SQL-expressible,
+    # so the whole semantic-dedup decision is exactly checkable.  The 0.35
+    # threshold is tuned to this synthetic corpus (no true near-dups:
+    # max pairwise cosine ~0.51); production corpora use ~0.95.
+    oracle="""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+      FROM embeddings WHERE vec_id % 25 = 0 ORDER BY vec_id LIMIT 16
+    ),
+    assign AS (
+      SELECT e.vec_id, e.embedding,
+             (SELECT c.cid FROM cent c
+               ORDER BY list_distance(e.embedding::DOUBLE[], c.cvec) ASC,
+                        c.cid ASC
+               LIMIT 1) AS centroid_id
+      FROM embeddings e
+    ),
+    dropped AS (
+      SELECT DISTINCT a.vec_id
+      FROM assign a JOIN assign b
+        ON a.centroid_id = b.centroid_id AND a.vec_id > b.vec_id
+      WHERE CAST(CAST(list_cosine_similarity(
+              a.embedding::DOUBLE[], b.embedding::DOUBLE[]
+            ) AS DECIMAL(10,6)) AS DOUBLE) >= 0.35
+    )
+    SELECT a.vec_id, a.centroid_id
+    FROM assign a ANTI JOIN dropped d ON a.vec_id = d.vec_id
+    """,
+)
+def dd8_semdedup(spark, sf_dir):
+    # SemDeDup: embedding-cluster semantic dedup — candidate pairs only
+    # within a centroid cell (equi-join), keep-min-id survivors.
+    from era_parser_spark.operators.similarity import centroid_table, semantic_dedup
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents = centroid_table(emb, "embedding", "vec_id", stride=25, k=16)
+    return semantic_dedup(emb, "embedding", "vec_id", cents, threshold=0.35)

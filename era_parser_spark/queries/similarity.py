@@ -135,3 +135,34 @@ def s4_label_centroids(spark, sf_dir):
 
     emb = table(spark, sf_dir, "embeddings")
     return label_centroids(emb, "embedding", "label")
+
+
+@register(
+    "s5_knn_join",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id % 101 = 0
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS nbr_id,
+             CAST(CAST(list_cosine_similarity(
+               e.embedding::DOUBLE[], q.qv
+             ) AS DECIMAL(10,6)) AS DOUBLE) AS cosine_sim
+      FROM embeddings e, q WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, nbr_id, cosine_sim,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY cosine_sim DESC, nbr_id
+           ) AS INTEGER) AS rnk
+    FROM scored QUALIFY rnk <= 5
+    """,
+)
+def s5_knn_join(spark, sf_dir):
+    # Batch k-NN join: exact top-5 corpus neighbors for every query vector
+    # (vec_id % 101 == 0) — broadcast query side, two-phase top-k reduce.
+    from era_parser_spark.operators.similarity import knn_join
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 101 == 0)
+    return knn_join(emb, queries, "embedding", "vec_id", k=5)

@@ -115,6 +115,39 @@ def t5_bpe_token_count(spark, sf_dir):
     )
 
 
+@register(
+    "t7_repetition_ratio",
+    # Same arithmetic both sides: double division + subtraction are IEEE
+    # bit-identical; the short-doc branch returns an exact 0.0 literal.
+    oracle=f"""
+    WITH tokd AS (SELECT doc_id, {_TOK} AS w FROM documents),
+    g AS (
+      SELECT doc_id, len(w) AS n_tokens,
+             CASE WHEN len(w) >= 2
+                  THEN list_transform(range(1, len(w)),
+                                      i -> array_to_string(w[i:i+1], ' '))
+                  ELSE CAST([] AS VARCHAR[]) END AS grams
+      FROM tokd
+    )
+    SELECT doc_id, n_tokens,
+           len(grams) AS n_ngrams,
+           len(list_distinct(grams)) AS n_distinct_ngrams,
+           CASE WHEN len(grams) > 0
+                THEN CAST(1.0 AS DOUBLE)
+                     - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+                ELSE CAST(0.0 AS DOUBLE) END AS dup_ngram_ratio
+    FROM g
+    """,
+)
+def t7_repetition_ratio(spark, sf_dir):
+    # Gopher-style duplicate-bigram fraction per document (repetitive /
+    # template-spam filter) — zero-shuffle JVM higher-order expressions.
+    from era_parser_spark.operators.text import repetition_metrics
+
+    docs = table(spark, sf_dir, "documents")
+    return repetition_metrics(docs, "doc_id", "text", n=2)
+
+
 def _winnowing_oracle(k: int = 8, w: int = 4, min_shared: int = 5, max_doc_freq: int = 100) -> str:
     """The whole winnowing scheme re-derived in SQL: polynomial rolling
     hash per k-gram (precomputed power table, HUGEINT accumulation mod

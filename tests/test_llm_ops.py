@@ -473,3 +473,127 @@ def test_decontamination_finds_planted_quote(spark):
     inter, bench_sz, containment = got[(1, 900)]
     assert containment == 1.0 and inter == bench_sz
     assert (2, 900) not in got
+
+
+# --- round 5: semantic dedup (dd8), knn join (s5), repetition ratio (t7) ---
+
+
+@pytest.fixture(scope="module")
+def emb_with_dups(spark):
+    """embeddings + planted exact-duplicate vectors (cosine exactly 1.0)."""
+    emb = spark.read.parquet(f"{SF_MED}/embeddings.parquet")
+    dup = emb.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label"
+    )
+    return emb.unionByName(dup).cache()
+
+
+def test_semantic_dedup_collapses_planted_copies(spark, emb_with_dups):
+    from era_parser_spark.operators.similarity import centroid_table, semantic_dedup
+
+    cents = centroid_table(emb_with_dups, "embedding", "vec_id", stride=25, k=16)
+    out = semantic_dedup(emb_with_dups, "embedding", "vec_id", cents, threshold=0.9)
+    ids = {r.vec_id for r in out.collect()}
+    # an identical vector lands in the same argmin cell, scores cosine 1.0
+    # against its original, and the larger id loses (keep-min-id)
+    for d in (0, 1, 2):
+        assert d in ids and (d + 10000) not in ids
+    # the corpus itself has no pairs >= 0.9 (max pairwise ~0.51), so the
+    # planted copies are the only drops
+    assert len(ids) == 500
+
+
+def test_semantic_dedup_survivor_has_no_dominating_neighbor(spark):
+    """Exhaustive invariant at sf0.01 vs a brute-force pandas recompute:
+    dropped <=> exists smaller-id same-cluster neighbor above threshold."""
+    import numpy as np
+
+    from era_parser_spark.operators.similarity import (
+        centroid_table,
+        ivf_assign,
+        semantic_dedup,
+    )
+
+    emb = spark.read.parquet(f"{SF_MED}/embeddings.parquet")
+    cents = centroid_table(emb, "embedding", "vec_id", stride=25, k=16)
+    survivors = {
+        r.vec_id
+        for r in semantic_dedup(emb, "embedding", "vec_id", cents, 0.35).collect()
+    }
+    rows = ivf_assign(emb, "embedding", "vec_id", cents).collect()
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in rows}
+    cell = {r.vec_id: r.centroid_id for r in rows}
+    for vid, v in vecs.items():
+        dominated = any(
+            cell[o] == cell[vid]
+            and o < vid
+            and float(v @ vecs[o])
+            / float(np.linalg.norm(v) * np.linalg.norm(vecs[o]))
+            >= 0.3505  # clear of the quantization boundary
+            for o in vecs
+        )
+        near_thr = any(
+            cell[o] == cell[vid] and o < vid
+            and 0.3495
+            <= float(v @ vecs[o])
+            / float(np.linalg.norm(v) * np.linalg.norm(vecs[o]))
+            < 0.3505
+            for o in vecs
+        )
+        if near_thr:
+            continue  # within a quantization ulp of the threshold: either way
+        assert (vid not in survivors) == dominated, vid
+
+
+def test_knn_join_matches_per_query_bruteforce(spark):
+    """Two-phase top-k over a multi-partition corpus must equal the s1
+    brute-force baseline per query, ranks 1..k with id tie-breaks."""
+    from era_parser_spark.operators.similarity import cosine_topk, knn_join
+
+    emb = spark.read.parquet(f"{SF_MED}/embeddings.parquet").repartition(7).cache()
+    queries = emb.filter(F.col("vec_id") % 101 == 0)
+    got = knn_join(emb, queries, "embedding", "vec_id", k=5).collect()
+    by_q: dict[int, list] = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    qvecs = {r.vec_id: [float(x) for x in r.embedding] for r in queries.collect()}
+    assert set(by_q) == set(qvecs)
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rows] == [1, 2, 3, 4, 5]
+        expect = cosine_topk(
+            emb.filter(F.col("vec_id") != qid), "embedding", "vec_id", qvecs[qid], k=5
+        ).collect()
+        assert [(r.nbr_id, r.cosine_sim) for r in rows] == [
+            (e.vec_id, e.cosine_sim) for e in expect
+        ], qid
+    emb.unpersist()
+
+
+def test_repetition_metrics_hand_fixture(spark):
+    from era_parser_spark.operators.text import repetition_metrics
+
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "x"), (3, ""), (4, "w w w w")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_metrics(df, "doc_id", "text").collect()}
+    assert (out[1].n_ngrams, out[1].n_distinct_ngrams) == (4, 3)
+    assert out[1].dup_ngram_ratio == pytest.approx(0.25)
+    assert out[2].n_ngrams == 0 and out[2].dup_ngram_ratio == 0.0
+    assert out[3].n_ngrams == 0 and out[3].dup_ngram_ratio == 0.0
+    assert (out[4].n_ngrams, out[4].n_distinct_ngrams) == (3, 1)
+    assert out[4].dup_ngram_ratio == pytest.approx(2 / 3)
+
+
+def test_repetition_metrics_trigram(spark):
+    from era_parser_spark.operators.text import repetition_metrics
+
+    df = spark.createDataFrame(
+        [(1, "a b c a b c a b"), (2, "a b")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in repetition_metrics(df, "doc_id", "text", n=3).collect()}
+    # trigrams: abc bca cab abc bca cab -> 6 grams, 3 distinct
+    assert (out[1].n_ngrams, out[1].n_distinct_ngrams) == (6, 3)
+    assert out[1].dup_ngram_ratio == pytest.approx(0.5)
+    assert out[2].n_ngrams == 0  # shorter than n

@@ -206,3 +206,38 @@ def test_shared_branches_are_cached(spark, queries):
                              ("dd7_decontamination", 4)):
         plan = queries[name](spark, SF_MED)._jdf.queryExecution().executedPlan().toString()
         assert plan.count("InMemoryTableScan") >= min_cached, name
+
+
+def test_repetition_ratio_no_shuffle(spark, queries):
+    """t7 is per-row higher-order expressions over one scan: no Exchange,
+    no Python, one FileScan."""
+    plan = queries["t7_repetition_ratio"](spark, SF_MED)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert plan.count("FileScan") == 1
+    assert "Python" not in plan and "MapInPandas" not in plan
+
+
+def test_semdedup_pairs_are_equi_join_on_cell(spark, queries):
+    """dd8: candidate pairs must come from an equi-join on centroid_id (the
+    cluster bound is the whole point — a global pair join is quadratic),
+    and the assignment projection must be cached (it feeds both pair sides
+    plus the anti-join; uncached each branch re-runs scan + argmin)."""
+    import re
+
+    df = queries["dd8_semdedup"](spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan
+    assert plan.count("InMemoryTableScan") >= 3
+    # the pair join keys on centroid_id (any shuffle/broadcast hash variant)
+    assert re.search(r"(SortMergeJoin|HashJoin).{0,120}centroid_id", plan, re.S)
+
+
+def test_knn_join_two_phase_topk(spark, queries):
+    """s5: per-partition Arrow top-k then a tiny merge — never a global
+    Window over the n_queries x n scored set, and the only nested-loop
+    join is the single-row broadcast of the collapsed query side."""
+    df = queries["s5_knn_join"](spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "Window" not in plan  # top-k is not a row_number window
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # the 1-row query side
