@@ -35,8 +35,11 @@ HEADLINE = [
     "t2_quality_score",
     "t3_lang_id",
     "t6_term_salience",
+    "t7_repetition_ratio",
     "s1_cosine_topk",
     "s3_embedding_dup_pairs",
+    "s5_knn_join",
+    "dd8_semdedup",
     "x10_salted_skew_join",
 ]
 

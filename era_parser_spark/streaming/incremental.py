@@ -128,10 +128,23 @@ def process_eras_batch(
             for era in eras
         ]
     )
+    staging = f"{out_base}/_staging_blocks"
     try:
-        blocks = read_era_blocks(
+        # Materialize the decoded blocks ONCE to a staging parquet instead
+        # of cache(): the 15 table builds then run as column-PRUNED
+        # columnar scans with bounded memory.  A cached decoded-blocks DF
+        # must hold (or spill fragment-by-fragment) the whole batch in the
+        # block manager while every table build fights it for execution
+        # memory — at 512 eras x 4096 blocks on a 16g local JVM that GC-
+        # death-spiraled (found by tools/rehearsal.py); on a real cluster
+        # it caps batch size by aggregate executor memory for no reason.
+        # Parse cost stays one pass either way; the staging write is the
+        # same volume the cache would have spilled, and each table build
+        # reads only its own columns back.
+        read_era_blocks(
             spark, [p for _, p in todo], network=network, tables=tables
-        ).cache()
+        ).write.mode("overwrite").parquet(staging)
+        blocks = spark.read.parquet(staging)
         names = tables or list(TABLE_BUILDERS)
         counts: dict[int, dict[str, int]] = {e: {} for e in eras}
         for name in names:
@@ -154,7 +167,6 @@ def process_eras_batch(
                 )
             for era in eras:
                 counts[era][name] = int(per_era_counts.get(era, 0))
-        blocks.unpersist()
         store.record_many(
             [
                 {"network": network, "era_number": era, "status": "completed",
@@ -175,6 +187,15 @@ def process_eras_batch(
             ]
         )
         raise
+    finally:
+        # staging is batch-scoped scratch; on failure the next run rewrites
+        # it anyway, so best-effort delete either way
+        try:
+            jvm = spark._jvm
+            p = jvm.org.apache.hadoop.fs.Path(staging)
+            p.getFileSystem(spark._jsc.hadoopConfiguration()).delete(p, True)
+        except Exception:  # noqa: BLE001 - cleanup must never mask the result
+            pass
 
 
 # --- Structured Streaming over normalized tables -----------------------------
