@@ -112,3 +112,45 @@ def quota_per_group(
         df.withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= n)
     )
+
+
+# Knuth's multiplicative hash constant (2^32 / phi); the product stays
+# below 2^63 for any id < ~3.5e9 — use a pre-hashed 32-bit id column for
+# wider key spaces.
+_KNUTH = 2654435761
+_HASH_MOD = 1 << 32
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum subsampling: row kept iff
+    (id * 2654435761) mod 2^32 < fraction[stratum] * 2^32.
+
+    Unlike sampleBy(), the decision is a pure function of the row id —
+    reproducible across engines, partitionings, retries and incremental
+    re-runs (a row's fate never changes, so a resumed pipeline keeps
+    exactly the rows it kept before), and exactly expressible in plain
+    SQL for the oracle.  The multiplicative hash decorrelates the keep
+    set from id order, so range-clustered ids don't bias the sample.
+
+    Scale shape: a per-row filter evaluated in codegen against a
+    broadcast literal map — no shuffle, no sort, prunes at the scan.
+    """
+    bounds = F.create_map(
+        *[
+            F.lit(x)
+            for kv in fractions.items()
+            for x in (kv[0], int(kv[1] * _HASH_MOD))
+        ]
+    )
+    bound = F.coalesce(
+        F.element_at(bounds, F.col(strata_col)),
+        F.lit(int(default_fraction * _HASH_MOD)),
+    )
+    hashed = F.pmod(F.col(id_col) * F.lit(_KNUTH), F.lit(_HASH_MOD))
+    return df.filter(hashed < bound)

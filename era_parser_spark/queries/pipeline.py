@@ -140,3 +140,31 @@ def p3_source_quota(spark, sf_dir):
     return quota_per_group(
         counted, "source", [F.desc("n_tokens"), F.asc("doc_id")], n=15
     )
+
+
+@register(
+    "p4_stratified_sample",
+    # (doc_id * 2654435761) % 2^32 is exact BIGINT math in both engines,
+    # so the keep decision is bit-identical — see
+    # operators/curation.py::stratified_sample.
+    oracle="""
+    SELECT doc_id, source
+    FROM documents
+    WHERE (doc_id * 2654435761) % 4294967296
+          < CASE source
+              WHEN 'src0' THEN CAST(floor(0.8 * 4294967296) AS BIGINT)
+              WHEN 'src1' THEN CAST(floor(0.5 * 4294967296) AS BIGINT)
+              ELSE            CAST(floor(0.2 * 4294967296) AS BIGINT)
+            END
+    """,
+)
+def p4_stratified_sample(spark, sf_dir):
+    # Deterministic per-source subsampling (source rebalancing before
+    # training): pure codegen filter, reproducible across runs/engines —
+    # unlike sampleBy's RNG.
+    from era_parser_spark.operators.curation import stratified_sample
+
+    docs = table(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "source", "doc_id", {"src0": 0.8, "src1": 0.5}, default_fraction=0.2
+    ).select("doc_id", "source")

@@ -174,3 +174,32 @@ def test_real_bpe_udf_and_packing_integration(spark, tmp_path):
         for r in pack_token_windows(real, "doc_id", "n_toks", window=8).collect()
     }
     assert got_pack == _pack_ref(want_counts, 8)
+
+
+def test_stratified_sample_deterministic_and_unbiased(spark):
+    """p4: keep set is a pure function of id (partitioning-independent),
+    per-stratum rates land near the requested fractions, and the filter
+    is pure codegen — no Exchange in the plan."""
+    from pyspark.sql import functions as F
+
+    from era_parser_spark.operators.curation import stratified_sample
+
+    df = spark.range(0, 20000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 2).cast("string")).alias("source"),
+    )
+    out = stratified_sample(df, "source", "doc_id", {"s0": 0.5}, default_fraction=0.1)
+    a = {r.doc_id for r in out.collect()}
+    b = {
+        r.doc_id
+        for r in stratified_sample(
+            df.repartition(13), "source", "doc_id", {"s0": 0.5}, 0.1
+        ).collect()
+    }
+    assert a == b
+    n0 = sum(1 for i in a if i % 2 == 0)
+    n1 = len(a) - n0
+    assert abs(n0 / 10000 - 0.5) < 0.02
+    assert abs(n1 / 10000 - 0.1) < 0.02
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
