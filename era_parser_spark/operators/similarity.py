@@ -362,26 +362,37 @@ def semantic_dedup(
     the threshold compare so the keep/drop decision is reproducible
     across engines and partitionings.
     """
+    # squared norm is precomputed once per vector in the cached projection
+    # (same sequential fold as cosine_expr's sumsq, so dot/sqrt(ssa*ssb)
+    # stays bit-identical to list_cosine_similarity) — per candidate pair
+    # only the dot product remains, ~3x fewer fold ops in the quadratic part
+    v = F.col(vec_col).cast("array<double>")
     assigned = (
         ivf_assign(df, vec_col, id_col, centroids)
         .select(
             F.col(id_col),
-            F.col(vec_col).cast("array<double>").alias("__v"),
+            v.alias("__v"),
+            sumsq_expr(v).alias("__ss"),
             "centroid_id",
         )
         .cache()
     )
     a = assigned.select(
-        F.col(id_col).alias("__ida"), F.col("__v").alias("__va"), "centroid_id"
+        F.col(id_col).alias("__ida"), F.col("__v").alias("__va"),
+        F.col("__ss").alias("__ssa"), "centroid_id",
     )
     b = assigned.select(
-        F.col(id_col).alias("__idb"), F.col("__v").alias("__vb"), "centroid_id"
+        F.col(id_col).alias("__idb"), F.col("__v").alias("__vb"),
+        F.col("__ss").alias("__ssb"), "centroid_id",
     )
     dropped = (
         a.join(b, "centroid_id")
         .where(F.col("__ida") > F.col("__idb"))
         .where(
-            quantized_cosine(cosine_expr(F.col("__va"), F.col("__vb")))
+            quantized_cosine(
+                dot_expr(F.col("__va"), F.col("__vb"))
+                / F.sqrt(F.col("__ssa") * F.col("__ssb"))
+            )
             >= threshold
         )
         .select(F.col("__ida").alias(id_col))
@@ -419,26 +430,37 @@ def knn_join(
     """
     import heapq
 
+    qv = F.col(vec_col).cast("array<double>")
     qs = queries.agg(
         F.collect_list(
             F.struct(
                 F.col(id_col).alias("qid"),
-                F.col(vec_col).cast("array<double>").alias("qv"),
+                qv.alias("qv"),
+                sumsq_expr(qv).alias("qss"),
             )
         ).alias("qs")
     )
+    # squared norms precomputed per corpus row and per query (inside the
+    # broadcast struct): the per-(row, query) work is one dot product —
+    # dot/sqrt(ss_a*ss_q) is the same math as cosine_expr, bit-identical
     emb = F.col(vec_col).cast("array<double>")
     scored = (
-        corpus.crossJoin(F.broadcast(qs))
-        .select(
+        corpus.select(
             F.col(id_col).alias("nbr_id"),
+            emb.alias("__v"),
+            sumsq_expr(emb).alias("__ss"),
+        )
+        .crossJoin(F.broadcast(qs))
+        .select(
+            F.col("nbr_id"),
             F.explode(
                 F.transform(
                     F.col("qs"),
                     lambda q: F.struct(
                         q.getField("qid").alias("query_id"),
                         quantized_cosine(
-                            cosine_expr(emb, q.getField("qv"))
+                            dot_expr(F.col("__v"), q.getField("qv"))
+                            / F.sqrt(F.col("__ss") * q.getField("qss"))
                         ).alias("cosine_sim"),
                     ),
                 )
