@@ -14,8 +14,8 @@ from pyspark.sql import functions as F
 from era_parser_spark.queries.registry import register, table
 
 
-def _stream_src_dir(prefix: str, sf_dir: str) -> str:
-    """Stable per-sf_dir /tmp dir exposing events.parquet to the streaming
+def _stream_src_dir(prefix: str, sf_dir: str, table_file: str = "events.parquet") -> str:
+    """Stable per-sf_dir /tmp dir exposing one table file to the streaming
     file source.  Stable digest, not hash(): Python string hashing is
     per-process randomized, so hash() would mint a fresh dir every run."""
     import hashlib
@@ -25,9 +25,9 @@ def _stream_src_dir(prefix: str, sf_dir: str) -> str:
         f"{prefix}_src_{hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]}",
     )
     os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, "events.parquet")
+    link = os.path.join(d, table_file)
     if not os.path.exists(link):
-        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+        os.symlink(os.path.abspath(f"{sf_dir}/{table_file}"), link)
     return d
 
 
@@ -163,3 +163,34 @@ def st3_stream_sessionize(spark, sf_dir):
         )
     )
     return run_stream_once(session_monitor(stream), f"st3_{uuid.uuid4().hex[:8]}")
+
+
+@register(
+    "st4_stream_exact_dedup",
+    # Over one AvailableNow batch the snapshot-emit equals the batch
+    # digest-groupBy exactly; md5 is lowercase hex in both engines.
+    oracle="""
+    SELECT md5(text) AS digest, min(doc_id) AS doc_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def st4_stream_exact_dedup(spark, sf_dir):
+    """Stateful streaming exact dedup driven to completion: per-digest
+    state keeps the first-seen min id and folds every later duplicate —
+    across micro-batches — into its copy count (the streaming twin of
+    dd1_exact_dedup; cross-batch continuity pinned in
+    tests/test_state_sinks_streaming.py)."""
+    from era_parser_spark.streaming.incremental import digest_dedup_monitor, run_stream_once
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream_dir = _stream_src_dir("st4", sf_dir, "documents.parquet")
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(stream_dir)
+        .select(
+            F.md5(F.col("text").cast("binary")).alias("digest"),
+            "doc_id",
+        )
+    )
+    return run_stream_once(digest_dedup_monitor(stream), f"st4_{uuid.uuid4().hex[:8]}")

@@ -328,6 +328,53 @@ def _sessionize_fn(
     )
 
 
+_DEDUP_OUT_SCHEMA = "digest string, doc_id long, n_copies long"
+_DEDUP_STATE_SCHEMA = "keeper long, n long"
+
+
+def _digest_dedup_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (digest,) = key
+    ids: list[int] = []
+    for pdf in pdfs:
+        ids.extend(int(i) for i in pdf["doc_id"])
+    if state.exists:
+        keeper, n = (int(v) for v in state.get)
+    else:
+        keeper, n = min(ids), 0
+    n += len(ids)
+    state.update((keeper, n))
+    # snapshot semantics (like the sessionizer): over one AvailableNow
+    # batch the emitted set IS the batch dedup answer; across batches the
+    # digest re-emits with an updated copy count under the same keeper
+    # (last-write-wins downstream) — the keeper never changes once set,
+    # so late duplicates are dropped, not re-kept
+    yield pd.DataFrame({"digest": [digest], "doc_id": [keeper], "n_copies": [n]})
+
+
+def digest_dedup_monitor(stream: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator #3: exact dedup across
+    micro-batches (the streaming twin of dd1).  Per-digest state carries
+    (keeper_id, copies_seen); the first-seen batch's min id wins and every
+    later duplicate anywhere in the stream folds into its count.  Input
+    needs `digest` (compute it JVM-side — md5/xxhash of the content) and
+    `doc_id`.  State shards by digest, the same key dd1 shuffles on, so
+    the operator scales exactly like the batch op plus O(distinct) state.
+    """
+    return (
+        stream.select("digest", "doc_id")
+        .groupBy("digest")
+        .applyInPandasWithState(
+            _digest_dedup_fn,
+            outputStructType=_DEDUP_OUT_SCHEMA,
+            stateStructType=_DEDUP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def session_monitor(stream: DataFrame) -> DataFrame:
     """Custom stateful streaming operator #2: 30-minute-gap sessionization
     (the streaming twin of x2_sessionize).  Per-user state carries the open

@@ -397,3 +397,45 @@ def test_compact_dataset_sizes_files_per_partition(spark, tmp_path_factory):
     after = sorted((r.era, r.seq) for r in spark.read.parquet(out).collect())
     assert after == rows_before
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+
+def test_digest_dedup_state_across_microbatches(spark, tmp_path_factory):
+    """st4's per-digest state must survive micro-batch boundaries: a
+    duplicate arriving in a LATER batch folds into the first batch's
+    keeper — and the keeper is FIRST-SEEN (a later, smaller id cannot
+    retroactively win, because the first survivor was already emitted
+    downstream).  Behavior no single-batch oracle can check."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from era_parser_spark.streaming.incremental import (
+        digest_dedup_monitor,
+        run_stream_once,
+    )
+
+    src = tmp_path_factory.mktemp("st_dedup_src")
+    # file order == micro-batch order (maxFilesPerTrigger=1, names sorted)
+    spark.createDataFrame(
+        [(10, "aaa"), (11, "bbb"), (12, "aaa")], "doc_id long, digest string"
+    ).coalesce(1).write.parquet(str(src / "a_batch1"))
+    spark.createDataFrame(
+        [(5, "aaa"), (13, "ccc")], "doc_id long, digest string"
+    ).coalesce(1).write.parquet(str(src / "b_batch2"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, digest string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    out = run_stream_once(digest_dedup_monitor(stream), f"dd_{_uuid.uuid4().hex[:8]}")
+    # last-write-wins per digest: max n_copies carries the final state
+    final = {
+        r.digest: (r.doc_id, r.n_copies)
+        for r in out.groupBy("digest", "doc_id")
+        .agg(F.max("n_copies").alias("n_copies"))
+        .collect()
+    }
+    assert final["aaa"] == (10, 3)  # batch-2 dup folded in; keeper unchanged
+    assert final["bbb"] == (11, 1)
+    assert final["ccc"] == (13, 1)
