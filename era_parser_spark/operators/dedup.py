@@ -446,3 +446,44 @@ def cross_corpus_overlap(
         .withColumn("containment", F.col("inter") / F.col("bench_sz"))
         .select("train_id", "bench_id", "inter", "train_sz", "bench_sz", "containment")
     )
+
+
+def simhash_md5_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 60
+) -> DataFrame:
+    """SimHash computed entirely JVM-side from a 60-bit md5 token hash —
+    the exactly-oracle-able twin of simhash_fingerprints (whose blake2b
+    hash has no SQL counterpart, leaving dd4 rows-only).
+
+    Per token: h = int(md5(token)[:15 hex]) (60 bits keeps the value
+    positive in a signed BIGINT in both engines).  Per document, bit j of
+    the fingerprint is the sign of sum(+-1 over tokens' bit j).  The
+    per-bit sums run as 60 parallel agg expressions over ONE token
+    explode — shuffle volume is O(docs * 60) map-side-combined partial
+    sums, not the 64x-exploded token stream the pandas-UDF docstring
+    above warns about, and md5/shift/sum all stay in codegen.
+    """
+    tok = tokens_col(text_col)
+    ex = df.select(F.col(id_col), F.explode(tok).alias("__t")).select(
+        F.col(id_col),
+        F.conv(
+            F.substring(F.md5(F.col("__t").cast("binary")), 1, 15), 16, 10
+        )
+        .cast("bigint")
+        .alias("__h"),
+    )
+    sums = ex.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.shiftright(F.col("__h"), j).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"__b{j}")
+            for j in range(bits)
+        ]
+    )
+    fp = None
+    for j in range(bits):
+        term = F.when(F.col(f"__b{j}") >= 0, F.lit(1 << j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        fp = term if fp is None else fp + term
+    return sums.select(F.col(id_col), fp.alias("simhash"))

@@ -431,3 +431,38 @@ def dd8_semdedup(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings")
     cents = centroid_table(emb, "embedding", "vec_id", stride=25, k=16)
     return semantic_dedup(emb, "embedding", "vec_id", cents, threshold=0.35)
+
+
+def _simhash_md5_oracle(bits: int = 60) -> str:
+    bsum = ", ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(bits)
+    )
+    fp = " + ".join(
+        f"CASE WHEN b{j} >= 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END"
+        for j in range(bits)
+    )
+    return f"""
+    WITH ex AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(t), 1, 15)) AS UBIGINT) AS h
+      FROM (SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+            FROM documents)
+    ),
+    bits AS (SELECT doc_id, {bsum} FROM ex GROUP BY doc_id)
+    SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM bits
+    """
+
+
+@register("dd4b_simhash_md5", oracle=_simhash_md5_oracle())
+def dd4b_simhash_md5(spark, sf_dir):
+    # SimHash with an exact oracle: 60-bit md5 token hash, per-bit +-1
+    # majority — every step (md5, hex->int, shifts, sums) is bit-identical
+    # in Spark and DuckDB, so the full fingerprint is value-checked
+    # (dd4's blake2b variant stays rows-only; its banding/recall semantics
+    # are pytest-pinned).
+    from era_parser_spark.operators.dedup import simhash_md5_fingerprints
+
+    docs = table(spark, sf_dir, "documents")
+    return simhash_md5_fingerprints(docs, "doc_id", "text")

@@ -597,3 +597,21 @@ def test_repetition_metrics_trigram(spark):
     assert (out[1].n_ngrams, out[1].n_distinct_ngrams) == (6, 3)
     assert out[1].dup_ngram_ratio == pytest.approx(0.5)
     assert out[2].n_ngrams == 0  # shorter than n
+
+
+def test_simhash_md5_hamming_tracks_similarity(spark):
+    """dd4b: identical docs collide exactly; a one-token edit moves few
+    bits; unrelated text moves many (fixed strings -> deterministic)."""
+    from era_parser_spark.operators.dedup import simhash_md5_fingerprints
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away " * 6
+    near = base.replace("lazy", "sleepy", 1)
+    far = "completely unrelated words about spark parquet shuffles and arrow batches " * 6
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, far)], "doc_id long, text string"
+    )
+    fps = {r.doc_id: r.simhash for r in simhash_md5_fingerprints(df, "doc_id", "text").collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert fps[1] == fps[2]
+    assert ham(fps[1], fps[3]) < ham(fps[1], fps[4])
+    assert ham(fps[1], fps[3]) <= 15  # one token of ~60 -> few flipped bits
