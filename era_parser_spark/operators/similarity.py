@@ -549,3 +549,43 @@ def label_centroids(
         )
         .withColumn("mean_v", F.col("qsum") / (F.lit(float(quant)) * F.col("n")))
     )
+
+
+def semantic_dedup_with_stats(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+) -> tuple[DataFrame, dict]:
+    """`semantic_dedup` plus the cluster-skew stats that bound its cost.
+
+    The pair join is quadratic PER CLUSTER, so the operational health
+    number is the cluster-size distribution: stats =
+    {"n_clusters", "max_cluster", "mean_cluster", "candidate_pairs"
+    (sum of n_c*(n_c-1)/2 — the exact number of cosines the pair join
+    will evaluate)}.  If max_cluster grows out of proportion (a
+    boilerplate/spam embedding mode), raise k or pre-split that cluster
+    before paying its quadratic term; the stats aggregate is one tiny
+    groupBy over the same cached assignment the dedup reuses.
+    """
+    survivors = semantic_dedup(df, vec_col, id_col, centroids, threshold)
+    sizes = (
+        ivf_assign(df, vec_col, id_col, centroids)
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    row = sizes.agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.coalesce(F.max("n"), F.lit(0)).alias("max_cluster"),
+        F.coalesce(F.avg("n"), F.lit(0.0)).alias("mean_cluster"),
+        F.coalesce(
+            F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("long"), F.lit(0)
+        ).alias("candidate_pairs"),
+    ).first()
+    return survivors, {
+        "n_clusters": int(row.n_clusters),
+        "max_cluster": int(row.max_cluster),
+        "mean_cluster": float(row.mean_cluster),
+        "candidate_pairs": int(row.candidate_pairs),
+    }

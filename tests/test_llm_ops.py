@@ -615,3 +615,29 @@ def test_simhash_md5_hamming_tracks_similarity(spark):
     assert fps[1] == fps[2]
     assert ham(fps[1], fps[3]) < ham(fps[1], fps[4])
     assert ham(fps[1], fps[3]) <= 15  # one token of ~60 -> few flipped bits
+
+
+def test_semantic_dedup_stats_bound_the_pair_join(spark):
+    """The reported candidate_pairs must equal sum(n_c choose 2) — the
+    exact quadratic budget the per-cluster equi-join pays."""
+    from era_parser_spark.operators.similarity import (
+        centroid_table,
+        ivf_assign,
+        semantic_dedup_with_stats,
+    )
+
+    emb = spark.read.parquet(f"{SF_MED}/embeddings.parquet")
+    cents = centroid_table(emb, "embedding", "vec_id", stride=25, k=16)
+    out, stats = semantic_dedup_with_stats(emb, "embedding", "vec_id", cents, 0.35)
+    sizes = [
+        r.n
+        for r in ivf_assign(emb, "embedding", "vec_id", cents)
+        .groupBy("centroid_id")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    ]
+    assert stats["n_clusters"] == len(sizes) == 16
+    assert stats["max_cluster"] == max(sizes)
+    assert stats["candidate_pairs"] == sum(n * (n - 1) // 2 for n in sizes)
+    assert out.count() == 438  # same survivors as the plain operator
