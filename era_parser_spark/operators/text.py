@@ -189,3 +189,39 @@ def term_salience(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Data
         .filter(F.col("rn") <= k)
         .select(id_col, "term", "tf", "df", "score", "rn")
     )
+
+
+def rarity_score(
+    df: DataFrame, id_col: str, text_col: str, quant: int = 1_000_000
+) -> DataFrame:
+    """Per-document token-rarity score — a surprisal/perplexity proxy for
+    gibberish and OCR-noise detection: documents dominated by tokens that
+    appear in few other documents score high; stopword-heavy prose scores
+    low.  score = sum over token occurrences of (quant div df(token)),
+    normalized by token count.
+
+    Exactness: `quant div df` is integer division (bit-identical in any
+    engine — unlike log-based idf, which is at the mercy of each libm),
+    and the per-doc sum is an exact BIGINT, order-independent under any
+    partitioning; only the final normalization divides as doubles.
+
+    Scale shape: same single-scan discipline as term_salience — df is a
+    count window OVER the (doc, term, tf) table, never a second pass of
+    the raw token stream; one explode, two map-side-combinable shuffles.
+    """
+    from pyspark.sql import Window as W
+
+    ex = df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("term"))
+    tf = ex.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    scored = tf.withColumn(
+        "df", F.count(F.lit(1)).over(W.partitionBy("term"))
+    ).withColumn(
+        "q_rarity", F.col("tf") * F.expr(f"{quant} div df")
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.sum("q_rarity").cast("long").alias("q_rarity_sum"),
+        (F.sum("q_rarity") / (F.lit(float(quant)) * F.sum("tf"))).alias(
+            "mean_rarity"
+        ),
+    )

@@ -245,3 +245,32 @@ def t6_term_salience(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     return term_salience(docs, "doc_id", "text", k=3)
+
+
+@register(
+    "t8_rarity_score",
+    # quant div df is exact integer division in both engines; the BIGINT
+    # sums are order-independent; only mean_rarity divides as doubles
+    # (one identical IEEE op).
+    oracle=f"""
+    WITH ex AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY 1, 2),
+    scored AS (
+      SELECT doc_id, tf,
+             tf * (1000000 // count(*) OVER (PARTITION BY term)) AS q_rarity
+      FROM tf
+    )
+    SELECT doc_id,
+           CAST(sum(tf) AS BIGINT) AS n_tokens,
+           CAST(sum(q_rarity) AS BIGINT) AS q_rarity_sum,
+           CAST(sum(q_rarity) AS DOUBLE) / (1000000.0 * sum(tf)) AS mean_rarity
+    FROM scored GROUP BY doc_id
+    """,
+)
+def t8_rarity_score(spark, sf_dir):
+    # Surprisal-proxy quality score: mean inverse document frequency over
+    # token occurrences, exact-integer math (no libm logs).
+    from era_parser_spark.operators.text import rarity_score
+
+    docs = table(spark, sf_dir, "documents")
+    return rarity_score(docs, "doc_id", "text")

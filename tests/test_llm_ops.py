@@ -641,3 +641,17 @@ def test_semantic_dedup_stats_bound_the_pair_join(spark):
     assert stats["max_cluster"] == max(sizes)
     assert stats["candidate_pairs"] == sum(n * (n - 1) // 2 for n in sizes)
     assert out.count() == 438  # same survivors as the plain operator
+
+
+def test_rarity_score_orders_gibberish_above_common_prose(spark):
+    """t8: a doc of corpus-unique tokens must out-score a doc made of
+    tokens every document shares."""
+    from era_parser_spark.operators.text import rarity_score
+
+    rows = [(i, "common words shared by every document here") for i in range(20)]
+    rows.append((100, "zxqv wkjh qpzm vvtt common"))  # 4 unique + 1 common
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in rarity_score(df, "doc_id", "text").collect()}
+    assert out[100].mean_rarity > out[0].mean_rarity * 5
+    # 'common' is in all 21 docs (1e6 div 21); the other 6 tokens in 20
+    assert out[0].q_rarity_sum == 6 * (1_000_000 // 20) + 1_000_000 // 21

@@ -241,3 +241,11 @@ def test_knn_join_two_phase_topk(spark, queries):
     assert "MapInPandas" in plan
     assert "Window" not in plan  # top-k is not a row_number window
     assert plan.count("BroadcastNestedLoopJoin") == 1  # the 1-row query side
+
+
+def test_rarity_score_single_scan(spark, queries):
+    """t8: like t6, df must be a count window OVER the tf table — one
+    FileScan, one explode; never a re-tokenizing aggregate-and-join."""
+    plan = queries["t8_rarity_score"](spark, SF_MED)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1
+    assert plan.count("Generate explode") == 1
