@@ -117,3 +117,85 @@ def real_bpe_token_count_col(text_col: str | Column, merges_path: str) -> Column
     """Drop-in for `text.bpe_token_count_col` backed by the real tokenizer."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     return bpe_token_count_udf(merges_path)(c)
+
+
+# --- Learning a merge table from the corpus ---------------------------------
+
+
+def _merge_word(syms: tuple[str, ...], pair: tuple[str, str]) -> tuple[str, ...]:
+    """One left-to-right, non-overlapping merge pass (standard BPE)."""
+    out: list[str] = []
+    i = 0
+    while i < len(syms):
+        if i < len(syms) - 1 and (syms[i], syms[i + 1]) == pair:
+            out.append(syms[i] + syms[i + 1])
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def learn_bpe_merges(
+    df,
+    text_col: str,
+    n_merges: int = 100,
+    pattern: str = BPE_PATTERN,
+    max_vocab: int = 1_000_000,
+) -> list[tuple[str, str]]:
+    """Learn a BPE merge table from the corpus itself.
+
+    The only corpus-size pass is distributed: one regexp pre-token explode
+    + word groupBy (map-side combined).  The merge loop then runs on the
+    collected (word, freq) table — which is how BPE is actually trained
+    (Sennrich et al. 2016 operate on the word-frequency dictionary, never
+    the raw stream), and the vocabulary is corpus-sublinear (Heaps' law):
+    a 100 TB web corpus has ~10^7 distinct pre-tokens, a driver-sized
+    table.  `max_vocab` bounds it hard (top frequency, ties on word).
+
+    Deterministic: pair ties break lexicographically smallest-first, so
+    the same corpus always yields the same merges.  Feed the result to
+    `save_merges` + `real_bpe_token_count_col` (same pre-token pattern,
+    so "what a word is" never changes between learn and apply).
+    """
+    rows = (
+        df.select(
+            F.explode(
+                F.regexp_extract_all(F.col(text_col), F.lit(pattern), 0)
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "w")
+        .limit(max_vocab)
+        .collect()
+    )
+    vocab: dict[tuple[str, ...], int] = {}
+    for r in rows:
+        syms = tuple(str(r.w))
+        vocab[syms] = vocab.get(syms, 0) + int(r.freq)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, fq in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + fq
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, fq in vocab.items():
+            m = _merge_word(syms, best)
+            new_vocab[m] = new_vocab.get(m, 0) + fq
+        vocab = new_vocab
+    return merges
+
+
+def save_merges(merges: list[tuple[str, str]], path: str) -> None:
+    """Write merges in the merges.txt format `load_merges` reads back."""
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("#version: learned\n")
+        for a, b in merges:
+            f.write(f"{a} {b}\n")

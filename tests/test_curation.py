@@ -203,3 +203,39 @@ def test_stratified_sample_deterministic_and_unbiased(spark):
     assert abs(n1 / 10000 - 0.1) < 0.02
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_learn_bpe_merges_hand_example_and_roundtrip(spark, tmp_path):
+    """Hand-computable merge sequence; learned table round-trips through
+    merges.txt into the real tokenizer UDF; deterministic across runs."""
+    from era_parser_spark.operators.tokenizer import (
+        learn_bpe_merges,
+        load_merges,
+        save_merges,
+    )
+    from era_parser_spark.operators.text import bpe_token_count_col
+
+    df = spark.createDataFrame(
+        [(1, "aaab aaab aaab ab")], "doc_id long, text string"
+    )
+    merges = learn_bpe_merges(df, "text", n_merges=3)
+    # vocab {aaab:3, ab:1}: pairs (a,a)=6 > (a,b)=4 -> merge (a,a);
+    # then [aa,a,b]x3 + [a,b]: (a,b)=4 > (aa,a)=3 -> merge (a,b);
+    # then [aa,ab]x3 + [ab]: merge (aa,ab).
+    assert merges == [("a", "a"), ("a", "b"), ("aa", "ab")]
+    assert merges == learn_bpe_merges(df, "text", n_merges=3)
+
+    p = str(tmp_path / "merges.txt")
+    save_merges(merges, p)
+    assert load_merges(p) == {("a", "a"): 0, ("a", "b"): 1, ("aa", "ab"): 2}
+    # full table: every word collapses to one token -> 4 (= word count)
+    out = df.select(
+        bpe_token_count_col("text", merges_path=p).alias("n"),
+        bpe_token_count_col("text").alias("n_regex"),
+    ).first()
+    assert out.n == 4 == out.n_regex
+    # partial table (only (a,a)): aaab -> [aa,a,b], ab -> [a,b] => 3*3+2
+    p1 = str(tmp_path / "merges1.txt")
+    save_merges(merges[:1], p1)
+    out1 = df.select(bpe_token_count_col("text", merges_path=p1).alias("n")).first()
+    assert out1.n == 11
