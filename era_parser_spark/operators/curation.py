@@ -114,6 +114,78 @@ def quota_per_group(
     )
 
 
+_POW60 = 1 << 60
+
+
+def temperature_mix(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    salt: str = "mix",
+) -> DataFrame:
+    """Temperature-based source re-weighting (the GPT-3/Pile mixing rule):
+    sample stratum s at rate (min_count / count_s)^(1-alpha), so the
+    post-sample distribution is proportional to count_s^alpha — alpha=1
+    keeps the natural mix, alpha=0 equalizes strata, alpha=0.5 is the
+    customary compromise.  The smallest stratum always keeps everything.
+
+    Unlike p4's stratified_sample the rates are DERIVED FROM THE DATA
+    (two-pass): a tiny per-stratum count aggregate + scalar min, then a
+    broadcast join of the (stratum, threshold) table back onto the corpus
+    — the corpus itself never shuffles, the keep decision is a codegen'd
+    filter at the scan.
+
+    Determinism contract (alpha=0.5 path): rate = sqrt(m/n) — IEEE sqrt is
+    correctly rounded so the double is bit-identical in any engine; the
+    keep rule compares a 60-bit md5 draw against floor(rate * 2^60)
+    (multiplying by a power of two is exact), so the kept set is a pure
+    function of (id, stratum counts) — reproducible across engines,
+    partitionings, and incremental re-runs.  Other alphas go through pow(),
+    which libms don't guarantee to the last ulp — fine operationally,
+    excluded from the oracle path.
+
+    Output: kept rows as (id, stratum, keep_rate).
+    """
+    # min-over-strata comes from a single-partition window over the TINY
+    # counts table (|strata| rows), not a second agg subtree: a separate
+    # counts.agg(min) branch makes Catalyst re-run the corpus count scan
+    # per branch (the multi-branch recompute trap — docs/PLANS.md)
+    n = F.col("__n").cast("double")
+    m = F.min("__n").over(W.partitionBy()).cast("double")
+    ratio = m / n
+    rate = (
+        F.sqrt(ratio) if alpha == 0.5 else F.pow(ratio, F.lit(1.0 - alpha))
+    )
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n"))
+    rates = counts.select(
+        F.col(strata_col),
+        rate.alias("keep_rate"),
+        F.floor(rate * F.lit(float(_POW60))).cast("long").alias("__thr"),
+    )
+    draw = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt + "_"), F.col(id_col).cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+    )
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .where(draw < F.col("__thr"))
+        .select(F.col(id_col), F.col(strata_col), F.col("keep_rate"))
+    )
+
+
 # Knuth's multiplicative hash constant (2^32 / phi); the product stays
 # below 2^63 for any id < ~3.5e9 — use a pre-hashed 32-bit id column for
 # wider key spaces.

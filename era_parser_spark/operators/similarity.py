@@ -551,6 +551,184 @@ def label_centroids(
     )
 
 
+def srp_plane_signs(
+    n_tables: int, n_planes: int, dim: int
+) -> list[list[list[int]]]:
+    """Deterministic random-hyperplane signs for SRP (sign-random-projection)
+    LSH: sign[t][p][d] = +1 if the first hex digit of md5("t_p_d") is even,
+    else -1.  md5 makes the planes reproducible in plain SQL (DuckDB md5 of
+    the same string), so the whole approximate pipeline stays oracle-exact —
+    the same trick as the 60-bit SimHash token hash (dedup.py).
+
+    Charikar 2002 (STOC, rounding schemes): for sign hyperplanes,
+    P[bit match] = 1 - theta(a,b)/pi, so near-parallel vectors collide with
+    high probability per table and L independent tables boost recall.
+    Plane components only need symmetric +-1 — not gaussians — for the
+    collision-probability bound to hold.
+    """
+    import hashlib
+
+    return [
+        [
+            [
+                1
+                if int(
+                    hashlib.md5(f"{t}_{p}_{d}".encode()).hexdigest()[0], 16
+                )
+                % 2
+                == 0
+                else -1
+                for d in range(dim)
+            ]
+            for p in range(n_planes)
+        ]
+        for t in range(n_tables)
+    ]
+
+
+def srp_signatures(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_tables: int = 4,
+    n_planes: int = 8,
+    dim: int | None = None,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Per-vector SRP-LSH signatures: (id, table_id, sig).
+
+    Embeddings are quantized to integers first — q[d] = floor(v[d]*quant)
+    — so every plane dot product is EXACT integer math: the signature is
+    order-independent and bit-identical in any engine (a float dot's sign
+    can flip with summation order exactly when it matters most, near the
+    hyperplane).  Each of the L*P dots is a codegen'd zip_with/aggregate
+    fold against a literal +-1 array; bit p of table t's signature is
+    sign(dot), packed into a small integer bucket key.
+
+    Scale shape: one narrow projection pass, no shuffle — signatures are
+    O(L) small integers per vector.
+    """
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    signs = srp_plane_signs(n_tables, n_planes, dim)
+    qv = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.floor(x * quant).cast("long"),
+    )
+    base = df.select(F.col(id_col), qv.alias("__qv"))
+
+    def sig_expr(t: int) -> Column:
+        out = F.lit(0).cast("long")
+        for p in range(n_planes):
+            plane = F.array(*[F.lit(s) for s in signs[t][p]])
+            dot = F.aggregate(
+                F.zip_with(F.col("__qv"), plane, lambda x, s: x * s),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            out = out + F.when(dot >= 0, F.lit(1 << p).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        return out
+
+    sigs = base.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table_id"), sig_expr(t).alias("sig")
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("__s"),
+    )
+    return sigs.select(
+        F.col(id_col), F.col("__s.table_id"), F.col("__s.sig")
+    )
+
+
+def srp_lsh_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_tables: int = 4,
+    n_planes: int = 8,
+    top_pairs: int = 20,
+    dim: int | None = None,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Approximate most-similar pairs by cosine via SRP-LSH.
+
+    Candidates are id pairs sharing a full P-bit signature in ANY of the L
+    tables (equi-join on (table_id, sig) — never an all-pairs join); their
+    exact quantized cosines are then verified with the same precomputed-
+    sumsq fold as semantic_dedup.  Complements the other two pair tiers:
+    s3's block-grid is exact but O(n^2/B) compute; dd8 needs a centroid
+    model; SRP needs nothing but the vectors and prunes to colliding
+    buckets, the classic shape for billion-vector near-dup mining.
+
+    `max_bucket` (optional) drops buckets larger than the cap before the
+    pair join — same role as dd2's hot-shingle guard: a degenerate
+    embedding mode (all-zero vectors, spam clusters) otherwise re-creates
+    the quadratic blowup inside one bucket.  Off by default; the oracle
+    path runs unguarded.
+
+    Scale: signature pass is shuffle-free; the bucket self-join shuffles
+    (table_id, sig, id) triples only; vectors rejoin ONLY for surviving
+    candidate pairs via the slim cached norm projection.
+    """
+    sigs = srp_signatures(
+        df, vec_col, id_col, n_tables, n_planes, dim=dim
+    )
+    if max_bucket is not None:
+        hot = (
+            sigs.groupBy("table_id", "sig")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_bucket)
+            .select("table_id", "sig")
+        )
+        sigs = sigs.join(hot, ["table_id", "sig"], "left_anti")
+    a = sigs.select(
+        "table_id", "sig", F.col(id_col).alias("doc_a")
+    )
+    b = sigs.select(
+        "table_id", "sig", F.col(id_col).alias("doc_b")
+    )
+    cand = (
+        a.join(b, ["table_id", "sig"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    v = F.col(vec_col).cast("array<double>")
+    norms = df.select(
+        F.col(id_col).alias("__nid"),
+        v.alias("__v"),
+        sumsq_expr(v).alias("__ss"),
+    ).cache()
+    # vectors rejoin candidates on 8-byte id keys; the candidate side is the
+    # small one (bounded by bucket collisions), so AQE broadcasts IT — the
+    # corpus-sized norm projection must never be the broadcast side
+    pairs = (
+        norms.join(cand, F.col("__nid") == F.col("doc_a"))
+        .select(
+            "doc_a", "doc_b",
+            F.col("__v").alias("__va"), F.col("__ss").alias("__ssa"),
+        )
+        .join(norms, F.col("doc_b") == F.col("__nid"))
+        .select(
+            "doc_a", "doc_b",
+            quantized_cosine(
+                dot_expr(F.col("__va"), F.col("__v"))
+                / F.sqrt(F.col("__ssa") * F.col("__ss"))
+            ).alias("cosine_sim"),
+        )
+    )
+    return pairs.orderBy(F.desc("cosine_sim"), "doc_a", "doc_b").limit(top_pairs)
+
+
 def semantic_dedup_with_stats(
     df: DataFrame,
     vec_col: str,

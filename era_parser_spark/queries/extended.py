@@ -306,3 +306,49 @@ def x10_salted_skew_join(spark, sf_dir):
         .groupBy(F.col("c_nationkey").alias("nationkey"))
         .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("revenue"))
     )
+
+
+@register(
+    "x11_scd2_intervals",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                    OR lag(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    starts AS (SELECT * FROM marked WHERE chg = 1)
+    SELECT user_id, event_type AS state, ts AS valid_from,
+           lead(ts) OVER w2 AS valid_to,
+           lead(ts) OVER w2 IS NULL AS is_current
+    FROM starts
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def x11_scd2_intervals(spark, sf_dir):
+    """SCD type-2 history build: collapse each user's event_type stream into
+    validity intervals [valid_from, valid_to) — consecutive equal states
+    merge, the open interval is flagged is_current.  The standard
+    dimension-history / state-timeline operator (ClickHouse users reach for
+    groupArray hacks; warehouses run MERGE loops).
+
+    Scale shape: both windows partition by user_id, so Catalyst plans ONE
+    hash Exchange and the change-point filter + lead run inside the same
+    partitioning — no second shuffle, no driver work.  NTZ-safe: timestamps
+    are only compared/lagged, never cast (the r03 x2 trap)."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    starts = ev.withColumn(
+        "__chg",
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type")),
+    ).filter(F.col("__chg"))
+    return starts.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )

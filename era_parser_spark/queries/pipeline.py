@@ -168,3 +168,36 @@ def p4_stratified_sample(spark, sf_dir):
     return stratified_sample(
         docs, "source", "doc_id", {"src0": 0.8, "src1": 0.5}, default_fraction=0.2
     ).select("doc_id", "source")
+
+
+@register(
+    "p5_temperature_mix",
+    # rate = sqrt(min_n/n) is a correctly-rounded IEEE sqrt, *2^60 is exact,
+    # and the draw is the 60-bit md5 int — every step bit-identical in both
+    # engines (operators/curation.py::temperature_mix).
+    oracle="""
+    WITH counts AS (
+      SELECT lang, count(*) AS n FROM documents GROUP BY lang
+    ),
+    rates AS (
+      SELECT lang,
+             sqrt(CAST((SELECT min(n) FROM counts) AS DOUBLE)
+                  / CAST(n AS DOUBLE)) AS keep_rate
+      FROM counts
+    )
+    SELECT d.doc_id, d.lang, r.keep_rate
+    FROM documents d JOIN rates r USING (lang)
+    WHERE CAST(concat('0x',
+            substr(md5('mix_' || CAST(d.doc_id AS VARCHAR)), 1, 15))
+          AS BIGINT)
+          < CAST(floor(r.keep_rate * 1152921504606846976) AS BIGINT)
+    """,
+)
+def p5_temperature_mix(spark, sf_dir):
+    # Temperature mixing over the (skewed) lang distribution: post-sample
+    # mix proportional to count^0.5, smallest language kept whole.  Rates
+    # derived from the data in one tiny aggregate; corpus never shuffles.
+    from era_parser_spark.operators.curation import temperature_mix
+
+    docs = table(spark, sf_dir, "documents")
+    return temperature_mix(docs, "lang", "doc_id", alpha=0.5)

@@ -166,3 +166,59 @@ def s5_knn_join(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 101 == 0)
     return knn_join(emb, queries, "embedding", "vec_id", k=5)
+
+
+@register(
+    "s6_srp_lsh_pairs",
+    # The planes are md5-parity +-1 signs and the embeddings are quantized
+    # to integers before the plane dots, so the SIGNATURES — not just the
+    # verified cosines — are exact integer math re-derivable in SQL.
+    oracle="""
+    WITH planes AS (
+      SELECT t.t, p.p, d.d,
+             CASE WHEN CAST(concat('0x',
+                    substr(md5(t.t || '_' || p.p || '_' || d.d), 1, 1))
+                  AS INTEGER) % 2 = 0 THEN 1 ELSE -1 END AS s
+      FROM range(4) t(t), range(8) p(p), range(64) d(d)
+    ),
+    qv AS (
+      SELECT vec_id, i - 1 AS d,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+    ),
+    dots AS (
+      SELECT qv.vec_id, planes.t, planes.p, sum(planes.s * qv.q) AS dot
+      FROM qv JOIN planes ON qv.d = planes.d
+      GROUP BY 1, 2, 3
+    ),
+    sigs AS (
+      SELECT vec_id, t,
+             sum(CASE WHEN dot >= 0 THEN CAST(1 << p AS BIGINT)
+                 ELSE 0 END) AS sig
+      FROM dots GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+      FROM sigs a JOIN sigs b
+        ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(CAST(list_cosine_similarity(
+             ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]
+           ) AS DECIMAL(10,6)) AS DOUBLE) AS cosine_sim
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.doc_a
+    JOIN embeddings eb ON eb.vec_id = c.doc_b
+    ORDER BY cosine_sim DESC, doc_a, doc_b
+    LIMIT 20
+    """,
+)
+def s6_srp_lsh_pairs(spark, sf_dir):
+    # Random-hyperplane (SRP) LSH near-dup pairs: 4 tables x 8 planes,
+    # bucket equi-join candidates, exact quantized-cosine verify, top-20.
+    from era_parser_spark.operators.similarity import srp_lsh_pairs
+
+    emb = table(spark, sf_dir, "embeddings")
+    return srp_lsh_pairs(
+        emb, "embedding", "vec_id", n_tables=4, n_planes=8, top_pairs=20, dim=64
+    )

@@ -1,0 +1,182 @@
+"""SRP-LSH (s6), temperature mixing (p5), SCD2 intervals (x11) behavior
+tests: planted-pair recall, data-derived-rate math, interval invariants,
+and partition-independence of every keep/signature decision.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def srp_corpus(spark):
+    """40 seeded random unit-ish vectors + 10 planted near-copies
+    (cosine >= 0.99 to their base) + 30 identical degenerate vectors."""
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 64))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    # planted near-dups: id 100+i is a tiny perturbation of base[i]
+    for i in range(10):
+        nb = base[i] + rng.normal(scale=0.01, size=64)
+        rows.append((100 + i, [float(x) for x in nb]))
+    # degenerate mode: one embedding repeated 30x (spam cluster)
+    spam = [float(x) for x in rng.normal(size=64)]
+    rows += [(1000 + j, spam) for j in range(30)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_srp_finds_planted_near_dups(spark, srp_corpus):
+    from era_parser_spark.operators.similarity import srp_lsh_pairs
+
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in srp_lsh_pairs(
+            srp_corpus.filter(F.col("vec_id") < 1000),
+            "embedding", "vec_id", top_pairs=10, dim=64,
+        ).collect()
+    }
+    planted = {(i, 100 + i) for i in range(10)}
+    # every planted pair collides in >= 1 of the 4 tables and outranks the
+    # random pairs on verified cosine
+    assert planted <= got
+
+
+def test_srp_signatures_partition_independent(spark, srp_corpus):
+    from era_parser_spark.operators.similarity import srp_signatures
+
+    a = {
+        (r.vec_id, r.table_id, r.sig)
+        for r in srp_signatures(srp_corpus, "embedding", "vec_id", dim=64).collect()
+    }
+    b = {
+        (r.vec_id, r.table_id, r.sig)
+        for r in srp_signatures(
+            srp_corpus.repartition(13), "embedding", "vec_id", dim=64
+        ).collect()
+    }
+    assert a == b and len(a) == 80 * 4
+
+
+def test_srp_max_bucket_guard_drops_spam_cluster(spark, srp_corpus):
+    from era_parser_spark.operators.similarity import srp_lsh_pairs
+
+    got = srp_lsh_pairs(
+        srp_corpus, "embedding", "vec_id",
+        top_pairs=1000, dim=64, max_bucket=5,
+    ).collect()
+    spam_pairs = [r for r in got if r.doc_a >= 1000 and r.doc_b >= 1000]
+    planted = {(i, 100 + i) for i in range(10)}
+    # the 30-identical-vector cluster (bucket size 30 in every table) is
+    # guarded out; genuine near-dup pairs (bucket size ~2) survive
+    assert not spam_pairs
+    assert planted <= {(r.doc_a, r.doc_b) for r in got}
+
+
+def test_temperature_mix_rates_and_floor(spark):
+    from era_parser_spark.operators.curation import temperature_mix
+
+    rows = [(i, "big" if i < 400 else "small") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    kept = temperature_mix(df, "src", "doc_id", alpha=0.5).collect()
+    by = {}
+    rates = {}
+    for r in kept:
+        by[r.src] = by.get(r.src, 0) + 1
+        rates[r.src] = r.keep_rate
+    # smallest stratum always kept whole at rate exactly 1.0
+    assert by["small"] == 100 and rates["small"] == 1.0
+    # big stratum: rate sqrt(100/400) = 0.5, kept count ~ Binomial(400, .5)
+    assert rates["big"] == 0.5
+    assert 150 <= by["big"] <= 250
+
+
+def test_temperature_mix_alpha1_is_identity(spark):
+    from era_parser_spark.operators.curation import temperature_mix
+
+    rows = [(i, "a" if i % 5 else "b") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    assert temperature_mix(df, "src", "doc_id", alpha=1.0).count() == 200
+
+
+def test_temperature_mix_partition_independent(spark):
+    from era_parser_spark.operators.curation import temperature_mix
+
+    rows = [(i, f"s{i % 3}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    a = {r.doc_id for r in temperature_mix(df, "src", "doc_id").collect()}
+    b = {
+        r.doc_id
+        for r in temperature_mix(df.repartition(7), "src", "doc_id").collect()
+    }
+    assert a == b
+
+
+def test_scd2_intervals_collapse_and_chain(spark):
+    import datetime as dt
+
+    from era_parser_spark.queries import load_all
+
+    ts = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [
+        (1, 1, ts(0), "A"), (2, 1, ts(1), "A"), (3, 1, ts(2), "B"),
+        (4, 1, ts(3), "A"),
+        (5, 2, ts(0), "C"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, event_type string"
+    )
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    ev.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    # reuse the registered query against this mini warehouse
+    q, _ = load_all()
+    out = sorted(
+        q["x11_scd2_intervals"](spark, d).collect(),
+        key=lambda r: (r.user_id, r.valid_from),
+    )
+    got = [
+        (r.user_id, r.state, r.valid_from.minute,
+         None if r.valid_to is None else r.valid_to.minute, r.is_current)
+        for r in out
+    ]
+    # A,A collapse into one interval; chain property: valid_to == next
+    # valid_from; exactly one open interval per user
+    assert got == [
+        (1, "A", 0, 2, False),
+        (1, "B", 2, 3, False),
+        (1, "A", 3, None, True),
+        (2, "C", 0, None, True),
+    ]
+
+
+def test_scd2_one_current_per_user_on_fixture(spark):
+    from tests.conftest import SF_MED
+
+    from era_parser_spark.queries import load_all
+
+    q, _ = load_all()
+    df = q["x11_scd2_intervals"](spark, SF_MED)
+    per_user = (
+        df.groupBy("user_id")
+        .agg(
+            F.sum(F.col("is_current").cast("int")).alias("cur"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    assert per_user and all(r.cur == 1 for r in per_user)
+    # intervals chain: every non-current valid_to equals a later valid_from
+    bad = (
+        df.alias("a")
+        .filter(~F.col("a.is_current"))
+        .join(
+            df.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.valid_to") == F.col("b.valid_from")),
+            "left_anti",
+        )
+        .count()
+    )
+    assert bad == 0
