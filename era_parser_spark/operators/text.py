@@ -225,3 +225,69 @@ def rarity_score(
             "mean_rarity"
         ),
     )
+
+
+def boilerplate_strip(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 2,
+    max_doc_freq: int = 50,
+) -> DataFrame:
+    """Cross-document boilerplate removal (the CCNet/RefinedWeb line-dedup
+    step, chunk-granular): a token chunk occurring in more than
+    `max_doc_freq` DISTINCT documents is template text (headers, cookie
+    banners, license blurbs) and is stripped from every document; the
+    survivors are reassembled in order.  Output: (id, clean_text,
+    n_chunks, n_kept) — documents that were pure boilerplate come back
+    with clean_text = '' rather than vanishing.
+
+    This is the upstream pass docs/PLANS.md prescribes when dd2's
+    hot-shingle guard reports a climbing dropped-index fraction: strip the
+    boilerplate BEFORE near-dup mining and the guard has nothing to drop.
+
+    Scale shape: exactly TWO corpus scans (one tokenizes for the
+    distinct-doc-count agg, one for the rewrite — recomputing beats a
+    corpus-scale cache, the staging lesson in docs/PLANS.md); the hot set
+    is tiny and broadcast.  Hot chunks are MASKED to null rather than
+    filtered, so n_chunks/n_kept/clean_text all come out of ONE final
+    groupBy(id) — no anti-join and no join-back, and fully-stripped docs
+    never vanish.  Position rides in the collected struct so the
+    reassembly is order-proof under any partitioning.
+    """
+    tok = tokens_col(text_col)
+    n_chunks = F.ceil(F.size(tok) / F.lit(float(chunk_tokens)))
+    chunks = F.transform(
+        F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+        lambda i: F.array_join(
+            F.slice(tok, i * chunk_tokens + 1, chunk_tokens), " "
+        ),
+    )
+    ex = df.select(F.col(id_col), chunks.alias("__chunks")).select(
+        F.col(id_col), F.posexplode("__chunks").alias("pos", "chunk")
+    )
+    hot = (
+        ex.groupBy("chunk")
+        .agg(F.countDistinct(id_col).alias("__df"))
+        .filter(F.col("__df") > max_doc_freq)
+        .select("chunk", F.lit(True).alias("__hot"))
+    )
+    masked = ex.join(F.broadcast(hot), "chunk", "left").select(
+        F.col(id_col),
+        "pos",
+        F.when(F.col("__hot").isNull(), F.col("chunk")).alias("chunk"),
+    )
+    return masked.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                    lambda s: s.getField("chunk").isNotNull(),
+                ),
+                lambda s: s.getField("chunk"),
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.count("chunk").cast("long").alias("n_kept"),
+    )

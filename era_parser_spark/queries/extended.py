@@ -352,3 +352,43 @@ def x11_scd2_intervals(spark, sf_dir):
         F.lead("ts").over(w).alias("valid_to"),
         F.lead("ts").over(w).isNull().alias("is_current"),
     )
+
+
+@register(
+    "x12_kmv_distinct",
+    # KMV is the oracle-EXACT sketch: the k smallest 60-bit md5 hashes are
+    # a pure function of the value set, and (k-1)*2^60 (exact in a double)
+    # / kth is one correctly-rounded IEEE division in both engines.
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT event_type,
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
+      FROM events
+    ),
+    rk AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM d
+    ),
+    tk AS (
+      SELECT event_type, max(h) AS kth_min, count(*) AS m
+      FROM rk WHERE rn <= 32 GROUP BY event_type
+    )
+    SELECT event_type, CAST(m AS BIGINT) AS n_tracked, kth_min,
+           CASE WHEN m < 32 THEN CAST(m AS DOUBLE)
+                ELSE 31.0 * 1152921504606846976 / CAST(kth_min AS DOUBLE)
+           END AS est_distinct
+    FROM tk
+    """,
+)
+def x12_kmv_distinct(spark, sf_dir):
+    """Per-event-type distinct-user estimate via a KMV sketch (k=32) —
+    the deterministic, oracle-checkable counterpart of x8's HLL-based
+    approx_count_distinct.  One map-side-combined shuffle of partial hash
+    SETS (salted into 16 cells so no task holds a group's full distinct
+    set), then a tiny merge."""
+    from era_parser_spark.operators.sketch import kmv_distinct
+
+    ev = table(spark, sf_dir, "events")
+    return kmv_distinct(ev, "event_type", "user_id", k=32, buckets=16)

@@ -274,3 +274,44 @@ def t8_rarity_score(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     return rarity_score(docs, "doc_id", "text")
+
+
+@register(
+    "t9_boilerplate_strip",
+    # tok[a:b] list slicing clamps in both engines; string_agg ORDER BY pos
+    # == the array_sort((pos,chunk)) reassembly; ceil(int/2.0) matches
+    # F.ceil(size/2.0).
+    oracle=f"""
+    WITH tokd AS (SELECT doc_id, {_TOK} AS tok FROM documents),
+    ex AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS pos,
+             array_to_string(tok[i*2+1 : i*2+2], ' ') AS chunk
+      FROM tokd, unnest(range(0, CAST(ceil(len(tok) / 2.0) AS BIGINT))) AS u(i)
+    ),
+    hot AS (
+      SELECT chunk FROM ex GROUP BY chunk
+      HAVING count(DISTINCT doc_id) > 50
+    ),
+    kept AS (SELECT * FROM ex ANTI JOIN hot USING (chunk)),
+    re AS (
+      SELECT doc_id, string_agg(chunk, ' ' ORDER BY pos) AS clean_text,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(re.clean_text, '') AS clean_text,
+           CAST(ceil(len(t.tok) / 2.0) AS BIGINT) AS n_chunks,
+           CAST(coalesce(re.n_kept, 0) AS BIGINT) AS n_kept
+    FROM tokd t LEFT JOIN re USING (doc_id)
+    """,
+)
+def t9_boilerplate_strip(spark, sf_dir):
+    # Cross-doc boilerplate strip: 2-token chunks occurring in > 50
+    # distinct docs are template text and removed; docs reassembled in
+    # order (pure-boilerplate docs come back empty, not missing).
+    from era_parser_spark.operators.text import boilerplate_strip
+
+    docs = table(spark, sf_dir, "documents")
+    return boilerplate_strip(
+        docs, "doc_id", "text", chunk_tokens=2, max_doc_freq=50
+    )

@@ -293,3 +293,29 @@ def test_scd2_single_exchange_two_windows(spark, queries):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
     assert len(re.findall(r"\(\d+\) Sort", plan)) == 1
     assert len(re.findall(r"\(\d+\) Window", plan)) == 2
+
+
+def test_boilerplate_strip_two_scans_no_join_back(spark, queries):
+    """t9: exactly two tokenize scans (hot-count + rewrite — recompute,
+    never a corpus-scale cache) and NO third scan from a join-back; the
+    hot set joins broadcast."""
+    from era_parser_spark.plans import formatted_plan, read_schema_columns
+
+    df = queries["t9_boilerplate_strip"](spark, SF_MED)
+    assert len(read_schema_columns(df)) == 2
+    assert "BroadcastHashJoin" in formatted_plan(df)
+
+
+def test_kmv_single_scan_no_window(spark, queries):
+    """x12: one scan, two map-side-combinable aggregates, and no Window
+    (the naive rank-k formulation would sort each group's full distinct
+    set in one task)."""
+    import re
+
+    from era_parser_spark.plans import formatted_plan, read_schema_columns
+
+    df = queries["x12_kmv_distinct"](spark, SF_MED)
+    plan = formatted_plan(df)
+    assert len(read_schema_columns(df)) == 1
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 0
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2

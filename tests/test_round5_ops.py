@@ -180,3 +180,48 @@ def test_scd2_one_current_per_user_on_fixture(spark):
         .count()
     )
     assert bad == 0
+
+
+def test_boilerplate_strip_planted_template(spark):
+    from era_parser_spark.operators.text import boilerplate_strip
+
+    tpl = "accept cookies"
+    rows = [(i, f"{tpl} unique{i} words{i}") for i in range(60)]
+    rows.append((100, tpl))               # pure boilerplate
+    rows.append((101, "rare chunk only"))  # untouched
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in boilerplate_strip(
+        df, "doc_id", "text", chunk_tokens=2, max_doc_freq=50
+    ).collect()}
+    # the 61-doc template chunk is stripped everywhere, uniques survive
+    assert out[0].clean_text == "unique0 words0"
+    assert out[59].clean_text == "unique59 words59"
+    # pure-boilerplate doc comes back EMPTY, not missing
+    assert out[100].clean_text == "" and out[100].n_kept == 0
+    # sub-threshold chunks untouched (odd-length tail chunk too)
+    assert out[101].clean_text == "rare chunk only"
+    assert out[101].n_chunks == 2 and out[101].n_kept == 2
+
+
+def test_kmv_exact_below_k_and_accurate_above(spark):
+    from pyspark.sql import functions as F
+
+    from era_parser_spark.operators.sketch import kmv_distinct
+
+    rows = [(i, "small" if i < 10 else "big") for i in range(5000)]
+    # 'small': 10 distinct values; 'big': 4990 distinct
+    df = spark.createDataFrame(rows, "v long, g string")
+    out = {r.g: r for r in kmv_distinct(df, "g", "v", k=32, buckets=16).collect()}
+    # below k the sketch IS the set: exact
+    assert out["small"].n_tracked == 10 and out["small"].est_distinct == 10.0
+    # above k: KMV std error ~1/sqrt(k-2) ~ 18%; allow 3 sigma
+    est = out["big"].est_distinct
+    assert out["big"].n_tracked == 32
+    assert abs(est - 4990) / 4990 < 0.55
+    # partition-independence of the full sketch row
+    out2 = {
+        r.g: r
+        for r in kmv_distinct(df.repartition(11), "g", "v", k=32, buckets=16).collect()
+    }
+    assert out2["big"].kth_min == out["big"].kth_min
+    assert out2["big"].est_distinct == est
