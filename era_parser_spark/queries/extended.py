@@ -392,3 +392,70 @@ def x12_kmv_distinct(spark, sf_dir):
 
     ev = table(spark, sf_dir, "events")
     return kmv_distinct(ev, "event_type", "user_id", k=32, buckets=16)
+
+
+@register(
+    "x13_funnel_stages",
+    # The per-user event sequence (type initials ordered by ts, event_id)
+    # is the same string in both engines, and LIKE '%v%c%p%' subsequence
+    # tests are engine-agnostic — so the whole funnel is oracle-exact.
+    oracle="""
+    WITH seqs AS (
+      SELECT user_id, date_trunc('day', ts) AS d,
+             string_agg(substr(event_type, 1, 1), ''
+                        ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY user_id, d
+    ),
+    staged AS (
+      SELECT user_id,
+             CASE WHEN seq LIKE '%v%c%p%' THEN 3
+                  WHEN seq LIKE '%v%c%' THEN 2
+                  WHEN seq LIKE '%v%' THEN 1
+                  ELSE 0 END AS funnel_stage
+      FROM seqs
+    )
+    SELECT CAST(funnel_stage AS INTEGER) AS funnel_stage,
+           CAST(count(*) AS BIGINT) AS n_user_days
+    FROM staged GROUP BY funnel_stage
+    """,
+)
+def x13_funnel_stages(spark, sf_dir):
+    """Funnel analysis (view -> click -> purchase within a day, gaps
+    allowed): how far each (user, day) progresses through an ordered stage
+    sequence — the ClickHouse windowFunnel / product-analytics staple,
+    with the day scope playing windowFunnel's time-window role.
+
+    Each user-day's events collapse to a compact initials string in (ts,
+    event_id) order; stage reached is an ordered-subsequence test (LIKE
+    '%v%c%p%'), evaluated in codegen.  One shuffle of (user, day, tiny
+    struct) with the sort inside the aggregate's collected array, not a
+    window over the event stream; per-group memory is one day's events —
+    the sessionized-entity contract every groupBy-user analytic shares.
+
+    NTZ-safe: ts is date_trunc'd and struct-sorted, never cast."""
+    ev = table(spark, sf_dir, "events")
+    seq = (
+        ev.groupBy("user_id", F.date_trunc("day", "ts").alias("d"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: F.substring(s.getField("event_type"), 1, 1),
+                ),
+                "",
+            ).alias("seq")
+        )
+    )
+    stage = (
+        F.when(F.col("seq").like("%v%c%p%"), 3)
+        .when(F.col("seq").like("%v%c%"), 2)
+        .when(F.col("seq").like("%v%"), 1)
+        .otherwise(0)
+    )
+    return (
+        seq.select(stage.cast("int").alias("funnel_stage"))
+        .groupBy("funnel_stage")
+        .agg(F.count(F.lit(1)).alias("n_user_days"))
+    )

@@ -225,3 +225,43 @@ def test_kmv_exact_below_k_and_accurate_above(spark):
     }
     assert out2["big"].kth_min == out["big"].kth_min
     assert out2["big"].est_distinct == est
+
+
+def test_funnel_order_matters(spark):
+    import datetime as dt
+    import os
+    import tempfile
+
+    from era_parser_spark.queries import load_all
+
+    ts = lambda m: dt.datetime(2024, 3, 1, 0, m)
+    rows = [
+        # user 1: full ordered funnel in one day -> stage 3
+        (1, 1, ts(0), "view", 0.0, "{}"),
+        (2, 1, ts(1), "click", 0.0, "{}"),
+        (3, 1, ts(2), "purchase", 0.0, "{}"),
+        # user 2: purchase BEFORE click -> only v..c -> stage 2
+        (4, 2, ts(0), "view", 0.0, "{}"),
+        (5, 2, ts(1), "purchase", 0.0, "{}"),
+        (6, 2, ts(2), "click", 0.0, "{}"),
+        # user 3: click then view (wrong order) -> stage 1 (has a view)
+        (7, 3, ts(0), "click", 0.0, "{}"),
+        (8, 3, ts(1), "view", 0.0, "{}"),
+        # user 4: no view at all -> stage 0
+        (9, 4, ts(0), "error", 0.0, "{}"),
+        # user 1 next day: view only -> a separate user-day at stage 1
+        (10, 1, ts(0) + dt.timedelta(days=1), "view", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp_ntz, event_type string,"
+        " value double, props string",
+    )
+    d = tempfile.mkdtemp()
+    ev.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    q, _ = load_all()
+    got = {
+        r.funnel_stage: r.n_user_days
+        for r in q["x13_funnel_stages"](spark, d).collect()
+    }
+    assert got == {3: 1, 2: 1, 1: 2, 0: 1}
