@@ -611,42 +611,45 @@ def srp_signatures(
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     signs = srp_plane_signs(n_tables, n_planes, dim)
-    qv = F.transform(
-        F.col(vec_col).cast("array<double>"),
-        lambda x: F.floor(x * quant).cast("long"),
+    # int64 (L*P, dim) sign matrix, shipped to workers via UDF closure
+    sign_mat = np.array(
+        [signs[t][p] for t in range(n_tables) for p in range(n_planes)],
+        dtype=np.int64,
     )
-    base = df.select(F.col(id_col), qv.alias("__qv"))
+    pack = (np.ones(n_planes, dtype=np.int64) << np.arange(n_planes)).reshape(
+        1, n_planes
+    )
+    nt, npl, q = n_tables, n_planes, float(quant)
 
-    def sig_expr(t: int) -> Column:
-        out = F.lit(0).cast("long")
-        for p in range(n_planes):
-            plane = F.array(*[F.lit(s) for s in signs[t][p]])
-            dot = F.aggregate(
-                F.zip_with(F.col("__qv"), plane, lambda x, s: x * s),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
+    # Arrow-batched numpy kernel (Python justified: L*P interpreted
+    # zip_with/aggregate folds per row cost ~2k interpreted expression
+    # evals each — measured ~10x slower than one int64 matmul per batch).
+    # Exactness is unchanged: floor(v*quant) int64 quantization then an
+    # integer matmul — the same numbers the SQL oracle derives.
+    def sig_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mat = np.array([list(v) for v in pdf["__v"]], dtype=np.float64)
+            qm = np.floor(mat * q).astype(np.int64)
+            bits = (qm @ sign_mat.T >= 0).astype(np.int64)  # (n, L*P)
+            sigs = (bits.reshape(-1, nt, npl) * pack).sum(axis=2)  # (n, L)
+            ids = np.repeat(pdf["__id"].to_numpy(), nt)
+            yield pd.DataFrame(
+                {
+                    "__id": ids,
+                    "table_id": np.tile(
+                        np.arange(nt, dtype=np.int32), len(pdf)
+                    ),
+                    "sig": sigs.ravel(),
+                }
             )
-            out = out + F.when(dot >= 0, F.lit(1 << p).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-        return out
 
-    sigs = base.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("table_id"), sig_expr(t).alias("sig")
-                    )
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("__s"),
-    )
-    return sigs.select(
-        F.col(id_col), F.col("__s.table_id"), F.col("__s.sig")
-    )
+    out = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).mapInPandas(sig_batches, "__id long, table_id int, sig long")
+    return out.select(F.col("__id").alias(id_col), "table_id", "sig")
 
 
 def srp_lsh_pairs(
