@@ -39,8 +39,12 @@ HEADLINE = [
     "s1_cosine_topk",
     "s3_embedding_dup_pairs",
     "s5_knn_join",
+    "s6_srp_lsh_pairs",
     "dd8_semdedup",
+    "t9_boilerplate_strip",
     "x10_salted_skew_join",
+    "x12_kmv_distinct",
+    "x13_funnel_stages",
 ]
 
 
