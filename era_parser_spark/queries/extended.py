@@ -459,3 +459,41 @@ def x13_funnel_stages(spark, sf_dir):
         .groupBy("funnel_stage")
         .agg(F.count(F.lit(1)).alias("n_user_days"))
     )
+
+
+@register(
+    "x14_equidepth_histogram",
+    # ntile follows the SQL standard in both engines (first n%b buckets get
+    # the extra row) and the (n_chars, doc_id) order is total, so bucket
+    # membership — not just bucket stats — is identical.
+    oracle="""
+    WITH b AS (
+      SELECT lang, n_chars,
+             ntile(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+               AS quartile
+      FROM documents
+    )
+    SELECT lang, CAST(quartile AS INTEGER) AS quartile,
+           min(n_chars) AS lo, max(n_chars) AS hi,
+           CAST(count(*) AS BIGINT) AS n
+    FROM b GROUP BY lang, quartile
+    """,
+)
+def x14_equidepth_histogram(spark, sf_dir):
+    """Equi-depth (quantile-bucket) histogram of document length per
+    language: ntile(4) over a total order, then per-bucket bounds — the
+    standard feature-distribution profile before curation threshold
+    tuning.  One shuffle on lang (window + agg share the partitioning);
+    the deterministic tiebreak makes even bucket MEMBERSHIP engine-exact,
+    unlike percentile_approx."""
+    ev = table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return (
+        ev.select("lang", "n_chars", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("lang", "quartile")
+        .agg(
+            F.min("n_chars").alias("lo"),
+            F.max("n_chars").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

@@ -194,3 +194,62 @@ def st4_stream_exact_dedup(spark, sf_dir):
         )
     )
     return run_stream_once(digest_dedup_monitor(stream), f"st4_{uuid.uuid4().hex[:8]}")
+
+
+@register(
+    "st5_stream_kmv_distinct",
+    # Same oracle as x12: over one AvailableNow batch the KMV state
+    # snapshot equals the batch sketch (merge = union-then-truncate).
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT event_type,
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
+      FROM events
+    ),
+    rk AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM d
+    ),
+    tk AS (
+      SELECT event_type, max(h) AS kth_min, count(*) AS m
+      FROM rk WHERE rn <= 32 GROUP BY event_type
+    )
+    SELECT event_type, CAST(m AS BIGINT) AS n_tracked, kth_min,
+           CASE WHEN m < 32 THEN CAST(m AS DOUBLE)
+                ELSE 31.0 * 1152921504606846976 / CAST(kth_min AS DOUBLE)
+           END AS est_distinct
+    FROM tk
+    """,
+)
+def st5_stream_kmv_distinct(spark, sf_dir):
+    """Streaming KMV distinct sketch driven to completion: per-group state
+    carries the k smallest distinct hashes across micro-batches (merge is
+    union-then-truncate, so batch boundaries can't change the answer);
+    the snapshot after one AvailableNow pass equals the x12 batch sketch
+    exactly — a sketch whose STREAMING state is oracle-checkable."""
+    from era_parser_spark.streaming.incremental import kmv_monitor, run_stream_once
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream_dir = _stream_src_dir("st5", sf_dir)
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(stream_dir)
+        .select(
+            F.col("event_type").alias("grp"),
+            F.conv(
+                F.substring(
+                    F.md5(F.col("user_id").cast("string").cast("binary")), 1, 15
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("h"),
+        )
+    )
+    out = run_stream_once(kmv_monitor(stream, k=32), f"st5_{uuid.uuid4().hex[:8]}")
+    return out.select(
+        F.col("grp").alias("event_type"), "n_tracked", "kth_min", "est_distinct"
+    )

@@ -393,3 +393,65 @@ def session_monitor(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+_KMV_OUT_SCHEMA = (
+    "grp string, seq long, n_tracked long, kth_min long, est_distinct double"
+)
+_KMV_STATE_SCHEMA = "seq long, ks array<bigint>"
+
+
+def kmv_monitor(stream: DataFrame, k: int = 32) -> DataFrame:
+    """Custom stateful streaming operator #4: a per-group KMV distinct
+    sketch maintained across micro-batches (the streaming twin of
+    x12_kmv_distinct).  State is the k smallest distinct 60-bit hashes
+    seen so far — KMV merge is a set-union-then-truncate, associative and
+    commutative, so the post-stream state equals the batch sketch no
+    matter how arrivals split across batches (pinned in
+    tests/test_state_sinks_streaming.py); over one AvailableNow batch the
+    snapshot IS the batch answer, giving the exactly-once state path the
+    same exact SQL oracle as x12.  Input needs `grp` and `h` (compute the
+    hash JVM-side, like st4's digest); state is O(groups * k) longs.
+    `seq` counts state updates — downstream takes max(seq) per group for
+    the final snapshot."""
+
+    def fn(key, pdfs, state):
+        (grp,) = key
+        hs: set[int] = set()
+        for pdf in pdfs:
+            hs.update(int(x) for x in pdf["h"])
+        if state.exists:
+            seq, ks = state.get
+            cur = set(int(x) for x in ks)
+        else:
+            seq, cur = 0, set()
+        cur |= hs
+        ks = sorted(cur)[:k]
+        seq += 1
+        state.update((seq, ks))
+        m = len(ks)
+        kth = ks[-1] if ks else 0
+        # (k-1)*2^60 and any 60-bit hash are exact doubles: one correctly
+        # rounded division, identical in the JVM/DuckDB batch twin
+        est = float(m) if m < k else float((k - 1) * (1 << 60)) / float(kth)
+        yield pd.DataFrame(
+            {
+                "grp": [grp],
+                "seq": [seq],
+                "n_tracked": [m],
+                "kth_min": [kth],
+                "est_distinct": [est],
+            }
+        )
+
+    return (
+        stream.select("grp", "h")
+        .groupBy("grp")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=_KMV_OUT_SCHEMA,
+            stateStructType=_KMV_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

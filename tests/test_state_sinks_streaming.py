@@ -439,3 +439,52 @@ def test_digest_dedup_state_across_microbatches(spark, tmp_path_factory):
     assert final["aaa"] == (10, 3)  # batch-2 dup folded in; keeper unchanged
     assert final["bbb"] == (11, 1)
     assert final["ccc"] == (13, 1)
+
+
+def test_kmv_state_across_microbatches(spark, tmp_path_factory):
+    """st5's KMV state must merge across micro-batch boundaries: splitting
+    the same values over two batches (with overlap) yields the identical
+    sketch a single batch would — union-then-truncate is order-free —
+    and duplicates arriving later never inflate n_tracked."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from era_parser_spark.streaming.incremental import kmv_monitor, run_stream_once
+
+    src = tmp_path_factory.mktemp("st_kmv_src")
+    rows1 = [("g", i) for i in range(40)]
+    rows2 = [("g", i) for i in range(20, 60)]  # overlaps batch 1
+    spark.createDataFrame(rows1, "grp string, v long").coalesce(1).write.parquet(
+        str(src / "a_batch1")
+    )
+    spark.createDataFrame(rows2, "grp string, v long").coalesce(1).write.parquet(
+        str(src / "b_batch2")
+    )
+    h = (
+        F.conv(F.substring(F.md5(F.col("v").cast("string").cast("binary")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("h")
+    )
+    stream = (
+        spark.readStream.schema("grp string, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+        .select("grp", h)
+    )
+    out = run_stream_once(kmv_monitor(stream, k=32), f"kmv_{_uuid.uuid4().hex[:8]}")
+    rows = out.orderBy("seq").collect()
+    assert [r.seq for r in rows] == [1, 2]
+    final = rows[-1]
+    # single-batch reference over the union 0..59 (60 distinct values)
+    ref = (
+        spark.createDataFrame([("g", i) for i in range(60)], "grp string, v long")
+        .select("grp", h)
+        .groupBy("grp")
+        .agg(F.slice(F.array_sort(F.collect_set("h")), 1, 32).alias("ks"))
+        .select(F.element_at("ks", 32).alias("kth"), F.size("ks").alias("m"))
+        .first()
+    )
+    assert final.n_tracked == 32 == ref.m
+    assert final.kth_min == ref.kth
+    assert final.est_distinct == float(31 * (1 << 60)) / float(ref.kth)
