@@ -645,7 +645,13 @@ def srp_signatures(
                 }
             )
 
-    out = df.select(
+    # null / wrong-dim vectors would turn the batch matrix ragged (object
+    # dtype -> task death); drop them JVM-side — at corpus scale malformed
+    # embedding rows are a fact of life, and a broken row must not kill
+    # the job (the same per-record resilience contract as the era scan)
+    out = df.where(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+    ).select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).cast("array<double>").alias("__v"),
     ).mapInPandas(sig_batches, "__id long, table_id int, sig long")

@@ -265,3 +265,21 @@ def test_funnel_order_matters(spark):
         for r in q["x13_funnel_stages"](spark, d).collect()
     }
     assert got == {3: 1, 2: 1, 1: 2, 0: 1}
+
+
+def test_srp_tolerates_null_and_ragged_vectors(spark):
+    """A null or wrong-dim embedding row must be skipped, not kill the
+    kernel batch (object-dtype matrix) — the per-record resilience
+    contract of every scan-shaped operator here."""
+    from era_parser_spark.operators.similarity import srp_signatures
+
+    rows = [
+        (1, [float(i) for i in range(8)]),
+        (2, None),
+        (3, [1.0, 2.0]),  # ragged
+        (4, [float(-i) for i in range(8)]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = srp_signatures(df, "embedding", "vec_id", dim=8).collect()
+    assert {r.vec_id for r in got} == {1, 4}
+    assert len(got) == 2 * 4
