@@ -243,6 +243,17 @@ def all_pairs_topk(
     """
     if candidates_per_pair < top_pairs:
         raise ValueError("candidates_per_pair must be >= top_pairs")
+    # null / wrong-dim vectors would make a block's numpy matrix ragged
+    # (object dtype -> task death); drop them before blocking — same
+    # per-record resilience contract as the SRP kernel above
+    first = df.select(vec_col).where(F.col(vec_col).isNotNull()).first()
+    if first is None:
+        return df.sparkSession.createDataFrame(
+            [], "doc_a long, doc_b long, cosine_sim double"
+        )
+    df = df.where(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == len(first[0]))
+    )
     if n_rows is None:
         n_rows = df.count()
     n_blocks = max(1, math.ceil(n_rows / block_size))

@@ -283,3 +283,21 @@ def test_srp_tolerates_null_and_ragged_vectors(spark):
     got = srp_signatures(df, "embedding", "vec_id", dim=8).collect()
     assert {r.vec_id for r in got} == {1, 4}
     assert len(got) == 2 * 4
+
+
+def test_all_pairs_tolerates_null_and_ragged_vectors(spark):
+    from era_parser_spark.operators.similarity import all_pairs_topk
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, None),
+        (3, [1.0]),  # ragged
+        (4, [1.0, 0.0, 0.0]),
+        (5, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = all_pairs_topk(df, "embedding", "vec_id", top_pairs=3,
+                         candidates_per_pair=3).collect()
+    pairs = {(r.doc_a, r.doc_b): r.cosine_sim for r in got}
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0
+    assert all(2 not in p and 3 not in p for p in pairs)
