@@ -301,3 +301,40 @@ def test_all_pairs_tolerates_null_and_ragged_vectors(spark):
     pairs = {(r.doc_a, r.doc_b): r.cosine_sim for r in got}
     assert (1, 4) in pairs and pairs[(1, 4)] == 1.0
     assert all(2 not in p and 3 not in p for p in pairs)
+
+
+def test_boilerplate_strip_identity_property(spark):
+    """Reassembly identity on BOTH chunker paths (zip_with k=2 and the
+    generic slice path): with the doc-frequency cap above the corpus size
+    nothing is hot, so clean_text must be the normalized token join and
+    n_kept == n_chunks — for arbitrary token streams."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from era_parser_spark.operators.text import boilerplate_strip
+
+    word = st.text(alphabet="abcXYZ09", min_size=1, max_size=6)
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        st.lists(st.lists(word, min_size=1, max_size=17), min_size=1, max_size=5),
+        st.sampled_from([2, 3]),
+    )
+    def check(docs, k):
+        rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r.doc_id: r
+            for r in boilerplate_strip(
+                df, "doc_id", "text", chunk_tokens=k, max_doc_freq=len(docs) + 1
+            ).collect()
+        }
+        for i, toks in enumerate(docs):
+            norm = [t.lower() for t in toks]
+            assert out[i].clean_text == " ".join(norm)
+            assert out[i].n_chunks == math.ceil(len(norm) / k)
+            assert out[i].n_kept == out[i].n_chunks
+
+    check()
