@@ -163,21 +163,10 @@ def temperature_mix(
         rate.alias("keep_rate"),
         F.floor(rate * F.lit(float(_POW60))).cast("long").alias("__thr"),
     )
-    draw = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit(salt + "_"), F.col(id_col).cast("string")
-                    ).cast("binary")
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        )
-        .cast("bigint")
+    from era_parser_spark.operators.dedup import md5_60bit
+
+    draw = md5_60bit(
+        F.concat(F.lit(salt + "_"), F.col(id_col).cast("string"))
     )
     return (
         df.join(F.broadcast(rates), strata_col)

@@ -60,6 +60,18 @@ def tokens_col(text_col: str | Column) -> Column:
     return F.split(F.trim(F.lower(c)), r"\s+")
 
 
+def md5_60bit(c: Column) -> Column:
+    """The 60-bit md5 integer every oracle-exact hash path shares:
+    int(md5(bytes)[:15 hex]) — positive in a signed BIGINT in both Spark
+    and DuckDB (`CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)`).
+    ONE definition on purpose: dd4b SimHash, p5 temperature mixing, x12 /
+    st5 KMV all depend on this staying byte-identical to the SQL twin."""
+    return (
+        F.conv(F.substring(F.md5(c.cast("binary")), 1, 15), 16, 10)
+        .cast("bigint")
+    )
+
+
 def shingles_col(tok: Column, n: int = 3) -> Column:
     """Distinct n-token shingles (space-joined) from a token array.
 
@@ -465,12 +477,7 @@ def simhash_md5_fingerprints(
     """
     tok = tokens_col(text_col)
     ex = df.select(F.col(id_col), F.explode(tok).alias("__t")).select(
-        F.col(id_col),
-        F.conv(
-            F.substring(F.md5(F.col("__t").cast("binary")), 1, 15), 16, 10
-        )
-        .cast("bigint")
-        .alias("__h"),
+        F.col(id_col), md5_60bit(F.col("__t")).alias("__h")
     )
     sums = ex.groupBy(id_col).agg(
         *[

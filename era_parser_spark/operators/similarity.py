@@ -244,15 +244,16 @@ def all_pairs_topk(
     if candidates_per_pair < top_pairs:
         raise ValueError("candidates_per_pair must be >= top_pairs")
     # null / wrong-dim vectors would make a block's numpy matrix ragged
-    # (object dtype -> task death); drop them before blocking — same
-    # per-record resilience contract as the SRP kernel above
-    first = df.select(vec_col).where(F.col(vec_col).isNotNull()).first()
-    if first is None:
+    # (object dtype -> task death); drop everything off the DOMINANT size
+    # before blocking — same per-record resilience contract as the SRP
+    # kernel above (an arbitrary first() row is not a safe dim witness)
+    dim = _mode_dim(df, vec_col)
+    if dim is None:
         return df.sparkSession.createDataFrame(
             [], "doc_a long, doc_b long, cosine_sim double"
         )
     df = df.where(
-        F.col(vec_col).isNotNull() & (F.size(vec_col) == len(first[0]))
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
     )
     if n_rows is None:
         n_rows = df.count()
@@ -562,6 +563,22 @@ def label_centroids(
     )
 
 
+def _mode_dim(df: DataFrame, vec_col: str) -> int | None:
+    """Dominant vector dimensionality: the most frequent non-null size
+    (ties break to the smaller size).  An arbitrary first() row is NOT a
+    safe dim witness — if the physically first vector is the malformed
+    one, a size==first filter would invert and drop the healthy corpus.
+    One tiny pruned aggregate; None on an all-null/empty column."""
+    row = (
+        df.where(F.col(vec_col).isNotNull())
+        .groupBy(F.size(vec_col).alias("__d"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .orderBy(F.desc("__n"), F.asc("__d"))
+        .first()
+    )
+    return None if row is None else int(row[0])
+
+
 def srp_plane_signs(
     n_tables: int, n_planes: int, dim: int
 ) -> list[list[list[int]]]:
@@ -620,7 +637,13 @@ def srp_signatures(
     O(L) small integers per vector.
     """
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        dim = _mode_dim(df, vec_col)
+        if dim is None:  # empty / all-null column: empty typed result
+            return df.select(
+                F.col(id_col),
+                F.lit(0).alias("table_id"),
+                F.lit(0).cast("long").alias("sig"),
+            ).where(F.lit(False))
     signs = srp_plane_signs(n_tables, n_planes, dim)
     # int64 (L*P, dim) sign matrix, shipped to workers via UDF closure
     sign_mat = np.array(
@@ -699,9 +722,14 @@ def srp_lsh_pairs(
     (table_id, sig, id) triples only; vectors rejoin ONLY for surviving
     candidate pairs via the slim cached norm projection.
     """
+    # cached: the (id, table_id, sig) projection feeds BOTH sides of the
+    # bucket self-join (plus the hot-bucket subtree when guarded) —
+    # uncached, Catalyst re-runs the Arrow signature kernel and the
+    # embedding scan once per branch (the dd4 SimHash lesson, f67872d);
+    # the cache holds L small integers per vector, never the vectors
     sigs = srp_signatures(
         df, vec_col, id_col, n_tables, n_planes, dim=dim
-    )
+    ).cache()
     if max_bucket is not None:
         hot = (
             sigs.groupBy("table_id", "sig")

@@ -48,15 +48,9 @@ def kmv_distinct(
     exactly representable, so the final division is one correctly-rounded
     IEEE op — the estimate matches SQL bit-for-bit.
     """
-    h = (
-        F.conv(
-            F.substring(F.md5(F.col(value_col).cast("string").cast("binary")), 1, 15),
-            16,
-            10,
-        )
-        .cast("bigint")
-        .alias("__h")
-    )
+    from era_parser_spark.operators.dedup import md5_60bit
+
+    h = md5_60bit(F.col(value_col).cast("string")).alias("__h")
     cells = (
         df.select(F.col(group_col), h)
         .groupBy(group_col, F.pmod(F.col("__h"), F.lit(buckets)).alias("__c"))

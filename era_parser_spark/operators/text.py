@@ -260,8 +260,14 @@ def boilerplate_strip(
     # regex per element (measured 1.4x slower); and for the default
     # chunk_tokens=2 the chunks come from one even/odd filter + zip_with
     # pass instead of a per-chunk slice+join (another 1.5x — HOF slices
-    # are interpreted, so per-chunk work costs real time)
-    base = df.select(F.col(id_col), tokens_col(text_col).alias("__tok"))
+    # are interpreted, so per-chunk work costs real time).  NULL text
+    # coalesces to '' BEFORE tokenizing (the oracle does the same): a
+    # null-text doc must come back as one empty chunk, not vanish from
+    # the posexplode.
+    base = df.select(
+        F.col(id_col),
+        tokens_col(F.coalesce(F.col(text_col), F.lit(""))).alias("__tok"),
+    )
     tok = F.col("__tok")
     if chunk_tokens == 2:
         chunks = F.zip_with(

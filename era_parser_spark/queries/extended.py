@@ -365,6 +365,7 @@ def x11_scd2_intervals(spark, sf_dir):
              CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
                   AS BIGINT) AS h
       FROM events
+      WHERE user_id IS NOT NULL
     ),
     rk AS (
       SELECT event_type, h,

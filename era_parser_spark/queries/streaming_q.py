@@ -206,6 +206,7 @@ def st4_stream_exact_dedup(spark, sf_dir):
              CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
                   AS BIGINT) AS h
       FROM events
+      WHERE user_id IS NOT NULL
     ),
     rk AS (
       SELECT event_type, h,
@@ -229,6 +230,7 @@ def st5_stream_kmv_distinct(spark, sf_dir):
     union-then-truncate, so batch boundaries can't change the answer);
     the snapshot after one AvailableNow pass equals the x12 batch sketch
     exactly — a sketch whose STREAMING state is oracle-checkable."""
+    from era_parser_spark.operators.dedup import md5_60bit
     from era_parser_spark.streaming.incremental import kmv_monitor, run_stream_once
 
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
@@ -238,15 +240,7 @@ def st5_stream_kmv_distinct(spark, sf_dir):
         .parquet(stream_dir)
         .select(
             F.col("event_type").alias("grp"),
-            F.conv(
-                F.substring(
-                    F.md5(F.col("user_id").cast("string").cast("binary")), 1, 15
-                ),
-                16,
-                10,
-            )
-            .cast("bigint")
-            .alias("h"),
+            md5_60bit(F.col("user_id").cast("string")).alias("h"),
         )
     )
     out = run_stream_once(kmv_monitor(stream, k=32), f"st5_{uuid.uuid4().hex[:8]}")

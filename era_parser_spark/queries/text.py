@@ -282,7 +282,8 @@ def t8_rarity_score(spark, sf_dir):
     # == the array_sort((pos,chunk)) reassembly; ceil(int/2.0) matches
     # F.ceil(size/2.0).
     oracle=f"""
-    WITH tokd AS (SELECT doc_id, {_TOK} AS tok FROM documents),
+    WITH tokd AS (SELECT doc_id, regexp_split_to_array(
+           trim(lower(coalesce(text, ''))), '\s+') AS tok FROM documents),
     ex AS (
       SELECT doc_id, CAST(i AS INTEGER) AS pos,
              array_to_string(tok[i*2+1 : i*2+2], ' ') AS chunk

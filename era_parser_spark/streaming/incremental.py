@@ -444,8 +444,12 @@ def kmv_monitor(stream: DataFrame, k: int = 32) -> DataFrame:
             }
         )
 
+    # nulls are not values: the batch twin's collect_set drops them, and a
+    # null reaching the pandas fn arrives as NaN (int() -> task death) —
+    # filter JVM-side so streaming matches batch ignore-null semantics
     return (
         stream.select("grp", "h")
+        .where(F.col("h").isNotNull())
         .groupBy("grp")
         .applyInPandasWithState(
             fn,

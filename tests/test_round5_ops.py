@@ -338,3 +338,58 @@ def test_boilerplate_strip_identity_property(spark):
             assert out[i].n_kept == out[i].n_chunks
 
     check()
+
+
+def test_dim_inference_survives_malformed_first_row(spark):
+    """The dim witness is the MODE of sizes, not the first row: a corpus
+    whose physically first vector is the malformed one must keep the
+    healthy majority, and empty/all-null inputs return empty typed
+    frames instead of raising."""
+    from era_parser_spark.operators.similarity import (
+        all_pairs_topk,
+        srp_signatures,
+    )
+
+    rows = [(0, [1.0])]  # malformed row FIRST
+    rows += [(i, [float(i), 0.0, 1.0]) for i in range(1, 6)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).coalesce(1)
+    pairs = all_pairs_topk(df, "embedding", "vec_id", top_pairs=10,
+                           candidates_per_pair=10).collect()
+    ids = {i for r in pairs for i in (r.doc_a, r.doc_b)}
+    assert ids == {1, 2, 3, 4, 5}  # healthy majority kept, row 0 dropped
+    sigs = srp_signatures(df, "embedding", "vec_id").collect()
+    assert {r.vec_id for r in sigs} == {1, 2, 3, 4, 5}
+    # degenerate inputs: empty + all-null
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert srp_signatures(empty, "embedding", "vec_id").count() == 0
+    assert all_pairs_topk(empty, "embedding", "vec_id", top_pairs=5,
+                          candidates_per_pair=5).count() == 0
+    nulls = spark.createDataFrame([(1, None)], "vec_id long, embedding array<double>")
+    assert srp_signatures(nulls, "embedding", "vec_id").count() == 0
+
+
+def test_kmv_ignores_null_values(spark):
+    from era_parser_spark.operators.sketch import kmv_distinct
+
+    rows = [(1, "g"), (2, "g"), (None, "g"), (None, "h")]
+    df = spark.createDataFrame(rows, "v long, g string")
+    out = {r.g: r for r in kmv_distinct(df, "g", "v", k=8).collect()}
+    # nulls are not values: g counts 2, the all-null group is absent —
+    # matching the oracle's WHERE value IS NOT NULL
+    assert out["g"].n_tracked == 2 and out["g"].est_distinct == 2.0
+    assert "h" not in out
+
+
+def test_boilerplate_strip_null_text_survives(spark):
+    from era_parser_spark.operators.text import boilerplate_strip
+
+    df = spark.createDataFrame(
+        [(1, "real words here"), (2, None)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in boilerplate_strip(
+        df, "doc_id", "text", chunk_tokens=2, max_doc_freq=10
+    ).collect()}
+    assert out[2].clean_text == "" and out[2].n_chunks == 1
+    assert out[1].clean_text == "real words here"
