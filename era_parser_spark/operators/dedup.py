@@ -354,7 +354,10 @@ def _simhash64(tokens: list[str]) -> int:
 def simhash_udf(texts: pd.Series) -> pd.Series:
     """Arrow-batched SimHash: token loop is imperative, so it rides a pandas
     UDF rather than a 64x explode (which would be a 64x shuffle blowup)."""
-    return texts.map(lambda t: _simhash64(str(t).lower().split()))
+    # null text -> empty-document fingerprint (0), not the hash of 'none'
+    return texts.map(
+        lambda t: 0 if t is None else _simhash64(str(t).lower().split())
+    )
 
 
 def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

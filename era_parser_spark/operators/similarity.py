@@ -479,7 +479,14 @@ def knn_join(
             ).alias("s"),
         )
         .select(F.col("s.query_id"), F.col("nbr_id"), F.col("s.cosine_sim"))
-        .where(F.col("nbr_id") != F.col("query_id"))
+        # null/zero vectors score null (NaN quantizes to null) — drop them
+        # HERE: a null reaching the partition heap becomes NaN, and a NaN
+        # at the heap root compares greater-than-nothing, wedging real
+        # neighbors out of the top-k permanently
+        .where(
+            (F.col("nbr_id") != F.col("query_id"))
+            & F.col("cosine_sim").isNotNull()
+        )
     )
 
     def part_topk(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -75,6 +75,8 @@ def winnowing_fingerprints(
         for pdf in it:
             ids, fps = [], []
             for did, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:  # null text: no fingerprints, not 'None'
+                    continue
                 for h in winnow_text(str(text), k, w):
                     ids.append(did)
                     fps.append(h - (1 << 64) if h >= (1 << 63) else h)

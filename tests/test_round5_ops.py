@@ -393,3 +393,27 @@ def test_boilerplate_strip_null_text_survives(spark):
     ).collect()}
     assert out[2].clean_text == "" and out[2].n_chunks == 1
     assert out[1].clean_text == "real words here"
+
+
+def test_null_rows_across_kernels(spark):
+    """One malformed row must never wedge or crash a kernel: knn top-k
+    stays clean (a NaN at the heap root would wedge real neighbors out),
+    simhash maps null text to the empty fingerprint, winnowing skips it."""
+    from era_parser_spark.operators.dedup import simhash_fingerprints
+    from era_parser_spark.operators.similarity import knn_join
+    from era_parser_spark.operators.winnowing import winnowing_fingerprints
+
+    vecs = [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, None), (4, [0.0, 1.0])]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = knn_join(emb, emb.filter("vec_id = 1"), "embedding", "vec_id", k=3).collect()
+    assert [r.nbr_id for r in sorted(out, key=lambda r: r.rnk)] == [2, 4]
+    assert all(r.cosine_sim == r.cosine_sim for r in out)  # no NaN
+
+    docs = spark.createDataFrame(
+        [(1, "spark rows " * 10), (2, None)], "doc_id long, text string"
+    )
+    fps = {r.doc_id: r.simhash for r in
+           simhash_fingerprints(docs, "doc_id", "text").collect()}
+    assert fps[2] == 0 and fps[1] != 0
+    wn = winnowing_fingerprints(docs, "doc_id", "text").collect()
+    assert {r.doc_id for r in wn} == {1}
