@@ -121,7 +121,13 @@ def centroid_table(
             .limit(max_train_rows)
             .select(array_to_vector("v").alias("features"))
         )
-        k_eff = min(k, train.count())
+        n_train = train.count()
+        if n_train < 2:
+            raise ValueError(
+                "kmeans centroid trainer needs >= 2 training vectors "
+                f"(got {n_train}); use trainer='stride' for tiny corpora"
+            )
+        k_eff = min(k, n_train)
         model = KMeans(k=k_eff, seed=seed, maxIter=20).fit(train)
         cents = [
             (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
@@ -357,6 +363,7 @@ def semantic_dedup(
     id_col: str,
     centroids: DataFrame,
     threshold: float = 0.95,
+    _assigned: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style embedding-space dedup (Abbas et al. 2023,
     arXiv:2303.09540): cluster vectors, then within each cluster drop
@@ -378,17 +385,20 @@ def semantic_dedup(
     # (same sequential fold as cosine_expr's sumsq, so dot/sqrt(ssa*ssb)
     # stays bit-identical to list_cosine_similarity) — per candidate pair
     # only the dot product remains, ~3x fewer fold ops in the quadratic part
-    v = F.col(vec_col).cast("array<double>")
-    assigned = (
-        ivf_assign(df, vec_col, id_col, centroids)
-        .select(
-            F.col(id_col),
-            v.alias("__v"),
-            sumsq_expr(v).alias("__ss"),
-            "centroid_id",
+    if _assigned is not None:
+        assigned = _assigned
+    else:
+        v = F.col(vec_col).cast("array<double>")
+        assigned = (
+            ivf_assign(df, vec_col, id_col, centroids)
+            .select(
+                F.col(id_col),
+                v.alias("__v"),
+                sumsq_expr(v).alias("__ss"),
+                "centroid_id",
+            )
+            .cache()
         )
-        .cache()
-    )
     a = assigned.select(
         F.col(id_col).alias("__ida"), F.col("__v").alias("__va"),
         F.col("__ss").alias("__ssa"), "centroid_id",
@@ -802,12 +812,25 @@ def semantic_dedup_with_stats(
     before paying its quadratic term; the stats aggregate is one tiny
     groupBy over the same cached assignment the dedup reuses.
     """
-    survivors = semantic_dedup(df, vec_col, id_col, centroids, threshold)
-    sizes = (
+    # build the cached norm+assignment projection ONCE and hand it to the
+    # dedup: a fresh ivf_assign subtree here would not match the cached
+    # plan, so Spark could not substitute it and the stats would pay a
+    # second full corpus scan + broadcast argmin just to count sizes
+    v = F.col(vec_col).cast("array<double>")
+    assigned = (
         ivf_assign(df, vec_col, id_col, centroids)
-        .groupBy("centroid_id")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col(id_col),
+            v.alias("__v"),
+            sumsq_expr(v).alias("__ss"),
+            "centroid_id",
+        )
+        .cache()
     )
+    survivors = semantic_dedup(
+        df, vec_col, id_col, centroids, threshold, _assigned=assigned
+    )
+    sizes = assigned.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("n"))
     row = sizes.agg(
         F.count(F.lit(1)).alias("n_clusters"),
         F.coalesce(F.max("n"), F.lit(0)).alias("max_cluster"),

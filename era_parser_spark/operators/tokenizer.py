@@ -36,16 +36,20 @@ _RANKS_CACHE: dict[tuple[str, float], dict[tuple[str, str], int]] = {}
 def load_merges(path: str) -> dict[tuple[str, str], int]:
     """Parse a merges.txt-style file -> {(left, right): rank}.
 
-    Lines starting with ``#`` (the usual version header) and blank lines
-    are skipped; rank is the surviving line index (lower merges first).
+    Only a FIRST-line ``#version`` header and blank lines are skipped —
+    never every ``#``-initial line: the pre-tokenizer emits punctuation
+    runs like ``##`` as symbols, so a learned merge ('#', '#') writes the
+    line ``# #`` and a blanket comment rule would silently drop it (and
+    would corrupt real GPT-2 merges.txt files the same way).  Rank is the
+    surviving line index (lower merges first).
     """
     key = (os.path.abspath(path), os.path.getmtime(path))
     if key not in _RANKS_CACHE:
         ranks: dict[tuple[str, str], int] = {}
         with open(path, encoding="utf-8") as f:
-            for line in f:
+            for lineno, line in enumerate(f):
                 line = line.rstrip("\n")
-                if not line or line.startswith("#"):
+                if not line or (lineno == 0 and line.startswith("#version")):
                     continue
                 parts = line.split(" ")
                 if len(parts) != 2:

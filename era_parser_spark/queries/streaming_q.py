@@ -26,8 +26,12 @@ def _stream_src_dir(prefix: str, sf_dir: str, table_file: str = "events.parquet"
     )
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, table_file)
-    if not os.path.exists(link):
-        os.symlink(os.path.abspath(f"{sf_dir}/{table_file}"), link)
+    # lexists, not exists: exists() follows the symlink, so a dangling
+    # link in this now-stable dir would look absent and os.symlink would
+    # raise FileExistsError
+    if os.path.lexists(link):
+        os.remove(link)
+    os.symlink(os.path.abspath(f"{sf_dir}/{table_file}"), link)
     return d
 
 

@@ -417,3 +417,48 @@ def test_null_rows_across_kernels(spark):
     assert fps[2] == 0 and fps[1] != 0
     wn = winnowing_fingerprints(docs, "doc_id", "text").collect()
     assert {r.doc_id for r in wn} == {1}
+
+
+def test_bpe_merges_roundtrip_hash_symbols(tmp_path):
+    """A learned ('#','#') merge writes the line '# #'; the loader must
+    keep it (only a first-line #version header is a comment) — a blanket
+    '#' comment rule silently desynchronizes learned and applied tables."""
+    from era_parser_spark.operators.tokenizer import (
+        bpe_encode_word,
+        load_merges,
+        save_merges,
+    )
+
+    p = tmp_path / "merges.txt"
+    save_merges([("#", "#"), ("a", "b")], str(p))
+    ranks = load_merges(str(p))
+    assert ranks == {("#", "#"): 0, ("a", "b"): 1}
+    assert bpe_encode_word("##", ranks) == ["##"]
+
+
+def test_kmeans_trainer_rejects_tiny_corpus(spark):
+    import pytest as _pytest
+
+    from era_parser_spark.operators.similarity import centroid_table
+
+    one = spark.createDataFrame([(0, [1.0, 2.0])], "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="stride"):
+        centroid_table(one, "embedding", "vec_id", trainer="kmeans")
+
+
+def test_stream_src_dir_repairs_dangling_link(spark, tmp_path):
+    import os
+
+    from era_parser_spark.queries.streaming_q import _stream_src_dir
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    (sf / "events.parquet").write_text("x")
+    d = _stream_src_dir("tlink", str(sf))
+    link = os.path.join(d, "events.parquet")
+    assert os.path.exists(link)
+    # break it: remove the target, leaving the link dangling
+    os.remove(sf / "events.parquet")
+    (sf / "events.parquet").write_text("y")
+    out = _stream_src_dir("tlink", str(sf))
+    assert os.path.exists(os.path.join(out, "events.parquet"))

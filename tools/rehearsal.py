@@ -22,7 +22,7 @@ Prints ONE JSON line; human notes go to stderr.  Numbers land in
 docs/PLANS.md ("100x-shape rehearsal" section).
 
 Usage: python tools/rehearsal.py [--files 512] [--blocks 4096]
-       [--base /tmp/era_rehearsal] [--skip-gen-check]
+       [--base /tmp/era_rehearsal] [--fresh]
 
 Do not run concurrently with bench.py or the test suite (CLAUDE.md:
 contended timings look like regressions).
