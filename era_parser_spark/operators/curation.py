@@ -215,3 +215,38 @@ def stratified_sample(
     )
     hashed = F.pmod(F.col(id_col) * F.lit(_KNUTH), F.lit(_HASH_MOD))
     return df.filter(hashed < bound)
+
+
+def domain_reputation_filter(
+    df: DataFrame,
+    domain_col: str,
+    chars_col: str,
+    min_avg_chars: int,
+    blocked: tuple[str, ...] = (),
+) -> DataFrame:
+    """Domain-level curation (the RefinedWeb/CCNet URL-filtering step):
+    drop whole domains by policy.  A domain survives when it is not on the
+    explicit blocklist AND its mean document length (an aggregate
+    reputation proxy — swap in any per-domain score) clears
+    ``min_avg_chars``.  Documents inherit their domain's verdict.
+
+    avg chars uses INTEGER division (sum div count) so the threshold
+    compare is exact in any engine (the float-quotient-rounds-across-the-
+    boundary trap, docs/PLANS.md).
+
+    Scale shape: one tiny per-domain aggregate (map-side combinable,
+    |domains| rows), then a broadcast join back — corpus rows never
+    hash-exchange, the verdict is a codegen'd filter at the scan.  The
+    blocklist is a literal isin() (no join at all).
+
+    Output: surviving rows plus (domain_n_docs, domain_avg_chars).
+    """
+    stats = df.groupBy(domain_col).agg(
+        F.count(F.lit(1)).alias("domain_n_docs"),
+        F.expr(f"sum({chars_col}) div count(*)").alias("domain_avg_chars"),
+    )
+    kept = stats.filter(F.col("domain_avg_chars") >= min_avg_chars)
+    out = df.join(F.broadcast(kept), domain_col)
+    if blocked:
+        out = out.filter(~F.col(domain_col).isin(*blocked))
+    return out

@@ -497,3 +497,50 @@ def simhash_md5_fingerprints(
         )
         fp = term if fp is None else fp + term
     return sums.select(F.col(id_col), fp.alias("simhash"))
+
+
+def fuzzy_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """End-to-end fuzzy deduplication — the composition a production
+    curation run actually executes (the SlimPajama/RefinedWeb shape):
+
+        MinHash signatures -> LSH banding candidates -> exact-Jaccard
+        verify -> connected components over the near-dup graph -> keep
+        the minimum id of every cluster.
+
+    Output: one row per input document — (id, cluster_id, cluster_sz,
+    kept).  ``kept`` marks the cluster survivor (min id); filtering on it
+    yields the deduplicated corpus, while the full frame doubles as the
+    audit trail (who was dropped, and with whom it clustered).
+
+    Scale shape: every stage is the sub-quadratic path proven by its
+    standalone operator — candidates via band equi-join (never all
+    pairs), exact verify only on broadcast-semi-joined candidates,
+    clustering via alternating large-star/small-star (O(log n) rounds for
+    any graph shape, no driver materialization).
+    """
+    from era_parser_spark.operators.graph import (
+        cluster_sizes,
+        connected_components_alternating,
+    )
+
+    edges = minhash_lsh_dedup_pairs(
+        df, id_col, text_col, num_perm=num_perm, bands=bands,
+        threshold=threshold, shingle_n=shingle_n,
+    ).select("doc_a", "doc_b")
+    comps = connected_components_alternating(
+        df.select(id_col), edges, id_col=id_col, src_col="doc_a", dst_col="doc_b"
+    )
+    return cluster_sizes(comps, id_col=id_col).select(
+        F.col(id_col),
+        "cluster_id",
+        "cluster_sz",
+        (F.col(id_col) == F.col("cluster_id")).alias("kept"),
+    )

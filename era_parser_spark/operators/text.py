@@ -313,3 +313,53 @@ def boilerplate_strip(
         F.count(F.lit(1)).cast("long").alias("n_chunks"),
         F.count("chunk").cast("long").alias("n_kept"),
     )
+
+
+# PII patterns applied in order: (name, regex, replacement token).  The
+# regexes are deliberately RE2-safe (no lookaround, no backrefs) so the
+# same pattern string runs identically under Java regex (Spark) and RE2
+# (DuckDB) — that is what makes the operator exactly oracle-able.  The
+# three classes are mutually exclusive by construction (emails need '@',
+# IPv4 needs three digit-dot groups, phones need a leading '+'), so
+# counting each class on the RAW text while redacting sequentially is
+# order-independent.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d[\d-]{7,}\d", "<PHONE>"),
+)
+
+
+def pii_redact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Redact emails / IPv4 addresses / phone numbers from a text column.
+
+    The standard pre-release scrub in training-data pipelines (reference
+    has no text tier; this extends SURVEY §2.G).  Output: (id, n_email,
+    n_ipv4, n_phone, redacted_text).  Counts are per-class matches on the
+    raw text; the redacted text applies all classes in PII_PATTERNS order.
+
+    Scale shape: pure JVM regexp expressions (whole-stage codegen), zero
+    shuffles — scans at parquet speed on any corpus.  Swap PII_PATTERNS
+    for a jurisdiction-specific set without touching the plan.
+    """
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    counts = [
+        F.size(F.regexp_extract_all(raw, F.lit(pat), F.lit(0))).cast("long").alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    redacted = raw
+    for _, pat, token in PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, pat, token)
+    return df.select(F.col(id_col), *counts, redacted.alias("redacted_text"))
+
+
+def sql_pii_exprs(text_expr: str) -> tuple[list[str], str]:
+    """DuckDB twins of pii_redact's count and redaction expressions."""
+    counts = [
+        f"CAST(len(regexp_extract_all({text_expr}, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    ]
+    red = text_expr
+    for _, pat, token in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{token}', 'g')"
+    return counts, red

@@ -466,3 +466,52 @@ def dd4b_simhash_md5(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     return simhash_md5_fingerprints(docs, "doc_id", "text")
+
+
+@register(
+    "dd9_fuzzy_dedup_pipeline",
+    # The full production dedup composition.  Oracle-exact for the same
+    # reason dd3 is: the LSH stage only PROPOSES candidates (recall 1.0 at
+    # the fixture threshold, pinned in test_llm_ops) and the verify step
+    # is exact Jaccard, so the edge set — hence the clusters and the
+    # kept/dropped verdicts — equals the brute-force graph the recursive
+    # CTE rebuilds.
+    oracle=f"""
+    WITH RECURSIVE
+    sh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents),
+    sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+    raw_pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    dup_edges AS (
+      SELECT doc_a, doc_b FROM raw_pairs
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(inter AS DOUBLE) / (sa.nsh + sb.nsh - inter) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM dup_edges
+      UNION ALL SELECT doc_b, doc_a FROM dup_edges
+    ),
+    reach(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    labels AS (SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node),
+    csz AS (SELECT cluster_id, count(*) AS cluster_sz FROM labels GROUP BY cluster_id)
+    SELECT doc_id, labels.cluster_id, cluster_sz,
+           doc_id = labels.cluster_id AS kept
+    FROM labels JOIN csz ON labels.cluster_id = csz.cluster_id
+    """,
+)
+def dd9_fuzzy_dedup_pipeline(spark, sf_dir):
+    # MinHash -> LSH -> exact verify -> O(log n) connected components ->
+    # keeper per cluster: the deduplicated corpus plus its audit trail
+    # (operators/dedup.py::fuzzy_dedup).
+    from era_parser_spark.operators.dedup import fuzzy_dedup
+
+    docs = table(spark, sf_dir, "documents")
+    return fuzzy_dedup(docs, "doc_id", "text", threshold=0.5)

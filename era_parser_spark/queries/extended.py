@@ -498,3 +498,43 @@ def x14_equidepth_histogram(spark, sf_dir):
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+def _x15_oracle() -> str:
+    from era_parser_spark.operators.layout import sql_zorder_expr
+
+    z = sql_zorder_expr(["l_partkey", "l_suppkey"], bits=16)
+    return f"""
+    SELECT {z} >> 12 AS zbucket,
+           CAST(count(*) AS BIGINT) AS n,
+           min(l_partkey) AS pk_lo, max(l_partkey) AS pk_hi,
+           min(l_suppkey) AS sk_lo, max(l_suppkey) AS sk_hi
+    FROM lineitem GROUP BY zbucket
+    """
+
+
+@register("x15_zorder_layout", oracle=_x15_oracle())
+def x15_zorder_layout(spark, sf_dir):
+    """Z-order (Morton) clustering key over (l_partkey, l_suppkey) — the
+    Delta/Iceberg OPTIMIZE ZORDER primitive, as pure BIGINT bit
+    arithmetic identical in both engines.  Emits per-z-bucket occupancy
+    and per-column min/max: exactly the parquet footer bounds a
+    z-clustered file would carry, i.e. the pruning power a multi-column
+    scan gains from the layout.  Plan: one codegen projection + one
+    aggregate; the writer path (operators/layout.py::zorder_layout) adds
+    only the range-partition shuffle any global sort costs."""
+    from era_parser_spark.operators.layout import zorder_key
+
+    li = table(spark, sf_dir, "lineitem")
+    zb = F.shiftright(zorder_key(["l_partkey", "l_suppkey"], bits=16), 12)
+    return (
+        li.select(zb.alias("zbucket"), "l_partkey", "l_suppkey")
+        .groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_partkey").alias("pk_lo"),
+            F.max("l_partkey").alias("pk_hi"),
+            F.min("l_suppkey").alias("sk_lo"),
+            F.max("l_suppkey").alias("sk_hi"),
+        )
+    )

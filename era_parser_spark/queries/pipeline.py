@@ -201,3 +201,33 @@ def p5_temperature_mix(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     return temperature_mix(docs, "lang", "doc_id", alpha=0.5)
+
+
+@register(
+    "p6_domain_filter",
+    # sum(n_chars) div count(*) is exact integer division in both engines,
+    # so the >= 290 verdict can never straddle a float rounding.
+    oracle="""
+    WITH stats AS (
+      SELECT source,
+             count(*) AS domain_n_docs,
+             CAST(sum(n_chars) // count(*) AS BIGINT) AS domain_avg_chars
+      FROM documents GROUP BY source
+    )
+    SELECT d.doc_id, d.source, s.domain_n_docs, s.domain_avg_chars
+    FROM documents d JOIN stats s USING (source)
+    WHERE s.domain_avg_chars >= 290 AND d.source <> 'src7'
+    """,
+)
+def p6_domain_filter(spark, sf_dir):
+    # Domain-level curation: drop whole sources by blocklist + aggregate
+    # reputation (mean doc length >= 290 chars).  Both rules are binding on
+    # the fixture: ~half the sources miss the threshold and src7 would
+    # otherwise survive.  Corpus rows never hash-exchange — tiny stats agg,
+    # broadcast verdict join (operators/curation.py::domain_reputation_filter).
+    from era_parser_spark.operators.curation import domain_reputation_filter
+
+    docs = table(spark, sf_dir, "documents")
+    return domain_reputation_filter(
+        docs, "source", "n_chars", min_avg_chars=290, blocked=("src7",)
+    ).select("doc_id", "source", "domain_n_docs", "domain_avg_chars")

@@ -316,3 +316,48 @@ def t9_boilerplate_strip(spark, sf_dir):
     return boilerplate_strip(
         docs, "doc_id", "text", chunk_tokens=2, max_doc_freq=50
     )
+
+
+def _t10_oracle() -> str:
+    from era_parser_spark.operators.text import sql_pii_exprs
+
+    counts, red = sql_pii_exprs("t")
+    return f"""
+    WITH aug AS (
+      SELECT doc_id,
+             coalesce(text, '') || printf(
+               ' contact u%d@mail%d.example.com from 10.%d.%d.%d or call +1-555-%04d',
+               doc_id, doc_id % 7, doc_id % 256, (doc_id // 256) % 256,
+               (doc_id // 65536) % 256, doc_id % 10000) AS t
+      FROM documents
+    )
+    SELECT doc_id, {', '.join(counts)}, {red} AS redacted_text FROM aug
+    """
+
+
+@register("t10_pii_redact", oracle=_t10_oracle())
+def t10_pii_redact(spark, sf_dir):
+    # PII scrub (emails / IPv4 / phones) — the corpus has no natural PII,
+    # so a deterministic doc_id-derived contact line is appended first and
+    # the oracle re-derives the identical injection with printf.  The
+    # patterns are RE2-safe, so Java regex and DuckDB RE2 agree match for
+    # match (counts AND the rewritten text are value-checked).
+    from era_parser_spark.operators.text import pii_redact
+
+    docs = table(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.format_string(
+                " contact u%d@mail%d.example.com from 10.%d.%d.%d or call +1-555-%04d",
+                F.col("doc_id"),
+                F.expr("doc_id % 7"),
+                F.expr("doc_id % 256"),
+                F.expr("(doc_id div 256) % 256"),
+                F.expr("(doc_id div 65536) % 256"),
+                F.expr("doc_id % 10000"),
+            ),
+        ).alias("text"),
+    )
+    return pii_redact(injected, "doc_id", "text")

@@ -462,3 +462,83 @@ def test_stream_src_dir_repairs_dangling_link(spark, tmp_path):
     (sf / "events.parquet").write_text("y")
     out = _stream_src_dir("tlink", str(sf))
     assert os.path.exists(os.path.join(out, "events.parquet"))
+
+
+def test_pii_redact_classes_and_nulls(spark):
+    from era_parser_spark.operators.text import pii_redact
+
+    rows = [
+        (1, "mail a.b+c@ex-ample.org x"),
+        (2, "srv 192.168.0.1 up"),
+        (3, "call +44-20-7946-0958 now"),
+        (4, None),
+        (5, "a@b.co and 10.0.0.255 and +1-555-0100"),
+        (6, "no pii here 1234 5.6"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pii_redact(df, "doc_id", "text").collect()}
+    assert out[1]["redacted_text"] == "mail <EMAIL> x"
+    assert (out[1]["n_email"], out[1]["n_ipv4"], out[1]["n_phone"]) == (1, 0, 0)
+    assert out[2]["redacted_text"] == "srv <IP> up"
+    assert out[3]["redacted_text"] == "call <PHONE> now"
+    assert out[4]["redacted_text"] == "" and out[4]["n_email"] == 0
+    assert out[5]["redacted_text"] == "<EMAIL> and <IP> and <PHONE>"
+    assert (out[5]["n_email"], out[5]["n_ipv4"], out[5]["n_phone"]) == (1, 1, 1)
+    assert out[6]["redacted_text"] == rows[5][1]
+
+
+def test_domain_filter_threshold_and_blocklist(spark):
+    from era_parser_spark.operators.curation import domain_reputation_filter
+
+    rows = (
+        [(i, "good.com", 500) for i in range(4)]
+        + [(10 + i, "thin.com", 10) for i in range(4)]
+        + [(20 + i, "spam.com", 900) for i in range(4)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, domain string, n_chars long")
+    out = domain_reputation_filter(
+        df, "domain", "n_chars", min_avg_chars=100, blocked=("spam.com",)
+    ).collect()
+    assert {r["domain"] for r in out} == {"good.com"}
+    assert len(out) == 4
+    assert out[0]["domain_n_docs"] == 4 and out[0]["domain_avg_chars"] == 500
+
+
+def test_fuzzy_dedup_keeps_min_id_per_cluster(spark):
+    from era_parser_spark.operators.dedup import fuzzy_dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = (
+        [(i, base) for i in (7, 3, 11)]  # one 3-copy cluster, min id 3
+        + [(i, f"unique text number {i} with words {i * 7} {i * 13} distinct") for i in range(20, 26)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in fuzzy_dedup(df, "doc_id", "text").collect()}
+    assert len(out) == 9
+    for i in (3, 7, 11):
+        assert out[i]["cluster_id"] == 3 and out[i]["cluster_sz"] == 3
+        assert out[i]["kept"] == (i == 3)
+    for i in range(20, 26):
+        assert out[i]["cluster_sz"] == 1 and out[i]["kept"]
+    assert sum(1 for r in out.values() if r["kept"]) == 7
+
+
+def test_zorder_key_matches_reference_and_layout_is_range_disjoint(spark):
+    from era_parser_spark.operators.layout import zorder_key, zorder_layout, zorder_py
+
+    rows = [(x, y) for x in (0, 1, 5, 255, 40000, 70000) for y in (0, 2, 9, 65535)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = df.select("x", "y", zorder_key(["x", "y"], 16).alias("z")).collect()
+    for r in got:
+        assert r["z"] == zorder_py((r["x"], r["y"]), 16), (r["x"], r["y"])
+
+    laid = zorder_layout(df, ["x", "y"], bits=16, num_files=4)
+    parts = (
+        laid.selectExpr("spark_partition_id() AS pid", "__zkey")
+        .groupBy("pid")
+        .agg(F.min("__zkey").alias("lo"), F.max("__zkey").alias("hi"))
+        .orderBy("pid")
+        .collect()
+    )
+    for a, b in zip(parts, parts[1:]):
+        assert a["hi"] <= b["lo"]
