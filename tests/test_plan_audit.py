@@ -319,3 +319,58 @@ def test_kmv_single_scan_no_window(spark, queries):
     assert len(read_schema_columns(df)) == 1
     assert len(re.findall(r"\(\d+\) Window", plan)) == 0
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+
+
+def test_pii_redact_single_scan_no_exchange(spark, queries):
+    """t10 is pure codegen regexp expressions over one pruned scan."""
+    import re
+
+    from era_parser_spark.plans import formatted_plan, read_schema_columns
+
+    df = queries["t10_pii_redact"](spark, SF_MED)
+    plan = formatted_plan(df)
+    assert "Exchange" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    (cols,) = read_schema_columns(df)
+    assert cols == {"doc_id", "text"}
+
+
+def test_domain_filter_broadcast_verdict_pushed_blocklist(spark, queries):
+    """p6: corpus rows never hash-exchange — the only Exchange carries the
+    tiny post-partial-agg stats; the verdict joins back as a broadcast and
+    the blocklist literal is pushed down to the corpus parquet scan."""
+    import re
+
+    from era_parser_spark.plans import formatted_plan
+
+    plan = formatted_plan(queries["p6_domain_filter"](spark, SF_MED))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    assert "Not(EqualTo(source,src7))" in plan  # blocklist at the scan
+
+
+def test_zorder_stats_single_exchange(spark, queries):
+    """x15: one codegen projection (bit math) + one aggregate."""
+    import re
+
+    from era_parser_spark.plans import formatted_plan
+
+    plan = formatted_plan(queries["x15_zorder_layout"](spark, SF_MED))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "Join" not in plan
+
+
+def test_zorder_layout_is_one_range_partitioning(spark):
+    """The layout writer costs exactly the range-partition shuffle."""
+    import re
+
+    from era_parser_spark.operators.layout import zorder_layout
+    from era_parser_spark.plans import formatted_plan
+    from era_parser_spark.queries.registry import table
+
+    df = zorder_layout(
+        table(spark, SF_MED, "lineitem"), ["l_partkey", "l_suppkey"], num_files=4
+    )
+    plan = formatted_plan(df)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "rangepartitioning" in plan and "hashpartitioning" not in plan
