@@ -515,3 +515,43 @@ def dd9_fuzzy_dedup_pipeline(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     return fuzzy_dedup(docs, "doc_id", "text", threshold=0.5)
+
+
+@register(
+    "mm4_audio_energy",
+    # The 16-bit-LE sample decode is re-derived in SQL over hex(payload):
+    # sample i = bytes 2i (lo) and 2i+1 (hi), value = 0x{hi}{lo}, minus
+    # 2^16 when the sign bit is set (the corpus is ASCII so hi < 0x80,
+    # but the sign branch is mirrored anyway; pinned for real in pytest
+    # with a crafted negative-sample payload).  All-integer features, so
+    # every value matches bitwise.
+    oracle="""
+    WITH aud AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) // 2 AS nsamp
+      FROM documents
+    ),
+    samp AS (
+      SELECT media_id, CAST(i AS BIGINT) AS i,
+             CAST(concat('0x',
+                         substr(hx, CAST(4 * i + 3 AS INTEGER), 2),
+                         substr(hx, CAST(4 * i + 1 AS INTEGER), 2))
+                  AS INTEGER) AS raw
+      FROM aud, unnest(range(0, nsamp)) AS u(i)
+    )
+    SELECT media_id, i // 64 AS window_no,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(abs(CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END))
+                AS BIGINT) AS sum_abs,
+           CAST(max(abs(CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END))
+                AS BIGINT) AS peak_abs
+    FROM samp GROUP BY media_id, window_no
+    """,
+)
+def mm4_audio_energy(spark, sf_dir):
+    # Audio-tier plumbing: payload-as-PCM -> Arrow-batched per-window
+    # loudness features (operators/multimodal.py::audio_window_energy).
+    from era_parser_spark.operators.multimodal import audio_window_energy
+
+    docs = table(spark, sf_dir, "documents")
+    return audio_window_energy(documents_as_media(docs), window_samples=64)

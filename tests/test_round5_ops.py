@@ -542,3 +542,29 @@ def test_zorder_key_matches_reference_and_layout_is_range_disjoint(spark):
     )
     for a, b in zip(parts, parts[1:]):
         assert a["hi"] <= b["lo"]
+
+
+def test_audio_energy_samples_windows_and_sign(spark):
+    from era_parser_spark.operators.multimodal import audio_window_energy
+
+    rows = [
+        # "AB" -> one sample 0x4241 = 16961
+        (1, bytearray(b"AB")),
+        # 0x00 0xFF -> raw 0xFF00 = 65280 -> signed -256 -> abs 256
+        (2, bytearray(b"\x00\xff")),
+        # 130 samples of value 1 -> windows of 64/64/2
+        (3, bytearray(b"\x01\x00" * 130)),
+        # odd trailing byte dropped; single byte -> no rows
+        (4, bytearray(b"Z")),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = audio_window_energy(df, window_samples=64).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["media_id"], {})[r["window_no"]] = r
+    assert by[1][0]["n_samples"] == 1 and by[1][0]["sum_abs"] == 16961
+    assert by[2][0]["peak_abs"] == 256
+    assert [by[3][w]["n_samples"] for w in (0, 1, 2)] == [64, 64, 2]
+    assert by[3][0]["sum_abs"] == 64 and by[3][2]["sum_abs"] == 2
+    assert 4 not in by and 5 not in by
