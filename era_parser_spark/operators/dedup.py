@@ -544,3 +544,79 @@ def fuzzy_dedup(
         "cluster_sz",
         (F.col(id_col) == F.col("cluster_id")).alias("kept"),
     )
+
+
+def shared_token_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    l: int = 8,
+    min_span_tokens: int = 12,
+    max_doc_freq: int = 100,
+) -> DataFrame:
+    """Exact cross-document shared-span detection — the substring-dedup
+    semantics of suffix-array methods (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"), re-expressed as a
+    relational plan: every maximal run of >= min_span_tokens consecutive
+    tokens appearing verbatim in two documents, with its position in
+    each.
+
+    Plan: token l-grams with positions (one window of l-1 leads — no
+    interpreted HOF slices), a frequency guard dropping grams in more
+    than max_doc_freq docs (the boilerplate/quadratic guard, same
+    tradeoff as dd2's), an inverted-index equi-join on the 8-byte
+    xxhash64 of the gram (strings stay home; hash collisions could in
+    principle invent a match — at 64 bits that is ~n²/2⁶⁵, accepted and
+    shared with dd2/dd3), then gaps-and-islands per (doc_a, doc_b,
+    diagonal): consecutive match positions collapse into maximal spans
+    with one row_number window.  Two hash shuffles + two sorts total;
+    everything whole-stage codegen.
+
+    Output: (doc_a, doc_b, start_a, start_b, span_tokens), positions
+    0-based, spans measured in tokens.
+    """
+    from pyspark.sql import Window as W
+
+    base = df.select(
+        F.col(id_col), F.posexplode(tokens_col(text_col)).alias("pos", "__tk")
+    )
+    w = W.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("__tk")] + [F.lead("__tk", k).over(w) for k in range(1, l)]
+    grams = (
+        base.select(
+            F.col(id_col),
+            "pos",
+            F.when(parts[-1].isNotNull(), F.concat_ws(" ", *parts)).alias("__gram"),
+        )
+        .filter(F.col("__gram").isNotNull())
+        .select(F.col(id_col), "pos", F.xxhash64("__gram").alias("__gh"), "__gram")
+    )
+    hot = (
+        grams.groupBy("__gh")
+        .agg(F.countDistinct(id_col).alias("__df"))
+        .filter(F.col("__df") > max_doc_freq)
+        .select("__gh")
+    )
+    joinable = grams.join(F.broadcast(hot), "__gh", "left_anti")
+    a = joinable.select(
+        F.col(id_col).alias("doc_a"), F.col("pos").alias("pa"), F.col("__gh")
+    )
+    b = joinable.select(
+        F.col(id_col).alias("doc_b"), F.col("pos").alias("pb"), F.col("__gh")
+    )
+    matches = a.join(b, "__gh").filter(F.col("doc_a") < F.col("doc_b"))
+    diag = (F.col("pa") - F.col("pb")).alias("__diag")
+    wi = W.partitionBy("doc_a", "doc_b", "__diag").orderBy("pa")
+    islands = matches.select("doc_a", "doc_b", "pa", "pb", diag).withColumn(
+        "__grp", F.col("pa") - F.row_number().over(wi)
+    )
+    return (
+        islands.groupBy("doc_a", "doc_b", "__diag", "__grp")
+        .agg(
+            F.min("pa").alias("start_a"),
+            F.min("pb").alias("start_b"),
+            (F.max("pa") - F.min("pa") + l).cast("long").alias("span_tokens"),
+        )
+        .filter(F.col("span_tokens") >= min_span_tokens)
+        .select("doc_a", "doc_b", "start_a", "start_b", "span_tokens")
+    )

@@ -555,3 +555,46 @@ def mm4_audio_energy(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     return audio_window_energy(documents_as_media(docs), window_samples=64)
+
+
+@register(
+    "dd10_shared_spans",
+    # Positions/lengths are pure integer math; the engine joins on
+    # xxhash64(gram) while the oracle joins on the gram string itself —
+    # identical match sets barring a 64-bit collision (same accepted risk
+    # as dd2/dd3's hashed shuffle keys).
+    oracle=f"""
+    WITH tokd AS (SELECT doc_id, {_TOK} AS tok FROM documents),
+    grams AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             array_to_string(tok[CAST(i + 1 AS INTEGER) : CAST(i + 8 AS INTEGER)], ' ') AS gram
+      FROM tokd, unnest(range(0, len(tok) - 7)) AS u(i)
+    ),
+    hot AS (SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) > 100),
+    j AS (SELECT * FROM grams ANTI JOIN hot USING (gram)),
+    m AS (
+      SELECT a.doc_id doc_a, b.doc_id doc_b, a.pos pa, b.pos pb,
+             a.pos - b.pos AS diag
+      FROM j a JOIN j b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    ),
+    isl AS (
+      SELECT doc_a, doc_b, pa, pb, diag,
+             pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa)
+               AS grp
+      FROM m
+    )
+    SELECT doc_a, doc_b, min(pa) AS start_a, min(pb) AS start_b,
+           CAST(max(pa) - min(pa) + 8 AS BIGINT) AS span_tokens
+    FROM isl GROUP BY doc_a, doc_b, diag, grp
+    HAVING span_tokens >= 12
+    """,
+)
+def dd10_shared_spans(spark, sf_dir):
+    # Exact shared-span detection (suffix-array-style substring dedup as
+    # an l-gram diagonal-islands plan): maximal runs of >= 12 verbatim
+    # shared tokens with their position in both docs
+    # (operators/dedup.py::shared_token_spans).
+    from era_parser_spark.operators.dedup import shared_token_spans
+
+    docs = table(spark, sf_dir, "documents")
+    return shared_token_spans(docs, "doc_id", "text", l=8, min_span_tokens=12)

@@ -568,3 +568,24 @@ def test_audio_energy_samples_windows_and_sign(spark):
     assert [by[3][w]["n_samples"] for w in (0, 1, 2)] == [64, 64, 2]
     assert by[3][0]["sum_abs"] == 64 and by[3][2]["sum_abs"] == 2
     assert 4 not in by and 5 not in by
+
+
+def test_shared_spans_maximal_positions_and_threshold(spark):
+    from era_parser_spark.operators.dedup import shared_token_spans
+
+    shared15 = " ".join(f"s{i}" for i in range(15))
+    shared11 = " ".join(f"u{i}" for i in range(11))
+    rows = [
+        (1, "a0 a1 a2 a3 a4 " + shared15 + " b0 b1 b2 b3 b4"),
+        (2, "c0 c1 c2 " + shared15 + " d0 d1 d2 d3 d4 d5 d6"),
+        (3, "e0 e1 " + shared11 + " e2 e3 e4 e5 e6 e7 e8 e9"),
+        (4, "f0 f1 " + shared11 + " f2 f3 f4 f5 f6 f7 f8 f9"),
+        (5, "g0 g1 g2 g3 g4 g5 g6 g7 g8 g9 g10 g11 g12 g13"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = shared_token_spans(df, "doc_id", "text", l=8, min_span_tokens=12).collect()
+    # exactly one maximal span, not a ladder of sub-spans
+    assert len(out) == 1
+    r = out[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert (r["start_a"], r["start_b"], r["span_tokens"]) == (5, 3, 15)
