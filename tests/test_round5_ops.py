@@ -589,3 +589,52 @@ def test_shared_spans_maximal_positions_and_threshold(spark):
     r = out[0]
     assert (r["doc_a"], r["doc_b"]) == (1, 2)
     assert (r["start_a"], r["start_b"], r["span_tokens"]) == (5, 3, 15)
+
+
+def test_shared_spans_match_bruteforce_on_seeded_corpus(spark):
+    """Differential check: engine spans == brute-force maximal equal-token
+    runs, on a seeded corpus with planted motifs and tiny vocab (so runs
+    arise naturally at many offsets and lengths)."""
+    import random
+
+    from era_parser_spark.operators.dedup import shared_token_spans
+
+    rng = random.Random(407)
+    vocab = [f"w{i}" for i in range(12)]
+    motif = ["m0", "m1", "m2", "m3", "m4", "m5"]
+    docs = {}
+    for did in range(8):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(10, 40))]
+        if did % 2 == 0:  # plant the motif in half the docs
+            at = rng.randint(0, len(toks))
+            toks[at:at] = motif
+        docs[did] = toks
+
+    L, MIN = 3, 4
+    expect = set()
+    for a in range(8):
+        for b in range(a + 1, 8):
+            A, B = docs[a], docs[b]
+            for d in range(-len(B) + 1, len(A)):
+                i, run = max(0, d), 0
+                j = i - d
+                while i <= len(A) and j <= len(B):
+                    if i < len(A) and j < len(B) and A[i] == B[j]:
+                        run += 1
+                    else:
+                        if run >= MIN:
+                            expect.add((a, b, i - run, j - run, run))
+                        run = 0
+                    i += 1
+                    j += 1
+
+    df = spark.createDataFrame(
+        [(did, " ".join(t)) for did, t in docs.items()], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"], r["start_a"], r["start_b"], r["span_tokens"])
+        for r in shared_token_spans(
+            df, "doc_id", "text", l=L, min_span_tokens=MIN, max_doc_freq=10**6
+        ).collect()
+    }
+    assert got == expect and len(expect) > 5
