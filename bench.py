@@ -45,6 +45,11 @@ HEADLINE = [
     "x10_salted_skew_join",
     "x12_kmv_distinct",
     "x13_funnel_stages",
+    # round-5 session-2 additions (like-for-like vs r4: these three add
+    # ~8 s to the suite total; r4's list is the first 29 entries)
+    "t10_pii_redact",
+    "dd9_fuzzy_dedup_pipeline",
+    "dd10_shared_spans",
 ]
 
 
