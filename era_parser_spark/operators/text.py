@@ -363,3 +363,69 @@ def sql_pii_exprs(text_expr: str) -> tuple[list[str], str]:
     for _, pat, token in PII_PATTERNS:
         red = f"regexp_replace({red}, '{pat}', '{token}', 'g')"
     return counts, red
+
+
+def intra_doc_span_strip(df: DataFrame, id_col: str, text_col: str, l: int = 8) -> DataFrame:
+    """Intra-document repeated-span removal — the within-doc half of
+    substring dedup (Lee et al.): every token covered by a SECOND-or-later
+    occurrence of any l-gram that repeats inside the same document is
+    removed; first occurrences stay; survivors reassemble in order.
+    Documents that were pure repetition come back with clean_text = ''.
+
+    Output: (id, clean_text, n_tokens, n_removed).
+
+    Scale shape: grams via one lead-window over the token stream (no
+    interpreted HOF slices), repeat detection is a per-(doc, gram)
+    row_number on the SAME partitioning, covered positions explode from
+    the (rare) repeated occurrences only, and the rewrite is one
+    aggregate — everything partitions by doc id, so each document's work
+    stays on one task regardless of corpus size.
+    """
+    from pyspark.sql import Window as W
+
+    base = df.select(
+        F.col(id_col),
+        F.posexplode(tokens_col(F.coalesce(F.col(text_col), F.lit("")))).alias(
+            "pos", "__tk"
+        ),
+    )
+    w = W.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("__tk")] + [F.lead("__tk", k).over(w) for k in range(1, l)]
+    grams = base.select(
+        F.col(id_col),
+        "pos",
+        F.when(parts[-1].isNotNull(), F.concat_ws(" ", *parts)).alias("__gram"),
+    ).filter(F.col("__gram").isNotNull())
+    wg = W.partitionBy(id_col, "__gram").orderBy("pos")
+    covered = (
+        grams.withColumn("__occ", F.row_number().over(wg))
+        .filter(F.col("__occ") >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (l - 1))).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = base.join(covered, [id_col, "pos"], "left_anti")
+    rewritten = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "__tk"))),
+                lambda s: s.getField("__tk"),
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    totals = base.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tokens"))
+    return (
+        totals.join(rewritten, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (F.col("n_tokens") - F.coalesce("__n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

@@ -361,3 +361,57 @@ def t10_pii_redact(spark, sf_dir):
         ).alias("text"),
     )
     return pii_redact(injected, "doc_id", "text")
+
+
+@register(
+    "t11_intra_doc_dedup",
+    # string_agg ORDER BY pos == array_sort((pos,tk)) reassembly (total
+    # order); positions/counts are pure integers.  l=3 binds on this
+    # corpus (27 docs contain repeated 3-grams); production spans are
+    # longer — l is the knob, the plan is identical.
+    oracle=r"""
+    WITH tokd AS (SELECT doc_id, regexp_split_to_array(
+           trim(lower(coalesce(text, ''))), '\s+') AS tok FROM documents),
+    base AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos, tok[CAST(i + 1 AS INTEGER)] AS tk
+      FROM tokd, unnest(range(0, len(tok))) AS u(i)
+    ),
+    grams AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             array_to_string(tok[CAST(i + 1 AS INTEGER) : CAST(i + 3 AS INTEGER)], ' ') AS gram
+      FROM tokd, unnest(range(0, len(tok) - 2)) AS u(i)
+    ),
+    rep AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY doc_id, gram ORDER BY pos) AS occ
+        FROM grams
+      ) WHERE occ >= 2
+    ),
+    covered AS (
+      SELECT DISTINCT doc_id, CAST(p AS BIGINT) AS pos
+      FROM rep, unnest(range(rep.pos, rep.pos + 3)) AS c(p)
+    ),
+    kept AS (SELECT * FROM base ANTI JOIN covered USING (doc_id, pos)),
+    re AS (
+      SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS clean_text,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    ),
+    totals AS (SELECT doc_id, len(tok) AS n_tokens FROM tokd)
+    SELECT t.doc_id,
+           coalesce(re.clean_text, '') AS clean_text,
+           CAST(t.n_tokens AS BIGINT) AS n_tokens,
+           CAST(t.n_tokens - coalesce(re.n_kept, 0) AS BIGINT) AS n_removed
+    FROM totals t LEFT JOIN re USING (doc_id)
+    """,
+)
+def t11_intra_doc_dedup(spark, sf_dir):
+    # Within-document repeated-span removal (the intra-doc half of
+    # substring dedup): tokens covered by a 2nd+ occurrence of a repeated
+    # 3-gram are stripped, first occurrences kept, survivors reassembled
+    # (operators/text.py::intra_doc_span_strip).
+    from era_parser_spark.operators.text import intra_doc_span_strip
+
+    docs = table(spark, sf_dir, "documents")
+    return intra_doc_span_strip(docs, "doc_id", "text", l=3)

@@ -638,3 +638,24 @@ def test_shared_spans_match_bruteforce_on_seeded_corpus(spark):
         ).collect()
     }
     assert got == expect and len(expect) > 5
+
+
+def test_intra_doc_strip_keeps_first_occurrence(spark):
+    from era_parser_spark.operators.text import intra_doc_span_strip
+
+    rows = [
+        # "a b c" repeats: second occurrence (pos 3-5) stripped
+        (1, "a b c a b c tail1 tail2"),
+        # no repeats
+        (2, "one two three four"),
+        # pure repetition of one gram: everything after the first copy goes
+        (3, "x y z x y z x y z"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in intra_doc_span_strip(df, "doc_id", "text", l=3).collect()}
+    assert out[1]["clean_text"] == "a b c tail1 tail2"
+    assert (out[1]["n_tokens"], out[1]["n_removed"]) == (8, 3)
+    assert out[2]["clean_text"] == "one two three four" and out[2]["n_removed"] == 0
+    assert out[3]["clean_text"] == "x y z" and out[3]["n_removed"] == 6
+    assert out[4]["clean_text"] == "" and out[4]["n_tokens"] == 1
