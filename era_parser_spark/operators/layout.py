@@ -61,8 +61,44 @@ def zorder_py(values: tuple[int, ...], bits: int = 16) -> int:
     return z
 
 
+def rank_exprs(
+    df: DataFrame, cols: list[str], rank_bits: int = 4, sample_error: float = 0.01
+) -> list[Column]:
+    """Per-column quantile-rank expressions (0 .. 2^rank_bits - 1).
+
+    Raw-value interleaving fails when the columns' domains use unequal
+    bit widths: a column whose values fit in 7 bits contributes nothing
+    to the z-key's high bits, so file splits degenerate to the wider
+    column's ranges (measured: a 16-file raw-bit layout over an 11-bit x
+    7-bit key pair prunes ZERO files on the narrow column).  Delta's
+    OPTIMIZE ZORDER hits the same wall and z-orders over per-column RANK
+    space instead; same move here: sampled quantile cut points (one
+    approxQuantile pass per column — the same sampling repartitionByRange
+    does) turn each column into an equal-width rank, and ranks
+    interleave meaningfully whatever the raw domains are.  The rank is a
+    chain of (col > cut) comparisons summed — pure codegen, broadcast-free
+    (cut points are literals).
+    """
+    nq = 1 << rank_bits
+    out = []
+    for c in cols:
+        cuts = df.stat.approxQuantile(c, [k / nq for k in range(1, nq)], sample_error)
+        # dedupe (skewed columns repeat cut values; a repeated cut just
+        # merges two ranks, which is exactly what skew should do)
+        expr = F.lit(0)
+        for cut in sorted(set(cuts)):
+            expr = expr + (F.col(c) > F.lit(cut)).cast("int")
+        out.append(expr.cast("long").alias(f"__rank_{c}"))
+    return out
+
+
 def zorder_layout(
-    df: DataFrame, cols: list[str], bits: int = 16, num_files: int | None = None
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 16,
+    num_files: int | None = None,
+    rank_normalize: bool = False,
+    rank_bits: int = 4,
 ) -> DataFrame:
     """Cluster a DataFrame along the z-curve of ``cols`` for writing.
 
@@ -71,8 +107,17 @@ def zorder_layout(
     covers a compact z-range and its parquet min/max footer stays tight on
     EVERY interleaved column.  At 100 TB this is the difference between a
     multi-column scan pruning 99% of files and pruning none.
+
+    ``rank_normalize=True`` interleaves sampled quantile ranks instead of
+    raw bits (see `rank_exprs`) — use it whenever the columns' domains
+    have unequal widths or heavy skew; it is what makes the second
+    column's pruning actually work (pinned by test).
     """
-    zk = zorder_key(cols, bits).alias("__zkey")
+    if rank_normalize:
+        ranks = rank_exprs(df, cols, rank_bits)
+        zk = zorder_key(ranks, rank_bits).alias("__zkey")
+    else:
+        zk = zorder_key(cols, bits).alias("__zkey")
     out = df.withColumn("__zkey", zk)
     n = num_files if num_files is not None else out.sparkSession.conf.get(
         "spark.sql.shuffle.partitions"

@@ -659,3 +659,36 @@ def test_intra_doc_strip_keeps_first_occurrence(spark):
     assert out[2]["clean_text"] == "one two three four" and out[2]["n_removed"] == 0
     assert out[3]["clean_text"] == "x y z" and out[3]["n_removed"] == 6
     assert out[4]["clean_text"] == "" and out[4]["n_tokens"] == 1
+
+
+def test_zorder_layout_improves_second_column_pruning(spark, tmp_path):
+    """The point of the z-layout: files carry tight min/max bounds on BOTH
+    interleaved columns.  A predicate on the SECOND column alone prunes
+    most z-ordered files but no pk-sorted files."""
+    from era_parser_spark.operators.layout import zorder_layout
+    from era_parser_spark.queries.registry import table
+    from tests.conftest import SF_MED
+
+    li = table(spark, SF_MED, "lineitem").select("l_partkey", "l_suppkey")
+    zdir, ldir = str(tmp_path / "z"), str(tmp_path / "lin")
+    zorder_layout(
+        li, ["l_partkey", "l_suppkey"], num_files=16, rank_normalize=True
+    ).drop("__zkey").write.parquet(zdir)
+    li.repartitionByRange(16, "l_partkey").sortWithinPartitions(
+        "l_partkey"
+    ).write.parquet(ldir)
+
+    def files_touched(path, lo, hi):
+        bounds = (
+            spark.read.parquet(path)
+            .selectExpr("input_file_name() AS f", "l_suppkey")
+            .groupBy("f")
+            .agg(F.min("l_suppkey").alias("lo"), F.max("l_suppkey").alias("hi"))
+            .collect()
+        )
+        assert len(bounds) == 16
+        return sum(1 for b in bounds if b["hi"] >= lo and b["lo"] <= hi)
+
+    z, lin = files_touched(zdir, 10, 20), files_touched(ldir, 10, 20)
+    assert lin == 16          # pk-sorted: suppkey spread everywhere
+    assert z <= lin // 2      # z-ordered: most files prunable on suppkey
