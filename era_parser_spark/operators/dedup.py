@@ -582,6 +582,12 @@ def shared_token_spans(
     )
     w = W.partitionBy(id_col).orderBy("pos")
     parts = [F.col("__tk")] + [F.lead("__tk", k).over(w) for k in range(1, l)]
+    # the hashed gram index feeds THREE branches (hot-set agg + both
+    # self-join sides) — cache it or Catalyst re-runs the tokenize +
+    # lead-window subtree per branch (the multi-branch recompute trap,
+    # docs/PLANS.md; same fix as dd2/dd3's cached shingle index).  The
+    # cached frame carries only (id, pos, 8-byte hash), never the gram
+    # string.
     grams = (
         base.select(
             F.col(id_col),
@@ -589,7 +595,8 @@ def shared_token_spans(
             F.when(parts[-1].isNotNull(), F.concat_ws(" ", *parts)).alias("__gram"),
         )
         .filter(F.col("__gram").isNotNull())
-        .select(F.col(id_col), "pos", F.xxhash64("__gram").alias("__gh"), "__gram")
+        .select(F.col(id_col), "pos", F.xxhash64("__gram").alias("__gh"))
+        .cache()
     )
     hot = (
         grams.groupBy("__gh")

@@ -374,3 +374,13 @@ def test_zorder_layout_is_one_range_partitioning(spark):
     plan = formatted_plan(df)
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
     assert "rangepartitioning" in plan and "hashpartitioning" not in plan
+
+
+def test_shared_spans_caches_gram_index_single_scan(spark, queries):
+    """dd10: the hashed gram index feeds three branches (hot agg + both
+    self-join sides) — it must be cached so the tokenize + lead-window
+    pass runs once (FileScan strings recur inside each InMemoryTableScan's
+    cached-relation print, so count the cache reads, like dd8's audit)."""
+    df = queries["dd10_shared_spans"](spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 3
