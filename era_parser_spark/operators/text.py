@@ -27,22 +27,51 @@ def token_count_col(text_col: str | Column) -> Column:
     return F.size(tokens_col(text_col))
 
 
-def stopword_hits(tok: Column, lang: str) -> Column:
+def load_lang_markers(path: str) -> dict[str, tuple[str, ...]]:
+    """Load a marker-word table: one line per language, `lang w1 w2 ...`.
+
+    The pluggable upgrade path for `lang_id_col` (same pattern as t5's
+    optional merges.txt BPE vocab): ship a real frequency-derived wordlist
+    per language and the operator's plan is unchanged — only the literal
+    sets in the codegen'd filter grow.  Lines starting with '#' and blank
+    lines are ignored; a language may repeat (lists concatenate).
+    """
+    table: dict[str, list[str]] = {}
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            parts = line.split()
+            if not parts or parts[0].startswith("#"):
+                continue
+            table.setdefault(parts[0], []).extend(parts[1:])
+    return {lang: tuple(ws) for lang, ws in table.items()}
+
+
+def stopword_hits(
+    tok: Column, lang: str, markers: dict[str, tuple[str, ...]] | None = None
+) -> Column:
     """Number of tokens that are marker stopwords for `lang`."""
-    words = STOPWORDS[lang]
+    words = (markers or STOPWORDS)[lang]
     return F.size(F.filter(tok, lambda x: x.isin(*words)))
 
 
-def lang_id_col(text_col: str | Column) -> Column:
-    """Argmax of per-language stopword hits; 'und' when no marker matches.
+def lang_id_col(
+    text_col: str | Column,
+    markers: dict[str, tuple[str, ...]] | None = None,
+    order: tuple[str, ...] | None = None,
+) -> Column:
+    """Argmax of per-language marker-word hits; 'und' when none match.
 
-    Ties break in LANG_ORDER (first listed wins), matching sql_lang_scores.
+    Ties break in `order` (first listed wins), matching sql_lang_scores.
+    Defaults to the built-in 10-word sets (the deterministic oracle path);
+    pass `markers` from `load_lang_markers` for a real wordlist.
     """
+    markers = markers or STOPWORDS
+    order = order or (LANG_ORDER if markers is STOPWORDS else tuple(markers))
     tok = tokens_col(text_col)
-    scores = {lang: stopword_hits(tok, lang) for lang in LANG_ORDER}
+    scores = {lang: stopword_hits(tok, lang, markers) for lang in order}
     best = F.greatest(*scores.values())
     expr = F.when(best == 0, F.lit("und"))
-    for lang in LANG_ORDER:
+    for lang in order:
         expr = expr.when(scores[lang] == best, F.lit(lang))
     return expr.otherwise(F.lit("und"))
 

@@ -692,3 +692,31 @@ def test_zorder_layout_improves_second_column_pruning(spark, tmp_path):
     z, lin = files_touched(zdir, 10, 20), files_touched(ldir, 10, 20)
     assert lin == 16          # pk-sorted: suppkey spread everywhere
     assert z <= lin // 2      # z-ordered: most files prunable on suppkey
+
+
+def test_lang_id_pluggable_markers(spark, tmp_path):
+    """An external wordlist (load_lang_markers) resolves docs the built-in
+    10-word sets cannot, through the unchanged operator plan."""
+    from era_parser_spark.operators.text import lang_id_col, load_lang_markers
+
+    mk = tmp_path / "markers.txt"
+    mk.write_text(
+        "# frequency-derived wordlists\n"
+        "en the of and however therefore\n"
+        "nl het een niet aan ook\n"
+        "nl maar voor zijn\n"
+    )
+    markers = load_lang_markers(str(mk))
+    assert markers["nl"] == ("het", "een", "niet", "aan", "ook", "maar", "voor", "zijn")
+
+    rows = [
+        (1, "het een niet aan ook maar"),   # dutch: not in built-in sets
+        (2, "however therefore the of"),
+        (3, "zzz qqq"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    default = {r["doc_id"]: r["p"] for r in df.select("doc_id", lang_id_col("text").alias("p")).collect()}
+    plugged = {r["doc_id"]: r["p"] for r in df.select("doc_id", lang_id_col("text", markers).alias("p")).collect()}
+    assert default[1] == "und"      # built-in sets have no dutch
+    assert plugged[1] == "nl"
+    assert plugged[2] == "en" and plugged[3] == "und"
