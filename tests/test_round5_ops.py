@@ -720,3 +720,70 @@ def test_lang_id_pluggable_markers(spark, tmp_path):
     assert default[1] == "und"      # built-in sets have no dutch
     assert plugged[1] == "nl"
     assert plugged[2] == "en" and plugged[3] == "und"
+
+
+def test_fuzzy_dedup_matches_bruteforce_clusters(spark):
+    """Differential: dd9's clusters == brute-force exact-Jaccard graph +
+    union-find, on a seeded corpus of high-similarity cluster families
+    (intra-cluster jaccard >= ~0.85 so LSH collision probability is
+    ~1-3e-4 per pair — and xxhash64 is deterministic, so this either
+    always passes or never does)."""
+    import random
+
+    rng = random.Random(1311)
+    vocab = [f"v{i}" for i in range(200)]
+    docs = {}
+    did = 0
+    for fam, copies in enumerate((3, 2, 4, 2)):
+        base = [rng.choice(vocab) for _ in range(40)]
+        for c in range(copies):
+            toks = list(base)
+            if c:  # perturb two tokens
+                for _ in range(2):
+                    toks[rng.randrange(40)] = rng.choice(vocab)
+            docs[did] = toks
+            did += 1
+    for _ in range(8):  # singletons
+        docs[did] = [rng.choice(vocab) for _ in range(30)]
+        did += 1
+
+    def shingles(toks):
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    sh = {d: shingles(t) for d, t in docs.items()}
+    parent = {d: d for d in docs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a in docs:
+        for b in docs:
+            if a < b:
+                inter = len(sh[a] & sh[b])
+                uni = len(sh[a] | sh[b])
+                if uni and inter / uni >= 0.5:
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+    labels = {d: find(d) for d in docs}
+    sizes = {}
+    for d, c in labels.items():
+        sizes[c] = sizes.get(c, 0) + 1
+    expect = {
+        d: (labels[d], sizes[labels[d]], d == labels[d]) for d in docs
+    }
+
+    from era_parser_spark.operators.dedup import fuzzy_dedup
+
+    df = spark.createDataFrame(
+        [(d, " ".join(t)) for d, t in docs.items()], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_sz"], r["kept"])
+        for r in fuzzy_dedup(df, "doc_id", "text").collect()
+    }
+    assert got == expect
+    assert max(s for _, s, _ in expect.values()) == 4  # families really formed
