@@ -269,6 +269,27 @@ def cmd_compact_state(args) -> int:
     return 0
 
 
+def cmd_explain(args) -> int:
+    """Physical-plan inspection for any registered query: the plan-audit
+    helpers (pushdown, column pruning, broadcast strategy, shuffle count)
+    as a CLI verb — 'did my filter reach the scan?' becomes a one-liner.
+    --mode formatted prints the full .explain("formatted") text."""
+    from era_parser_spark.plans import formatted_plan, plan_summary
+    from era_parser_spark.queries import load_all
+
+    q, _ = load_all()
+    if args.query not in q:
+        close = sorted(n for n in q if args.query in n)[:10]
+        raise ValueError(f"unknown query {args.query!r}; close matches: {close}")
+    spark = _spark()
+    df = q[args.query](spark, args.sf)
+    if args.mode == "formatted":
+        print(formatted_plan(df))
+    else:
+        print(json.dumps({"query": args.query, **plan_summary(df)}))
+    return 0
+
+
 def cmd_query(args) -> int:
     """Ad-hoc SQL over a written warehouse: every dataset directory under
     the base becomes a temp view named after itself (blocks, attestations,
@@ -420,6 +441,13 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--state", required=True)
     sp.add_argument("--network", default=None)
     sp.set_defaults(fn=cmd_compact_state)
+
+    sp = sub.add_parser("explain", help="physical-plan summary for a registered query")
+    sp.add_argument("query")
+    sp.add_argument("--sf", default="/root/testdata/sf0.01",
+                    help="table dir the query builds against (plan only, no execution)")
+    sp.add_argument("--mode", default="summary", choices=["summary", "formatted"])
+    sp.set_defaults(fn=cmd_explain)
 
     sp = sub.add_parser("migrate", help="warehouse schema migrations")
     sp.add_argument("action", choices=["status", "run", "list"])

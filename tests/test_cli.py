@@ -239,3 +239,12 @@ def test_slice_era_roundtrip(era_dir, tmp_path, capsys):
     assert main(["validate", out, "--glob", "*.era"]) == 0
 
     assert main(["slice", src, "1:2", str(tmp_path / "empty.era")]) == 1
+
+
+def test_explain_summary_and_unknown(capsys):
+    assert main(["explain", "e01_filter_project"]) == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["query"] == "e01_filter_project"
+    assert any("l_shipdate" in f for f in payload["pushed_filters"])
+    assert payload["shuffles"] == 0
+    assert main(["explain", "e01_filter"]) == 2  # unknown name -> error exit
