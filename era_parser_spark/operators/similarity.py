@@ -845,3 +845,39 @@ def semantic_dedup_with_stats(
         "mean_cluster": float(row.mean_cluster),
         "candidate_pairs": int(row.candidate_pairs),
     }
+
+
+def incremental_topk(
+    prev_topk: DataFrame,
+    new_df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    k: int = 10,
+) -> DataFrame:
+    """Incrementally maintain an exact cosine top-k as batches arrive:
+    score ONLY the new batch, merge with the previous top-k, keep k.
+
+    Correct because top-k is a monotone decomposable aggregate —
+    topk(A ∪ B) = topk(topk(A) ∪ topk(B)) — and the quantized score of a
+    row never changes.  At 100 TB this is the interactive-analysis
+    contract: a daily append re-scans the day's batch (plus k carried
+    rows), never the corpus; the running result is exactly what a full
+    rescan would produce (pinned by the s7 oracle, which IS the full
+    rescan).
+
+    `prev_topk` must carry (id_col, cosine_sim) as produced by
+    `cosine_topk` with the same query and k' >= k.
+    """
+    emb = F.col(vec_col).cast("array<double>")
+    q = lit_vector(query)
+    scored_new = new_df.select(
+        F.col(id_col),
+        quantized_cosine(cosine_expr(emb, q)).alias("cosine_sim"),
+    )
+    return (
+        prev_topk.select(id_col, "cosine_sim")
+        .unionByName(scored_new)
+        .orderBy(F.desc("cosine_sim"), id_col)
+        .limit(k)
+    )

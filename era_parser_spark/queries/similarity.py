@@ -222,3 +222,34 @@ def s6_srp_lsh_pairs(spark, sf_dir):
     return srp_lsh_pairs(
         emb, "embedding", "vec_id", n_tables=4, n_planes=8, top_pairs=20, dim=64
     )
+
+
+@register(
+    "s7_incremental_topk",
+    # The oracle IS the full rescan — equality proves the incremental
+    # merge (scan only the new batch + k carried rows) reconstructs it
+    # exactly.  Same quantized-cosine representation as s1.
+    oracle="""
+    SELECT vec_id,
+           CAST(CAST(list_cosine_similarity(
+             embedding::DOUBLE[],
+             (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]
+           ) AS DECIMAL(10,6)) AS DOUBLE) AS cosine_sim
+    FROM embeddings
+    ORDER BY cosine_sim DESC, vec_id
+    LIMIT 10
+    """,
+)
+def s7_incremental_topk(spark, sf_dir):
+    # Incremental exact top-k maintenance: the corpus arrives as two
+    # batches (even ids, then odd ids); the second step scores ONLY the
+    # new batch and merges with the carried top-k — output must equal a
+    # full rescan (operators/similarity.py::incremental_topk).
+    from era_parser_spark.operators.similarity import cosine_topk, incremental_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir, 0)
+    prev = cosine_topk(emb.filter(F.col("vec_id") % 2 == 0), "embedding", "vec_id", q, k=10)
+    return incremental_topk(
+        prev, emb.filter(F.col("vec_id") % 2 == 1), "embedding", "vec_id", q, k=10
+    )

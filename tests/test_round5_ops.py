@@ -787,3 +787,19 @@ def test_fuzzy_dedup_matches_bruteforce_clusters(spark):
     }
     assert got == expect
     assert max(s for _, s, _ in expect.values()) == 4  # families really formed
+
+
+def test_incremental_topk_equals_rescan_across_splits(spark):
+    """topk(A∪B) == merge(topk(A), score(B)) for several split shapes,
+    including a batch that displaces every carried row."""
+    from era_parser_spark.operators.similarity import cosine_topk, incremental_topk
+    from era_parser_spark.queries.registry import table
+    from tests.conftest import SF_MED
+
+    emb = table(spark, SF_MED, "embeddings")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 3).first()["embedding"]]
+    full = [tuple(r) for r in cosine_topk(emb, "embedding", "vec_id", q, k=7).collect()]
+    for pred in (F.col("vec_id") % 3 == 0, F.col("vec_id") < 5, F.col("vec_id") >= 0):
+        prev = cosine_topk(emb.filter(pred), "embedding", "vec_id", q, k=7)
+        inc = incremental_topk(prev, emb.filter(~pred), "embedding", "vec_id", q, k=7)
+        assert [tuple(r) for r in inc.collect()] == full
