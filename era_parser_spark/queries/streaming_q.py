@@ -251,3 +251,65 @@ def st5_stream_kmv_distinct(spark, sf_dir):
     return out.select(
         F.col("grp").alias("event_type"), "n_tracked", "kth_min", "est_distinct"
     )
+
+
+@register(
+    "st6_stream_topk",
+    # Over one AvailableNow batch the state snapshot equals the batch
+    # row_number window exactly; the DECIMAL(10,6) score representation
+    # keeps ordering identical across engines.
+    oracle="""
+    WITH s AS (
+      SELECT CAST(label % 4 AS BIGINT) AS grp, vec_id,
+             CAST(CAST(list_cosine_similarity(
+               embedding::DOUBLE[],
+               (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]
+             ) AS DECIMAL(10,6)) AS DOUBLE) AS cosine_sim
+      FROM embeddings
+    )
+    SELECT grp, CAST(rn AS INTEGER) AS rank, vec_id, cosine_sim FROM (
+      SELECT grp, vec_id, cosine_sim,
+             row_number() OVER (PARTITION BY grp ORDER BY cosine_sim DESC, vec_id) AS rn
+      FROM s
+    ) WHERE rn <= 5
+    """,
+)
+def st6_stream_topk(spark, sf_dir):
+    """Streaming per-group exact top-k driven to completion: state carries
+    the k best (score, id) pairs across micro-batches — the streaming twin
+    of s7's incremental maintenance, with the same exactness argument
+    (merge-sort-truncate is order-free over distinct arrivals)."""
+    from era_parser_spark.operators.similarity import (
+        cosine_expr,
+        lit_vector,
+        quantized_cosine,
+    )
+    from era_parser_spark.queries.similarity import _query_vec
+    from era_parser_spark.streaming.incremental import run_stream_once, topk_monitor
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    stream_dir = _stream_src_dir("st6", sf_dir, table_file="embeddings.parquet")
+    q = lit_vector(_query_vec(spark, sf_dir, 0))
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(stream_dir)
+        .select(
+            (F.col("label") % 4).cast("long").alias("grp"),
+            "vec_id",
+            quantized_cosine(
+                cosine_expr(F.col("embedding").cast("array<double>"), q)
+            ).alias("score"),
+        )
+    )
+    out = run_stream_once(topk_monitor(stream, k=5), f"st6_{uuid.uuid4().hex[:8]}")
+    # final snapshot = each group's last state update (a window, not a
+    # self-join: joining the memory-sink table against its own aggregate
+    # trips an internal error in Spark 4)
+    from pyspark.sql import Window as W
+
+    mx = F.max("seq").over(W.partitionBy("grp"))
+    return (
+        out.withColumn("__mx", mx)
+        .filter(F.col("seq") == F.col("__mx"))
+        .select("grp", "rank", "vec_id", "cosine_sim")
+    )

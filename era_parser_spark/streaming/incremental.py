@@ -459,3 +459,63 @@ def kmv_monitor(stream: DataFrame, k: int = 32) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+_TOPK_OUT_SCHEMA = "grp long, seq long, rank int, vec_id long, cosine_sim double"
+_TOPK_STATE_SCHEMA = "seq long, ids array<long>, scores array<double>"
+
+
+def topk_monitor(stream: DataFrame, k: int = 5) -> DataFrame:
+    """Custom stateful streaming operator #5: per-group exact top-k
+    maintained across micro-batches (the streaming twin of
+    s7_incremental_topk).  State is the k best (score, id) pairs seen so
+    far; the merge — concat, sort by (score desc, id asc), truncate —
+    is associative and commutative over distinct arrivals, so the final
+    snapshot equals the batch answer no matter how arrivals split across
+    micro-batches (continuity pinned in tests; over one AvailableNow
+    batch the snapshot gets the same exact SQL oracle as a batch
+    row_number window).  Input needs `grp`, `vec_id` and a pre-quantized
+    `score` (compute it JVM-side — the DECIMAL(10,6) representation is
+    what makes cross-engine ordering stable); state is O(groups * k).
+    """
+
+    def fn(key, pdfs, state):
+        (grp,) = key
+        rows: list[tuple[int, float]] = []
+        for pdf in pdfs:
+            rows.extend(
+                (int(i), float(s)) for i, s in zip(pdf["vec_id"], pdf["score"])
+            )
+        if state.exists:
+            seq, ids, scores = state.get
+            rows.extend((int(i), float(s)) for i, s in zip(ids, scores))
+        else:
+            seq = 0
+        rows.sort(key=lambda t: (-t[1], t[0]))
+        top = rows[:k]
+        seq += 1
+        state.update((seq, [i for i, _ in top], [s for _, s in top]))
+        yield pd.DataFrame(
+            {
+                "grp": [grp] * len(top),
+                "seq": [seq] * len(top),
+                "rank": list(range(1, len(top) + 1)),
+                "vec_id": [i for i, _ in top],
+                "cosine_sim": [s for _, s in top],
+            }
+        )
+
+    # null scores are not candidates (mirrors the batch twin's NULLS LAST
+    # never reaching rank <= k); filter JVM-side like st4/st5
+    return (
+        stream.select("grp", "vec_id", "score")
+        .where(F.col("score").isNotNull())
+        .groupBy("grp")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=_TOPK_OUT_SCHEMA,
+            stateStructType=_TOPK_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -488,3 +488,44 @@ def test_kmv_state_across_microbatches(spark, tmp_path_factory):
     assert final.n_tracked == 32 == ref.m
     assert final.kth_min == ref.kth
     assert final.est_distinct == float(31 * (1 << 60)) / float(ref.kth)
+
+
+def test_topk_state_across_microbatches(spark, tmp_path_factory):
+    """st6's top-k state must fold across micro-batch boundaries: a later
+    batch displaces carried rows exactly as a single-batch run would, and
+    the final snapshot (max seq) equals the all-data top-k."""
+    import uuid as _uuid
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from era_parser_spark.streaming.incremental import run_stream_once, topk_monitor
+
+    src = tmp_path_factory.mktemp("st_topk_src")
+    # batch1: mediocre scores; batch2 displaces all but one of them
+    b1 = [(0, 1, 0.30), (0, 2, 0.20), (0, 3, 0.10), (1, 4, 0.90)]
+    b2 = [(0, 5, 0.80), (0, 6, 0.70), (1, 7, 0.10)]
+    schema = "grp long, vec_id long, score double"
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(str(src / "a_b1"))
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(str(src / "b_b2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    out = run_stream_once(topk_monitor(stream, k=3), f"tk_{_uuid.uuid4().hex[:8]}")
+    mx = F.max("seq").over(W.partitionBy("grp"))
+    final = (
+        out.withColumn("__mx", mx)
+        .filter(F.col("seq") == F.col("__mx"))
+        .select("grp", "rank", "vec_id", "cosine_sim")
+        .collect()
+    )
+    got = sorted((r["grp"], r["rank"], r["vec_id"], r["cosine_sim"]) for r in final)
+    assert got == [
+        (0, 1, 5, 0.80), (0, 2, 6, 0.70), (0, 3, 1, 0.30),
+        (1, 1, 4, 0.90), (1, 2, 7, 0.10),
+    ]
+    # both groups saw two state updates (state genuinely crossed batches)
+    assert {r["seq"] for r in out.select("seq").collect()} == {1, 2}
