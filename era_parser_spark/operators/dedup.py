@@ -627,3 +627,83 @@ def shared_token_spans(
         .filter(F.col("span_tokens") >= min_span_tokens)
         .select("doc_a", "doc_b", "start_a", "start_b", "span_tokens")
     )
+
+
+def incremental_near_dedup(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = 100,
+) -> DataFrame:
+    """Screen an arriving batch against an already-deduplicated corpus —
+    the daily-crawl shape of near-dedup, and the asymmetric counterpart
+    of s7's incremental top-k: work scales with the BATCH, never the
+    corpus's own pair space.
+
+    Emits exact-Jaccard near-dup pairs that involve at least one new
+    document: new-vs-old (`pair_kind='new_old'`, doc_a is the new id) and
+    new-vs-new (`pair_kind='new_new'`, doc_a < doc_b).  Old-vs-old pairs
+    are never recomputed — that corpus was deduped when it was ingested.
+
+    Scale shape: the old side's inverted index is the persisted artifact
+    a production pipeline keeps between runs; here both indexes key on
+    xxhash64(shingle) (8-byte shuffle keys), the hot-shingle guard is
+    computed over the COMBINED corpus (a shingle viral across old docs
+    must also be dropped from the new side), and the two joins —
+    new x old and the new x new self-join — are both bounded by the
+    batch's index size.
+    """
+    ex_old = doc_shingles(old_df, id_col, text_col, n)
+    ex_new = doc_shingles(new_df, id_col, text_col, n)
+    sizes = (
+        ex_old.unionByName(ex_new)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("nsh"))
+    )
+    h_old = ex_old.select(F.col(id_col), F.xxhash64("shingle").alias("sh"))
+    h_new = ex_new.select(F.col(id_col), F.xxhash64("shingle").alias("sh")).cache()
+    if max_doc_freq is not None:
+        hot = (
+            h_old.unionByName(h_new)
+            .groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("sh")
+        )
+        h_old = h_old.join(hot, "sh", "left_anti")
+        h_new = h_new.join(hot, "sh", "left_anti")
+    a = h_new.alias("a")
+    cross = (
+        a.join(h_old.alias("b"), F.col("a.sh") == F.col("b.sh"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .withColumn("pair_kind", F.lit("new_old"))
+    )
+    within = (
+        a.join(
+            h_new.alias("c"),
+            (F.col("a.sh") == F.col("c.sh"))
+            & (F.col(f"a.{id_col}") < F.col(f"c.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"c.{id_col}").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .withColumn("pair_kind", F.lit("new_new"))
+    )
+    pairs = cross.unionByName(within)
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("nsh").alias("nsh_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("nsh").alias("nsh_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("union_sz", F.col("nsh_a") + F.col("nsh_b") - F.col("inter"))
+        .withColumn("jaccard", F.col("inter") / F.col("union_sz"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "pair_kind", "inter", "union_sz", "jaccard")
+    )

@@ -598,3 +598,55 @@ def dd10_shared_spans(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     return shared_token_spans(docs, "doc_id", "text", l=8, min_span_tokens=12)
+
+
+@register(
+    "dd11_incremental_near_dedup",
+    # Odd ids play the arriving batch, even ids the already-deduped
+    # corpus.  The guard set is computed over the COMBINED index on both
+    # sides, so values mirror exactly; old-vs-old pairs are absent by
+    # construction on both sides.
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents),
+    sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+    joinable AS (
+      SELECT doc_id, shingle FROM sh
+      QUALIFY count(*) OVER (PARTITION BY shingle) <= 100
+    ),
+    jn AS (SELECT * FROM joinable WHERE doc_id % 2 = 1),
+    jo AS (SELECT * FROM joinable WHERE doc_id % 2 = 0),
+    cross_pairs AS (
+      SELECT n.doc_id AS doc_a, o.doc_id AS doc_b, count(*) AS inter,
+             'new_old' AS pair_kind
+      FROM jn n JOIN jo o USING (shingle) GROUP BY 1, 2
+    ),
+    within_pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter,
+             'new_new' AS pair_kind
+      FROM jn a JOIN jn b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (SELECT * FROM cross_pairs UNION ALL SELECT * FROM within_pairs)
+    SELECT doc_a, doc_b, pair_kind, inter,
+           sa.nsh + sb.nsh - inter AS union_sz,
+           CAST(inter AS DOUBLE) / (sa.nsh + sb.nsh - inter) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(inter AS DOUBLE) / (sa.nsh + sb.nsh - inter) >= 0.5
+    """,
+)
+def dd11_incremental_near_dedup(spark, sf_dir):
+    # Daily-crawl near-dedup: screen an arriving batch (odd ids) against
+    # the deduped corpus (even ids) — new-vs-old + new-vs-new pairs only,
+    # work bounded by the batch (operators/dedup.py::incremental_near_dedup).
+    from era_parser_spark.operators.dedup import incremental_near_dedup
+
+    docs = table(spark, sf_dir, "documents")
+    return incremental_near_dedup(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "doc_id",
+        "text",
+        threshold=0.5,
+    )

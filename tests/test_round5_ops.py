@@ -803,3 +803,23 @@ def test_incremental_topk_equals_rescan_across_splits(spark):
         prev = cosine_topk(emb.filter(pred), "embedding", "vec_id", q, k=7)
         inc = incremental_topk(prev, emb.filter(~pred), "embedding", "vec_id", q, k=7)
         assert [tuple(r) for r in inc.collect()] == full
+
+
+def test_incremental_near_dedup_kinds_and_no_old_pairs(spark):
+    from era_parser_spark.operators.dedup import incremental_near_dedup
+
+    base = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    old = [(2, base), (4, base), (6, "completely different older text here now")]
+    new = [(1, base), (3, base), (5, "fresh unique arrival nothing shared at all")]
+    o = spark.createDataFrame(old, "doc_id long, text string")
+    n = spark.createDataFrame(new, "doc_id long, text string")
+    out = incremental_near_dedup(o, n, "doc_id", "text", threshold=0.5).collect()
+    kinds = {(r["doc_a"], r["doc_b"]): r["pair_kind"] for r in out}
+    # new-vs-old: each of 1,3 against each of 2,4 (doc_a is the new id)
+    assert kinds[(1, 2)] == "new_old" and kinds[(3, 4)] == "new_old"
+    assert kinds[(1, 4)] == "new_old" and kinds[(3, 2)] == "new_old"
+    # new-vs-new: 1-3 once, ordered
+    assert kinds[(1, 3)] == "new_new" and (3, 1) not in kinds
+    # old-vs-old (2,4) must NOT be re-emitted; unrelated docs absent
+    assert (2, 4) not in kinds and len(kinds) == 5
+    assert all(r["jaccard"] == 1.0 for r in out)
