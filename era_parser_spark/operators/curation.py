@@ -250,3 +250,66 @@ def domain_reputation_filter(
     if blocked:
         out = out.filter(~F.col(domain_col).isin(*blocked))
     return out
+
+
+def global_order(
+    df: DataFrame,
+    order_col: str,
+    id_col: str,
+    n_buckets: int = 64,
+    sample_error: float = 0.001,
+) -> DataFrame:
+    """Global 1-based position of every row under the total order
+    (order_col DESC, id_col ASC) — WITHOUT the single-partition window a
+    naive row_number() OVER (ORDER BY ...) plans, which serializes the
+    whole corpus through one task.
+
+    The curriculum-ordering primitive (hardest/longest examples first) and
+    the general scalable global-row-number pattern: rows bucket by sampled
+    range cut points of the sort key (one approxQuantile pass — the same
+    sampling repartitionByRange uses; equal keys always share a bucket, so
+    bucket boundaries can never split a tie), rank locally per bucket in
+    parallel, then add each bucket's exclusive offset — a window over the
+    TINY per-bucket count table (<= n_buckets rows), broadcast back.
+    Positions are exact and independent of where the sampled cut points
+    landed.  The sort key must be non-null (engines disagree on NULL
+    placement under DESC).
+
+    Output: (id_col, order_col, pos).
+    """
+    nq = n_buckets
+    cuts = df.stat.approxQuantile(
+        order_col, [k / nq for k in range(1, nq)], sample_error
+    )
+    bexpr = F.lit(0)
+    for cut in sorted(set(cuts)):
+        bexpr = bexpr + (F.col(order_col) > F.lit(cut)).cast("int")
+    # cached: the (id, key, bucket) projection feeds the local-rank window
+    # AND the per-bucket counts (p2's shared-branch lesson); ~20 bytes/row
+    bucketed = df.select(
+        F.col(id_col), F.col(order_col), bexpr.alias("__gbucket")
+    ).cache()
+    local = bucketed.withColumn(
+        "__rn",
+        F.row_number().over(
+            W.partitionBy("__gbucket").orderBy(F.desc(order_col), F.asc(id_col))
+        ),
+    )
+    counts = bucketed.groupBy("__gbucket").agg(F.count(F.lit(1)).alias("__n"))
+    offsets = counts.select(
+        "__gbucket",
+        F.coalesce(
+            F.sum("__n").over(
+                W.orderBy(F.desc("__gbucket")).rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("__off"),
+    )
+    return (
+        local.join(F.broadcast(offsets), "__gbucket")
+        .select(
+            F.col(id_col),
+            F.col(order_col),
+            (F.col("__off") + F.col("__rn")).cast("long").alias("pos"),
+        )
+    )

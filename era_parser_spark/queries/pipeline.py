@@ -231,3 +231,25 @@ def p6_domain_filter(spark, sf_dir):
     return domain_reputation_filter(
         docs, "source", "n_chars", min_avg_chars=290, blocked=("src7",)
     ).select("doc_id", "source", "domain_n_docs", "domain_avg_chars")
+
+
+@register(
+    "p7_curriculum_order",
+    # Positions are exact whatever the sampled bucket boundaries were —
+    # the oracle IS the naive global window the operator refuses to plan.
+    oracle="""
+    SELECT doc_id, n_chars,
+           CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT)
+             AS pos
+    FROM documents
+    """,
+)
+def p7_curriculum_order(spark, sf_dir):
+    # Curriculum ordering: global position under (n_chars DESC, doc_id) via
+    # sampled range buckets + parallel local ranks + tiny offset carry —
+    # no corpus-wide single-partition window
+    # (operators/curation.py::global_order).
+    from era_parser_spark.operators.curation import global_order
+
+    docs = table(spark, sf_dir, "documents")
+    return global_order(docs, "n_chars", "doc_id", n_buckets=64)

@@ -384,3 +384,21 @@ def test_shared_spans_caches_gram_index_single_scan(spark, queries):
     df = queries["dd10_shared_spans"](spark, SF_MED)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("InMemoryTableScan") >= 3
+
+
+def test_global_order_no_corpus_single_partition_window(spark, queries):
+    """p7: the only Exchange SinglePartition feeds the tiny per-bucket
+    offsets window; corpus rows hash-shuffle once on the bucket key."""
+    import re
+
+    from era_parser_spark.plans import formatted_plan
+
+    plan = formatted_plan(queries["p7_curriculum_order"](spark, SF_MED))
+    # exactly one SinglePartition exchange — the one feeding the tiny
+    # offsets window (its input is the post-aggregate per-bucket counts)
+    assert plan.count("SinglePartition") == 1
+    # the corpus side reaches its local-rank window via a bucket hash
+    # exchange, not the single partition
+    assert re.search(r"hashpartitioning\(__gbucket", plan)
+    # both branches read the cached projection, not a second file scan
+    assert plan.count("InMemoryTableScan") >= 2

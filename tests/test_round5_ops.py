@@ -823,3 +823,20 @@ def test_incremental_near_dedup_kinds_and_no_old_pairs(spark):
     # old-vs-old (2,4) must NOT be re-emitted; unrelated docs absent
     assert (2, 4) not in kinds and len(kinds) == 5
     assert all(r["jaccard"] == 1.0 for r in out)
+
+
+def test_global_order_exact_ties_and_partition_independent(spark):
+    from era_parser_spark.operators.curation import global_order
+
+    rows = [(i, (i * 7) % 13) for i in range(300)]  # heavy ties
+    df = spark.createDataFrame(rows, "doc_id long, score long")
+    expect = {
+        d: p + 1
+        for p, (d, _) in enumerate(sorted(rows, key=lambda t: (-t[1], t[0])))
+    }
+    for frame in (df, df.repartition(11)):
+        got = {
+            r["doc_id"]: r["pos"]
+            for r in global_order(frame, "score", "doc_id", n_buckets=8).collect()
+        }
+        assert got == expect
