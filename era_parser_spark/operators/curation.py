@@ -285,9 +285,19 @@ def global_order(
     for cut in sorted(set(cuts)):
         bexpr = bexpr + (F.col(order_col) > F.lit(cut)).cast("int")
     # cached: the (id, key, bucket) projection feeds the local-rank window
-    # AND the per-bucket counts (p2's shared-branch lesson); ~20 bytes/row
+    # AND the per-bucket counts (p2's shared-branch lesson); ~20 bytes/row.
+    # A null sort key would get a null bucket and silently vanish at the
+    # offsets join — fail loudly instead (one codegen null-check per row).
     bucketed = df.select(
-        F.col(id_col), F.col(order_col), bexpr.alias("__gbucket")
+        F.col(id_col),
+        F.col(order_col),
+        F.when(
+            F.assert_true(
+                F.col(order_col).isNotNull(),
+                F.lit(f"global_order: null in sort key {order_col}"),
+            ).isNull(),
+            bexpr,
+        ).alias("__gbucket"),
     ).cache()
     local = bucketed.withColumn(
         "__rn",

@@ -840,3 +840,17 @@ def test_global_order_exact_ties_and_partition_independent(spark):
             for r in global_order(frame, "score", "doc_id", n_buckets=8).collect()
         }
         assert got == expect
+
+
+def test_global_order_null_key_fails_loudly(spark):
+    import pytest
+
+    from era_parser_spark.operators.curation import global_order
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 5)], "doc_id long, score long"
+    )
+    # wrapper type varies with session state (Py4JJavaError vs captured
+    # SparkRuntimeException) — pin the message, not the class
+    with pytest.raises(Exception, match="null in sort key"):
+        global_order(df, "score", "doc_id", n_buckets=4).collect()
