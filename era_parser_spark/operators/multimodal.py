@@ -243,3 +243,105 @@ def audio_window_energy(df: DataFrame, window_samples: int = 64) -> DataFrame:
             yield pd.DataFrame(out, dtype="int64")
 
     return df.select("media_id", "payload").mapInPandas(_energy, AUDIO_WINDOW_SCHEMA)
+
+
+AHASH_SCHEMA = "media_id long, ahash long"
+_AHASH_GRID = 60  # 60 bits: bit 63 overflows DuckDB's signed left shift
+
+
+def ahash_signatures(df: DataFrame) -> DataFrame:
+    """Perceptual average-hash (aHash) signatures over binary payloads.
+
+    The classic image near-dup fingerprint: resample to a fixed grid,
+    threshold each cell against the image mean, pack the bits.  The
+    stand-in "resample" tiles the payload bytes to a 60-cell grid
+    (cell i = byte[i % n] — for a real image the codec's 8x8 grayscale
+    thumbnail slots in here, like `_real_decode`); the threshold compare
+    is `grid * cell > total` — pure integer math, no float mean — so the
+    hash is exact and SQL-rederivable.  Empty payloads emit no row.
+
+    Arrow-batched numpy over mapInPandas, partitioning inherited: the
+    payload bytes never shuffle, only (id, 8-byte hash) leaves the scan.
+    """
+    import numpy as np
+
+    grid = _AHASH_GRID
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids: list[int] = []
+            hs: list[int] = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                if not data:
+                    continue
+                reps = -(-grid // len(data))
+                tiled = (data * reps)[:grid]
+                arr = np.frombuffer(tiled, np.uint8).astype(np.int64)
+                bits = (arr * grid > arr.sum()).astype(np.int64)
+                ids.append(int(mid))
+                hs.append(int((bits << np.arange(grid, dtype=np.int64)).sum()))
+            yield pd.DataFrame({"media_id": ids, "ahash": hs}, dtype="int64")
+
+    return df.select("media_id", "payload").mapInPandas(fn, AHASH_SCHEMA)
+
+
+def ahash_near_pairs(
+    df: DataFrame,
+    max_hamming: int = 6,
+    bands: int = 4,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Image near-duplicate pairs by perceptual-hash banding.
+
+    Pairs whose aHashes differ in <= max_hamming of 60 bits, found via
+    15-bit-band blocking (pigeonhole: any pair with hamming < bands is
+    GUARANTEED to collide in some band — exact recall below that, same
+    argument as dd4's SimHash blocking).  `max_bucket` optionally drops
+    degenerate buckets (one viral thumbnail repeated millions of times),
+    the s6 spam-cluster guard.
+
+    Scale shape: signatures leave the scan as (id, long); the self-join
+    keys on (band, 15-bit value); hamming is one codegen xor+bit_count.
+    """
+    band_bits = _AHASH_GRID // bands
+    mask = (1 << band_bits) - 1
+    sig = ahash_signatures(df).cache()  # feeds both join sides once
+    bucket_arr = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("k"),
+                F.shiftright(F.col("ahash"), k * band_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("bv"),
+            )
+            for k in range(bands)
+        ]
+    )
+    bk = sig.select("media_id", "ahash", F.explode(bucket_arr).alias("b")).select(
+        "media_id", "ahash", "b.k", "b.bv"
+    )
+    if max_bucket is not None:
+        hot = (
+            bk.groupBy("k", "bv")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_bucket)
+            .select("k", "bv")
+        )
+        bk = bk.join(F.broadcast(hot), ["k", "bv"], "left_anti")
+    a, b = bk.alias("a"), bk.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+            F.bit_count(F.col("a.ahash").bitwiseXOR(F.col("b.ahash"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -650,3 +650,52 @@ def dd11_incremental_near_dedup(spark, sf_dir):
         "text",
         threshold=0.5,
     )
+
+
+@register(
+    "mm5_image_ahash_pairs",
+    # The whole aHash scheme re-derived in SQL over hex(payload): tiled
+    # byte grid (cell i = byte[i % n]), integer threshold 60*b > total
+    # (no float mean), bit pack with parenthesized shifts (DuckDB gives
+    # << lower precedence than +), 15-bit-band blocking, xor+bit_count.
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n
+      FROM documents WHERE octet_length(encode(text)) > 0
+    ),
+    b AS (
+      SELECT media_id, CAST(i AS BIGINT) AS i,
+             CAST(concat('0x',
+                  substr(hx, CAST((i % n) * 2 + 1 AS INTEGER), 2)) AS BIGINT) AS bv
+      FROM m, unnest(range(0, 60)) AS u(i)
+    ),
+    t AS (SELECT media_id, sum(bv) AS total FROM b GROUP BY media_id),
+    h AS (
+      SELECT b.media_id,
+             CAST(sum(CASE WHEN 60 * bv > total
+                           THEN (CAST(1 AS BIGINT) << CAST(i AS INTEGER))
+                           ELSE 0 END) AS BIGINT) AS ahash
+      FROM b JOIN t USING (media_id) GROUP BY b.media_id
+    ),
+    bk AS (
+      SELECT media_id, ahash, CAST(k AS INTEGER) AS k,
+             (ahash >> CAST(k * 15 AS INTEGER)) & 32767 AS bv
+      FROM h, unnest(range(0, 4)) AS u(k)
+    ),
+    p AS (
+      SELECT DISTINCT a.media_id AS media_a, b2.media_id AS media_b,
+             CAST(bit_count(xor(a.ahash, b2.ahash)) AS INTEGER) AS hamming
+      FROM bk a JOIN bk b2
+        ON a.k = b2.k AND a.bv = b2.bv AND a.media_id < b2.media_id
+    )
+    SELECT media_a, media_b, hamming FROM p WHERE hamming <= 6
+    """,
+)
+def mm5_image_ahash_pairs(spark, sf_dir):
+    # Image near-dup via perceptual average-hash banding over the media
+    # payloads (operators/multimodal.py::ahash_signatures/ahash_near_pairs).
+    from era_parser_spark.operators.multimodal import ahash_near_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    return ahash_near_pairs(documents_as_media(docs), max_hamming=6)

@@ -854,3 +854,37 @@ def test_global_order_null_key_fails_loudly(spark):
     # SparkRuntimeException) — pin the message, not the class
     with pytest.raises(Exception, match="null in sort key"):
         global_order(df, "score", "doc_id", n_buckets=4).collect()
+
+
+def test_ahash_pigeonhole_and_spam_guard(spark):
+    from era_parser_spark.operators.multimodal import ahash_near_pairs, ahash_signatures
+
+    same = b"A" * 30 + b"z" * 30
+    near = b"A" * 30 + b"z" * 29 + b"Q"  # flips few grid bits
+    # NOT bytes(range(60)): any "first half dark, second half bright"
+    # payload aHashes identically to `same` — the hash captures the
+    # pattern, not the values.  Alternate bright/dark instead.
+    far = bytes([0, 255] * 30)
+    rows = (
+        [(1, bytearray(same)), (2, bytearray(same)), (3, bytearray(near)), (4, bytearray(far))]
+        + [(100 + j, bytearray(b"spamspam" * 8)) for j in range(20)]
+        + [(500, None), (501, bytearray(b""))]
+    )
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    sigs = {r["media_id"]: r["ahash"] for r in ahash_signatures(df).collect()}
+    assert sigs[1] == sigs[2] and 500 not in sigs and 501 not in sigs
+    ham13 = bin(sigs[1] ^ sigs[3]).count("1")
+    assert 0 < ham13 <= 6
+
+    pairs = {
+        (r["media_a"], r["media_b"]): r["hamming"]
+        for r in ahash_near_pairs(df, max_hamming=6).collect()
+    }
+    assert pairs[(1, 2)] == 0 and pairs[(1, 3)] == ham13
+    assert (1, 4) not in pairs
+    # spam cluster guarded out, genuine pairs survive
+    guarded = {
+        (r["media_a"], r["media_b"])
+        for r in ahash_near_pairs(df, max_hamming=6, max_bucket=5).collect()
+    }
+    assert (1, 2) in guarded and not any(a >= 100 for a, _ in guarded)
