@@ -123,3 +123,15 @@ def zorder_layout(
         "spark.sql.shuffle.partitions"
     )
     return out.repartitionByRange(int(n), "__zkey").sortWithinPartitions("__zkey")
+
+
+def zorder_decode_py(z: int, ncols: int, bits: int = 16) -> tuple[int, ...]:
+    """Inverse of zorder_py — recover the (masked) column values from a
+    z-key.  Driver-side utility for debugging file bounds: given a file's
+    min/max z-keys, the decoded corners bound every interleaved column's
+    range in that file."""
+    vals = [0] * ncols
+    for j in range(ncols):
+        for i in range(bits):
+            vals[j] |= ((z >> (i * ncols + j)) & 1) << i
+    return tuple(vals)

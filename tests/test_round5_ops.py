@@ -888,3 +888,16 @@ def test_ahash_pigeonhole_and_spam_guard(spark):
         for r in ahash_near_pairs(df, max_hamming=6, max_bucket=5).collect()
     }
     assert (1, 2) in guarded and not any(a >= 100 for a, _ in guarded)
+
+
+def test_zorder_roundtrip_seeded():
+    import random
+
+    from era_parser_spark.operators.layout import zorder_decode_py, zorder_py
+
+    rng = random.Random(99)
+    for _ in range(500):
+        ncols = rng.choice((2, 3))
+        bits = rng.choice((8, 16)) if ncols == 2 else 8
+        vals = tuple(rng.randrange(1 << bits) for _ in range(ncols))
+        assert zorder_decode_py(zorder_py(vals, bits), ncols, bits) == vals
