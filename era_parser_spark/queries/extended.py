@@ -538,3 +538,119 @@ def x15_zorder_layout(spark, sf_dir):
             F.max("l_suppkey").alias("sk_hi"),
         )
     )
+
+
+@register(
+    "x16_retention_cohorts",
+    # All-integer date math: DATE cohorts, date_diff day offsets, distinct
+    # counts — nothing floats.  DuckDB date_trunc returns DATE directly;
+    # Spark side uses to_date for the same type.
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events
+    ),
+    cohort AS (SELECT user_id, min(d) AS c0 FROM ud GROUP BY user_id),
+    j AS (
+      SELECT c.c0, u.user_id, date_diff('day', c.c0, u.d) AS off
+      FROM ud u JOIN cohort c USING (user_id)
+    )
+    SELECT c0 AS cohort_date,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(DISTINCT CASE WHEN off = 1 THEN user_id END) AS BIGINT) AS d1,
+           CAST(count(DISTINCT CASE WHEN off = 3 THEN user_id END) AS BIGINT) AS d3,
+           CAST(count(DISTINCT CASE WHEN off = 7 THEN user_id END) AS BIGINT) AS d7
+    FROM j GROUP BY c0
+    """,
+)
+def x16_retention_cohorts(spark, sf_dir):
+    """Cohort retention (the ClickHouse `retention` family): users grouped
+    by first-active day, with distinct-user counts still active at day
+    offsets 1/3/7.  Shuffle shape: one distinct on (user, day), cohort agg
+    and join both key on user (the partitioning reuses), final agg on the
+    tiny cohort-date key."""
+    ev = table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")).distinct()
+    cohort = ud.groupBy("user_id").agg(F.min("d").alias("c0"))
+    j = ud.join(cohort, "user_id").select(
+        "c0", "user_id", F.datediff("d", "c0").alias("off")
+    )
+    def _at(n):
+        return F.countDistinct(F.when(F.col("off") == n, F.col("user_id"))).alias(f"d{n}")
+    return (
+        j.groupBy(F.col("c0").alias("cohort_date"))
+        .agg(F.countDistinct("user_id").alias("n_users"), _at(1), _at(3), _at(7))
+    )
+
+
+@register(
+    "x17_time_weighted_avg",
+    # Exactness recipe: value quantized to integer micro-units via floor
+    # (IEEE-identical), durations in whole seconds of epoch-microsecond
+    # arithmetic, weighted sum and the final mean both integer division —
+    # only the last /1e6 is a float op, identical in both engines.
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CAST(floor(value * 1000000) AS BIGINT) AS qv
+      FROM events WHERE value IS NOT NULL
+    ),
+    w AS (
+      SELECT user_id, qv, us,
+             lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS nxt
+      FROM e
+    ),
+    d AS (
+      SELECT user_id, qv, (nxt - us) // 1000000 AS dur_s
+      FROM w WHERE nxt IS NOT NULL
+    ),
+    agg AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_intervals,
+             CAST(sum(dur_s) AS BIGINT) AS span_s,
+             CAST(sum(qv * dur_s) AS BIGINT) AS wsum
+      FROM d GROUP BY user_id HAVING sum(dur_s) > 0
+    )
+    SELECT user_id, n_intervals, span_s,
+           CAST(wsum // span_s AS BIGINT) AS twa_micro,
+           CAST(wsum // span_s AS BIGINT) / 1000000.0 AS twa
+    FROM agg
+    """,
+)
+def x17_time_weighted_avg(spark, sf_dir):
+    """Time-weighted average of an irregular series per user (the
+    TimescaleDB `time_weight` shape, locf interpolation): each value
+    holds until the user's next event; the mean weights by held duration.
+    One shuffle on user_id shared by the lead window and the aggregate."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    e = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.floor(F.col("value") * 1000000).cast("long").alias("qv"),
+    )
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    d = (
+        e.withColumn("nxt", F.lead("us").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select("user_id", "qv", F.expr("(nxt - us) div 1000000").alias("dur_s"))
+    )
+    agg = (
+        d.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("dur_s").alias("span_s"),
+            F.expr("sum(qv * dur_s)").alias("wsum"),
+        )
+        .filter(F.col("span_s") > 0)
+    )
+    twa_micro = F.expr("wsum div span_s")
+    return agg.select(
+        "user_id",
+        "n_intervals",
+        "span_s",
+        twa_micro.cast("long").alias("twa_micro"),
+        (twa_micro.cast("long") / F.lit(1000000.0)).alias("twa"),
+    )

@@ -901,3 +901,43 @@ def test_zorder_roundtrip_seeded():
         bits = rng.choice((8, 16)) if ncols == 2 else 8
         vals = tuple(rng.randrange(1 << bits) for _ in range(ncols))
         assert zorder_decode_py(zorder_py(vals, bits), ncols, bits) == vals
+
+
+def test_retention_and_twa_hand_computed(spark, tmp_path):
+    import datetime as dt
+    import os
+
+    from era_parser_spark.queries import load_all
+
+    ts = lambda day, sec: dt.datetime(2024, 3, 1 + day, 0, 0, 0) + dt.timedelta(seconds=sec)
+    rows = [
+        # user 1: days 0 and 1; values 10.0 held 10s, 20.0 held 30s, tail
+        (1, 1, ts(0, 0), "v", 10.0),
+        (2, 1, ts(0, 10), "v", 20.0),
+        (3, 1, ts(0, 40), "v", 99.0),
+        (4, 1, ts(1, 0), "v", None),
+        # user 2: day 0 only, single valued event -> no interval
+        (5, 2, ts(0, 5), "v", 7.0),
+        # user 3: first active day 3, returns day 10 (offsets vs own cohort)
+        (6, 3, ts(3, 0), "v", 1.0),
+        (7, 3, ts(10, 0), "v", 2.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, event_type string, value double"
+    )
+    d = str(tmp_path / "wh")
+    ev.write.parquet(os.path.join(d, "events.parquet"))
+    q, _ = load_all()
+
+    ret = {r["cohort_date"].isoformat(): r for r in q["x16_retention_cohorts"](spark, d).collect()}
+    assert ret["2024-03-01"]["n_users"] == 2
+    assert ret["2024-03-01"]["d1"] == 1 and ret["2024-03-01"]["d3"] == 0
+    assert ret["2024-03-04"]["n_users"] == 1 and ret["2024-03-04"]["d7"] == 1
+
+    twa = {r["user_id"]: r for r in q["x17_time_weighted_avg"](spark, d).collect()}
+    # user 1: (10*10 + 20*30 + 99*86360) / (10+30+86360) weighted by holds —
+    # the day-1 null-value event is excluded, so 99.0 holds nothing beyond
+    # the valued stream's last point... compute exactly:
+    assert twa[1]["span_s"] == 40 and twa[1]["twa"] == (10 * 10 + 20 * 30) / 40
+    assert 2 not in twa  # single interval-less user excluded
+    assert twa[3]["twa"] == 1.0  # one held value across the whole span
