@@ -654,3 +654,95 @@ def x17_time_weighted_avg(spark, sf_dir):
         twa_micro.cast("long").alias("twa_micro"),
         (twa_micro.cast("long") / F.lit(1000000.0)).alias("twa"),
     )
+
+
+@register(
+    "x18_asof_nearest",
+    # Deltas are epoch-microsecond BIGINT subtraction; the backward-wins
+    # tiebreak is the same CASE in both engines; same-timestamp clicks
+    # resolve by the (ts, event_id) total window order.
+    oracle="""
+    SELECT event_id, user_id, us, nearest_click_us, nearest_click_value,
+           delta_us, direction
+    FROM (
+      SELECT event_id, user_id, event_type, us, b_us, f_us,
+             CASE WHEN b_us IS NOT NULL
+                       AND (f_us IS NULL OR us - b_us <= f_us - us)
+                  THEN 'backward'
+                  WHEN f_us IS NOT NULL THEN 'forward' END AS direction,
+             CASE WHEN b_us IS NOT NULL
+                       AND (f_us IS NULL OR us - b_us <= f_us - us)
+                  THEN b_us ELSE f_us END AS nearest_click_us,
+             CASE WHEN b_us IS NOT NULL
+                       AND (f_us IS NULL OR us - b_us <= f_us - us)
+                  THEN b_val ELSE f_val END AS nearest_click_value
+      FROM (
+        SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+               last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END
+                          IGNORE NULLS) OVER wb AS b_us,
+               last_value(CASE WHEN event_type = 'click' THEN value END
+                          IGNORE NULLS) OVER wb AS b_val,
+               first_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END
+                           IGNORE NULLS) OVER wf AS f_us,
+               first_value(CASE WHEN event_type = 'click' THEN value END
+                           IGNORE NULLS) OVER wf AS f_val
+        FROM events
+        WINDOW wb AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+      )
+    )
+    CROSS JOIN LATERAL (SELECT abs(us - nearest_click_us) AS delta_us) d
+    WHERE event_type = 'purchase' AND direction IS NOT NULL
+    """,
+)
+def x18_asof_nearest(spark, sf_dir):
+    """Nearest-direction as-of join (pandas merge_asof direction='nearest'):
+    each purchase picks the time-closest click of the same user, either
+    side, backward winning ties.  Both direction windows share ONE
+    partitioned sort — still a single shuffle on user_id, no range join."""
+    ev = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    base = ev.select("event_id", "user_id", "event_type", "value", us.alias("us"))
+    wb = (
+        W.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    c_us = F.when(F.col("event_type") == "click", F.col("us"))
+    c_val = F.when(F.col("event_type") == "click", F.col("value"))
+    stag = base.select(
+        "*",
+        F.last(c_us, ignorenulls=True).over(wb).alias("b_us"),
+        F.last(c_val, ignorenulls=True).over(wb).alias("b_val"),
+        F.first(c_us, ignorenulls=True).over(wf).alias("f_us"),
+        F.first(c_val, ignorenulls=True).over(wf).alias("f_val"),
+    )
+    use_b = F.col("b_us").isNotNull() & (
+        F.col("f_us").isNull()
+        | ((F.col("us") - F.col("b_us")) <= (F.col("f_us") - F.col("us")))
+    )
+    near_us = F.when(use_b, F.col("b_us")).otherwise(F.col("f_us"))
+    return (
+        stag.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "us",
+            near_us.alias("nearest_click_us"),
+            F.when(use_b, F.col("b_val")).otherwise(F.col("f_val")).alias(
+                "nearest_click_value"
+            ),
+            F.abs(F.col("us") - near_us).alias("delta_us"),
+            F.when(use_b, F.lit("backward"))
+            .when(F.col("f_us").isNotNull(), F.lit("forward"))
+            .alias("direction"),
+        )
+        .filter(F.col("direction").isNotNull())
+    )

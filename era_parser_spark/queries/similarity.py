@@ -253,3 +253,40 @@ def s7_incremental_topk(spark, sf_dir):
     return incremental_topk(
         prev, emb.filter(F.col("vec_id") % 2 == 1), "embedding", "vec_id", q, k=10
     )
+
+
+@register(
+    "s8_radius_search",
+    # Same quantized-cosine representation as s1; radius predicate compares
+    # the DECIMAL(10,6)-quantized value in both engines (the dd8 rule).
+    oracle="""
+    SELECT vec_id, cosine_sim FROM (
+      SELECT vec_id,
+             CAST(CAST(list_cosine_similarity(
+               embedding::DOUBLE[],
+               (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]
+             ) AS DECIMAL(10,6)) AS DOUBLE) AS cosine_sim
+      FROM embeddings
+    ) WHERE cosine_sim >= 0.2
+    """,
+)
+def s8_radius_search(spark, sf_dir):
+    """Radius (range) similarity search: ALL vectors within a cosine
+    threshold of the query — the fixed-radius twin of s1's top-k, the
+    shape recall-oriented retrieval and dedup-candidate generation use.
+    Pure codegen fold + filter, no shuffle at all; at scale the same
+    IVF/LSH prefilters as s2/s6 bound the scanned fraction."""
+    from era_parser_spark.operators.similarity import (
+        cosine_expr,
+        lit_vector,
+        quantized_cosine,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = lit_vector(_query_vec(spark, sf_dir, 0))
+    return emb.select(
+        "vec_id",
+        quantized_cosine(
+            cosine_expr(F.col("embedding").cast("array<double>"), q)
+        ).alias("cosine_sim"),
+    ).filter(F.col("cosine_sim") >= 0.2)

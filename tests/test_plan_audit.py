@@ -402,3 +402,15 @@ def test_global_order_no_corpus_single_partition_window(spark, queries):
     assert re.search(r"hashpartitioning\(__gbucket", plan)
     # both branches read the cached projection, not a second file scan
     assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_asof_nearest_single_shuffle_shared_sort(spark, queries):
+    """x18: the backward and forward windows must share one user_id
+    Exchange + Sort — a second shuffle would double the join cost."""
+    import re
+
+    from era_parser_spark.plans import formatted_plan
+
+    plan = formatted_plan(queries["x18_asof_nearest"](spark, SF_MED))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Sort", plan)) == 1

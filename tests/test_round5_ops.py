@@ -941,3 +941,35 @@ def test_retention_and_twa_hand_computed(spark, tmp_path):
     assert twa[1]["span_s"] == 40 and twa[1]["twa"] == (10 * 10 + 20 * 30) / 40
     assert 2 not in twa  # single interval-less user excluded
     assert twa[3]["twa"] == 1.0  # one held value across the whole span
+
+
+def test_asof_nearest_directions_and_tiebreak(spark, tmp_path):
+    import datetime as dt
+    import os
+
+    from era_parser_spark.queries import load_all
+
+    t0 = dt.datetime(2024, 5, 1)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)
+    rows = [
+        (1, 1, s(0), "click", 1.0),
+        (2, 1, s(10), "purchase", 0.0),   # back 10s vs fwd 5s -> forward
+        (3, 1, s(15), "click", 2.0),
+        (4, 1, s(20), "purchase", 0.0),   # back 5s vs fwd 5s -> tie: backward
+        (5, 1, s(25), "click", 3.0),
+        (6, 2, s(0), "purchase", 0.0),    # only a later click -> forward
+        (7, 2, s(60), "click", 9.0),
+        (8, 3, s(0), "purchase", 0.0),    # user has no clicks -> dropped
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, event_type string, value double"
+    )
+    d = str(tmp_path / "wh")
+    ev.write.parquet(os.path.join(d, "events.parquet"))
+    q, _ = load_all()
+    out = {r["event_id"]: r for r in q["x18_asof_nearest"](spark, d).collect()}
+    assert out[2]["direction"] == "forward" and out[2]["nearest_click_value"] == 2.0
+    assert out[2]["delta_us"] == 5_000_000
+    assert out[4]["direction"] == "backward" and out[4]["nearest_click_value"] == 2.0
+    assert out[6]["direction"] == "forward" and out[6]["nearest_click_value"] == 9.0
+    assert 8 not in out
