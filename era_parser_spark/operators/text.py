@@ -458,3 +458,29 @@ def intra_doc_span_strip(df: DataFrame, id_col: str, text_col: str, l: int = 8) 
             .alias("n_removed"),
         )
     )
+
+
+def normalize_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Canonicalize text ahead of exact dedup / fingerprinting: lowercase,
+    strip non-alphanumeric characters to spaces, collapse whitespace runs,
+    trim.  Two visually-different copies of the same content ("Hello,
+    World!" vs "hello world") normalize to one digest — run dd1 on
+    `norm_text` instead of raw text to catch them.
+
+    Pure codegen regexp expressions, zero shuffle.  ASCII-scoped on
+    purpose: Unicode NFC folding needs ICU (absent here) and would slot
+    in as one more expression in this chain.
+
+    Output: (id, norm_text, changed).
+    """
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(raw), r"[^a-z0-9\s]+", " "), r"\s+", " "
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        norm.alias("norm_text"),
+        (norm != raw).alias("changed"),
+    )

@@ -746,3 +746,47 @@ def x18_asof_nearest(spark, sf_dir):
         )
         .filter(F.col("direction").isNotNull())
     )
+
+
+@register(
+    "x19_hopping_windows",
+    # A 1h window hopping every 30min: each event lands in exactly two
+    # windows; the oracle derives the same window starts by flooring the
+    # epoch to each 30-min boundary covered by the hour.  Counts and
+    # decimal-exact sums only.
+    oracle="""
+    WITH e AS (SELECT event_type, epoch_us(ts) AS us, value FROM events),
+    w AS (
+      SELECT event_type, value,
+             CAST((us // 1800000000 - k) * 1800000000 AS BIGINT) AS win_start_us
+      FROM e, unnest(range(0, 2)) AS u(k)
+      WHERE (us // 1800000000 - k) * 1800000000 + 3600000000 > us
+    )
+    SELECT win_start_us, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4))
+                AS DOUBLE) AS sum_value
+    FROM w GROUP BY win_start_us, event_type
+    """,
+)
+def x19_hopping_windows(spark, sf_dir):
+    """Hopping (sliding) event-time windows: 1-hour windows every 30
+    minutes via Spark's native window(ts, '1 hour', '30 minutes') — each
+    event expands to its two covering windows before one aggregate.  The
+    streaming twin is st1 with the same expression; decimal-cast sums keep
+    the values order-independent."""
+    from era_parser_spark.queries.exprs import dsum
+
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("sum_value"))
+        .select(
+            F.unix_micros(F.col("w.start").cast("timestamp")).alias("win_start_us"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )

@@ -415,3 +415,24 @@ def t11_intra_doc_dedup(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     return intra_doc_span_strip(docs, "doc_id", "text", l=3)
+
+
+@register(
+    "t12_normalize_text",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(coalesce(text, '')),
+                '[^a-z0-9\\s]+', ' ', 'g'), '\\s+', ' ', 'g')) AS norm_text,
+           trim(regexp_replace(regexp_replace(lower(coalesce(text, '')),
+                '[^a-z0-9\\s]+', ' ', 'g'), '\\s+', ' ', 'g'))
+             <> coalesce(text, '') AS changed
+    FROM documents
+    """,
+)
+def t12_normalize_text(spark, sf_dir):
+    # Canonicalization ahead of exact dedup (operators/text.py::normalize_text);
+    # RE2-safe character classes so both engines rewrite identically.
+    from era_parser_spark.operators.text import normalize_text
+
+    docs = table(spark, sf_dir, "documents")
+    return normalize_text(docs, "doc_id", "text")

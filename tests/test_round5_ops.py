@@ -973,3 +973,20 @@ def test_asof_nearest_directions_and_tiebreak(spark, tmp_path):
     assert out[4]["direction"] == "backward" and out[4]["nearest_click_value"] == 2.0
     assert out[6]["direction"] == "forward" and out[6]["nearest_click_value"] == 9.0
     assert 8 not in out
+
+
+def test_normalize_text_collapses_and_flags(spark):
+    from era_parser_spark.operators.text import normalize_text
+
+    rows = [
+        (1, "Hello,   World!"),
+        (2, "already clean"),
+        (3, None),
+        (4, "...!!!"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in normalize_text(df, "doc_id", "text").collect()}
+    assert out[1]["norm_text"] == "hello world" and out[1]["changed"]
+    assert out[2]["norm_text"] == "already clean" and not out[2]["changed"]
+    assert out[3]["norm_text"] == "" and not out[3]["changed"]
+    assert out[4]["norm_text"] == "" and out[4]["changed"]
