@@ -699,3 +699,54 @@ def mm5_image_ahash_pairs(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     return ahash_near_pairs(documents_as_media(docs), max_hamming=6)
+
+
+@register(
+    "dd12_containment_pairs",
+    # Same inverted-index join as dd2; the metric is containment
+    # inter/min(|A|,|B|) — the asymmetric signal that catches a document
+    # EMBEDDED in a bigger one, which Jaccard dilutes below threshold.
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents),
+         sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+         joinable AS (
+           SELECT doc_id, shingle FROM sh
+           QUALIFY count(*) OVER (PARTITION BY shingle) <= 100
+         ),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+           FROM joinable a
+           JOIN joinable b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id
+         )
+    SELECT doc_a, doc_b, inter,
+           least(sa.nsh, sb.nsh) AS min_sz,
+           CAST(inter AS DOUBLE) / least(sa.nsh, sb.nsh) AS containment,
+           CAST(inter AS DOUBLE) / (sa.nsh + sb.nsh - inter) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(inter AS DOUBLE) / least(sa.nsh, sb.nsh) >= 0.8
+    """,
+)
+def dd12_containment_pairs(spark, sf_dir):
+    # Containment near-dup: inter / min(|A|, |B|) >= 0.8 — the
+    # subset-duplicate detector (small doc quoted whole inside a large
+    # one) that Jaccard's union denominator hides.  Same guarded
+    # inverted-index plan as dd2, different final metric.
+    from era_parser_spark.operators.dedup import doc_shingles, _jaccard_from_index
+
+    docs = table(spark, sf_dir, "documents")
+    ex = doc_shingles(docs, "doc_id", "text", 3).cache()
+    base = _jaccard_from_index(ex, "doc_id", max_doc_freq=100)
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nsh"))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("nsh").alias("__na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("nsh").alias("__nb"))
+    return (
+        base.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("min_sz", F.least("__na", "__nb"))
+        .withColumn("containment", F.col("inter") / F.col("min_sz"))
+        .filter(F.col("containment") >= 0.8)
+        .select("doc_a", "doc_b", "inter", "min_sz", "containment", "jaccard")
+    )

@@ -790,3 +790,54 @@ def x19_hopping_windows(spark, sf_dir):
             "sum_value",
         )
     )
+
+
+@register(
+    "x20_period_over_period",
+    # Decimal-exact daily sums, BIGINT day keys, and the growth ratio is
+    # ONE double division of two already-identical doubles.
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_no,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4))
+                  AS DOUBLE) AS day_value
+      FROM events GROUP BY event_type, day_no
+    )
+    SELECT event_type, day_no, n, day_value,
+           lag(day_value) OVER (PARTITION BY event_type ORDER BY day_no)
+             AS prev_value,
+           CASE WHEN lag(day_value) OVER (PARTITION BY event_type
+                                          ORDER BY day_no) <> 0
+                THEN day_value / lag(day_value) OVER (PARTITION BY event_type
+                                                      ORDER BY day_no) - 1.0
+           END AS growth
+    FROM d
+    """,
+)
+def x20_period_over_period(spark, sf_dir):
+    """Period-over-period comparison (the BI day-over-day growth shape):
+    daily value per event_type, previous period via lag, relative growth.
+    day_no keys are exact integer epoch-day arithmetic; one shuffle on
+    event_type shared by the aggregate and the lag window."""
+    ev = table(spark, sf_dir, "events")
+    from era_parser_spark.queries.exprs import dsum
+
+    d = (
+        ev.groupBy(
+            "event_type",
+            F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("day_no"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("day_value"))
+    )
+    w = W.partitionBy("event_type").orderBy("day_no")
+    prev = F.lag("day_value").over(w)
+    return d.select(
+        "event_type",
+        "day_no",
+        "n",
+        "day_value",
+        prev.alias("prev_value"),
+        F.when(prev != 0, F.col("day_value") / prev - 1.0).alias("growth"),
+    )

@@ -990,3 +990,25 @@ def test_normalize_text_collapses_and_flags(spark):
     assert out[2]["norm_text"] == "already clean" and not out[2]["changed"]
     assert out[3]["norm_text"] == "" and not out[3]["changed"]
     assert out[4]["norm_text"] == "" and out[4]["changed"]
+
+
+def test_containment_catches_embedded_doc(spark):
+    from era_parser_spark.queries import load_all
+    import os
+
+    # build a mini warehouse: doc 1 fully embedded in doc 2 (jaccard low,
+    # containment 1.0); doc 3 unrelated
+    small = "alpha beta gamma delta epsilon zeta"
+    big = small + " " + " ".join(f"filler{i} pad{i} extra{i}" for i in range(30))
+    rows = [(1, small, "en", "s", len(small)), (2, big, "en", "s", len(big)),
+            (3, "totally different content entirely here now", "en", "s", 10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    import tempfile
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    q, _ = load_all()
+    out = {(r["doc_a"], r["doc_b"]): r for r in q["dd12_containment_pairs"](spark, d).collect()}
+    assert (1, 2) in out
+    r = out[(1, 2)]
+    assert r["containment"] == 1.0 and r["jaccard"] < 0.8
+    assert not any(3 in p for p in out)
