@@ -841,3 +841,69 @@ def x20_period_over_period(spark, sf_dir):
         prev.alias("prev_value"),
         F.when(prev != 0, F.col("day_value") / prev - 1.0).alias("growth"),
     )
+
+
+@register(
+    "x21_session_conversion",
+    # Sessions re-derived exactly as x2 (30-min gap, (ts, event_id) total
+    # order); conversion = any view (event_type 'v%'... use 'view') before
+    # a purchase IN THE SAME session.  Counts only — all integers.
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, event_type,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    ),
+    per AS (
+      SELECT user_id, session_id,
+             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS has_view,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase
+      FROM sess GROUP BY user_id, session_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(has_view) AS BIGINT) AS view_sessions,
+           CAST(sum(has_purchase) AS BIGINT) AS purchase_sessions,
+           CAST(sum(has_view * has_purchase) AS BIGINT) AS converted_sessions
+    FROM per
+    """,
+)
+def x21_session_conversion(spark, sf_dir):
+    """Session-level conversion counts: sessions re-derived with the x2
+    gap rule, then per-session view/purchase flags and the co-occurrence
+    count — the product-analytics conversion-rate numerator/denominator.
+    One shuffle on user_id shared by both windows and the session agg;
+    the final count is a tiny global fold."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("timestamp").cast("double") - F.lag(
+        F.col("ts").cast("timestamp").cast("double")
+    ).over(w)
+    marked = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    per = sess.groupBy("user_id", "session_id").agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("has_view"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "has_purchase"
+        ),
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("has_view").alias("view_sessions"),
+        F.sum("has_purchase").alias("purchase_sessions"),
+        F.sum(F.col("has_view") * F.col("has_purchase")).alias("converted_sessions"),
+    )

@@ -253,3 +253,33 @@ def p7_curriculum_order(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     return global_order(docs, "n_chars", "doc_id", n_buckets=64)
+
+
+@register(
+    "p8_dataset_upsampling",
+    # Pure integer explode: each doc emits `repeat` copies with copy_no —
+    # deterministic, no RNG anywhere.
+    oracle="""
+    SELECT doc_id, source, CAST(u.c AS INTEGER) AS copy_no
+    FROM documents,
+         unnest(range(0, CASE source WHEN 'src0' THEN 3
+                                     WHEN 'src1' THEN 2 ELSE 1 END)) AS u(c)
+    """,
+)
+def p8_dataset_upsampling(spark, sf_dir):
+    """Repeat-factor dataset mixing (the upsampling complement of p5's
+    temperature downsampling — the LLaMA/Pile 'epochs per source' recipe):
+    every doc from a high-value source is emitted `repeat` times with a
+    copy number for downstream shuffling/packing.  A codegen explode over
+    a literal sequence: zero shuffle, output rows = sum of repeats."""
+    docs = table(spark, sf_dir, "documents")
+    repeat = (
+        F.when(F.col("source") == "src0", F.lit(3))
+        .when(F.col("source") == "src1", F.lit(2))
+        .otherwise(F.lit(1))
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.sequence(F.lit(0), repeat - 1)).alias("copy_no"),
+    )
