@@ -484,3 +484,22 @@ def normalize_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         norm.alias("norm_text"),
         (norm != raw).alias("changed"),
     )
+
+
+def html_strip(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Strip HTML/XML markup from a text column — step one of web-corpus
+    cleaning (the CCNet/RefinedWeb extraction stage, tag-level): tags go
+    to spaces, entities to their characters, whitespace collapses.
+    RE2-safe patterns (no lookaround) so the rewrite is exactly
+    oracle-able; a real pipeline swaps in a DOM extractor behind the same
+    signature when structure (not just tags) must go.
+
+    Output: (id, clean_text, n_tags).  Zero-shuffle codegen.
+    """
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    n_tags = F.size(F.regexp_extract_all(raw, F.lit(r"<[^>]*>"), F.lit(0))).cast("long")
+    clean = F.regexp_replace(raw, r"<[^>]*>", " ")
+    for ent, ch in (("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"), ("&nbsp;", " ")):
+        clean = F.regexp_replace(clean, ent, ch)
+    clean = F.trim(F.regexp_replace(clean, r"\s+", " "))
+    return df.select(F.col(id_col), clean.alias("clean_text"), n_tags.alias("n_tags"))

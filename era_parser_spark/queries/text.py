@@ -436,3 +436,80 @@ def t12_normalize_text(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     return normalize_text(docs, "doc_id", "text")
+
+
+@register(
+    "t13_ngram_topk",
+    oracle=f"""
+    WITH tokd AS (SELECT doc_id, {_TOK} AS tok FROM documents),
+    grams AS (
+      SELECT array_to_string(tok[CAST(i + 1 AS INTEGER) : CAST(i + 2 AS INTEGER)], ' ') AS gram
+      FROM tokd, unnest(range(0, len(tok) - 1)) AS u(i)
+    )
+    SELECT gram, CAST(count(*) AS BIGINT) AS n
+    FROM grams GROUP BY gram
+    ORDER BY n DESC, gram LIMIT 50
+    """,
+)
+def t13_ngram_topk(spark, sf_dir):
+    """Corpus-level top-50 bigrams (phrase mining / vocabulary statistics —
+    the frequency table BPE training and boilerplate thresholds read).
+    One explode + map-side-combined count + TakeOrdered; the shuffle
+    carries (gram, partial count), never documents."""
+    from era_parser_spark.operators.dedup import tokens_col
+
+    docs = table(spark, sf_dir, "documents")
+    tok = tokens_col(F.col("text"))
+    grams = F.zip_with(
+        F.slice(tok, 1, F.greatest(F.size(tok) - 1, F.lit(0))),
+        F.slice(tok, 2, F.greatest(F.size(tok) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        docs.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "gram")
+        .limit(50)
+    )
+
+
+@register(
+    "t14_html_strip",
+    # The corpus has no natural markup, so a deterministic wrapper is
+    # injected first (same move as t10's PII line) and the oracle
+    # re-derives injection + strip identically.
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             '<html><p class="c' || CAST(doc_id % 7 AS VARCHAR) || '">'
+               || coalesce(text, '') || ' &amp; more&nbsp;<br/></p></html>' AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           trim(regexp_replace(
+             replace(replace(replace(replace(
+               regexp_replace(t, '<[^>]*>', ' ', 'g'),
+               '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&nbsp;', ' '),
+             '\\s+', ' ', 'g')) AS clean_text,
+           CAST(len(regexp_extract_all(t, '<[^>]*>')) AS BIGINT) AS n_tags
+    FROM aug
+    """,
+)
+def t14_html_strip(spark, sf_dir):
+    # Web-text markup removal (operators/text.py::html_strip) over a
+    # deterministically wrapped corpus.
+    from era_parser_spark.operators.text import html_strip
+
+    docs = table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<html><p class="c'),
+            F.expr("cast(doc_id % 7 as string)"),
+            F.lit('">'),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" &amp; more&nbsp;<br/></p></html>"),
+        ).alias("text"),
+    )
+    return html_strip(aug, "doc_id", "text")

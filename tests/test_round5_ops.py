@@ -1012,3 +1012,20 @@ def test_containment_catches_embedded_doc(spark):
     r = out[(1, 2)]
     assert r["containment"] == 1.0 and r["jaccard"] < 0.8
     assert not any(3 in p for p in out)
+
+
+def test_html_strip_tags_entities_nulls(spark):
+    from era_parser_spark.operators.text import html_strip
+
+    rows = [
+        (1, '<div id="x">Hello <b>world</b></div>'),
+        (2, "a &lt;tag&gt; &amp; entity&nbsp;end"),
+        (3, None),
+        (4, "no markup at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in html_strip(df, "doc_id", "text").collect()}
+    assert out[1]["clean_text"] == "Hello world" and out[1]["n_tags"] == 4
+    assert out[2]["clean_text"] == "a <tag> & entity end" and out[2]["n_tags"] == 0
+    assert out[3]["clean_text"] == "" and out[3]["n_tags"] == 0
+    assert out[4]["clean_text"] == "no markup at all"
