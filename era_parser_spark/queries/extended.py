@@ -907,3 +907,47 @@ def x21_session_conversion(spark, sf_dir):
         F.sum("has_purchase").alias("purchase_sessions"),
         F.sum(F.col("has_view") * F.col("has_purchase")).alias("converted_sessions"),
     )
+
+
+@register(
+    "x22_cumulative_distinct",
+    # Running distinct-user count WITHOUT a quadratic running
+    # count-distinct window: a user contributes on their FIRST day only,
+    # so cumulative distinct = cumsum of first-seen counts — all integer.
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             min(CAST(epoch_us(ts) // 86400000000 AS BIGINT)) AS first_day
+      FROM events GROUP BY user_id
+    ),
+    days AS (
+      SELECT DISTINCT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_no
+      FROM events
+    ),
+    news AS (SELECT first_day AS day_no, count(*) AS n_new FROM f GROUP BY first_day)
+    SELECT d.day_no,
+           CAST(coalesce(n.n_new, 0) AS BIGINT) AS n_new_users,
+           CAST(sum(coalesce(n.n_new, 0)) OVER (ORDER BY d.day_no
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_users
+    FROM days d LEFT JOIN news n USING (day_no)
+    """,
+)
+def x22_cumulative_distinct(spark, sf_dir):
+    """Cumulative distinct users by day (the growth-curve / cumulative-DAU
+    shape).  The scalable reformulation: a running COUNT(DISTINCT) window
+    is quadratic state, but each user counts only on their first-seen day,
+    so the answer is a cumsum over the tiny per-day new-user table — one
+    user-keyed aggregate plus a <=|days|-row window."""
+    ev = table(spark, sf_dir, "events")
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    f = ev.groupBy("user_id").agg(F.min(day).alias("first_day"))
+    days = ev.select(day.alias("day_no")).distinct()
+    news = f.groupBy(F.col("first_day").alias("day_no")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    w = W.orderBy("day_no").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        days.join(news, "day_no", "left")
+        .select("day_no", F.coalesce("n_new", F.lit(0)).alias("n_new_users"))
+        .withColumn("cumulative_users", F.sum("n_new_users").over(w).cast("long"))
+    )
