@@ -122,7 +122,13 @@ def zorder_layout(
     n = num_files if num_files is not None else out.sparkSession.conf.get(
         "spark.sql.shuffle.partitions"
     )
-    return out.repartitionByRange(int(n), "__zkey").sortWithinPartitions("__zkey")
+    # The z-key has done its job once the rows are ranged+sorted; drop it
+    # so callers writing the result don't persist a stray internal column.
+    return (
+        out.repartitionByRange(int(n), "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+    )
 
 
 def zorder_decode_py(z: int, ncols: int, bits: int = 16) -> tuple[int, ...]:

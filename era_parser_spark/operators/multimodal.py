@@ -289,17 +289,20 @@ def ahash_signatures(df: DataFrame) -> DataFrame:
 def ahash_near_pairs(
     df: DataFrame,
     max_hamming: int = 6,
-    bands: int = 4,
+    bands: int = 10,
     max_bucket: int | None = None,
 ) -> DataFrame:
     """Image near-duplicate pairs by perceptual-hash banding.
 
-    Pairs whose aHashes differ in <= max_hamming of 60 bits, found via
-    15-bit-band blocking (pigeonhole: any pair with hamming < bands is
-    GUARANTEED to collide in some band — exact recall below that, same
-    argument as dd4's SimHash blocking).  `max_bucket` optionally drops
-    degenerate buckets (one viral thumbnail repeated millions of times),
-    the s6 spam-cluster guard.
+    Recall guarantee: a pair is found iff it collides in some band, and by
+    pigeonhole any pair with hamming < bands MUST collide in one — so
+    recall is exact only while max_hamming < bands; beyond that, pairs can
+    be silently missed.  The defaults (max_hamming=6, bands=10 of 6 bits)
+    satisfy the inequality, so default recall is exact.  Callers raising
+    max_hamming must raise bands with it (same argument as dd4's SimHash
+    blocking).  `max_bucket` optionally drops degenerate buckets (one
+    viral thumbnail repeated millions of times), the s6 spam-cluster
+    guard.
 
     Scale shape: signatures leave the scan as (id, long); the self-join
     keys on (band, 15-bit value); hamming is one codegen xor+bit_count.

@@ -43,6 +43,14 @@ def load_lang_markers(path: str) -> dict[str, tuple[str, ...]]:
             if not parts or parts[0].startswith("#"):
                 continue
             table.setdefault(parts[0], []).extend(parts[1:])
+    # A language with zero marker words would later make stopword_hits call
+    # Column.isin() with no arguments and fail far from the cause — reject
+    # it here, at load time, with the file named.
+    empty = sorted(lang for lang, ws in table.items() if not ws)
+    if empty:
+        raise ValueError(
+            f"{path}: marker table has no words for language(s) {empty}"
+        )
     return {lang: tuple(ws) for lang, ws in table.items()}
 
 
@@ -348,10 +356,13 @@ def boilerplate_strip(
 # regexes are deliberately RE2-safe (no lookaround, no backrefs) so the
 # same pattern string runs identically under Java regex (Spark) and RE2
 # (DuckDB) — that is what makes the operator exactly oracle-able.  The
-# three classes are mutually exclusive by construction (emails need '@',
-# IPv4 needs three digit-dot groups, phones need a leading '+'), so
-# counting each class on the RAW text while redacting sequentially is
-# order-independent.
+# three classes are disjoint on typical text (emails need '@', IPv4 needs
+# three digit-dot groups, phones need a leading '+'), but NOT strictly so:
+# a pathological local part like `user+1-555-123-4567@x.com` matches both
+# the email and phone regexes, in which case the raw-text n_phone counts a
+# span the earlier email redaction already consumed and redacted_text shows
+# one `<EMAIL>`, not a `<PHONE>`.  Counts are per-class totals over raw
+# text, not a partition of redacted spans.
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv4", r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
@@ -499,7 +510,11 @@ def html_strip(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     raw = F.coalesce(F.col(text_col), F.lit(""))
     n_tags = F.size(F.regexp_extract_all(raw, F.lit(r"<[^>]*>"), F.lit(0))).cast("long")
     clean = F.regexp_replace(raw, r"<[^>]*>", " ")
-    for ent, ch in (("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"), ("&nbsp;", " ")):
+    # `&amp;` must decode LAST: pre-escaped text like `&amp;lt;` means the
+    # literal string "&lt;" and must come out as exactly that, not double-
+    # decode to "<".  (Decoding `&amp;` first would re-expose an `&lt;` that
+    # the later passes then wrongly consume.)
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&nbsp;", " "), ("&amp;", "&")):
         clean = F.regexp_replace(clean, ent, ch)
     clean = F.trim(F.regexp_replace(clean, r"\s+", " "))
     return df.select(F.col(id_col), clean.alias("clean_text"), n_tags.alias("n_tags"))

@@ -657,7 +657,8 @@ def dd11_incremental_near_dedup(spark, sf_dir):
     # The whole aHash scheme re-derived in SQL over hex(payload): tiled
     # byte grid (cell i = byte[i % n]), integer threshold 60*b > total
     # (no float mean), bit pack with parenthesized shifts (DuckDB gives
-    # << lower precedence than +), 15-bit-band blocking, xor+bit_count.
+    # << lower precedence than +), 6-bit x 10-band blocking (pigeonhole-
+    # exact for the hamming<=6 filter), xor+bit_count.
     oracle="""
     WITH m AS (
       SELECT doc_id AS media_id, hex(encode(text)) AS hx,
@@ -680,8 +681,8 @@ def dd11_incremental_near_dedup(spark, sf_dir):
     ),
     bk AS (
       SELECT media_id, ahash, CAST(k AS INTEGER) AS k,
-             (ahash >> CAST(k * 15 AS INTEGER)) & 32767 AS bv
-      FROM h, unnest(range(0, 4)) AS u(k)
+             (ahash >> CAST(k * 6 AS INTEGER)) & 63 AS bv
+      FROM h, unnest(range(0, 10)) AS u(k)
     ),
     p AS (
       SELECT DISTINCT a.media_id AS media_a, b2.media_id AS media_b,

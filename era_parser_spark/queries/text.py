@@ -281,7 +281,7 @@ def t8_rarity_score(spark, sf_dir):
     # tok[a:b] list slicing clamps in both engines; string_agg ORDER BY pos
     # == the array_sort((pos,chunk)) reassembly; ceil(int/2.0) matches
     # F.ceil(size/2.0).
-    oracle=f"""
+    oracle=rf"""
     WITH tokd AS (SELECT doc_id, regexp_split_to_array(
            trim(lower(coalesce(text, ''))), '\s+') AS tok FROM documents),
     ex AS (
@@ -490,7 +490,7 @@ def t13_ngram_topk(spark, sf_dir):
            trim(regexp_replace(
              replace(replace(replace(replace(
                regexp_replace(t, '<[^>]*>', ' ', 'g'),
-               '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&nbsp;', ' '),
+               '&lt;', '<'), '&gt;', '>'), '&nbsp;', ' '), '&amp;', '&'),
              '\\s+', ' ', 'g')) AS clean_text,
            CAST(len(regexp_extract_all(t, '<[^>]*>')) AS BIGINT) AS n_tags
     FROM aug

@@ -533,10 +533,16 @@ def test_zorder_key_matches_reference_and_layout_is_range_disjoint(spark):
         assert r["z"] == zorder_py((r["x"], r["y"]), 16), (r["x"], r["y"])
 
     laid = zorder_layout(df, ["x", "y"], bits=16, num_files=4)
+    # The internal __zkey column is dropped from the output (callers persist
+    # the result); recompute it from (x, y) to check range-disjointness.
+    assert laid.columns == ["x", "y"]
     parts = (
-        laid.selectExpr("spark_partition_id() AS pid", "__zkey")
+        laid.select(
+            F.expr("spark_partition_id()").alias("pid"),
+            zorder_key(["x", "y"], 16).alias("z"),
+        )
         .groupBy("pid")
-        .agg(F.min("__zkey").alias("lo"), F.max("__zkey").alias("hi"))
+        .agg(F.min("z").alias("lo"), F.max("z").alias("hi"))
         .orderBy("pid")
         .collect()
     )
@@ -1022,6 +1028,9 @@ def test_html_strip_tags_entities_nulls(spark):
         (2, "a &lt;tag&gt; &amp; entity&nbsp;end"),
         (3, None),
         (4, "no markup at all"),
+        # pre-escaped markup: "&amp;lt;" means the literal text "&lt;" and
+        # must NOT double-decode to "<" (decode order: &amp; last)
+        (5, "show &amp;lt;code&amp;gt; here"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["doc_id"]: r for r in html_strip(df, "doc_id", "text").collect()}
@@ -1029,3 +1038,17 @@ def test_html_strip_tags_entities_nulls(spark):
     assert out[2]["clean_text"] == "a <tag> & entity end" and out[2]["n_tags"] == 0
     assert out[3]["clean_text"] == "" and out[3]["n_tags"] == 0
     assert out[4]["clean_text"] == "no markup at all"
+    assert out[5]["clean_text"] == "show &lt;code&gt; here"
+
+
+def test_lang_marker_table_rejects_empty_language(tmp_path):
+    from era_parser_spark.operators.text import load_lang_markers
+
+    good = tmp_path / "good.txt"
+    good.write_text("# comment\nen the and of\nfr le la et\n")
+    assert load_lang_markers(str(good))["en"] == ("the", "and", "of")
+
+    bad = tmp_path / "bad.txt"
+    bad.write_text("en the and\nzz\n")
+    with pytest.raises(ValueError, match="zz"):
+        load_lang_markers(str(bad))
