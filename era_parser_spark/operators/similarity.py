@@ -363,6 +363,7 @@ def semantic_dedup(
     id_col: str,
     centroids: DataFrame,
     threshold: float = 0.95,
+    max_cell: int | None = None,
     _assigned: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style embedding-space dedup (Abbas et al. 2023,
@@ -380,6 +381,31 @@ def semantic_dedup(
     argmin once per branch.  Cosines are DECIMAL(10,6)-quantized BEFORE
     the threshold compare so the keep/drop decision is reproducible
     across engines and partitionings.
+
+    ``max_cell`` is the skew guard (the dd2 `max_doc_freq` pattern): with
+    stride or KMeans centroids cells stay balanced, but an adversarial /
+    degenerate embedding distribution (one spam mode repeated millions of
+    times) can land n vectors in ONE cell and the pair join becomes n^2 in
+    a single task group.  When set, any cell larger than ``max_cell`` is
+    handled in two exact-where-it-matters steps:
+
+    1. **Exact-duplicate collapse** (linear, exact): bit-identical vectors
+       in the oversized cell keep only the min id — identical nonzero
+       vectors have cosine exactly 1 >= any threshold <= 1, so this is
+       the uncapped semantics, not an approximation.  This alone defuses
+       the realistic spam mode (mass-duplicated embeddings), which no
+       hash-split could bound (identical vectors hash identically).
+    2. **Hash sub-split** (bounded, approximate across sub-cells): the
+       remaining DISTINCT vectors are split into ceil(n/max_cell)
+       sub-cells by a hash of the vector, and pairs are only scored
+       within a sub-cell.  Distinct vectors spread ~uniformly, so the
+       per-task pair count is O(max_cell^2) w.h.p.; near-(but not
+       exactly-)duplicate pairs landing in different sub-cells of a
+       capped cell are missed — the documented recall cost of the cap.
+       `semantic_dedup_with_stats` reports which cells were capped.
+
+    Cells at or under ``max_cell`` (and everything when ``max_cell`` is
+    None) take the exact path unchanged.
     """
     # squared norm is precomputed once per vector in the cached projection
     # (same sequential fold as cosine_expr's sumsq, so dot/sqrt(ssa*ssb)
@@ -399,16 +425,57 @@ def semantic_dedup(
             )
             .cache()
         )
-    a = assigned.select(
+    pre_dropped = None
+    if max_cell is None:
+        pair_src = assigned
+        join_keys = ["centroid_id"]
+    else:
+        if max_cell < 1:
+            raise ValueError(f"max_cell must be >= 1, got {max_cell}")
+        sizes = assigned.groupBy("centroid_id").agg(
+            F.count(F.lit(1)).alias("__n")
+        )
+        work = assigned.join(F.broadcast(sizes), "centroid_id")
+        under = work.filter(F.col("__n") <= max_cell).select(
+            *assigned.columns, F.lit(0).cast("long").alias("__sub")
+        )
+        over = work.filter(F.col("__n") > max_cell)
+        # step 1: collapse bit-identical vectors to their min id.  Zero
+        # vectors are exempt (their cosine is undefined, so the exact path
+        # never drops them either), as is a nonsensical threshold > 1.
+        dmin = over.groupBy("centroid_id", "__v").agg(
+            F.min(id_col).alias("__minid")
+        )
+        over = over.join(dmin, ["centroid_id", "__v"])
+        collapse = (
+            (F.col(id_col) != F.col("__minid"))
+            & (F.col("__ss") > 0)
+            & F.lit(threshold <= 1.0)
+        )
+        pre_dropped = over.filter(collapse).select(F.col(id_col))
+        # step 2: sub-split the distinct survivors of the oversized cell
+        n_sub = F.ceil(F.col("__n") / F.lit(max_cell)).cast("long")
+        reps = over.filter(~collapse).select(
+            *assigned.columns,
+            F.pmod(F.xxhash64("__v"), n_sub).alias("__sub"),
+        )
+        pair_src = under.unionByName(reps)
+        join_keys = ["centroid_id", "__sub"]
+    # zero-norm vectors have no defined cosine: they can neither drop nor
+    # be dropped, so keep them out of the pair join entirely (under ANSI
+    # mode the 0/0 divide would otherwise abort the job; they still
+    # survive via the anti-join)
+    pair_src = pair_src.filter(F.col("__ss") > 0)
+    a = pair_src.select(
         F.col(id_col).alias("__ida"), F.col("__v").alias("__va"),
-        F.col("__ss").alias("__ssa"), "centroid_id",
+        F.col("__ss").alias("__ssa"), *join_keys,
     )
-    b = assigned.select(
+    b = pair_src.select(
         F.col(id_col).alias("__idb"), F.col("__v").alias("__vb"),
-        F.col("__ss").alias("__ssb"), "centroid_id",
+        F.col("__ss").alias("__ssb"), *join_keys,
     )
     dropped = (
-        a.join(b, "centroid_id")
+        a.join(b, join_keys)
         .where(F.col("__ida") > F.col("__idb"))
         .where(
             quantized_cosine(
@@ -420,6 +487,8 @@ def semantic_dedup(
         .select(F.col("__ida").alias(id_col))
         .distinct()
     )
+    if pre_dropped is not None:
+        dropped = dropped.union(pre_dropped).distinct()
     return assigned.join(dropped, id_col, "left_anti").select(
         id_col, "centroid_id"
     )
@@ -800,17 +869,22 @@ def semantic_dedup_with_stats(
     id_col: str,
     centroids: DataFrame,
     threshold: float = 0.95,
+    max_cell: int | None = None,
 ) -> tuple[DataFrame, dict]:
     """`semantic_dedup` plus the cluster-skew stats that bound its cost.
 
     The pair join is quadratic PER CLUSTER, so the operational health
     number is the cluster-size distribution: stats =
     {"n_clusters", "max_cluster", "mean_cluster", "candidate_pairs"
-    (sum of n_c*(n_c-1)/2 — the exact number of cosines the pair join
-    will evaluate)}.  If max_cluster grows out of proportion (a
-    boilerplate/spam embedding mode), raise k or pre-split that cluster
-    before paying its quadratic term; the stats aggregate is one tiny
-    groupBy over the same cached assignment the dedup reuses.
+    (sum of n_c*(n_c-1)/2 — the exact number of cosines the uncapped
+    pair join would evaluate)}.  If max_cluster grows out of proportion
+    (a boilerplate/spam embedding mode), raise k, or pass ``max_cell`` to
+    enforce the bound (see `semantic_dedup`); with ``max_cell`` set the
+    stats additionally report {"capped_cells", "capped_rows"} — the cells
+    whose pairs were collapse+sub-split rather than scored exhaustively,
+    i.e. exactly where the documented recall caveat applies.  The stats
+    aggregate is one tiny groupBy over the same cached assignment the
+    dedup reuses.
     """
     # build the cached norm+assignment projection ONCE and hand it to the
     # dedup: a fresh ivf_assign subtree here would not match the cached
@@ -828,9 +902,11 @@ def semantic_dedup_with_stats(
         .cache()
     )
     survivors = semantic_dedup(
-        df, vec_col, id_col, centroids, threshold, _assigned=assigned
+        df, vec_col, id_col, centroids, threshold,
+        max_cell=max_cell, _assigned=assigned,
     )
     sizes = assigned.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("n"))
+    capped = F.lit(0) if max_cell is None else (F.col("n") > max_cell).cast("int")
     row = sizes.agg(
         F.count(F.lit(1)).alias("n_clusters"),
         F.coalesce(F.max("n"), F.lit(0)).alias("max_cluster"),
@@ -838,12 +914,16 @@ def semantic_dedup_with_stats(
         F.coalesce(
             F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("long"), F.lit(0)
         ).alias("candidate_pairs"),
+        F.coalesce(F.sum(capped), F.lit(0)).alias("capped_cells"),
+        F.coalesce(F.sum(F.col("n") * capped), F.lit(0)).alias("capped_rows"),
     ).first()
     return survivors, {
         "n_clusters": int(row.n_clusters),
         "max_cluster": int(row.max_cluster),
         "mean_cluster": float(row.mean_cluster),
         "candidate_pairs": int(row.candidate_pairs),
+        "capped_cells": int(row.capped_cells),
+        "capped_rows": int(row.capped_rows),
     }
 
 

@@ -643,6 +643,121 @@ def test_semantic_dedup_stats_bound_the_pair_join(spark):
     assert out.count() == 438  # same survivors as the plain operator
 
 
+@pytest.fixture(scope="module")
+def pathological_cell(spark):
+    """A degenerate corpus where EVERY vector argmins to one cell: one
+    centroid, 60 bit-identical spam vectors, 40 distinct random vectors
+    (seeded, mutually dissimilar), 2 zero vectors.  Uncapped, the dd8 pair
+    join would score 102*101/2 cosines in a single task group — the exact
+    skew mode the max_cell guard exists for."""
+    import random
+
+    rng = random.Random(7)
+    spam = [(1000 + i, [0.5, 0.5, 0.1, 0.0, 0.0, 0.0, 0.0, 0.2]) for i in range(60)]
+    distinct = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)
+    ]
+    zeros = [(2000, [0.0] * 8), (2001, [0.0] * 8)]
+    df = spark.createDataFrame(
+        spam + distinct + zeros, "vec_id long, embedding array<double>"
+    ).cache()
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0])],
+        "centroid_id int, cvec array<double>",
+    )
+    return df, cents
+
+
+def test_semantic_dedup_max_cell_matches_uncapped_on_spam_cell(
+    spark, pathological_cell
+):
+    """The guard's two steps are exact where it matters: bit-identical
+    spam collapses to its min id (cosine exactly 1), distinct dissimilar
+    vectors and zero vectors all survive — so on this fixture the capped
+    result must EQUAL the uncapped result, while the pair join is bounded
+    per sub-cell instead of 102^2 in one task."""
+    from era_parser_spark.operators.similarity import semantic_dedup
+
+    df, cents = pathological_cell
+    uncapped = {
+        r.vec_id
+        for r in semantic_dedup(df, "embedding", "vec_id", cents, 0.99).collect()
+    }
+    capped = {
+        r.vec_id
+        for r in semantic_dedup(
+            df, "embedding", "vec_id", cents, 0.99, max_cell=16
+        ).collect()
+    }
+    assert capped == uncapped
+    # spam keeps exactly its min id; distinct + zero vectors all survive
+    assert 1000 in capped and not any(1001 <= v <= 1059 for v in capped)
+    assert all(i in capped for i in range(40))
+    assert 2000 in capped and 2001 in capped
+    assert len(capped) == 43
+
+
+def test_semantic_dedup_max_cell_bounds_subcell_size(spark, pathological_cell):
+    """After the exact-duplicate collapse, the 43 distinct representatives
+    hash-split into ceil(102/16)=7 sub-cells — re-derive the split with the
+    operator's own expression (pmod(xxhash64(vec), n_sub)) and pin that no
+    sub-cell approaches the uncapped 102-row cell."""
+    from era_parser_spark.operators.similarity import semantic_dedup
+
+    df, cents = pathological_cell
+    reps = df.filter(~F.col("vec_id").between(1001, 1059))
+    sizes = [
+        r["n"]
+        for r in reps.groupBy(
+            F.pmod(F.xxhash64(F.col("embedding").cast("array<double>")), F.lit(7))
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    assert sum(sizes) == 43
+    assert len(sizes) >= 4  # the hash genuinely spreads the reps
+    assert max(sizes) <= 16  # deterministic under the seeded fixture
+
+    with pytest.raises(ValueError, match="max_cell"):
+        semantic_dedup(df, "embedding", "vec_id", cents, 0.99, max_cell=0)
+
+
+def test_semantic_dedup_stats_surface_capped_cells(spark, pathological_cell):
+    from era_parser_spark.operators.similarity import semantic_dedup_with_stats
+
+    df, cents = pathological_cell
+    out, stats = semantic_dedup_with_stats(
+        df, "embedding", "vec_id", cents, 0.99, max_cell=16
+    )
+    assert stats["n_clusters"] == 1 and stats["max_cluster"] == 102
+    assert stats["capped_cells"] == 1 and stats["capped_rows"] == 102
+    assert stats["candidate_pairs"] == 102 * 101 // 2  # the uncapped budget
+    assert out.count() == 43
+    # without the guard nothing reports capped
+    _, stats0 = semantic_dedup_with_stats(df, "embedding", "vec_id", cents, 0.99)
+    assert stats0["capped_cells"] == 0 and stats0["capped_rows"] == 0
+
+
+def test_semantic_dedup_large_max_cell_is_exact_path(spark):
+    """A max_cell larger than every cluster must not change the result vs
+    the default exact path on the real sf0.01 embeddings."""
+    from era_parser_spark.operators.similarity import centroid_table, semantic_dedup
+
+    emb = spark.read.parquet(f"{SF_MED}/embeddings.parquet")
+    cents = centroid_table(emb, "embedding", "vec_id", stride=25, k=16)
+    base = {
+        r.vec_id
+        for r in semantic_dedup(emb, "embedding", "vec_id", cents, 0.35).collect()
+    }
+    guarded = {
+        r.vec_id
+        for r in semantic_dedup(
+            emb, "embedding", "vec_id", cents, 0.35, max_cell=1_000_000
+        ).collect()
+    }
+    assert guarded == base
+
+
 def test_rarity_score_orders_gibberish_above_common_prose(spark):
     """t8: a doc of corpus-unique tokens must out-score a doc made of
     tokens every document shares."""
