@@ -31,7 +31,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.pandas.types import to_arrow_schema
 
-from era_parser_spark.config.networks import detect_network, parse_era_filename
+from era_parser_spark.config.networks import (
+    detect_network,
+    fork_at_slot,
+    parse_era_filename,
+    slot_timestamp,
+)
+from era_parser_spark.parsing import arrow_direct as _arrow_direct
 from era_parser_spark.parsing import ssz
 from era_parser_spark.parsing.beacon import BODY_SCHEMAS, block_schema
 from era_parser_spark.parsing.beacon import parse_block
@@ -135,6 +141,7 @@ def _parser(
     batch_rows: int = 2048,
     slot_range: tuple[int, int] | None = None,
     error_counter=None,
+    arrow_direct: bool = True,
 ):
     """Arrow-native parse kernel: era bytes in, typed nested batches out.
 
@@ -142,9 +149,17 @@ def _parser(
     C-side conversion) instead of the old json.dumps -> from_json round-trip,
     which serialized every block twice (Python json encode + JVM Jackson
     parse) and moved the data as strings.
+
+    When the pruned `body_include` is covered by the columnar decoders
+    (parsing/arrow_direct.py — blocks-table fields + attestations), the
+    kernel skips the per-block dict IR entirely and decodes into flat
+    per-column lists (2.9-4.2x on the decode step; the dict IR's PyObject
+    churn is the measured DRAM ceiling, docs/PLANS.md).  `arrow_direct=
+    False` forces the dict IR (debug/differential path).
     """
     out_schema = _PARSE_OUT_ARROW
     block_type = out_schema.field("block").type
+    use_columnar = arrow_direct and _arrow_direct.supports(body_include)
 
     def parse(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import gc
@@ -167,14 +182,24 @@ def _parser(
         import sys
 
         scalars: list[tuple] = []  # per-block metadata columns
-        blocks: list[dict] = []  # parsed block documents
+        blocks: list[dict] = []  # parsed block documents (dict-IR path)
+        collector = (
+            _arrow_direct.ColumnarBlockCollector(block_type, set(body_include))
+            if use_columnar
+            else None
+        )
 
         def flush() -> pa.RecordBatch:
             nonlocal scalars, blocks
             cols = list(zip(*scalars))
+            block_arr = (
+                collector.flush()
+                if collector is not None
+                else pa.array(blocks, type=block_type)
+            )
             arrays = [
                 pa.array(cols[i], type=out_schema.field(i).type) for i in range(8)
-            ] + [pa.array(blocks, type=block_type)]
+            ] + [block_arr]
             scalars, blocks = [], []
             return pa.RecordBatch.from_arrays(arrays, schema=out_schema)
 
@@ -266,9 +291,24 @@ def _parser(
 
                 for slot, comp_size, raw in robust_blocks():
                     try:
-                        parsed = parse_block(
-                            raw, net, is_compressed=False, body_include=body_include
-                        )
+                        if collector is not None:
+                            # columnar fast path: pruned fields decode
+                            # straight into flat column lists; version and
+                            # timestamp come from the same slot math the
+                            # pruned dict path falls back to (payload is
+                            # never decoded here)
+                            version = fork_at_slot(slot, net)
+                            collector.append(raw, version)
+                            ts = slot_timestamp(slot, net)
+                            decomp = len(raw)
+                        else:
+                            parsed = parse_block(
+                                raw, net, is_compressed=False,
+                                body_include=body_include,
+                            )
+                            version = parsed["version"]
+                            ts = parsed["timestamp_utc"]
+                            decomp = parsed["metadata"]["decompressed_size"]
                     except Exception as exc:  # noqa: BLE001
                         # per-block error isolation (the reference defaults
                         # bad fields rather than failing the era); one
@@ -290,21 +330,22 @@ def _parser(
                             net,
                             meta["era_number"] if meta else slot // 8192,
                             slot,
-                            parsed["version"],
-                            parsed["timestamp_utc"],
+                            version,
+                            ts,
                             comp_size,
-                            parsed["metadata"]["decompressed_size"],
+                            decomp,
                         )
                     )
-                    blocks.append(parsed["data"])
-                    if len(blocks) >= batch_rows:
+                    if collector is None:
+                        blocks.append(parsed["data"])
+                    if len(scalars) >= batch_rows:
                         yield flush()
                 if n_bad:
                     print(
                         f"era_parser_spark: {n_bad} unparseable block(s) skipped in {path}",
                         file=sys.stderr,
                     )
-        if blocks:
+        if scalars:
             yield flush()
 
     return parse
@@ -330,6 +371,7 @@ def read_era_blocks(
     partitions: int | None = None,
     error_counter=None,
     batch_rows: int = 2048,
+    arrow_direct: bool = True,
 ) -> DataFrame:
     """Era files -> blocks DataFrame (typed, fork-superset body struct).
 
@@ -347,6 +389,10 @@ def read_era_blocks(
     `error_counter` (from `parse_error_counter(spark)`) receives one task-
     side increment per skipped block, so an ops job can assert corruption
     rates without grepping executor stderr; read it AFTER an action.
+    `arrow_direct=True` (default) lets scans pruned to the blocks-table
+    fields and/or attestations decode columnar (parsing/arrow_direct.py,
+    2.9-4.2x on the decode step) — output is differential-tested identical
+    to the dict IR; pass False to force the dict path.
     """
     from era_parser_spark.shipping import ensure_package_shipped
 
@@ -388,7 +434,8 @@ def read_era_blocks(
         src = src.repartition(partitions)
     parsed = src.mapInArrow(
         _parser(network, body_include, on_error, batch_rows=batch_rows,
-                slot_range=slot_range, error_counter=error_counter),
+                slot_range=slot_range, error_counter=error_counter,
+                arrow_direct=arrow_direct),
         _PARSE_OUT_SCHEMA,
     )
     block = F.col("block")
