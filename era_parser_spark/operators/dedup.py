@@ -499,6 +499,60 @@ def simhash_md5_fingerprints(
     return sums.select(F.col(id_col), fp.alias("simhash"))
 
 
+def lsh_estimate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidates verified by SIGNATURE AGREEMENT instead of exact
+    Jaccard: jaccard_est = fraction of the num_perm min-hashes the two
+    docs share (an unbiased estimator of true Jaccard, stddev
+    ~sqrt(J(1-J)/num_perm)).
+
+    Why it exists: exact verification expands the shingle inverted index
+    into one row per (candidate pair, shared shingle) — cost
+    sum_over_shingles(df^2), which the 8x LLM rehearsal measured at 28x
+    the corpus bytes (3.9 GB shuffled for a 138 MB corpus) under a
+    clone-heavy duplicate structure (docs/PLANS.md round-6 section).
+    The estimate path touches shingles only once (the signature
+    aggregate); verification itself joins two 40-byte signature rows per
+    candidate pair — shuffle is O(candidates), never O(pair-shingle
+    volume).  The price is estimator noise near the threshold: pairs with
+    true J within ~2/sqrt(num_perm) of `threshold` can land on either
+    side.  Deterministic for a given corpus (xxhash64 permutations).
+
+    Output: (doc_a, doc_b, jaccard_est) for candidate pairs with
+    jaccard_est >= threshold.
+    """
+    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_n).cache()
+    cands = lsh_candidate_pairs(sigs, id_col, bands, num_perm // bands)
+    sa = sigs.select(
+        F.col(id_col).alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"__a{i}") for i in range(num_perm)],
+    )
+    sb = sigs.select(
+        F.col(id_col).alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"__b{i}") for i in range(num_perm)],
+    )
+    matches = sum(
+        (F.col(f"__a{i}") == F.col(f"__b{i}")).cast("int") for i in range(num_perm)
+    )
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (matches / F.lit(num_perm)).alias("jaccard_est"),
+        )
+        .filter(F.col("jaccard_est") >= threshold)
+    )
+
+
 def fuzzy_dedup(
     df: DataFrame,
     id_col: str,
@@ -507,6 +561,7 @@ def fuzzy_dedup(
     num_perm: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    verify: str = "exact",
 ) -> DataFrame:
     """End-to-end fuzzy deduplication — the composition a production
     curation run actually executes (the SlimPajama/RefinedWeb shape):
@@ -525,16 +580,32 @@ def fuzzy_dedup(
     pairs), exact verify only on broadcast-semi-joined candidates,
     clustering via alternating large-star/small-star (O(log n) rounds for
     any graph shape, no driver materialization).
+
+    ``verify``: "exact" (default) scores candidate pairs by true Jaccard
+    over the shingle index; "estimate" scores them by min-hash agreement
+    (`lsh_estimate_pairs`) — same plan up to candidates, but verification
+    shuffle drops from O(pair-shingle volume) to O(candidates), the right
+    trade at 100 TB when the duplicate structure is clone-heavy (measured
+    on the 8x rehearsal corpus: 74 MB vs 3.9 GB shuffled — 53x less —
+    4.3x faster wall, identical keeper set).
     """
     from era_parser_spark.operators.graph import (
         cluster_sizes,
         connected_components_alternating,
     )
 
-    edges = minhash_lsh_dedup_pairs(
-        df, id_col, text_col, num_perm=num_perm, bands=bands,
-        threshold=threshold, shingle_n=shingle_n,
-    ).select("doc_a", "doc_b")
+    if verify == "exact":
+        edges = minhash_lsh_dedup_pairs(
+            df, id_col, text_col, num_perm=num_perm, bands=bands,
+            threshold=threshold, shingle_n=shingle_n,
+        ).select("doc_a", "doc_b")
+    elif verify == "estimate":
+        edges = lsh_estimate_pairs(
+            df, id_col, text_col, threshold=threshold, num_perm=num_perm,
+            bands=bands, shingle_n=shingle_n,
+        ).select("doc_a", "doc_b")
+    else:
+        raise ValueError(f"verify must be 'exact' or 'estimate', got {verify!r}")
     comps = connected_components_alternating(
         df.select(id_col), edges, id_col=id_col, src_col="doc_a", dst_col="doc_b"
     )

@@ -468,15 +468,7 @@ def dd4b_simhash_md5(spark, sf_dir):
     return simhash_md5_fingerprints(docs, "doc_id", "text")
 
 
-@register(
-    "dd9_fuzzy_dedup_pipeline",
-    # The full production dedup composition.  Oracle-exact for the same
-    # reason dd3 is: the LSH stage only PROPOSES candidates (recall 1.0 at
-    # the fixture threshold, pinned in test_llm_ops) and the verify step
-    # is exact Jaccard, so the edge set — hence the clusters and the
-    # kept/dropped verdicts — equals the brute-force graph the recursive
-    # CTE rebuilds.
-    oracle=f"""
+_DD9_ORACLE = f"""
     WITH RECURSIVE
     sh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents),
     sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
@@ -505,7 +497,18 @@ def dd4b_simhash_md5(spark, sf_dir):
     SELECT doc_id, labels.cluster_id, cluster_sz,
            doc_id = labels.cluster_id AS kept
     FROM labels JOIN csz ON labels.cluster_id = csz.cluster_id
-    """,
+    """
+
+
+@register(
+    "dd9_fuzzy_dedup_pipeline",
+    # The full production dedup composition.  Oracle-exact for the same
+    # reason dd3 is: the LSH stage only PROPOSES candidates (recall 1.0 at
+    # the fixture threshold, pinned in test_llm_ops) and the verify step
+    # is exact Jaccard, so the edge set — hence the clusters and the
+    # kept/dropped verdicts — equals the brute-force graph the recursive
+    # CTE rebuilds.
+    oracle=_DD9_ORACLE,
 )
 def dd9_fuzzy_dedup_pipeline(spark, sf_dir):
     # MinHash -> LSH -> exact verify -> O(log n) connected components ->
@@ -515,6 +518,26 @@ def dd9_fuzzy_dedup_pipeline(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     return fuzzy_dedup(docs, "doc_id", "text", threshold=0.5)
+
+
+@register(
+    "dd9b_fuzzy_dedup_estimate",
+    # Same pipeline with signature-agreement verification (the O(candidates)
+    # shuffle path for clone-heavy corpora — 53x less verify shuffle on the
+    # 8x rehearsal).  Shares dd9's brute-force oracle: the estimator is
+    # deterministic (xxhash64 permutations) and on this corpus every
+    # candidate pair's estimate lands on the same side of 0.5 as its true
+    # Jaccard (edge sets verified identical), so the clusters — hence the
+    # whole output — must equal the exact graph; a corpus change that put a
+    # pair inside the estimator's noise band would surface here as a
+    # mismatch, which is exactly what this gate should catch.
+    oracle=_DD9_ORACLE,
+)
+def dd9b_fuzzy_dedup_estimate(spark, sf_dir):
+    from era_parser_spark.operators.dedup import fuzzy_dedup
+
+    docs = table(spark, sf_dir, "documents")
+    return fuzzy_dedup(docs, "doc_id", "text", threshold=0.5, verify="estimate")
 
 
 @register(

@@ -523,6 +523,39 @@ def test_fuzzy_dedup_keeps_min_id_per_cluster(spark):
     assert sum(1 for r in out.values() if r["kept"]) == 7
 
 
+def test_fuzzy_dedup_estimate_verify_matches_exact_on_clear_margins(spark):
+    """verify='estimate' scores candidates by min-hash agreement — for
+    exact copies (J=1, every min-hash equal) and clearly-distinct docs
+    (J~0) the decision is deterministic and must equal the exact path."""
+    from era_parser_spark.operators.dedup import fuzzy_dedup, lsh_estimate_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = (
+        [(i, base) for i in (7, 3, 11)]
+        + [(i, f"unique text number {i} with words {i * 7} {i * 13} distinct") for i in range(20, 26)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {
+        (r["doc_id"], r["cluster_id"], r["kept"])
+        for r in fuzzy_dedup(df, "doc_id", "text").collect()
+    }
+    est = {
+        (r["doc_id"], r["cluster_id"], r["kept"])
+        for r in fuzzy_dedup(df, "doc_id", "text", verify="estimate").collect()
+    }
+    assert est == exact
+    # identical docs agree on every one of the 32 min-hashes
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_est"]
+        for r in lsh_estimate_pairs(df, "doc_id", "text").collect()
+    }
+    assert pairs[(3, 7)] == 1.0 and pairs[(3, 11)] == 1.0
+    assert not any(a >= 20 or b >= 20 for a, b in pairs)
+
+    with pytest.raises(ValueError, match="verify"):
+        fuzzy_dedup(df, "doc_id", "text", verify="nope")
+
+
 def test_zorder_key_matches_reference_and_layout_is_range_disjoint(spark):
     from era_parser_spark.operators.layout import zorder_key, zorder_layout, zorder_py
 

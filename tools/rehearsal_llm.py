@@ -1,0 +1,171 @@
+"""LLM-tier operational rehearsal: the dedup/curation pipeline at 8x the
+bench corpus, with per-phase wall time AND shuffle bytes (Spark REST API).
+
+Round-5 verdict items #4 and #6: the position-window cost of dd10/t11
+(shared_token_spans posexplodes the full token stream and window-sorts it
+per doc) was unmeasured beyond sf0.1, and the era rehearsal never covered
+the LLM tier.  This runs dd10, t11, dd9 (fuzzy dedup), t9 (boilerplate
+strip), and p7 (global order) over an 8x documents corpus (40k docs) with
+realistic duplicate structure (each replica appends a distinct tail, so
+cross-replica docs are near-dups with high containment), recording for
+every phase: wall seconds, shuffle write bytes, input bytes — and for the
+position-window ops, bytes-shuffled-per-token.
+
+Usage: python tools/rehearsal_llm.py [--replicas 8] [--base /tmp/llm_rehearsal]
+Prints one JSON dict.  Run SOLO (never concurrently with bench.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _rest(spark) -> str:
+    ui = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    return f"{ui}/api/v1/applications/{app}"
+
+
+def shuffle_totals(spark) -> dict:
+    """Cumulative stage totals off the Spark REST API (bytes)."""
+    with urllib.request.urlopen(f"{_rest(spark)}/stages?status=complete") as r:
+        stages = json.load(r)
+    return {
+        "shuffle_write": sum(s.get("shuffleWriteBytes", 0) for s in stages),
+        "shuffle_read": sum(s.get("shuffleReadBytes", 0) for s in stages),
+        "input": sum(s.get("inputBytes", 0) for s in stages),
+    }
+
+
+def build_corpus(spark, path: str, replicas: int) -> dict:
+    from pyspark.sql import functions as F
+
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        df = spark.read.parquet(path)
+        return {"docs": df.count(), "cached": True}
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    parts = []
+    for k in range(replicas):
+        parts.append(
+            base.select(
+                (F.col("doc_id") + k * 1_000_000).alias("doc_id"),
+                # replica 0 is verbatim; later replicas append a distinct
+                # tail so cross-replica pairs are near-dups (high
+                # containment), the load dedup actually faces
+                (
+                    F.col("text")
+                    if k == 0
+                    else F.concat(
+                        F.col("text"),
+                        F.lit(f" replica tail {k} marker appended for rehearsal"),
+                    )
+                ).alias("text"),
+            )
+        )
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    allp.repartition(32).write.mode("overwrite").parquet(path)
+    return {"docs": spark.read.parquet(path).count(), "cached": False}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--replicas", type=int, default=8)
+    ap.add_argument("--base", default="/tmp/llm_rehearsal")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from era_parser_spark.session import get_spark
+    from era_parser_spark.shipping import ensure_package_shipped
+
+    spark = get_spark(
+        app_name="llm_rehearsal", extra_conf={"spark.ui.enabled": "true"}
+    )
+    ensure_package_shipped(spark)
+
+    out: dict = {"replicas": args.replicas, "sf_dir": SF_DIR}
+    corpus_path = os.path.join(args.base, f"docs_x{args.replicas}")
+    t0 = time.perf_counter()
+    out["corpus"] = build_corpus(spark, corpus_path, args.replicas)
+    out["corpus"]["build_sec"] = round(time.perf_counter() - t0, 1)
+    docs = spark.read.parquet(corpus_path)
+    n_tokens = docs.select(
+        F.sum(F.size(F.split(F.trim(F.lower(F.coalesce("text", F.lit("")))), r"\s+")))
+    ).first()[0]
+    out["corpus"]["tokens"] = int(n_tokens)
+    print(f"corpus: {out['corpus']}", file=sys.stderr)
+
+    from era_parser_spark.operators.curation import global_order
+    from era_parser_spark.operators.dedup import fuzzy_dedup, shared_token_spans
+    from era_parser_spark.operators.text import boilerplate_strip, intra_doc_span_strip
+
+    def phase(name, fn):
+        before = shuffle_totals(spark)
+        t0 = time.perf_counter()
+        n = fn()
+        sec = time.perf_counter() - t0
+        after = shuffle_totals(spark)
+        rec = {
+            "sec": round(sec, 1),
+            "rows": n,
+            "shuffle_write_mb": round(
+                (after["shuffle_write"] - before["shuffle_write"]) / 1e6, 1
+            ),
+            "shuffle_read_mb": round(
+                (after["shuffle_read"] - before["shuffle_read"]) / 1e6, 1
+            ),
+            "input_mb": round((after["input"] - before["input"]) / 1e6, 1),
+        }
+        out[name] = rec
+        print(f"{name}: {rec}", file=sys.stderr)
+        return rec
+
+    r = phase(
+        "dd10_shared_spans",
+        lambda: shared_token_spans(docs, "doc_id", "text").count(),
+    )
+    r["shuffle_bytes_per_token"] = round(r["shuffle_write_mb"] * 1e6 / n_tokens, 1)
+    r = phase(
+        "t11_intra_doc_strip",
+        lambda: intra_doc_span_strip(docs, "doc_id", "text").count(),
+    )
+    r["shuffle_bytes_per_token"] = round(r["shuffle_write_mb"] * 1e6 / n_tokens, 1)
+    phase(
+        "dd9_fuzzy_dedup",
+        lambda: fuzzy_dedup(docs, "doc_id", "text", threshold=0.5).filter("kept").count(),
+    )
+    phase(
+        "dd9_fuzzy_dedup_estimate",
+        lambda: fuzzy_dedup(
+            docs, "doc_id", "text", threshold=0.5, verify="estimate"
+        ).filter("kept").count(),
+    )
+    phase(
+        "t9_boilerplate_strip",
+        lambda: boilerplate_strip(docs, "doc_id", "text").count(),
+    )
+    phase(
+        "p7_global_order",
+        lambda: global_order(
+            docs.select("doc_id", F.length("text").alias("n")), "n", "doc_id"
+        ).count(),
+    )
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
