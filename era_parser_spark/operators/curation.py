@@ -323,3 +323,41 @@ def global_order(
             (F.col("__off") + F.col("__rn")).cast("long").alias("pos"),
         )
     )
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str,
+    splits: list[tuple[str, float]] = (("train", 0.8), ("val", 0.1), ("test", 0.1)),
+) -> DataFrame:
+    """Deterministic train/val/test split assignment — every row gets a
+    split label via the same Knuth multiplicative hash `stratified_sample`
+    uses: bucket = (id * 2654435761) mod 2^32, labels claim cumulative
+    bucket ranges in `splits` order (fractions must sum to <= 1; any
+    remainder falls to the LAST label, so nothing is ever unassigned).
+
+    The properties a training pipeline needs and random splits don't give:
+    a row's split never changes across re-runs, retries, engines, or
+    incremental appends (no train/test leakage when the corpus grows), and
+    the assignment is plain-SQL expressible for the oracle.  Per-stratum
+    proportions hold in expectation automatically because the hash is
+    independent of any feature.
+
+    Scale shape: one codegen CASE per row at the scan — no shuffle.
+    """
+    splits = list(splits)
+    if not splits:
+        raise ValueError("splits must be non-empty")
+    total = sum(f for _, f in splits)
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"split fractions sum to {total} > 1")
+    bucket = (F.col(id_col) * F.lit(2654435761)) % F.lit(2**32)
+    expr = None
+    cum = 0.0
+    for name, frac in splits[:-1]:
+        cum += frac
+        cond = bucket < F.lit(int(cum * 2**32))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(splits[-1][0])
+    label = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", label)

@@ -778,3 +778,77 @@ def incremental_near_dedup(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "pair_kind", "inter", "union_sz", "jaccard")
     )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_pairs: int = 50,
+    idf_scale: int = 10_000,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Document near-dup / similarity pairs by TF-IDF weighted cosine —
+    the classic sparse-vector duplicate detector (complements dd2's set
+    Jaccard: term FREQUENCY matters, so a doc that repeats a rare phrase
+    matches its source stronger than bag-of-set methods see).
+
+    Exactness contract: weights are integers — w(doc, term) =
+    tf * (idf_scale // df) with integer division (the t8 rarity trick),
+    so dot products and norms are exact BIGINT math in both engines, and
+    only the final dot/sqrt(na*nb) touches floats (quantized
+    DECIMAL(10,6) like every cosine in this engine).  idf_scale=10^4
+    keeps per-doc norm^2 < 2^53, so the double conversion before sqrt is
+    exact.
+
+    Scale shape: one token-count aggregate, a df aggregate on the same
+    key, then the pair dot via inverted-index equi-join on the term
+    string — the same sum(df^2) expansion as every inverted-index
+    verifier, so `max_doc_freq` (the dd2 hot-shingle guard) bounds viral
+    terms; norms still count ALL terms, making guarded cosines a strict
+    lower bound.  Top pairs with total tie-break ordering.
+
+    Output: (doc_a, doc_b, dot, cosine) — `dot` exposed for exactness
+    audits.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_col(text_col)).alias("__t")
+    )
+    tf = toks.groupBy(id_col, "__t").agg(F.count(F.lit(1)).alias("__tf"))
+    dfreq = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    w = (
+        tf.join(dfreq, "__t")
+        .select(
+            F.col(id_col),
+            "__t",
+            # integer division via `div` — float division + cast can round
+            # across an integer boundary (the CLAUDE.md a-div-b rule)
+            (F.col("__tf") * F.expr(f"{idf_scale} div __df")).alias("__w"),
+            "__df",
+        )
+    )
+    norms = w.groupBy(id_col).agg(
+        F.sum(F.col("__w") * F.col("__w")).alias("__n2")
+    )
+    idx = w if max_doc_freq is None else w.filter(F.col("__df") <= max_doc_freq)
+    a = idx.select(F.col(id_col).alias("doc_a"), F.col("__t"), F.col("__w").alias("__wa"))
+    b = idx.select(F.col(id_col).alias("doc_b"), F.col("__t"), F.col("__w").alias("__wb"))
+    dots = (
+        a.join(b, "__t")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("__wa") * F.col("__wb")).alias("dot"))
+    )
+    na = norms.select(F.col(id_col).alias("doc_a"), F.col("__n2").alias("__na"))
+    nb = norms.select(F.col(id_col).alias("doc_b"), F.col("__n2").alias("__nb"))
+    cos = (
+        F.col("dot").cast("double")
+        / F.sqrt(F.col("__na").cast("double") * F.col("__nb").cast("double"))
+    ).cast("decimal(10,6)").cast("double")
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", "dot", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), "doc_a", "doc_b")
+        .limit(top_pairs)
+    )

@@ -348,3 +348,61 @@ def ahash_near_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+SCENE_SCHEMA = "media_id long, cut_idx long, prev_energy long, energy long"
+
+
+def scene_cuts(
+    df: DataFrame, frame_bytes: int = 16, threshold: int = 200
+) -> DataFrame:
+    """Scene-change detection over binary media payloads: the payload is a
+    frame stream (`frame_bytes` per frame, trailing partial frame dropped
+    — mm2's convention), per-frame energy is the integer sum of its
+    bytes, and a cut is any frame whose |energy - previous energy|
+    exceeds `threshold`.  The shot-boundary primitive video curation
+    pipelines key on (sample around cuts, drop static spans); a real
+    codec's luma histogramming slots in behind the same signature, like
+    `_real_decode`.
+
+    All-integer math, so the output is exactly SQL-rederivable over
+    hex(payload) (the mm4 audio move).  Output: (media_id, cut_idx,
+    prev_energy, energy) — cut_idx is the 1-based index of the frame
+    AFTER the boundary.
+
+    Arrow-batched numpy over mapInPandas, partitioning inherited: payload
+    bytes never shuffle; only the (rare) cut rows leave the scan.
+    """
+    import numpy as np
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids: list[int] = []
+            idxs: list[int] = []
+            prevs: list[int] = []
+            curs: list[int] = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                n_frames = len(data) // frame_bytes
+                if n_frames < 2:
+                    continue
+                arr = np.frombuffer(
+                    data[: n_frames * frame_bytes], np.uint8
+                ).reshape(n_frames, frame_bytes)
+                energy = arr.sum(axis=1, dtype=np.int64)
+                diff = np.abs(np.diff(energy))
+                for i in np.nonzero(diff > threshold)[0]:
+                    ids.append(int(mid))
+                    idxs.append(int(i) + 1)
+                    prevs.append(int(energy[i]))
+                    curs.append(int(energy[i + 1]))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "cut_idx": pd.Series(idxs, dtype="int64"),
+                    "prev_energy": pd.Series(prevs, dtype="int64"),
+                    "energy": pd.Series(curs, dtype="int64"),
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(fn, SCENE_SCHEMA)

@@ -518,3 +518,113 @@ def html_strip(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         clean = F.regexp_replace(clean, ent, ch)
     clean = F.trim(F.regexp_replace(clean, r"\s+", " "))
     return df.select(F.col(id_col), clean.alias("clean_text"), n_tags.alias("n_tags"))
+
+
+def line_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Corpus-wide line-level deduplication with keep-first semantics —
+    the CCNet line-dedup stage (Wenzek et al., CCNet): a line whose
+    normalized form (trimmed, lowercased) already appeared at an earlier
+    corpus position keeps only that FIRST occurrence; later copies are
+    dropped from their documents.  Distinct from `boilerplate_strip`
+    (frequency threshold, drops ALL copies) and `intra_doc_span_strip`
+    (within-document only).
+
+    "Earlier" is the total order (id, line_index), so the survivor set is
+    deterministic under any partitioning.  Blank lines are kept verbatim
+    (they carry document structure, and deduping them would glue
+    paragraphs).  Output: (id, clean_text, n_lines, n_kept), clean_text
+    re-joined with newlines in original line order.
+
+    Scale shape: lines shuffle once keyed by md5(normalized line) — a
+    fixed 32-byte key, so the exchange never carries full line text twice
+    — for a min(struct(id, idx)) aggregate; the winner set joins back on
+    the same key (exchange reused), then one per-doc reassembly
+    aggregate.  md5 keys make the plan exactly SQL-rederivable (DuckDB
+    has md5; an engine-only hash would force a rows-only gate); key
+    collisions would merge unrelated lines — at 128 bits, negligible and
+    accepted.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("__idx", "__line"),
+    )
+    norm = F.trim(F.lower(F.col("__line")))
+    keyed = lines.select(
+        F.col(id_col), "__idx", "__line",
+        F.when(norm != "", F.md5(norm)).alias("__k"),
+    )
+    firsts = (
+        keyed.filter(F.col("__k").isNotNull())
+        .groupBy("__k")
+        .agg(F.min(F.struct(F.col(id_col), F.col("__idx"))).alias("__first"))
+        .select(
+            "__k",
+            F.col("__first").getField(id_col).alias("__fid"),
+            F.col("__first.__idx").alias("__fidx"),
+        )
+    )
+    kept = keyed.join(firsts, "__k", "left").filter(
+        F.col("__k").isNull()
+        | ((F.col(id_col) == F.col("__fid")) & (F.col("__idx") == F.col("__fidx")))
+    )
+    rewritten = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__idx", "__line"))),
+                lambda s: s.getField("__line"),
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    totals = df.select(
+        F.col(id_col),
+        F.size(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"))
+        .cast("long")
+        .alias("n_lines"),
+    )
+    return totals.join(rewritten, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        "n_lines",
+        F.coalesce("__n_kept", F.lit(0)).cast("long").alias("n_kept"),
+    )
+
+
+#: RE2-safe URL pattern (no lookaround): scheme://host[/path] where host
+#: stops at whitespace and path stops at whitespace or closing quote/paren.
+URL_PATTERN = r"https?://[A-Za-z0-9.-]+(:\d+)?(/[^\s\"')>]*)?"
+
+
+def url_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Extract URLs from a text column and summarize per document — the
+    web-corpus provenance/outlink pass (count links, normalize hosts for
+    domain-level curation like p6).  Output: (id, n_urls,
+    n_unique_domains, domains) where domains is the comma-joined sorted
+    distinct lowercased hostnames (a scalar string, so results hash
+    deterministically).
+
+    Zero-shuffle whole-stage codegen: regexp_extract_all + array ops on
+    the scan; the RE2-safe pattern makes the extraction exactly
+    re-derivable in the DuckDB oracle.
+    """
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    urls = F.regexp_extract_all(raw, F.lit(URL_PATTERN), F.lit(0))
+    hosts = F.array_distinct(
+        F.transform(
+            urls,
+            lambda u: F.lower(
+                F.regexp_replace(
+                    F.regexp_replace(u, r"^https?://", ""), r"[:/].*$", ""
+                )
+            ),
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(urls).cast("long").alias("n_urls"),
+        F.size(hosts).cast("long").alias("n_unique_domains"),
+        F.array_join(F.array_sort(hosts), ",").alias("domains"),
+    )

@@ -774,3 +774,85 @@ def dd12_containment_pairs(spark, sf_dir):
         .filter(F.col("containment") >= 0.8)
         .select("doc_a", "doc_b", "inter", "min_sz", "containment", "jaccard")
     )
+
+
+@register(
+    "dd13_tfidf_cosine_pairs",
+    # TF-IDF weighted cosine with all-integer weights: w = tf * (10000//df)
+    # (integer division both sides), dot and norm^2 exact BIGINT, only the
+    # final dot/sqrt double step quantizes DECIMAL(10,6) — the engine's
+    # standard cosine contract.  The df>100 guard drops viral terms from
+    # the index (norms keep them), mirrored identically.
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOK}) AS t FROM documents),
+    tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY doc_id, t),
+    df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+    w AS (
+      SELECT tf.doc_id, tf.t, tf.tf * (10000 // df.df) AS w, df.df
+      FROM tf JOIN df USING (t)
+    ),
+    norms AS (SELECT doc_id, sum(w * w) AS n2 FROM w GROUP BY doc_id),
+    idx AS (SELECT * FROM w WHERE df <= 100),
+    dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w * b.w) AS dot
+      FROM idx a JOIN idx b ON a.t = b.t AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, CAST(dot AS BIGINT) AS dot,
+           CAST(CAST(CAST(dot AS DOUBLE)
+                / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))
+                AS DECIMAL(10,6)) AS DOUBLE) AS cosine
+    FROM dots
+    JOIN norms na ON na.doc_id = doc_a
+    JOIN norms nb ON nb.doc_id = doc_b
+    ORDER BY cosine DESC, doc_a, doc_b
+    LIMIT 50
+    """,
+)
+def dd13_tfidf_cosine_pairs(spark, sf_dir):
+    # Sparse TF-IDF cosine near-dup pairs (operators/dedup.py::
+    # tfidf_cosine_pairs) — frequency-weighted, complementing dd2's set
+    # Jaccard.
+    from era_parser_spark.operators.dedup import tfidf_cosine_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    return tfidf_cosine_pairs(docs, "doc_id", "text", max_doc_freq=100)
+
+
+@register(
+    "mm6_scene_cuts",
+    # Frame-stream scene-boundary detection re-derived over hex(payload)
+    # (the mm4 move): frame energy = integer sum of its 16 bytes, a cut is
+    # |energy - lag(energy)| > threshold.  All-integer, bitwise-exact.
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) // 16 AS nf
+      FROM documents WHERE octet_length(encode(text)) >= 32
+    ),
+    b AS (
+      SELECT media_id, CAST(i AS BIGINT) AS fi,
+             CAST(concat('0x',
+                  substr(hx, CAST((i * 16 + j) * 2 + 1 AS INTEGER), 2))
+                  AS BIGINT) AS bv
+      FROM m, unnest(range(0, nf)) AS u(i), unnest(range(0, 16)) AS v(j)
+    ),
+    e AS (SELECT media_id, fi, sum(bv) AS energy FROM b GROUP BY media_id, fi),
+    d AS (
+      SELECT media_id, fi, energy,
+             lag(energy) OVER (PARTITION BY media_id ORDER BY fi) AS prev
+      FROM e
+    )
+    SELECT media_id, fi AS cut_idx,
+           CAST(prev AS BIGINT) AS prev_energy,
+           CAST(energy AS BIGINT) AS energy
+    FROM d WHERE prev IS NOT NULL AND abs(energy - prev) > 200
+    """,
+)
+def mm6_scene_cuts(spark, sf_dir):
+    # Shot-boundary detection over the media payloads
+    # (operators/multimodal.py::scene_cuts).
+    from era_parser_spark.operators.multimodal import scene_cuts
+
+    docs = table(spark, sf_dir, "documents")
+    return scene_cuts(documents_as_media(docs), frame_bytes=16, threshold=200)

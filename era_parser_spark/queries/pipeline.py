@@ -283,3 +283,33 @@ def p8_dataset_upsampling(spark, sf_dir):
         "source",
         F.explode(F.sequence(F.lit(0), repeat - 1)).alias("copy_no"),
     )
+
+
+@register(
+    "p9_split_assign",
+    # The split label is a pure function of doc_id (same Knuth
+    # multiplicative hash as p4), so assignment is reproducible across
+    # engines/retries/appends — exact BIGINT math, CASE thresholds are
+    # cumulative fractions of 2^32; remainder falls to the last label.
+    oracle="""
+    SELECT doc_id, source,
+           CASE
+             WHEN (doc_id * 2654435761) % 4294967296
+                  < CAST(floor(0.8 * 4294967296) AS BIGINT) THEN 'train'
+             WHEN (doc_id * 2654435761) % 4294967296
+                  < CAST(floor(0.9 * 4294967296) AS BIGINT) THEN 'val'
+             ELSE 'test'
+           END AS split
+    FROM documents
+    """,
+)
+def p9_split_assign(spark, sf_dir):
+    # Deterministic train/val/test assignment
+    # (operators/curation.py::split_assign): leakage-free under corpus
+    # growth, one codegen CASE per row.
+    from era_parser_spark.operators.curation import split_assign
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    return split_assign(
+        docs, "doc_id", [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    )

@@ -513,3 +513,121 @@ def t14_html_strip(spark, sf_dir):
         ).alias("text"),
     )
     return html_strip(aug, "doc_id", "text")
+
+
+@register(
+    "t15_line_dedup",
+    # The corpus has no newlines, so the wrapper injects three lines per
+    # doc (own text + a corpus-wide boilerplate line + a doc-unique line)
+    # identically on both sides — keep-first then drops the boilerplate
+    # line everywhere except the minimum (doc_id, idx) position.  The
+    # oracle re-derives keep-first with a row_number over the normalized
+    # line (grouping on the norm itself; Spark keys on md5(norm), equal
+    # by injectivity-up-to-md5-collision).
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             coalesce(text, '') || chr(10) || 'Shared Boilerplate Line'
+               || chr(10) || 'doc line ' || CAST(doc_id AS VARCHAR) AS t
+      FROM documents
+    ),
+    l AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS idx, parts[CAST(i + 1 AS INTEGER)] AS ln
+      FROM (SELECT doc_id, string_split(t, chr(10)) AS parts FROM aug),
+           unnest(range(0, len(parts))) AS u(i)
+    ),
+    marked AS (
+      SELECT doc_id, idx, ln, trim(lower(ln)) AS norm,
+             row_number() OVER (
+               PARTITION BY trim(lower(ln)) ORDER BY doc_id, idx
+             ) AS rn
+      FROM l
+    ),
+    kept AS (SELECT doc_id, idx, ln FROM marked WHERE norm = '' OR rn = 1),
+    re AS (
+      SELECT doc_id, string_agg(ln, chr(10) ORDER BY idx) AS clean_text,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT a.doc_id,
+           coalesce(re.clean_text, '') AS clean_text,
+           CAST(len(string_split(a.t, chr(10))) AS BIGINT) AS n_lines,
+           CAST(coalesce(re.n_kept, 0) AS BIGINT) AS n_kept
+    FROM aug a LEFT JOIN re USING (doc_id)
+    """,
+)
+def t15_line_dedup(spark, sf_dir):
+    # CCNet-style corpus line dedup, keep-first occurrence
+    # (operators/text.py::line_dedup) over a deterministically line-
+    # structured wrapping of the corpus.
+    from era_parser_spark.operators.text import line_dedup
+
+    docs = table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit("\nShared Boilerplate Line\ndoc line "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return line_dedup(aug, "doc_id", "text")
+
+
+@register(
+    "t16_url_stats",
+    # URLs are injected deterministically (corpus has none): two per doc,
+    # same host modulo case, so n_unique_domains pins the lowercase
+    # normalization.  The RE2-safe pattern runs identically under Java
+    # regex and DuckDB; the '' doubling is SQL quoting of the single
+    # quote inside the path-stop character class.
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             coalesce(text, '') || ' see https://example'
+               || CAST(doc_id % 5 AS VARCHAR) || '.com/p/'
+               || CAST(doc_id AS VARCHAR) || ' and http://Example'
+               || CAST(doc_id % 5 AS VARCHAR) || '.com:8080 end' AS t
+      FROM documents
+    ),
+    u AS (
+      SELECT doc_id,
+             regexp_extract_all(
+               t, 'https?://[A-Za-z0-9.-]+(:\\d+)?(/[^\\s"'')>]*)?'
+             ) AS us
+      FROM aug
+    ),
+    h AS (
+      SELECT doc_id, us,
+             list_distinct(list_transform(us, x -> lower(
+               regexp_replace(regexp_replace(x, '^https?://', ''), '[:/].*$', '')
+             ))) AS hosts
+      FROM u
+    )
+    SELECT doc_id,
+           CAST(len(us) AS BIGINT) AS n_urls,
+           CAST(len(hosts) AS BIGINT) AS n_unique_domains,
+           array_to_string(list_sort(hosts), ',') AS domains
+    FROM h
+    """,
+)
+def t16_url_stats(spark, sf_dir):
+    # Outlink extraction + host normalization (operators/text.py::url_stats)
+    # over a deterministically URL-injected corpus (the t10/t14 move).
+    from era_parser_spark.operators.text import url_stats
+
+    docs = table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" see https://example"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(".com/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" and http://Example"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(".com:8080 end"),
+        ).alias("text"),
+    )
+    return url_stats(aug, "doc_id", "text")

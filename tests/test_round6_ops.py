@@ -1,0 +1,153 @@
+"""Semantic tests for the round-6 operators: corpus line dedup (t15),
+URL stats (t16), TF-IDF cosine pairs (dd13), scene cuts (mm6),
+train/val/test split (p9).  Fixture-level behavior the sf0.01 oracles
+can't see (edge cases, guard behavior, determinism properties)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def test_line_dedup_keep_first_and_blank_lines(spark):
+    from era_parser_spark.operators.text import line_dedup
+
+    rows = [
+        (1, "alpha\nshared line\n\nunique one"),
+        (2, "shared line\nbeta\n\nunique two"),
+        # duplicate only differs by case/whitespace -> same normalized line
+        (3, "  SHARED LINE  \ngamma"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in line_dedup(df, "doc_id", "text").collect()}
+    # doc 1 owns the first occurrence of 'shared line'; 2 and 3 lose it
+    assert out[1]["clean_text"] == "alpha\nshared line\n\nunique one"
+    assert out[1]["n_lines"] == 4 and out[1]["n_kept"] == 4
+    assert out[2]["clean_text"] == "beta\n\nunique two"
+    assert out[2]["n_lines"] == 4 and out[2]["n_kept"] == 3
+    # normalization matched, original casing of the KEPT copy is preserved
+    assert out[3]["clean_text"] == "gamma"
+    # null text -> one empty line, kept (blank lines never dedup)
+    assert out[4]["clean_text"] == "" and out[4]["n_lines"] == 1 and out[4]["n_kept"] == 1
+
+
+def test_line_dedup_intra_document_repeats(spark):
+    from era_parser_spark.operators.text import line_dedup
+
+    df = spark.createDataFrame(
+        [(1, "same\nsame\nsame\nother")], "doc_id long, text string"
+    )
+    r = line_dedup(df, "doc_id", "text").first()
+    assert r["clean_text"] == "same\nother"
+    assert r["n_lines"] == 4 and r["n_kept"] == 2
+
+
+def test_url_stats_extraction_and_host_normalization(spark):
+    from era_parser_spark.operators.text import url_stats
+
+    rows = [
+        (1, "go to https://A.Example.com/x?q=1 or http://b.org:8080/y (see http://a.example.com)"),
+        (2, "no links here"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in url_stats(df, "doc_id", "text").collect()}
+    assert out[1]["n_urls"] == 3
+    assert out[1]["n_unique_domains"] == 2  # a.example.com (case-folded) + b.org
+    assert out[1]["domains"] == "a.example.com,b.org"
+    assert out[2]["n_urls"] == 0 and out[2]["domains"] == ""
+    assert out[3]["n_urls"] == 0
+
+
+def test_tfidf_cosine_identical_docs_score_one(spark):
+    from era_parser_spark.operators.dedup import tfidf_cosine_pairs
+
+    rows = [
+        (1, "rare phrase rare phrase common"),
+        (2, "rare phrase rare phrase common"),  # exact copy -> cosine 1.0
+        (3, "totally different words entirely here common"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["doc_a"], r["doc_b"]): r for r in tfidf_cosine_pairs(df, "doc_id", "text").collect()}
+    assert out[(1, 2)]["cosine"] == 1.0
+    # docs 1 and 3 share only 'common' (idf-damped): strictly smaller
+    assert out.get((1, 3)) is None or out[(1, 3)]["cosine"] < 0.5
+
+
+def test_tfidf_guard_drops_viral_terms_from_index_only(spark):
+    from era_parser_spark.operators.dedup import tfidf_cosine_pairs
+
+    # 'viral' appears in every doc; with max_doc_freq=2 it leaves the
+    # index, so docs sharing ONLY 'viral' produce no pair at all
+    rows = [(i, f"viral unique{i} word{i}") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = tfidf_cosine_pairs(df, "doc_id", "text", max_doc_freq=2).collect()
+    assert pairs == []
+    # without the guard the pairs exist (dot > 0 through 'viral')
+    pairs2 = tfidf_cosine_pairs(df, "doc_id", "text").collect()
+    assert len(pairs2) == 10 and all(r["dot"] > 0 for r in pairs2)
+
+
+def test_scene_cuts_threshold_and_short_payloads(spark):
+    from era_parser_spark.operators.multimodal import scene_cuts
+
+    flat = bytes([10] * 16)
+    bright = bytes([200] * 16)
+    rows = [
+        # flat, flat, bright, flat: cuts at frame 2 and 3
+        (1, bytearray(flat + flat + bright + flat)),
+        (2, bytearray(flat * 3)),          # static -> no cuts
+        (3, bytearray(flat)),              # single frame -> no diffs
+        (4, bytearray(b"x" * 10)),         # shorter than one frame
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {(r["media_id"], r["cut_idx"]): r for r in scene_cuts(df, frame_bytes=16, threshold=200).collect()}
+    assert set(out) == {(1, 2), (1, 3)}
+    assert out[(1, 2)]["prev_energy"] == 160 and out[(1, 2)]["energy"] == 3200
+    assert out[(1, 3)]["prev_energy"] == 3200 and out[(1, 3)]["energy"] == 160
+    # exactly-at-threshold diff is NOT a cut (strict >)
+    df2 = spark.createDataFrame(
+        [(9, bytearray(flat + bytes([10] * 15 + [210])))],
+        "media_id long, payload binary",
+    )
+    assert scene_cuts(df2, frame_bytes=16, threshold=200).count() == 0
+
+
+def test_split_assign_fractions_and_determinism(spark):
+    from era_parser_spark.operators.curation import split_assign
+
+    df = spark.range(20000).withColumnRenamed("id", "doc_id")
+    out = split_assign(df, "doc_id")
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 20000 - 0.8) < 0.02
+    assert abs(counts["val"] / 20000 - 0.1) < 0.01
+    assert abs(counts["test"] / 20000 - 0.1) < 0.01
+    # determinism: same assignment on a re-run and on a subset (no
+    # leakage when the corpus grows)
+    again = {r["doc_id"]: r["split"] for r in split_assign(df, "doc_id").collect()}
+    subset = {
+        r["doc_id"]: r["split"]
+        for r in split_assign(df.filter("doc_id < 1000"), "doc_id").collect()
+    }
+    for k, v in subset.items():
+        assert again[k] == v
+
+    with pytest.raises(ValueError, match="non-empty"):
+        split_assign(df, "doc_id", [])
+    with pytest.raises(ValueError, match="sum"):
+        split_assign(df, "doc_id", [("a", 0.9), ("b", 0.3)])
+
+
+def test_split_assign_remainder_falls_to_last_label(spark):
+    from era_parser_spark.operators.curation import split_assign
+
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    out = split_assign(df, "doc_id", [("train", 0.5), ("rest", 0.1)])
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # 'rest' absorbs everything past the train threshold (0.5 + remainder)
+    assert counts["train"] + counts["rest"] == 1000
+    assert abs(counts["train"] / 1000 - 0.5) < 0.05
