@@ -414,3 +414,57 @@ def test_asof_nearest_single_shuffle_shared_sort(spark, queries):
     plan = formatted_plan(queries["x18_asof_nearest"](spark, SF_MED))
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
     assert len(re.findall(r"\(\d+\) Sort", plan)) == 1
+
+
+def test_round6_zero_shuffle_projections(spark, queries):
+    """p9 (split assign) and t16 (URL stats) are pure per-row codegen —
+    zero Exchange, zero Python, single scan."""
+    import re
+
+    from era_parser_spark.plans import formatted_plan
+
+    for name in ("p9_split_assign", "t16_url_stats"):
+        plan = formatted_plan(queries[name](spark, SF_MED))
+        assert not re.search(r"\(\d+\) Exchange", plan), name
+        assert "Python" not in plan and "MapInPandas" not in plan, name
+        # one scan node (formatted mode prints each node's detail header
+        # exactly once as "(n) Scan parquet")
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, name
+
+
+def test_tfidf_pairs_equi_join_no_cartesian(spark, queries):
+    """dd13: the pair dot must come from an equi-join on the term column
+    (the inverted index) — a Cartesian or nested-loop pair plan would be
+    the corpus-quadratic failure mode."""
+    import re
+
+    plan = queries["dd13_tfidf_cosine_pairs"](spark, SF_MED)._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # equi-join on the term key (any hash-join variant; AQE broadcasts the
+    # small sf0.01 index, a cluster-scale run shuffles it — both fine)
+    assert re.search(r"(SortMergeJoin|HashJoin).{0,200}__t", plan, re.S)
+    # top-k rides TakeOrdered, not a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_line_dedup_shuffles_on_md5_key(spark, queries):
+    """t15: the first-occurrence aggregate and the winner join both key on
+    the 32-byte md5 column, and reassembly partitions by doc — no
+    Cartesian, no full-line-text join keys."""
+    plan = queries["t15_line_dedup"](spark, SF_MED)._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "__k" in plan  # the md5 key exists in the physical plan
+
+
+def test_scene_cuts_payload_stays_on_scan(spark, queries):
+    """mm6: Arrow-batched kernel directly over the scan — payload bytes
+    must never cross an Exchange before the Python stage."""
+    import re
+
+    from era_parser_spark.plans import formatted_plan
+
+    plan = formatted_plan(queries["mm6_scene_cuts"](spark, SF_MED))
+    assert "MapInPandas" in plan
+    head = plan.split("MapInPandas")[0]
+    # the only plan text before the kernel is scan+projection, no shuffle
+    assert not re.search(r"\(\d+\) Exchange", head)
