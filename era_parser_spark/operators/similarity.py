@@ -961,3 +961,66 @@ def incremental_topk(
         .orderBy(F.desc("cosine_sim"), id_col)
         .limit(k)
     )
+
+
+def pq_codes(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    m: int = 4,
+    k: int = 16,
+    stride: int = 25,
+) -> DataFrame:
+    """Product-quantization encoding (Jegou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): the vector splits into m
+    subvectors of dim/m dims, each quantized to its nearest code in a
+    per-subspace codebook — a 100 TB corpus compresses to m small ints
+    per vector, and asymmetric distances are table lookups.
+
+    Codebooks use the deterministic stride seeding `centroid_table`
+    established (first k vectors whose id divides `stride`, subsliced per
+    subspace) — reproducible in plain SQL, so the ENTIRE encoding is
+    oracle-checkable; swap in per-subspace KMeans for production quality
+    behind the same signature (the s2 kmeans trainer precedent).
+
+    Output: one row per (vector, subspace) — (id, sub, code) — integer
+    only, no float columns (argmin ties break on code id, matching the
+    SQL twin's ORDER BY dist, code_id).
+
+    Scale shape: the m*k codebook collapses to ONE broadcast row; per-row
+    encoding is m array_min-over-transform folds, fully codegen, zero
+    shuffle of the corpus.
+    """
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d = dim // m
+    emb = F.col(vec_col).cast("array<double>")
+    seeds = (
+        df.filter((F.col(id_col) % stride) == 0)
+        .orderBy(id_col)
+        .limit(k)
+        .select(F.col(id_col).alias("code_id"), emb.alias("v"))
+    )
+    cb = seeds.agg(F.collect_list(F.struct("code_id", "v")).alias("cbs"))
+    joined = df.select(F.col(id_col), emb.alias("__e")).crossJoin(
+        F.broadcast(cb)
+    )
+    def _scorer(j, sub):
+        # one-arg lambda per subspace (default-arg capture would change the
+        # lambda's arity, which PySpark uses to type the HOF)
+        return lambda c: F.struct(
+            sq_l2_expr(sub, F.slice(c.getField("v"), j * d + 1, d)).alias("dist"),
+            c.getField("code_id").alias("code_id"),
+        )
+
+    subs = []
+    for j in range(m):
+        sub = F.slice(F.col("__e"), j * d + 1, d)
+        best = F.array_min(F.transform("cbs", _scorer(j, sub)))
+        subs.append(
+            F.struct(F.lit(j).alias("sub"), best.getField("code_id").alias("code"))
+        )
+    return joined.select(
+        F.col(id_col), F.explode(F.array(*subs)).alias("s")
+    ).select(id_col, F.col("s.sub").alias("sub"), F.col("s.code").alias("code"))

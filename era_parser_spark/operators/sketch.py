@@ -72,3 +72,68 @@ def kmv_distinct(
         .otherwise(F.lit(num) / kth.cast("double"))
         .alias("est_distinct"),
     )
+
+
+def countmin_sketch(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Count-min sketch cells over a value column — the mergeable
+    frequency summary (Cormode & Muthukrishnan 2005): depth independent
+    hash rows of `width` counters; est(v) = min over rows of
+    cell[j][h_j(v)], an overestimate only (collisions add, never
+    subtract).
+
+    Deterministic md5-derived row hashes (h_j(v) = 60-bit md5 of
+    'j:value' mod width) make the ENTIRE sketch a pure function of the
+    multiset — so the cell table is oracle-EXACT, the same argument as
+    x12's KMV.  At 100 TB the sketch is the point: depth*width counters
+    summarize any cardinality, partial sketches from every partition
+    merge by cell-wise addition (one map-side-combined shuffle of at most
+    depth*width rows per partition), and two corpora's sketches merge the
+    same way without touching raw data again.
+
+    Output: (row, col, cnt) — only nonzero cells, depth*width upper
+    bound.  `estimate_countmin` (driver-side, tiny) answers point
+    queries from the collected cells.
+    """
+    from era_parser_spark.operators.dedup import md5_60bit
+
+    cells = [
+        F.struct(
+            F.lit(j).alias("row"),
+            F.pmod(
+                md5_60bit(F.concat(F.lit(f"{j}:"), F.col(value_col).cast("string"))),
+                F.lit(width),
+            ).alias("col"),
+        )
+        for j in range(depth)
+    ]
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.explode(F.array(*cells)).alias("c"))
+        .groupBy(F.col("c.row").alias("row"), F.col("c.col").alias("col"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def estimate_countmin(
+    cells: list, value, depth: int = 4, width: int = 64
+) -> int:
+    """Point-frequency estimate from collected sketch cells (driver-side;
+    `cells` is the tiny (row, col, cnt) list countmin_sketch produced).
+    Guaranteed >= the true count; equality when no collisions hit all
+    depth rows."""
+    import hashlib
+
+    table = {(r, c): n for r, c, n in cells}
+    est = None
+    for j in range(depth):
+        h = int(
+            hashlib.md5(f"{j}:{value}".encode()).hexdigest()[:15], 16
+        ) % width
+        v = table.get((j, h), 0)
+        est = v if est is None else min(est, v)
+    return int(est or 0)

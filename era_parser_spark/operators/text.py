@@ -628,3 +628,62 @@ def url_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.size(hosts).cast("long").alias("n_unique_domains"),
         F.array_join(F.array_sort(hosts), ",").alias("domains"),
     )
+
+
+def bigram_lm_score(
+    df: DataFrame, id_col: str, text_col: str, quant: int = 1_000_000
+) -> DataFrame:
+    """Corpus-bigram language-model fluency score — the deterministic
+    stand-in for CCNet's KenLM perplexity filter: for every bigram
+    occurrence (w1, w2) in a document, its scaled conditional probability
+    is q(w1,w2) = quant * c(w1,w2) div c(w1·) (integer division over
+    corpus counts, where c(w1·) counts w1's occurrences AS A BIGRAM
+    PREFIX); the document's fluency is the mean over its bigram
+    occurrences.  Text whose transitions are typical of the corpus scores
+    high; shuffled/gibberish text scores low — the same ordering a real
+    LM perplexity gives, with exact integer math instead of libm logs
+    (the t8/rarity trick applied to transitions).  A real KenLM slots in
+    behind the same signature as an Arrow-batched UDF.
+
+    Output: (id, n_bigrams, q_prob_sum, mean_prob) — docs with < 2 tokens
+    emit n_bigrams=0 and mean_prob 0.0.
+
+    Scale shape: one token explode feeding a (doc, bigram, count) agg;
+    prefix totals are a count window over that SAME aggregated table
+    (never a second pass of the raw stream); the shuffle carries bigram
+    strings + counts, not documents.
+    """
+    from pyspark.sql import Window as W
+
+    tok = tokens_col(text_col)
+    grams = F.when(
+        F.size(tok) >= 2,
+        F.zip_with(
+            F.slice(tok, 1, F.size(tok) - 1),
+            F.slice(tok, 2, F.size(tok) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = df.select(F.col(id_col), F.explode(grams).alias("bg"))
+    tf = ex.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("tf"))
+    w1 = F.split(F.col("bg"), " ", 2).getItem(0)
+    scored = (
+        tf.withColumn("c_bg", F.sum("tf").over(W.partitionBy("bg")))
+        .withColumn("__w1", w1)
+        .withColumn("c_w1", F.sum("tf").over(W.partitionBy("__w1")))
+        .withColumn("q", F.col("tf") * F.expr(f"({quant} * c_bg) div c_w1"))
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.sum("tf").cast("long").alias("n_bigrams"),
+        F.sum("q").cast("long").alias("q_prob_sum"),
+    )
+    base = df.select(F.col(id_col))
+    return base.join(agg, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce("q_prob_sum", F.lit(0)).cast("long").alias("q_prob_sum"),
+        F.when(
+            F.coalesce("n_bigrams", F.lit(0)) > 0,
+            F.col("q_prob_sum") / (F.lit(float(quant)) * F.col("n_bigrams")),
+        ).otherwise(F.lit(0.0)).alias("mean_prob"),
+    )

@@ -951,3 +951,32 @@ def x22_cumulative_distinct(spark, sf_dir):
         .select("day_no", F.coalesce("n_new", F.lit(0)).alias("n_new_users"))
         .withColumn("cumulative_users", F.sum("n_new_users").over(w).cast("long"))
     )
+
+
+@register(
+    "x23_countmin_sketch",
+    # The whole count-min cell table is a pure function of the value
+    # multiset (md5-derived row hashes, the x12 argument), so the sketch
+    # itself is oracle-EXACT — estimation error lives in point queries,
+    # which pytest pins against exact counts.
+    oracle="""
+    WITH c AS (
+      SELECT CAST(j AS INTEGER) AS row,
+             CAST(concat('0x', substr(md5(
+               CAST(j AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)
+             ), 1, 15)) AS BIGINT) % 64 AS col
+      FROM events, unnest(range(0, 4)) AS u(j)
+      WHERE user_id IS NOT NULL
+    )
+    SELECT row, col, CAST(count(*) AS BIGINT) AS cnt
+    FROM c GROUP BY row, col
+    """,
+)
+def x23_countmin_sketch(spark, sf_dir):
+    """Count-min frequency sketch of event user activity
+    (operators/sketch.py::countmin_sketch): 4x64 mergeable counters,
+    map-side-combined — the sketch tier next to x12's KMV."""
+    from era_parser_spark.operators.sketch import countmin_sketch
+
+    ev = table(spark, sf_dir, "events")
+    return countmin_sketch(ev, "user_id", depth=4, width=64)

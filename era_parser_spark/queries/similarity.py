@@ -290,3 +290,34 @@ def s8_radius_search(spark, sf_dir):
             cosine_expr(F.col("embedding").cast("array<double>"), q)
         ).alias("cosine_sim"),
     ).filter(F.col("cosine_sim") >= 0.2)
+
+
+@register(
+    "s10_pq_codes",
+    # The entire PQ encoding re-derived in SQL: stride-seeded codebooks
+    # (the s2 rule), per-subspace argmin via a correlated subquery ordered
+    # by distance then code id — integer-only output, so no float column
+    # ever reaches the hash; list_distance (sqrt) and the engine's squared
+    # fold induce the same argmin ordering.
+    oracle="""
+    WITH cb AS (
+      SELECT vec_id AS code_id, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id % 25 = 0 ORDER BY vec_id LIMIT 16
+    )
+    SELECT e.vec_id, CAST(j AS INTEGER) AS sub,
+           (SELECT c.code_id FROM cb c
+             ORDER BY list_distance(
+               (e.embedding::DOUBLE[])[CAST(j*16+1 AS INTEGER):CAST(j*16+16 AS INTEGER)],
+               c.v[CAST(j*16+1 AS INTEGER):CAST(j*16+16 AS INTEGER)]
+             ) ASC, c.code_id ASC
+             LIMIT 1) AS code
+    FROM embeddings e, unnest(range(0, 4)) AS u(j)
+    """,
+)
+def s10_pq_codes(spark, sf_dir):
+    # Product-quantization encoding: 4 subspaces x 16 stride-seeded codes
+    # over the 64-dim embeddings (operators/similarity.py::pq_codes).
+    from era_parser_spark.operators.similarity import pq_codes
+
+    emb = table(spark, sf_dir, "embeddings")
+    return pq_codes(emb, "embedding", "vec_id", dim=64, m=4, k=16, stride=25)

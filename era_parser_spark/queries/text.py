@@ -631,3 +631,52 @@ def t16_url_stats(spark, sf_dir):
         ).alias("text"),
     )
     return url_stats(aug, "doc_id", "text")
+
+
+@register(
+    "t17_bigram_lm_score",
+    # The CCNet-perplexity stand-in with exact integer math: scaled
+    # conditional probability (1e6 * c(bigram)) // c(prefix) per bigram
+    # occurrence (c_bg <= c_w1 always, so q <= 1e6 per occurrence and the
+    # sums stay far below 2^53); only the final mean divides as doubles.
+    oracle=f"""
+    WITH tokd AS (SELECT doc_id, {_TOK} AS w FROM documents),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 2
+                  THEN list_transform(range(1, len(w)),
+                                      i -> w[i] || ' ' || w[i+1])
+                  ELSE CAST([] AS VARCHAR[]) END AS grams
+      FROM tokd
+    ),
+    ex AS (SELECT doc_id, unnest(grams) AS bg FROM g),
+    tf AS (SELECT doc_id, bg, count(*) AS tf FROM ex GROUP BY doc_id, bg),
+    cbg AS (SELECT bg, sum(tf) AS c_bg FROM tf GROUP BY bg),
+    cw1 AS (
+      SELECT split_part(bg, ' ', 1) AS w1, sum(tf) AS c_w1
+      FROM tf GROUP BY 1
+    ),
+    agg AS (
+      SELECT tf.doc_id, sum(tf.tf) AS n_bigrams,
+             sum(tf.tf * ((1000000 * c.c_bg) // cw.c_w1)) AS q_prob_sum
+      FROM tf
+      JOIN cbg c USING (bg)
+      JOIN cw1 cw ON cw.w1 = split_part(tf.bg, ' ', 1)
+      GROUP BY tf.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(coalesce(q_prob_sum, 0) AS BIGINT) AS q_prob_sum,
+           CASE WHEN coalesce(n_bigrams, 0) > 0
+                THEN CAST(q_prob_sum AS DOUBLE) / (1000000.0 * n_bigrams)
+                ELSE CAST(0.0 AS DOUBLE) END AS mean_prob
+    FROM documents d LEFT JOIN agg USING (doc_id)
+    """,
+)
+def t17_bigram_lm_score(spark, sf_dir):
+    # Corpus-bigram fluency score (operators/text.py::bigram_lm_score) —
+    # the deterministic perplexity-filter stand-in.
+    from era_parser_spark.operators.text import bigram_lm_score
+
+    docs = table(spark, sf_dir, "documents")
+    return bigram_lm_score(docs, "doc_id", "text")

@@ -9,6 +9,8 @@ import pytest
 
 from pyspark.sql import functions as F
 
+from tests.conftest import SF_MED
+
 
 def test_line_dedup_keep_first_and_blank_lines(spark):
     from era_parser_spark.operators.text import line_dedup
@@ -151,3 +153,65 @@ def test_split_assign_remainder_falls_to_last_label(spark):
     # 'rest' absorbs everything past the train threshold (0.5 + remainder)
     assert counts["train"] + counts["rest"] == 1000
     assert abs(counts["train"] / 1000 - 0.5) < 0.05
+
+
+def test_bigram_lm_score_orders_fluent_above_shuffled(spark):
+    """t17: text made of the corpus's common transitions must out-score
+    text of the same tokens in an unseen order."""
+    from era_parser_spark.operators.text import bigram_lm_score
+
+    rows = [(i, "the cat sat on the mat") for i in range(10)]
+    rows.append((100, "mat the on sat cat the"))  # same tokens, rare transitions
+    rows.append((200, "x"))                        # single token -> no bigrams
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bigram_lm_score(df, "doc_id", "text").collect()}
+    assert out[0]["mean_prob"] > out[100]["mean_prob"]
+    assert out[200]["n_bigrams"] == 0 and out[200]["mean_prob"] == 0.0
+    # 'the cat' occurs 10x among 21 'the'-prefixed bigrams -> q = 1e6*10//21
+    assert out[0]["n_bigrams"] == 5
+
+
+def test_countmin_overestimates_and_is_exact_when_sparse(spark):
+    from era_parser_spark.operators.sketch import countmin_sketch, estimate_countmin
+
+    rows = [(v,) for v in ["a"] * 50 + ["b"] * 7 + ["c"] * 1]
+    df = spark.createDataFrame(rows, "v string")
+    cells = [(r["row"], r["col"], r["cnt"]) for r in countmin_sketch(df, "v").collect()]
+    # 3 distinct values into 4x64 cells: no collisions, estimates exact
+    assert estimate_countmin(cells, "a") == 50
+    assert estimate_countmin(cells, "b") == 7
+    assert estimate_countmin(cells, "c") == 1
+    # never-seen value estimates >= 0 and never underestimates a seen one
+    assert estimate_countmin(cells, "zzz") >= 0
+    # mergeability: sketch of a union == cellwise sum of the two sketches
+    df2 = spark.createDataFrame([("a",), ("d",)], "v string")
+    c2 = {(r["row"], r["col"]): r["cnt"] for r in countmin_sketch(df2, "v").collect()}
+    c1 = {(r, c): n for r, c, n in cells}
+    both = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in countmin_sketch(df.unionByName(df2), "v").collect()
+    }
+    for key in set(c1) | set(c2):
+        assert both[key] == c1.get(key, 0) + c2.get(key, 0)
+
+
+def test_pq_codes_seeds_encode_to_themselves(spark):
+    """s10: a vector that IS a codebook seed has distance 0 to its own
+    code in every subspace — it must encode to its own id 4 times."""
+    from era_parser_spark.operators.similarity import pq_codes
+
+    emb = spark.read.parquet(f"{SF_MED}/embeddings.parquet")
+    codes = pq_codes(emb, "embedding", "vec_id", dim=64, m=4, k=16, stride=25)
+    seed_ids = [r["vec_id"] for r in emb.filter("vec_id % 25 = 0").orderBy("vec_id").limit(16).collect()]
+    got = {
+        (r["vec_id"], r["sub"]): r["code"]
+        for r in codes.filter(F.col("vec_id").isin(seed_ids)).collect()
+    }
+    for sid in seed_ids:
+        for j in range(4):
+            assert got[(sid, j)] == sid, (sid, j)
+    # every vector emits exactly m rows
+    assert codes.count() == emb.count() * 4
+
+    with pytest.raises(ValueError, match="divisible"):
+        pq_codes(emb, "embedding", "vec_id", dim=63, m=4)
