@@ -50,6 +50,13 @@ HEADLINE = [
     "t10_pii_redact",
     "dd9_fuzzy_dedup_pipeline",
     "dd10_shared_spans",
+    # round-6 additions (like-for-like vs r5: list above is unchanged)
+    "dd9b_fuzzy_dedup_estimate",
+    "dd13_tfidf_cosine_pairs",
+    "t15_line_dedup",
+    "t17_bigram_lm_score",
+    "s10_pq_codes",
+    "x23_countmin_sketch",
 ]
 
 
