@@ -99,23 +99,33 @@ def countmin_sketch(
     bound.  `estimate_countmin` (driver-side, tiny) answers point
     queries from the collected cells.
     """
-    from era_parser_spark.operators.dedup import md5_60bit
-
-    cells = [
-        F.struct(
-            F.lit(j).alias("row"),
-            F.pmod(
-                md5_60bit(F.concat(F.lit(f"{j}:"), F.col(value_col).cast("string"))),
-                F.lit(width),
-            ).alias("col"),
-        )
-        for j in range(depth)
-    ]
     return (
         df.filter(F.col(value_col).isNotNull())
-        .select(F.explode(F.array(*cells)).alias("c"))
+        .select(F.explode(countmin_cells_expr(value_col, depth, width)).alias("c"))
         .groupBy(F.col("c.row").alias("row"), F.col("c.col").alias("col"))
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def countmin_cells_expr(value_col: str, depth: int = 4, width: int = 64):
+    """The per-row array of (row, col) sketch cells — shared by the batch
+    aggregate above and the streaming twin (st7), so the two paths can
+    never hash differently."""
+    from era_parser_spark.operators.dedup import md5_60bit
+
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("row"),
+                F.pmod(
+                    md5_60bit(
+                        F.concat(F.lit(f"{j}:"), F.col(value_col).cast("string"))
+                    ),
+                    F.lit(width),
+                ).alias("col"),
+            )
+            for j in range(depth)
+        ]
     )
 
 

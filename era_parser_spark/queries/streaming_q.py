@@ -313,3 +313,45 @@ def st6_stream_topk(spark, sf_dir):
         .filter(F.col("seq") == F.col("__mx"))
         .select("grp", "rank", "vec_id", "cosine_sim")
     )
+
+
+@register(
+    "st7_stream_countmin",
+    # Same oracle as x23: sketch cells are a commutative, associative
+    # count — Spark's native streaming aggregation maintains them exactly
+    # across micro-batches (no custom state op needed; this is the sketch
+    # the engine would keep on a live ingest), so the complete-mode
+    # snapshot after one AvailableNow pass equals the batch sketch.
+    oracle="""
+    WITH c AS (
+      SELECT CAST(j AS INTEGER) AS row,
+             CAST(concat('0x', substr(md5(
+               CAST(j AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)
+             ), 1, 15)) AS BIGINT) % 64 AS col
+      FROM events, unnest(range(0, 4)) AS u(j)
+      WHERE user_id IS NOT NULL
+    )
+    SELECT row, col, CAST(count(*) AS BIGINT) AS cnt
+    FROM c GROUP BY row, col
+    """,
+)
+def st7_stream_countmin(spark, sf_dir):
+    """Streaming count-min sketch: the x23 frequency summary maintained by
+    a NATIVE streaming aggregation (readStream -> explode cells ->
+    groupBy count, complete mode) — cell counts merge across micro-batches
+    by Spark's own agg state, the Spark-first shape for a mergeable
+    sketch on live data."""
+    from era_parser_spark.operators.sketch import countmin_cells_expr
+    from era_parser_spark.streaming.incremental import run_stream_once
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream_dir = _stream_src_dir("st7", sf_dir)
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(stream_dir)
+        .filter(F.col("user_id").isNotNull())
+        .select(F.explode(countmin_cells_expr("user_id", 4, 64)).alias("c"))
+        .groupBy(F.col("c.row").alias("row"), F.col("c.col").alias("col"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return run_stream_once(stream, f"st7_{uuid.uuid4().hex[:8]}", output_mode="complete")

@@ -529,3 +529,44 @@ def test_topk_state_across_microbatches(spark, tmp_path_factory):
     ]
     # both groups saw two state updates (state genuinely crossed batches)
     assert {r["seq"] for r in out.select("seq").collect()} == {1, 2}
+
+
+def test_countmin_stream_state_across_microbatches(spark, tmp_path_factory):
+    """st7's sketch is a native streaming aggregation — splitting the same
+    values over two micro-batches must yield exactly the single-batch
+    sketch (cell counts are commutative/associative), pinning the
+    mergeability claim through the streaming engine itself."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from era_parser_spark.operators.sketch import countmin_sketch, countmin_cells_expr
+    from era_parser_spark.streaming.incremental import run_stream_once
+
+    src = tmp_path_factory.mktemp("st_cm_src")
+    rows1 = [(f"u{i % 5}",) for i in range(40)]
+    rows2 = [(f"u{i % 7}",) for i in range(30)]
+    spark.createDataFrame(rows1, "v string").coalesce(1).write.parquet(str(src / "a1"))
+    spark.createDataFrame(rows2, "v string").coalesce(1).write.parquet(str(src / "b2"))
+    stream = (
+        spark.readStream.schema("v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+        .filter(F.col("v").isNotNull())
+        .select(F.explode(countmin_cells_expr("v", 4, 64)).alias("c"))
+        .groupBy(F.col("c.row").alias("row"), F.col("c.col").alias("col"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    got = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in run_stream_once(
+            stream, f"cm_{_uuid.uuid4().hex[:8]}", output_mode="complete"
+        ).collect()
+    }
+    ref = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in countmin_sketch(
+            spark.createDataFrame(rows1 + rows2, "v string"), "v"
+        ).collect()
+    }
+    assert got == ref and len(got) > 0
