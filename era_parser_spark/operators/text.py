@@ -687,3 +687,100 @@ def bigram_lm_score(
             F.col("q_prob_sum") / (F.lit(float(quant)) * F.col("n_bigrams")),
         ).otherwise(F.lit(0.0)).alias("mean_prob"),
     )
+
+
+def char_ngrams_col(text_col: str | Column, n: int = 3) -> Column:
+    """Character n-grams of lowercased text (the fastText-style feature
+    space) — pure codegen: transform over an index sequence, Column.substr
+    with a column position."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    t = F.lower(F.coalesce(c, F.lit("")))
+    return F.when(
+        F.length(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - (n - 1)),
+            lambda i: t.substr(i, F.lit(n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def train_lang_profiles(
+    train_df: DataFrame,
+    text_col: str,
+    label_col: str,
+    n: int = 3,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """TRAIN a language-ID model from labeled text: per-language character
+    n-gram frequency profiles, q(gram, L) = quant * c(gram, L) div c(L)
+    — the scaled class-conditional likelihood with exact integer math
+    (no libm logs, so the trained model is bit-identical across engines
+    and re-runs).  Output: (lang, gram, q) — the model table.
+
+    This is the model-grade upgrade path over the fixed marker-word
+    heuristic (`lang_id_col`): the same signature family as a
+    fastText-style classifier, trained from the corpus's own labels.
+    Scale shape: one explode + two aggregates; the model is bounded by
+    charset^n * n_languages rows regardless of corpus size.
+    """
+    ex = train_df.select(
+        F.col(label_col).alias("lang"),
+        F.explode(char_ngrams_col(text_col, n)).alias("gram"),
+    )
+    counts = ex.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("__c"))
+    totals = counts.groupBy("lang").agg(F.sum("__c").alias("__tot"))
+    return counts.join(totals, "lang").select(
+        "lang",
+        "gram",
+        (F.expr(f"({quant} * __c) div __tot")).alias("q"),
+    )
+
+
+def trained_lang_id(
+    profiles: DataFrame,
+    score_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """PREDICT with a `train_lang_profiles` model: each document scores
+    sum over its n-gram occurrences of q(gram, L) per language; the
+    argmax wins (ties break alphabetically, zero total score -> 'und').
+    Output: (id, predicted_lang, score).
+
+    Scale shape: the model table is tiny (broadcastable) — the corpus
+    joins it on the gram key and aggregates per (doc, language); the
+    argmax is a per-doc window over <= n_languages rows.
+    """
+    from pyspark.sql import Window as W
+
+    ex = score_df.select(
+        F.col(id_col), F.explode(char_ngrams_col(text_col, n)).alias("gram")
+    )
+    tf = ex.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("__tf"))
+    sc = (
+        tf.join(F.broadcast(profiles), "gram")
+        .groupBy(id_col, "lang")
+        .agg(F.sum(F.col("__tf") * F.col("q")).alias("score"))
+    )
+    w = W.partitionBy(id_col).orderBy(F.desc("score"), F.asc("lang"))
+    best = (
+        sc.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col(id_col),
+            F.when(F.col("score") > 0, F.col("lang"))
+            .otherwise(F.lit("und"))
+            .alias("predicted_lang"),
+            F.col("score").cast("long").alias("score"),
+        )
+    )
+    return (
+        score_df.select(F.col(id_col))
+        .join(best, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("predicted_lang", F.lit("und")).alias("predicted_lang"),
+            F.coalesce("score", F.lit(0)).cast("long").alias("score"),
+        )
+    )

@@ -680,3 +680,74 @@ def t17_bigram_lm_score(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     return bigram_lm_score(docs, "doc_id", "text")
+
+
+@register(
+    "t18_trained_lang_id",
+    # Model-grade lang-ID with a TRAINED model, gate = exactness of the
+    # whole train+predict math (the corpus labels are synthetic noise, so
+    # accuracy is meaningless HERE and is pinned instead on a separable
+    # pytest fixture): profiles trained on even doc_ids, odd ids scored,
+    # confusion matrix out.  Integer scaled likelihoods -> the model and
+    # every score are bit-identical in both engines; argmax ties break
+    # alphabetically, zero score -> 'und'.
+    oracle="""
+    WITH lowered AS (
+      SELECT doc_id, lang, lower(coalesce(text, '')) AS t FROM documents
+    ),
+    tr AS (
+      SELECT lang, unnest(list_transform(range(1, length(t) - 1),
+               i -> substr(t, CAST(i AS INTEGER), 3))) AS gram
+      FROM lowered WHERE doc_id % 2 = 0 AND length(t) >= 3
+    ),
+    counts AS (SELECT lang, gram, count(*) AS c FROM tr GROUP BY 1, 2),
+    tot AS (SELECT lang, sum(c) AS tot FROM counts GROUP BY 1),
+    prof AS (
+      SELECT counts.lang AS plang, gram, (1000000 * c) // tot AS q
+      FROM counts JOIN tot USING (lang)
+    ),
+    sc_ex AS (
+      SELECT doc_id, unnest(list_transform(range(1, length(t) - 1),
+               i -> substr(t, CAST(i AS INTEGER), 3))) AS gram
+      FROM lowered WHERE doc_id % 2 = 1 AND length(t) >= 3
+    ),
+    tf AS (SELECT doc_id, gram, count(*) AS tf FROM sc_ex GROUP BY 1, 2),
+    sc AS (
+      SELECT tf.doc_id, prof.plang, sum(tf.tf * prof.q) AS score
+      FROM tf JOIN prof USING (gram) GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT doc_id, plang, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, plang ASC) AS rn
+      FROM sc
+    ),
+    pred AS (
+      SELECT doc_id,
+             CASE WHEN score > 0 THEN plang ELSE 'und' END AS predicted
+      FROM best WHERE rn = 1
+    )
+    SELECT l.lang, coalesce(pred.predicted, 'und') AS predicted_lang,
+           count(*) AS cnt
+    FROM (SELECT doc_id, lang FROM documents WHERE doc_id % 2 = 1) l
+    LEFT JOIN pred USING (doc_id)
+    GROUP BY 1, 2
+    """,
+)
+def t18_trained_lang_id(spark, sf_dir):
+    # Train char-trigram profiles on even doc_ids, predict odd ids,
+    # emit the confusion matrix (operators/text.py::train_lang_profiles /
+    # trained_lang_id).
+    from era_parser_spark.operators.text import trained_lang_id, train_lang_profiles
+
+    docs = table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    test = docs.filter(F.col("doc_id") % 2 == 1)
+    profiles = train_lang_profiles(train, "text", "lang")
+    pred = trained_lang_id(profiles, test, "doc_id", "text")
+    return (
+        test.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

@@ -215,3 +215,46 @@ def test_pq_codes_seeds_encode_to_themselves(spark):
 
     with pytest.raises(ValueError, match="divisible"):
         pq_codes(emb, "embedding", "vec_id", dim=63, m=4)
+
+
+def test_trained_lang_id_separable_fixture_is_exact(spark):
+    """t18's train/predict machinery: on a corpus whose languages have
+    genuinely distinct character distributions, the trained trigram
+    profiles must classify held-out documents perfectly; gibberish in
+    no trained language falls to a language with SOME shared trigrams
+    or 'und' when nothing matches."""
+    from era_parser_spark.operators.text import trained_lang_id, train_lang_profiles
+
+    en = "the quick brown fox jumps over the lazy dog and runs with them all day"
+    de = "der schnelle braune fuchs springt ueber den faulen hund und laeuft mit ihnen"
+    fr = "le rapide renard brun saute par dessus le chien paresseux et court avec eux"
+    train_rows = []
+    for i in range(20):
+        train_rows += [
+            (100 + i, en + f" variant {i}", "en"),
+            (200 + i, de + f" variante {i}", "de"),
+            (300 + i, fr + f" variante {i}", "fr"),
+        ]
+    train = spark.createDataFrame(train_rows, "doc_id long, text string, lang string")
+    profiles = train_lang_profiles(train, "text", "lang")
+    test = spark.createDataFrame(
+        [
+            (1, "the lazy dog runs over the brown fox with all of them"),
+            (2, "der faule hund springt ueber den schnellen braunen fuchs"),
+            (3, "le chien paresseux court avec le renard brun rapide"),
+            (4, "@@@@ ####"),  # no trained trigram at all
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in trained_lang_id(profiles, test, "doc_id", "text").collect()}
+    assert out[1]["predicted_lang"] == "en"
+    assert out[2]["predicted_lang"] == "de"
+    assert out[3]["predicted_lang"] == "fr"
+    assert out[4]["predicted_lang"] == "und" and out[4]["score"] == 0
+    assert out[5]["predicted_lang"] == "und"
+    # a real wordlist-free classifier: scores come from the MODEL, so
+    # retraining without French must stop predicting it
+    p2 = train_lang_profiles(train.filter("lang != 'fr'"), "text", "lang")
+    out2 = {r["doc_id"]: r["predicted_lang"] for r in trained_lang_id(p2, test, "doc_id", "text").collect()}
+    assert out2[3] != "fr"
