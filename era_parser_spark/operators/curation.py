@@ -361,3 +361,68 @@ def split_assign(
     last = F.lit(splits[-1][0])
     label = last if expr is None else expr.otherwise(last)
     return df.withColumn("split", label)
+
+
+def token_budget_cap(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    n_tokens_col: str,
+    budget: int,
+    bucket_width: int = 1 << 20,
+) -> DataFrame:
+    """Cap each group (source/domain/language) at a token budget: docs are
+    taken in ``id_col`` order until the group's cumulative token count
+    would exceed ``budget`` — the "N billion tokens per source" recipe a
+    training-mix spec actually states (the absolute-count sibling of p3's
+    row quota and p5's proportional temperature mix).  A doc is kept only
+    if it fits ENTIRELY within the remaining budget.
+
+    Output: one row per input doc — (group, id, n_tokens, cum_tokens,
+    kept); filtering on `kept` yields the capped corpus, the full frame
+    is the audit trail.
+
+    Scale shape: the per-group running sum is the p2 two-phase prefix
+    sum, partitioned by (group, id-bucket) — no group ever serializes
+    through a single task, the per-bucket carry table is tiny and
+    broadcast.  Deterministic given ids; exactly SQL-expressible.
+    """
+    if budget < 0 or bucket_width <= 0:
+        raise ValueError("budget must be >= 0 and bucket_width positive")
+    toks = F.col(n_tokens_col).cast("long")
+    bucketed = df.select(
+        F.col(group_col), F.col(id_col), toks.alias("n_tokens"),
+        F.floor(F.col(id_col) / F.lit(bucket_width)).alias(_BUCKET),
+    ).cache()
+    local = bucketed.withColumn(
+        "__cum",
+        F.sum("n_tokens").over(
+            W.partitionBy(group_col, _BUCKET)
+            .orderBy(id_col)
+            .rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    bounds = bucketed.groupBy(group_col, _BUCKET).agg(
+        F.sum("n_tokens").alias("__bsum")
+    )
+    base = bounds.select(
+        F.col(group_col),
+        F.col(_BUCKET),
+        F.coalesce(
+            F.sum("__bsum").over(
+                W.partitionBy(group_col).orderBy(_BUCKET)
+                .rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias(_BASE),
+    )
+    return (
+        local.join(F.broadcast(base), [group_col, _BUCKET])
+        .select(
+            F.col(group_col),
+            F.col(id_col),
+            F.col("n_tokens"),
+            (F.col(_BASE) + F.col("__cum")).cast("long").alias("cum_tokens"),
+            ((F.col(_BASE) + F.col("__cum")) <= F.lit(int(budget))).alias("kept"),
+        )
+    )

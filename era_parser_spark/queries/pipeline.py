@@ -313,3 +313,39 @@ def p9_split_assign(spark, sf_dir):
     return split_assign(
         docs, "doc_id", [("train", 0.8), ("val", 0.1), ("test", 0.1)]
     )
+
+
+@register(
+    "p10_token_budget_cap",
+    # Per-source token-budget capping: the oracle's plain per-source window
+    # cumsum equals the engine's two-phase bucketed prefix sum exactly
+    # (integer token counts, id-total order).  A doc is kept only if its
+    # whole span fits (cum <= budget).
+    oracle=f"""
+    WITH tc AS (
+      SELECT source, doc_id, CAST(len({_TOK}) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT source, doc_id, n_tokens,
+           CAST(sum(n_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_tokens,
+           sum(n_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) <= 3000 AS kept
+    FROM tc
+    """,
+)
+def p10_token_budget_cap(spark, sf_dir):
+    # "N tokens per source" capping (operators/curation.py::
+    # token_budget_cap), 3000-token budget at the fixture scale so the
+    # cut lands mid-source.
+    from era_parser_spark.operators.curation import token_budget_cap
+
+    docs = table(spark, sf_dir, "documents")
+    counted = docs.select(
+        "source", "doc_id", token_count_col("text").alias("n_toks")
+    )
+    return token_budget_cap(counted, "source", "doc_id", "n_toks", budget=3000)

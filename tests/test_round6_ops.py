@@ -258,3 +258,37 @@ def test_trained_lang_id_separable_fixture_is_exact(spark):
     p2 = train_lang_profiles(train.filter("lang != 'fr'"), "text", "lang")
     out2 = {r["doc_id"]: r["predicted_lang"] for r in trained_lang_id(p2, test, "doc_id", "text").collect()}
     assert out2[3] != "fr"
+
+
+def test_token_budget_cap_takes_whole_docs_until_budget(spark):
+    from era_parser_spark.operators.curation import token_budget_cap
+
+    rows = [
+        ("s1", 1, 40), ("s1", 2, 40), ("s1", 3, 40),  # cum 40/80/120
+        ("s2", 10, 100), ("s2", 11, 1),               # cum 100/101
+        ("s3", 20, 0), ("s3", 21, 50),                # zero-token doc
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n long")
+    out = {
+        (r["source"], r["doc_id"]): r
+        for r in token_budget_cap(df, "source", "doc_id", "n", budget=100).collect()
+    }
+    assert out[("s1", 1)]["kept"] and out[("s1", 2)]["kept"]
+    assert not out[("s1", 3)]["kept"]  # would end at 120 > 100
+    assert out[("s2", 10)]["kept"] and not out[("s2", 11)]["kept"]  # 101 > 100
+    assert out[("s3", 20)]["kept"] and out[("s3", 21)]["kept"]
+    assert out[("s1", 3)]["cum_tokens"] == 120
+
+    # bucketed prefix sum must agree with a tiny bucket width that forces
+    # cross-bucket carries
+    small = {
+        (r["source"], r["doc_id"]): (r["cum_tokens"], r["kept"])
+        for r in token_budget_cap(
+            df, "source", "doc_id", "n", budget=100, bucket_width=2
+        ).collect()
+    }
+    big = {(k): (v["cum_tokens"], v["kept"]) for k, v in out.items()}
+    assert small == big
+
+    with pytest.raises(ValueError, match="budget"):
+        token_budget_cap(df, "source", "doc_id", "n", budget=-1)
