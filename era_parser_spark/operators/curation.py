@@ -182,6 +182,23 @@ _KNUTH = 2654435761
 _HASH_MOD = 1 << 32
 
 
+
+def knuth_bucket(id_col: str) -> Column:
+    """(id * 2654435761) mod 2^32 without BIGINT overflow: the id reduces
+    mod 2^32 FIRST (pmod, so negative ids land in [0, 2^32)), and the
+    multiply runs in DECIMAL — a raw ``id * K`` wraps for ids beyond
+    ~3.47e9 (2^63 / K), which at the corpus sizes this engine targets
+    would silently dump every overflowing row into the first bucket.
+    Congruent to the naive product for all ids; bit-identical to the old
+    expression on non-negative ids below the wrap point, so existing
+    oracles are unchanged.  SQL twin: reduce, then multiply as HUGEINT.
+    """
+    r = F.pmod(F.col(id_col), F.lit(_HASH_MOD))
+    return ((r.cast("decimal(20,0)") * F.lit(_KNUTH)) % F.lit(_HASH_MOD)).cast(
+        "bigint"
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,
@@ -213,8 +230,7 @@ def stratified_sample(
         F.element_at(bounds, F.col(strata_col)),
         F.lit(int(default_fraction * _HASH_MOD)),
     )
-    hashed = F.pmod(F.col(id_col) * F.lit(_KNUTH), F.lit(_HASH_MOD))
-    return df.filter(hashed < bound)
+    return df.filter(knuth_bucket(id_col) < bound)
 
 
 def domain_reputation_filter(
@@ -351,7 +367,7 @@ def split_assign(
     total = sum(f for _, f in splits)
     if total > 1.0 + 1e-9:
         raise ValueError(f"split fractions sum to {total} > 1")
-    bucket = (F.col(id_col) * F.lit(2654435761)) % F.lit(2**32)
+    bucket = knuth_bucket(id_col)
     expr = None
     cum = 0.0
     for name, frac in splits[:-1]:

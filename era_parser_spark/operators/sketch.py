@@ -135,9 +135,21 @@ def estimate_countmin(
     """Point-frequency estimate from collected sketch cells (driver-side;
     `cells` is the tiny (row, col, cnt) list countmin_sketch produced).
     Guaranteed >= the true count; equality when no collisions hit all
-    depth rows."""
+    depth rows.
+
+    `value` must be a str or int: those are the types whose Python str()
+    matches Spark's cast-to-string byte-for-byte, which the >= guarantee
+    depends on.  Booleans/decimals/timestamps render differently
+    ('True' vs 'true', trailing zeros, ...) and would probe the wrong
+    cells — cast such columns to string JVM-side before sketching and
+    query with the same string.
+    """
     import hashlib
 
+    if not isinstance(value, (str, int)) or isinstance(value, bool):
+        raise TypeError(
+            f"estimate_countmin value must be str or int, got {type(value).__name__}"
+        )
     table = {(r, c): n for r, c, n in cells}
     est = None
     for j in range(depth):

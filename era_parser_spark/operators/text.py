@@ -690,11 +690,18 @@ def bigram_lm_score(
 
 
 def char_ngrams_col(text_col: str | Column, n: int = 3) -> Column:
-    """Character n-grams of lowercased text (the fastText-style feature
-    space) — pure codegen: transform over an index sequence, Column.substr
-    with a column position."""
-    c = F.col(text_col) if isinstance(text_col, str) else text_col
-    t = F.lower(F.coalesce(c, F.lit("")))
+    """Character n-grams of a text column ASSUMED ALREADY NORMALIZED
+    (lowercased, null-coalesced) — transform over an index sequence with
+    Column.substr on a column position.
+
+    The lambda must reference a PLAIN column, never a computed expression:
+    HOF lambdas are interpreted, so an embedded lower(coalesce(...))
+    would re-run the full lowercase pass once per n-gram position —
+    O(len^2) character work per document (the CLAUDE.md HOF rule).
+    Callers materialize the normalized text first (see
+    train_lang_profiles / trained_lang_id).
+    """
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
     return F.when(
         F.length(t) >= n,
         F.transform(
@@ -723,9 +730,14 @@ def train_lang_profiles(
     Scale shape: one explode + two aggregates; the model is bounded by
     charset^n * n_languages rows regardless of corpus size.
     """
-    ex = train_df.select(
+    # materialize the normalized text BEFORE the n-gram HOF (see
+    # char_ngrams_col's O(len^2) note)
+    normed = train_df.select(
         F.col(label_col).alias("lang"),
-        F.explode(char_ngrams_col(text_col, n)).alias("gram"),
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))).alias("__t"),
+    )
+    ex = normed.select(
+        "lang", F.explode(char_ngrams_col("__t", n)).alias("gram")
     )
     counts = ex.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("__c"))
     totals = counts.groupBy("lang").agg(F.sum("__c").alias("__tot"))
@@ -754,8 +766,12 @@ def trained_lang_id(
     """
     from pyspark.sql import Window as W
 
-    ex = score_df.select(
-        F.col(id_col), F.explode(char_ngrams_col(text_col, n)).alias("gram")
+    normed = score_df.select(
+        F.col(id_col),
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))).alias("__t"),
+    )
+    ex = normed.select(
+        F.col(id_col), F.explode(char_ngrams_col("__t", n)).alias("gram")
     )
     tf = ex.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("__tf"))
     sc = (

@@ -7,8 +7,9 @@ nested dict per block (and per attestation) which pyarrow then walks
 field-by-field.  This module decodes SSZ straight into flat per-column
 Python lists and assembles the Arrow block struct bottom-up
 (`pa.StructArray.from_arrays` / `pa.ListArray.from_arrays`), skipping the
-per-row dicts entirely.  Measured 2.9-4.2x on the decode+build step
-(tools/profile_arrow_direct.py), with byte-identical Arrow output.
+per-row dicts entirely.  Measured 2.0-2.9x on the decode+build step
+(tools/profile_arrow_direct.py, driving THIS collector), with
+byte-identical Arrow output.
 
 Scope: the two hottest normalized tables — `blocks` (header +
 randao/eth1_data/graffiti) and `attestations` — i.e. any pruned scan whose

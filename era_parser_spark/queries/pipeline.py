@@ -144,13 +144,14 @@ def p3_source_quota(spark, sf_dir):
 
 @register(
     "p4_stratified_sample",
-    # (doc_id * 2654435761) % 2^32 is exact BIGINT math in both engines,
+    # knuth_bucket: id reduced mod 2^32 first, multiply in HUGEINT/DECIMAL
+    # so ids beyond 2^63/K cannot wrap — exact in both engines,
     # so the keep decision is bit-identical — see
     # operators/curation.py::stratified_sample.
     oracle="""
     SELECT doc_id, source
     FROM documents
-    WHERE (doc_id * 2654435761) % 4294967296
+    WHERE (((doc_id % 4294967296 + 4294967296) % 4294967296) * CAST(2654435761 AS HUGEINT)) % 4294967296
           < CASE source
               WHEN 'src0' THEN CAST(floor(0.8 * 4294967296) AS BIGINT)
               WHEN 'src1' THEN CAST(floor(0.5 * 4294967296) AS BIGINT)
@@ -294,9 +295,9 @@ def p8_dataset_upsampling(spark, sf_dir):
     oracle="""
     SELECT doc_id, source,
            CASE
-             WHEN (doc_id * 2654435761) % 4294967296
+             WHEN (((doc_id % 4294967296 + 4294967296) % 4294967296) * CAST(2654435761 AS HUGEINT)) % 4294967296
                   < CAST(floor(0.8 * 4294967296) AS BIGINT) THEN 'train'
-             WHEN (doc_id * 2654435761) % 4294967296
+             WHEN (((doc_id % 4294967296 + 4294967296) % 4294967296) * CAST(2654435761 AS HUGEINT)) % 4294967296
                   < CAST(floor(0.9 * 4294967296) AS BIGINT) THEN 'val'
              ELSE 'test'
            END AS split

@@ -49,20 +49,28 @@ _EPOCH = _dt.datetime(1970, 1, 1)
 # ---------------------------------------------------------------------------
 
 
+#: BIGINT range — values outside it (and non-finite floats) coerce to 0 in
+#: BOTH twins.  Deliberate robustness deviation from the reference, which
+#: would raise OverflowError on int(float('1e999')).
+_I64_MIN, _I64_MAX = -(1 << 63), (1 << 63) - 1
+
+
 def coerce_numeric(value) -> int:
     """Reference numeric-column coercion (clickhouse_service.py:200-212):
     None/''/unparseable -> 0, numerics -> int(value), strings ->
-    int(float(s)) (truncation toward zero)."""
+    int(float(s)) (truncation toward zero).  Booleans -> 1/0; non-finite
+    or out-of-BIGINT-range values -> 0 (see _I64_MAX note)."""
     if value is None or value == "":
         return 0
+    if isinstance(value, bool):
+        return 1 if value else 0
     if isinstance(value, float) and value != value:  # NaN
         return 0
     try:
-        if isinstance(value, (int, float)):
-            return int(value)
-        return int(float(str(value)))
-    except (ValueError, TypeError):
+        n = int(value) if isinstance(value, (int, float)) else int(float(str(value)))
+    except (ValueError, TypeError, OverflowError):
         return 0
+    return n if _I64_MIN <= n <= _I64_MAX else 0
 
 
 def coerce_datetime(value) -> _dt.datetime:
@@ -100,9 +108,15 @@ def coerce_datetime(value) -> _dt.datetime:
         except (ValueError, TypeError):
             pass
         if "T" in value:
+            import re as _re
+
             s = value.replace("Z", "")
-            if "+" in s:
-                s = s.split("+")[0]
+            # strip a trailing numeric UTC offset of EITHER sign (the
+            # reference only splits on '+', leaving '-05:00' to produce a
+            # tz-aware datetime; a distributed load must not depend on
+            # offset sign, so both normalize to the wall time — mirrored
+            # exactly by clickhouse_conform's cleanup regexes)
+            s = _re.sub(r"[+-]\d{2}:?\d{2}$", "", s)
             if "." in s:
                 s = s.split(".")[0]
             try:
@@ -142,12 +156,22 @@ def clickhouse_conform(
     for name in df.columns:
         c = F.col(name)
         if name in numeric_cols:
-            s = c.cast("string")
-            expr = F.coalesce(
-                s.try_cast("bigint"),
-                s.try_cast("double").cast("bigint"),
-                F.lit(0).cast("bigint"),
-            )
+            if dtypes[name] == "boolean":
+                # bool is int in Python (True -> 1); the string path would
+                # see 'true' and collapse to 0 — branch on the dtype
+                expr = F.coalesce(c.cast("int"), F.lit(0)).cast("bigint")
+            else:
+                s = c.cast("string")
+                d = s.try_cast("double")
+                # non-finite / out-of-BIGINT-range -> 0 (matches
+                # coerce_numeric; an unguarded double->bigint cast would
+                # silently write LONG_MAX for 'inf' or '1e999')
+                finite = d.isNotNull() & ~F.isnan(d) & (F.abs(d) < 9.2e18)
+                expr = F.coalesce(
+                    s.try_cast("bigint"),
+                    F.when(finite, d.cast("bigint")).otherwise(F.lit(0)),
+                    F.lit(0).cast("bigint"),
+                )
         elif name in datetime_cols:
             if dtypes[name].startswith("timestamp"):
                 expr = c.cast("timestamp")
@@ -156,10 +180,13 @@ def clickhouse_conform(
                 epoch = F.lit("1970-01-01 00:00:00").cast("timestamp")
                 as_int = s.try_cast("bigint")
                 as_float = s.try_cast("double")
-                # the reference strips tz then microseconds (both may be
-                # present: '...05.123+02:00'), so two sequential passes
+                # strip Z, then a signed numeric UTC offset (either sign —
+                # see coerce_datetime's note), then microseconds; both may
+                # be present ('...05.123+02:00'), so sequential passes
                 cleaned = F.regexp_replace(
-                    F.regexp_replace(F.regexp_replace(s, r"Z$", ""), r"\+.*$", ""),
+                    F.regexp_replace(
+                        F.regexp_replace(s, r"Z$", ""), r"[+-]\d{2}:?\d{2}$", ""
+                    ),
                     r"\.\d+$",
                     "",
                 )

@@ -153,7 +153,7 @@ def _parser(
     When the pruned `body_include` is covered by the columnar decoders
     (parsing/arrow_direct.py — blocks-table fields + attestations), the
     kernel skips the per-block dict IR entirely and decodes into flat
-    per-column lists (2.9-4.2x on the decode step; the dict IR's PyObject
+    per-column lists (2.0-2.9x on the decode step; the dict IR's PyObject
     churn is the measured DRAM ceiling, docs/PLANS.md).  `arrow_direct=
     False` forces the dict IR (debug/differential path).
     """
@@ -391,7 +391,7 @@ def read_era_blocks(
     rates without grepping executor stderr; read it AFTER an action.
     `arrow_direct=True` (default) lets scans pruned to the blocks-table
     fields and/or attestations decode columnar (parsing/arrow_direct.py,
-    2.9-4.2x on the decode step) — output is differential-tested identical
+    2.0-2.9x on the decode step) — output is differential-tested identical
     to the dict IR; pass False to force the dict path.
     """
     from era_parser_spark.shipping import ensure_package_shipped

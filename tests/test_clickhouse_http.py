@@ -266,6 +266,9 @@ NASTY_NUMERIC = [
     (None, 0), ("", 0), ("abc", 0), (float("nan"), 0),
     ("12", 12), ("12.7", 12), ("-3.9", -3), (7, 7), (7.9, 7), (-2.5, -2),
     ("1e3", 1000), ("  ", 0),
+    # non-finite / out-of-BIGINT-range -> 0 in BOTH twins
+    ("1e999", 0), ("inf", 0), ("-inf", 0), ("9.3e18", 0),
+    (float("inf"), 0), (True, 1), (False, 0),
 ]
 
 NASTY_DATETIME = [
@@ -283,6 +286,9 @@ NASTY_DATETIME = [
     ("99999999999", dt.datetime(1970, 1, 1)),  # beyond the valid range
     (-5, dt.datetime(1970, 1, 1)),
     ("nonsense", dt.datetime(1970, 1, 1)),
+    # NEGATIVE utc offsets normalize to the wall time like positive ones
+    ("2024-05-01T12:00:00-04:00", dt.datetime(2024, 5, 1, 12, 0, 0)),
+    ("2024-05-01T12:00:00.123-0400", dt.datetime(2024, 5, 1, 12, 0, 0)),
 ]
 
 
@@ -307,11 +313,17 @@ def test_spark_conform_matches_python_twins(spark):
         (i, None if raw is None else str(raw), None if raw is None else str(raw))
         for i, (raw, _) in enumerate(NASTY_DATETIME)
     ]
-    # numerics: drive the string forms through a string column
+    # numerics: drive the string forms through a string column.  NaN and
+    # booleans can't ride a string column faithfully (str(nan)/'True'
+    # differ from Spark's casts) — booleans are covered by the
+    # boolean-dtype branch below.
+    def _skip(raw):
+        return (isinstance(raw, float) and raw != raw) or isinstance(raw, bool)
+
     nrows = [
         (i, None if raw is None else str(raw))
         for i, (raw, _) in enumerate(NASTY_NUMERIC)
-        if not (isinstance(raw, float) and raw != raw)  # str(nan) differs
+        if not _skip(raw)
     ]
     ndf = spark.createDataFrame(nrows, "i long, v string")
     out = {
@@ -319,9 +331,19 @@ def test_spark_conform_matches_python_twins(spark):
         for r in clickhouse_conform(ndf, {"v", "i"}, set()).collect()
     }
     for i, (raw, want) in enumerate(NASTY_NUMERIC):
-        if isinstance(raw, float) and raw != raw:
+        if _skip(raw):
             continue
         assert out[i] == want, (raw, out[i])
+
+    # boolean dtype takes the dedicated branch: true->1, false->0, null->0
+    bdf = spark.createDataFrame(
+        [(0, True), (1, False), (2, None)], "i long, v boolean"
+    )
+    bout = {
+        r["i"]: r["v"]
+        for r in clickhouse_conform(bdf, {"v", "i"}, set()).collect()
+    }
+    assert bout == {0: 1, 1: 0, 2: 0}
 
     ddf = spark.createDataFrame(rows, "i long, v string, w string")
     dout = {
