@@ -355,3 +355,55 @@ def st7_stream_countmin(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
     return run_stream_once(stream, f"st7_{uuid.uuid4().hex[:8]}", output_mode="complete")
+
+
+@register(
+    "st8_stream_stream_join",
+    # One AvailableNow batch delivers both sides before any watermark can
+    # expire state, so the append-mode streaming join equals the batch
+    # interval join exactly; µs interval arithmetic is engine-identical.
+    oracle="""
+    SELECT a.event_id AS view_id, b.event_id AS purchase_id,
+           a.user_id AS user_id,
+           epoch_us(b.ts) - epoch_us(a.ts) AS lag_us,
+           b.value AS purchase_value
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+    WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+    """,
+)
+def st8_stream_stream_join(spark, sf_dir):
+    """Watermarked stream-stream inner join: views joined to same-user
+    purchases within one hour — the attribution-join shape on live data,
+    planned as Spark's StreamingSymmetricHashJoin.  Watermarks on BOTH
+    sides plus the event-time range condition bound the join state: a
+    view's row is dropped once the purchase watermark passes view_ts + 1h,
+    so state is O(events in the trailing window) at any corpus rate —
+    the property that makes this run forever on a live ingest."""
+    from era_parser_spark.streaming.incremental import attribution_join, run_stream_once
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream_dir = _stream_src_dir("st8", sf_dir)
+
+    def _src():
+        s = spark.readStream.schema(raw_schema).parquet(stream_dir)
+        if dict(s.dtypes).get("ts") == "bigint":
+            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # watermarks require TIMESTAMP (not NTZ); the tz shift cancels —
+        # both sides shift identically and only the µs delta is emitted
+        return s.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    views = _src().filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    purchases = _src().filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    joined = attribution_join(views, purchases, window="1 hour")
+    return run_stream_once(joined, f"st8_{uuid.uuid4().hex[:8]}")

@@ -270,6 +270,41 @@ def slot_gap_monitor(stream: DataFrame) -> DataFrame:
     )
 
 
+def attribution_join(
+    views: DataFrame,
+    purchases: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: each view row joins same-user
+    purchases whose event time falls within ``window`` after it.
+
+    Expects ``views(view_id, v_user, v_ts)`` and ``purchases(purchase_id,
+    p_user, p_ts, purchase_value)`` with TIMESTAMP event times.  Watermarks
+    on BOTH sides plus the event-time range condition let Spark's
+    StreamingSymmetricHashJoin evict a view's row once the purchase
+    watermark passes ``v_ts + window`` — state is bounded by the trailing
+    window at any ingest rate, which is what makes the join runnable
+    forever on a live stream.  Emits the µs lag instead of raw timestamps
+    so the result is timezone-shift-free.
+    """
+    v = views.withWatermark("v_ts", watermark)
+    p = purchases.withWatermark("p_ts", watermark)
+    return v.join(
+        p,
+        F.expr(f"v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + INTERVAL {window}"),
+    ).select(
+        "view_id",
+        "purchase_id",
+        F.col("v_user").alias("user_id"),
+        (
+            F.unix_micros(F.col("p_ts").cast("timestamp"))
+            - F.unix_micros(F.col("v_ts").cast("timestamp"))
+        ).alias("lag_us"),
+        "purchase_value",
+    )
+
+
 def run_stream_once(query_df: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
     """Drive a streaming DF to completion on currently-available data
     (Trigger.AvailableNow) into an in-memory table; returns the result.

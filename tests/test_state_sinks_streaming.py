@@ -570,3 +570,50 @@ def test_countmin_stream_state_across_microbatches(spark, tmp_path_factory):
         ).collect()
     }
     assert got == ref and len(got) > 0
+
+
+def test_attribution_join_state_across_microbatches(spark, tmp_path_factory):
+    """st8's stream-stream join must hold view rows in join state across
+    micro-batch boundaries: purchases arriving in a LATER batch join views
+    from an earlier one, and the event-time range condition still filters.
+    """
+    import uuid as _uuid
+    from datetime import datetime, timedelta
+
+    from era_parser_spark.streaming.incremental import attribution_join, run_stream_once
+
+    src = tmp_path_factory.mktemp("st8_src")
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(mins):
+        return t0 + timedelta(minutes=mins)
+
+    # batch1: two views (user 1 and 2); batch2: three purchases —
+    # one in-range for user 1 (+30 min), one out-of-range for user 2
+    # (+90 min > 1h window), one for an unseen user 3
+    v_schema = "view_id long, v_user long, v_ts timestamp"
+    p_schema = "purchase_id long, p_user long, p_ts timestamp, purchase_value double"
+    b1 = [(100, 1, ts(0)), (101, 2, ts(5))]
+    b2 = [(200, 1, ts(30), 9.5), (201, 2, ts(95), 1.0), (202, 3, ts(10), 2.0)]
+    spark.createDataFrame(b1, v_schema).coalesce(1).write.parquet(str(src / "a_views"))
+    spark.createDataFrame(b2, p_schema).coalesce(1).write.parquet(str(src / "b_purch"))
+
+    views = (
+        spark.readStream.schema(v_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/a_views")
+    )
+    purchases = (
+        spark.readStream.schema(p_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b_purch")
+    )
+    out = run_stream_once(
+        attribution_join(views, purchases, window="1 hour"),
+        f"st8t_{_uuid.uuid4().hex[:8]}",
+    )
+    got = sorted(
+        (r["view_id"], r["purchase_id"], r["user_id"], r["lag_us"], r["purchase_value"])
+        for r in out.collect()
+    )
+    assert got == [(100, 200, 1, 30 * 60 * 1_000_000, 9.5)]
