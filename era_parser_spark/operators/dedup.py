@@ -463,6 +463,58 @@ def cross_corpus_overlap(
     )
 
 
+def bloom_decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    m_bits: int = 1 << 18,
+    k: int = 4,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Broadcast-Bloom decontamination: screen a training corpus against a
+    benchmark corpus WITHOUT shuffling the training side at all.
+
+    The 100 TB counterpart to `cross_corpus_overlap` (dd7): dd7's
+    shingle-keyed equi-join shuffles every training shingle; here the
+    benchmark side (small by definition — it's the eval set) is folded
+    into an m_bits Bloom filter (2^18 bits = 32 KB regardless of size),
+    broadcast as ONE packed-words row, and every training shingle is
+    probed by pure codegen bit math on the scan — the only shuffle left
+    is the per-doc count aggregate (map-side combined).  This is the
+    Dolma/RefinedWeb-style production shape: corpus-side cost is a scan.
+
+    Probe-true is guaranteed for every genuinely shared shingle (no false
+    negatives — a clean screen here needs no second pass); false
+    positives are deterministic md5 collisions (all k positions set,
+    p ~ (bits_set/m)^k), so flagged docs are candidates to re-check with
+    dd7 on the tiny flagged subset.  Returns one row per training doc
+    with >= 1 shingle: (id, n_shingles, n_hit, contaminated).
+
+    Oracle-exact: md5-derived positions make the whole decision a pure
+    function of the two shingle sets (dd14).
+    """
+    from era_parser_spark.operators.sketch import (
+        bloom_bits,
+        bloom_probe_sql,
+        bloom_words,
+    )
+
+    words = bloom_words(bloom_bits(doc_shingles(bench, id_col, text_col, n), "shingle", m_bits, k), m_bits)
+    hit = F.expr(bloom_probe_sql("words", "shingle", m_bits, k))
+    return (
+        doc_shingles(train, id_col, text_col, n)
+        .crossJoin(F.broadcast(words))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(hit.cast("long")).alias("n_hit"),
+        )
+        .withColumn("contaminated", F.col("n_hit") >= min_hits)
+    )
+
+
 def simhash_md5_fingerprints(
     df: DataFrame, id_col: str, text_col: str, bits: int = 60
 ) -> DataFrame:

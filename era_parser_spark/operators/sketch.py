@@ -159,3 +159,83 @@ def estimate_countmin(
         v = table.get((j, h), 0)
         est = v if est is None else min(est, v)
     return int(est or 0)
+
+
+def bloom_positions_expr(value_col, m_bits: int = 4096, k: int = 4) -> list:
+    """The k md5-derived Bloom bit positions of one value — shared by the
+    build (bloom_bits) and probe (bloom_probe_sql) paths so they can never
+    hash apart.  Position j = 60-bit md5 of 'j:value' mod m_bits, the same
+    hash family as the count-min rows."""
+    from era_parser_spark.operators.dedup import md5_60bit
+
+    col = F.col(value_col) if isinstance(value_col, str) else value_col
+    return [
+        F.pmod(
+            md5_60bit(F.concat(F.lit(f"{j}:"), col.cast("string"))), F.lit(m_bits)
+        )
+        for j in range(k)
+    ]
+
+
+def bloom_bits(df: DataFrame, value_col: str, m_bits: int = 4096, k: int = 4) -> DataFrame:
+    """Set bit positions (bit BIGINT) of a Bloom filter over a column
+    (Bloom 1970) — the mergeable membership summary.
+
+    Deterministic md5-derived positions make the bit set a pure function
+    of the VALUE SET — so unlike a library bloom filter the whole state
+    is oracle-exact, the same argument as x12's KMV and x23's count-min.
+    Mergeable by plain union/distinct; the shuffle carries at most
+    min(k * distinct values, m_bits) rows of one BIGINT (map-side
+    distinct), never the values themselves."""
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.explode(F.array(*bloom_positions_expr(value_col, m_bits, k))).alias("bit"))
+        .distinct()
+    )
+
+
+def bloom_words(bits: DataFrame, m_bits: int = 4096) -> DataFrame:
+    """Pack a (bit,) set into ONE row holding the full filter as
+    array<bigint> `words` (little-endian: bit b lives in word b div 64 at
+    offset b % 64) — the broadcastable probe-side representation.
+    m_bits/8 bytes regardless of input cardinality: 2^18 bits = 32 KB.
+
+    Distinct offsets within a word make sum(1<<offset) equal the bitwise
+    OR (no carries), so the pack is a plain map-side-combined aggregate.
+    """
+    n_words = (m_bits + 63) // 64
+    per_word = (
+        bits.select(
+            F.expr("cast(bit div 64 as int)").alias("w"),
+            F.expr("shiftleft(cast(1 as bigint), cast(bit % 64 as int))").alias("v"),
+        )
+        .groupBy("w")
+        .agg(F.sum("v").alias("v"))
+    )
+    return (
+        per_word.agg(
+            F.map_from_entries(F.collect_list(F.struct("w", "v"))).alias("wm")
+        ).select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_words - 1)),
+                lambda i: F.coalesce(F.element_at(F.col("wm"), i), F.lit(0).cast("bigint")),
+            ).alias("words")
+        )
+    )
+
+
+def bloom_probe_sql(words_col: str, value_col: str, m_bits: int = 4096, k: int = 4) -> str:
+    """Boolean SQL expression: value's k Bloom positions are ALL set in the
+    packed `words` array — true membership always probes true; a false
+    positive requires all k positions colliding (p ~ (set_bits/m)^k).
+    Built as a SQL string because PySpark's shiftright() only takes a
+    literal shift amount; everything stays codegen."""
+    checks = []
+    for j in range(k):
+        pos = (
+            f"pmod(cast(conv(substring(md5(cast(concat('{j}:', cast({value_col} as string)) as binary)), 1, 15), 16, 10) as bigint), {m_bits})"
+        )
+        checks.append(
+            f"((shiftright(element_at({words_col}, cast(({pos}) div 64 as int) + 1), cast(({pos}) % 64 as int)) & 1) = 1)"
+        )
+    return "(" + " AND ".join(checks) + ")"

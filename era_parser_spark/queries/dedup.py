@@ -856,3 +856,54 @@ def mm6_scene_cuts(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     return scene_cuts(documents_as_media(docs), frame_bytes=16, threshold=200)
+
+
+@register(
+    "dd14_bloom_decontaminate",
+    # Same %17 train/bench split as dd7, but the screen is a broadcast
+    # Bloom probe (zero train-side shuffle) instead of a shingle join.
+    # md5-derived bit positions make even the false positives
+    # deterministic, so the decision is exactly SQL-rederivable: a train
+    # shingle "hits" iff ALL 4 of its bit positions appear in the
+    # benchmark's bit set.
+    oracle=f"""
+    WITH train AS (SELECT * FROM documents WHERE doc_id % 17 <> 0),
+         bench AS (SELECT * FROM documents WHERE doc_id % 17 = 0),
+         sh_t AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM train),
+         sh_b AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM bench),
+         bbits AS (
+           SELECT DISTINCT CAST(concat('0x', substr(md5(
+                    CAST(j AS VARCHAR) || ':' || shingle), 1, 15)) AS BIGINT)
+                  % 262144 AS bit
+           FROM sh_b, unnest(range(0, 4)) AS u(j)
+         ),
+         tpos AS (
+           SELECT doc_id, shingle, j,
+                  CAST(concat('0x', substr(md5(
+                    CAST(j AS VARCHAR) || ':' || shingle), 1, 15)) AS BIGINT)
+                  % 262144 AS bit
+           FROM sh_t, unnest(range(0, 4)) AS u(j)
+         ),
+         hits AS (
+           SELECT doc_id, shingle
+           FROM tpos JOIN bbits USING (bit)
+           GROUP BY doc_id, shingle
+           HAVING count(*) = 4
+         ),
+         nh AS (SELECT doc_id, count(*) AS n_hit FROM hits GROUP BY doc_id),
+         ns AS (SELECT doc_id, count(*) AS n_shingles FROM sh_t GROUP BY doc_id)
+    SELECT ns.doc_id AS doc_id, n_shingles,
+           COALESCE(n_hit, 0) AS n_hit,
+           COALESCE(n_hit, 0) >= 1 AS contaminated
+    FROM ns LEFT JOIN nh ON nh.doc_id = ns.doc_id
+    """,
+)
+def dd14_bloom_decontaminate(spark, sf_dir):
+    # Broadcast-Bloom decontamination screen: the zero-train-shuffle
+    # production twin of dd7 (operators/dedup.py::bloom_decontaminate).
+    from era_parser_spark.operators.dedup import bloom_decontaminate
+
+    docs = table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 17 != 0)
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    return bloom_decontaminate(train, bench, "doc_id", "text", n=3)

@@ -980,3 +980,28 @@ def x23_countmin_sketch(spark, sf_dir):
 
     ev = table(spark, sf_dir, "events")
     return countmin_sketch(ev, "user_id", depth=4, width=64)
+
+
+@register(
+    "x24_bloom_filter",
+    # The bit set is a pure function of the distinct user_id set (60-bit
+    # md5 positions mod 2^14), so the whole filter state is oracle-EXACT
+    # — same argument as x12 (KMV) and x23 (count-min).
+    oracle="""
+    SELECT DISTINCT CAST(concat('0x', substr(md5(
+             CAST(j AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)
+           ), 1, 15)) AS BIGINT) % 16384 AS bit
+    FROM events, unnest(range(0, 4)) AS u(j)
+    WHERE user_id IS NOT NULL
+    """,
+)
+def x24_bloom_filter(spark, sf_dir):
+    """Mergeable Bloom membership filter over the event users
+    (operators/sketch.py::bloom_bits): the shuffle carries at most
+    min(4·distinct, 16384) BIGINT bit positions (map-side distinct),
+    never the values; two corpora's filters merge by union.  The packed
+    broadcastable form (bloom_words) drives dd14's decontamination."""
+    from era_parser_spark.operators.sketch import bloom_bits
+
+    ev = table(spark, sf_dir, "events")
+    return bloom_bits(ev, "user_id", m_bits=1 << 14, k=4)

@@ -468,3 +468,22 @@ def test_scene_cuts_payload_stays_on_scan(spark, queries):
     head = plan.split("MapInPandas")[0]
     # the only plan text before the kernel is scan+projection, no shuffle
     assert not re.search(r"\(\d+\) Exchange", head)
+
+
+def test_bloom_decontaminate_train_side_never_shuffles(spark, queries):
+    """dd14: the training corpus is screened by a broadcast Bloom probe —
+    the ONLY row shuffle is the per-doc count aggregate.  The benchmark
+    filter collapses to one broadcast row; no sort-merge join, no
+    shingle-keyed exchange of the train side."""
+    df = queries["dd14_bloom_decontaminate"](spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan and "Cartesian" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row words broadcast
+    import re
+
+    exchanges = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    # train side shuffles once on doc_id; the remaining exchanges (bit/w)
+    # belong to the tiny benchmark-side filter build — never on shingle,
+    # which would mean the dd7-style inverted-index join came back
+    assert exchanges.count("doc_id") == 1
+    assert set(exchanges) <= {"doc_id", "bit", "w"}

@@ -292,3 +292,59 @@ def test_token_budget_cap_takes_whole_docs_until_budget(spark):
 
     with pytest.raises(ValueError, match="budget"):
         token_budget_cap(df, "source", "doc_id", "n", budget=-1)
+
+
+def test_bloom_filter_membership_and_packing(spark):
+    """Bloom invariants: every member probes true (no false negatives),
+    a disjoint probe set probes false at this load factor, and the packed
+    words array is bit-for-bit the bit set."""
+    from pyspark.sql import functions as F
+
+    from era_parser_spark.operators.sketch import (
+        bloom_bits,
+        bloom_probe_sql,
+        bloom_words,
+    )
+
+    m, k = 1 << 12, 4
+    members = spark.createDataFrame([(f"val-{i}",) for i in range(50)], "v string")
+    others = spark.createDataFrame([(f"other-{i}",) for i in range(50)], "v string")
+    bits = bloom_bits(members, "v", m_bits=m, k=k)
+    words = bloom_words(bits, m_bits=m)
+
+    got_bits = sorted(r["bit"] for r in bits.collect())
+    packed = words.collect()[0]["words"]
+    assert len(packed) == m // 64
+    unpacked = sorted(
+        w * 64 + o for w, word in enumerate(packed) for o in range(64) if (word >> o) & 1
+    )
+    assert unpacked == got_bits
+
+    probe = F.expr(bloom_probe_sql("words", "v", m_bits=m, k=k))
+    hits_m = members.crossJoin(F.broadcast(words)).select(probe.alias("h")).collect()
+    assert all(r["h"] for r in hits_m)  # no false negatives, ever
+    hits_o = others.crossJoin(F.broadcast(words)).select(probe.alias("h")).collect()
+    # 200 bits of 4096 set -> fp ~ (0.05)^4; 50 disjoint probes all miss
+    assert not any(r["h"] for r in hits_o)
+
+
+def test_bloom_decontaminate_flags_planted_quote(spark):
+    """A train doc quoting the benchmark is flagged with full hit count;
+    an unrelated doc is clean; a verbatim copy hits on every shingle."""
+    from era_parser_spark.operators.dedup import bloom_decontaminate
+
+    bench_text = "the seven secret benchmark questions nobody should train on ever"
+    clean_text = "completely unrelated prose about gardening tools and soil quality"
+    quoter = "intro words then " + bench_text + " trailing commentary here"
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(1, quoter), (2, clean_text), (3, bench_text)],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in bloom_decontaminate(train, bench, "doc_id", "text", n=3).collect()
+    }
+    assert out[3]["contaminated"] and out[3]["n_hit"] == out[3]["n_shingles"]
+    assert out[1]["contaminated"] and out[1]["n_hit"] >= 8  # the quoted span
+    assert not out[2]["contaminated"] and out[2]["n_hit"] == 0
