@@ -58,6 +58,26 @@ _ATT_OFF_POS = _BODY_FIXED_PREFIX + 4 * 2
 _DEP_OFF_POS = _BODY_FIXED_PREFIX + 4 * 3
 
 
+#: forks whose attestation layout this decoder knows.  Membership is
+#: EXPLICIT (not `fork == "electra"` with a pre-electra fallthrough): a
+#: future fork added to config/networks.py would otherwise silently take
+#: the pre-electra branch — the fixed-size check still passes and
+#: bits/signature slice fine, but committee_bits would be emitted null
+#: while the dict IR decodes real values.  Unknown forks raise
+#: UnsupportedForkError instead (loud; never mis-decoded).
+PRE_ELECTRA_FORKS = frozenset({"phase0", "altair", "bellatrix", "capella", "deneb"})
+ELECTRA_LIKE_FORKS = frozenset({"electra"})
+
+
+class UnsupportedForkError(SSZError):
+    """The columnar decoder has no attestation layout for this fork.
+
+    Deliberately NOT swallowed by the scan's on_error='skip' block
+    isolation (sources/era.py re-raises it): a new fork must fail the
+    scan loudly with a pointer at arrow_direct=False, not silently drop
+    or mis-decode every block of the new fork."""
+
+
 def supports(body_include: set[str] | None) -> bool:
     """True if a scan pruned to `body_include` can use the columnar path."""
     return bool(body_include) and set(body_include) <= SUPPORTED_FIELDS
@@ -153,13 +173,23 @@ class ColumnarBlockCollector:
 
         n_new_att = 0
         if self._want_att:
+            # explicit fork membership — an unknown (post-electra) fork
+            # must not fall through to the pre-electra layout (see
+            # UnsupportedForkError)
+            if fork in ELECTRA_LIKE_FORKS:
+                electra = True
+            elif fork in PRE_ELECTRA_FORKS:
+                electra = False
+            else:
+                raise UnsupportedForkError(
+                    f"no columnar attestation layout for fork {fork!r}; "
+                    f"rerun the scan with arrow_direct=False (dict IR)"
+                )
             lo = _U32(body, _ATT_OFF_POS)[0]
             hi = _U32(body, _DEP_OFF_POS)[0]
             if not (lo <= hi <= nb):
                 raise SSZError("BeaconBlockBody: offsets out of order")
-            n_new_att = self._decode_attestations(
-                bytes(body[lo:hi]), fork == "electra"
-            )
+            n_new_att = self._decode_attestations(bytes(body[lo:hi]), electra)
 
         # ---- commit (nothing above mutated collector state) ----
         self.c_slot.append(slot)

@@ -67,7 +67,18 @@ def coerce_numeric(value) -> int:
     if isinstance(value, float) and value != value:  # NaN
         return 0
     try:
-        n = int(value) if isinstance(value, (int, float)) else int(float(str(value)))
+        if isinstance(value, (int, float)):
+            n = int(value)
+        else:
+            # integer strings first (exact, like the Spark twin's
+            # try_cast('bigint')), so digit strings >= 2^53 don't lose
+            # precision through a float round-trip; non-integer strings
+            # fall back to float truncation (try_cast('double'))
+            s = str(value)
+            try:
+                n = int(s)
+            except ValueError:
+                n = int(float(s))
     except (ValueError, TypeError, OverflowError):
         return 0
     return n if _I64_MIN <= n <= _I64_MAX else 0
@@ -110,17 +121,23 @@ def coerce_datetime(value) -> _dt.datetime:
         if "T" in value:
             import re as _re
 
-            s = value.replace("Z", "")
+            # strip only a TRAILING 'Z' (like clickhouse_conform's 'Z$'
+            # regex — an interior Z, e.g. '...00Z+02:00', must survive so
+            # both twins reject the malformed string identically)
+            s = _re.sub(r"Z$", "", value)
             # strip a trailing numeric UTC offset of EITHER sign (the
             # reference only splits on '+', leaving '-05:00' to produce a
-            # tz-aware datetime; a distributed load must not depend on
+            # tz-aware datetime; a distributed engine must not depend on
             # offset sign, so both normalize to the wall time — mirrored
             # exactly by clickhouse_conform's cleanup regexes)
             s = _re.sub(r"[+-]\d{2}:?\d{2}$", "", s)
             if "." in s:
                 s = s.split(".")[0]
             try:
-                return _dt.datetime.fromisoformat(s)
+                # strict format, mirroring try_to_timestamp's
+                # yyyy-MM-dd'T'HH:mm:ss (fromisoformat would accept
+                # residual-Z / short forms the Spark twin rejects)
+                return _dt.datetime.strptime(s, "%Y-%m-%dT%H:%M:%S")
             except ValueError:
                 return _EPOCH
         try:

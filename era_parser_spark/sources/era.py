@@ -309,6 +309,12 @@ def _parser(
                             version = parsed["version"]
                             ts = parsed["timestamp_utc"]
                             decomp = parsed["metadata"]["decompressed_size"]
+                    except _arrow_direct.UnsupportedForkError:
+                        # a fork the columnar decoder doesn't know is NOT a
+                        # corrupt block — skipping would silently drop every
+                        # block of a new fork; fail loudly (the message
+                        # points at arrow_direct=False)
+                        raise
                     except Exception as exc:  # noqa: BLE001
                         # per-block error isolation (the reference defaults
                         # bad fields rather than failing the era); one

@@ -147,6 +147,27 @@ def test_malformed_attestation_list_raises_like_generic():
         decode_signed_block(bytes(raw), fork, body_include={"attestations"})
 
 
+def test_unknown_fork_fails_loudly_not_pre_electra():
+    """A fork unknown to the columnar decoder (e.g. a future post-electra
+    fork added to config/networks.py) must raise UnsupportedForkError when
+    attestations are requested — NOT silently take the pre-electra branch
+    and emit committee_bits as null."""
+    from era_parser_spark.parsing.arrow_direct import UnsupportedForkError
+
+    good, _fork = _valid_block()
+    coll = ColumnarBlockCollector(BLOCK_TYPE, {"attestations"})
+    with pytest.raises(UnsupportedForkError, match="arrow_direct=False"):
+        coll.append(good, "fulu")
+    # atomic: the failure left no partial state
+    assert len(coll) == 0
+
+    # header-only pruned scans share the layout across every fork — an
+    # unknown fork is fine there (nothing layout-sensitive is read)
+    coll2 = ColumnarBlockCollector(BLOCK_TYPE, {"graffiti"})
+    coll2.append(good, "fulu")
+    assert len(coll2) == 1 and len(coll2.flush()) == 1
+
+
 def test_corrupt_blocks_skipped_identically_in_spark_scan(spark, tmp_path):
     """on_error='skip' must keep the scan alive on the columnar path too:
     corrupt one block record's payload, both paths parse n-1 blocks."""

@@ -269,6 +269,12 @@ NASTY_NUMERIC = [
     # non-finite / out-of-BIGINT-range -> 0 in BOTH twins
     ("1e999", 0), ("inf", 0), ("-inf", 0), ("9.3e18", 0),
     (float("inf"), 0), (True, 1), (False, 0),
+    # digit strings >= 2^53: must coerce EXACTLY (integer path, no float
+    # round-trip) in both twins, mirroring try_cast('bigint')-first
+    ("9007199254740993", 9007199254740993),          # 2^53 + 1
+    ("9223372036854775807", 9223372036854775807),    # I64_MAX
+    ("-9223372036854775808", -9223372036854775808),  # I64_MIN
+    ("9223372036854775808", 0),                      # 2^63: out of range
 ]
 
 NASTY_DATETIME = [
@@ -289,6 +295,9 @@ NASTY_DATETIME = [
     # NEGATIVE utc offsets normalize to the wall time like positive ones
     ("2024-05-01T12:00:00-04:00", dt.datetime(2024, 5, 1, 12, 0, 0)),
     ("2024-05-01T12:00:00.123-0400", dt.datetime(2024, 5, 1, 12, 0, 0)),
+    # an INTERIOR Z (malformed: Z plus offset) must fall to the epoch in
+    # BOTH twins — only a trailing Z is stripped (Z$, not replace-all)
+    ("2024-05-01T12:00:00Z+02:00", dt.datetime(1970, 1, 1)),
 ]
 
 
