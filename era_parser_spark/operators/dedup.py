@@ -605,6 +605,73 @@ def lsh_estimate_pairs(
     )
 
 
+def lsh_exact_pairs_bounded(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidates verified by EXACT intersection of the two docs'
+    hashed-shingle SETS — pair-bounded shuffle, never sum(df^2).
+
+    Same verification semantics as `minhash_lsh_dedup_pairs` (both count
+    the intersection of xxhash64'd distinct shingles; identical inter /
+    union_sz / jaccard values), but a different physical shape: instead
+    of self-joining the inverted index on the shingle key (one row per
+    (co-occurring pair, shared shingle) — cost sum_over_shingles(df^2),
+    which clone-heavy duplication turns super-linear: 28x corpus bytes
+    measured on the 8x rehearsal, docs/PLANS.md), each candidate doc's
+    shingle-hash set is collected ONCE into a sorted int64 array and the
+    candidate pairs join the two arrays — `array_intersect` (a native JVM
+    expression, not an interpreted HOF lambda) computes the exact
+    intersection per pair.  Shuffle: one array per doc per candidate pair
+    it participates in — O(sum_over_pairs(|A| + |B|)), budgetable from
+    the candidate count alone, with NO term that depends on how many
+    OTHER docs share a shingle.  The index plan can beat it only when
+    candidates are mostly low-similarity false positives (it ships just
+    shared shingles); LSH banding makes that the rare regime, and at
+    scale an unbudgetable sum(df^2) is the wrong default risk.
+
+    Output: (doc_a, doc_b, inter, union_sz, jaccard) for candidate pairs
+    with inter >= 1 and jaccard >= threshold — same contract as
+    `minhash_lsh_dedup_pairs`.
+    """
+    ex = doc_shingles(df, id_col, text_col, shingle_n).cache()
+    hashed = ex.select(F.col(id_col), F.xxhash64("shingle").alias("__sh"))
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("__sh"))).alias(f"h{i}") for i in range(num_perm)
+    ]
+    sigs = hashed.groupBy(id_col).agg(*aggs)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, num_perm // bands)
+    # collect arrays only for candidate docs (same semi-join the index
+    # plan uses), so non-candidate docs never aggregate an array
+    cand_docs = (
+        cands.select(F.col("doc_a").alias(id_col))
+        .unionByName(cands.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    sets = (
+        hashed.join(F.broadcast(cand_docs), id_col, "left_semi")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("__sh")).alias("__shs"))
+    )
+    sa = sets.select(F.col(id_col).alias("doc_a"), F.col("__shs").alias("__sa"))
+    sb = sets.select(F.col(id_col).alias("doc_b"), F.col("__shs").alias("__sb"))
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("__sa", "__sb")))
+        .withColumn("union_sz", F.size("__sa") + F.size("__sb") - F.col("inter"))
+        .filter(F.col("inter") >= 1)
+        .withColumn("jaccard", F.col("inter") / F.col("union_sz"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "inter", "union_sz", "jaccard")
+    )
+
+
 def fuzzy_dedup(
     df: DataFrame,
     id_col: str,
@@ -614,18 +681,42 @@ def fuzzy_dedup(
     bands: int = 8,
     shingle_n: int = 3,
     verify: str = "exact",
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """End-to-end fuzzy deduplication — the composition a production
     curation run actually executes (the SlimPajama/RefinedWeb shape):
 
-        MinHash signatures -> LSH banding candidates -> exact-Jaccard
+        collapse bit-identical texts (md5 -> min id, the dd1 plan)
+        -> MinHash signatures -> LSH banding candidates -> Jaccard
         verify -> connected components over the near-dup graph -> keep
-        the minimum id of every cluster.
+        the minimum id of every cluster -> re-attach collapsed clones
+        to their representative's cluster.
 
     Output: one row per input document — (id, cluster_id, cluster_sz,
     kept).  ``kept`` marks the cluster survivor (min id); filtering on it
     yields the deduplicated corpus, while the full frame doubles as the
     audit trail (who was dropped, and with whom it clustered).
+
+    Clone safety (the round-6 rehearsal finding): exact verification
+    expands the shingle index into one row per (pair, shared shingle) —
+    sum(df^2) over shingles — which a clone-heavy corpus turns
+    super-linear (measured 28x corpus bytes of shuffle at 8x cloning,
+    docs/PLANS.md).  The collapse step defuses exactly that mode while
+    staying EXACT: identical texts have Jaccard 1 >= any threshold, so a
+    clone group is provably one near-dup cluster with its min id as
+    representative; running LSH/verify on distinct texts only and
+    re-attaching clones afterwards yields the identical output frame
+    (pinned by tests/test_round7_ops.py's differential vs
+    ``collapse_exact=False``).  Clones never reach shingling, the
+    signature aggregate, or the pair index, in EITHER verify mode (a
+    clone group of size k would otherwise contribute k(k-1)/2 candidate
+    pairs even under "estimate").  Cost: the collapse aggregate's partial
+    (map-side) combine means the text shuffle carries at most one copy of
+    each distinct text per input partition — bounded by corpus bytes,
+    and far below under the clone-heavy structure that needs it; the
+    id->rep mapping and expansion joins carry ids + 16-byte digests only.
+    ``collapse_exact=False`` forces the uncollapsed plan (differential /
+    debug path).
 
     Scale shape: every stage is the sub-quadratic path proven by its
     standalone operator — candidates via band equi-join (never all
@@ -633,35 +724,111 @@ def fuzzy_dedup(
     clustering via alternating large-star/small-star (O(log n) rounds for
     any graph shape, no driver materialization).
 
-    ``verify``: "exact" (default) scores candidate pairs by true Jaccard
-    over the shingle index; "estimate" scores them by min-hash agreement
-    (`lsh_estimate_pairs`) — same plan up to candidates, but verification
-    shuffle drops from O(pair-shingle volume) to O(candidates), the right
-    trade at 100 TB when the duplicate structure is clone-heavy (measured
-    on the 8x rehearsal corpus: 74 MB vs 3.9 GB shuffled — 53x less —
-    4.3x faster wall, identical keeper set).
+    ``verify``: "exact" (default) scores candidate pairs by true hashed-
+    shingle Jaccard via the PAIR-BOUNDED plan (`lsh_exact_pairs_bounded`)
+    — shuffle O(candidates x doc size), no sum(df^2) term, so near-dup
+    clone structure (8 tail-variant replicas per doc, the rehearsal
+    corpus) cannot blow it up; "exact_index" forces the inverted-index
+    verification (`minhash_lsh_dedup_pairs`, the round-6 plan — ships
+    only SHARED shingles per pair, so it wins when candidates are mostly
+    low-similarity false positives, but pays sum(df^2): 3.9 GB vs the
+    138 MB corpus at 8x cloning, docs/PLANS.md); "estimate" scores by
+    min-hash agreement (`lsh_estimate_pairs`) — O(candidates) shuffle,
+    cheapest of all, with estimator noise ~2/sqrt(num_perm) around the
+    threshold.
     """
     from era_parser_spark.operators.graph import (
         cluster_sizes,
         connected_components_alternating,
     )
 
-    if verify == "exact":
-        edges = minhash_lsh_dedup_pairs(
-            df, id_col, text_col, num_perm=num_perm, bands=bands,
-            threshold=threshold, shingle_n=shingle_n,
-        ).select("doc_a", "doc_b")
-    elif verify == "estimate":
-        edges = lsh_estimate_pairs(
-            df, id_col, text_col, threshold=threshold, num_perm=num_perm,
+    if verify not in ("exact", "exact_index", "estimate"):
+        raise ValueError(
+            f"verify must be 'exact', 'exact_index' or 'estimate', got {verify!r}"
+        )
+
+    def _edges(docs: DataFrame) -> DataFrame:
+        if verify == "exact":
+            # pair-bounded exact verification: same jaccard values as the
+            # index plan, shuffle O(candidate pairs x doc size) instead of
+            # sum(df^2) (see lsh_exact_pairs_bounded)
+            return lsh_exact_pairs_bounded(
+                docs, id_col, text_col, threshold=threshold, num_perm=num_perm,
+                bands=bands, shingle_n=shingle_n,
+            ).select("doc_a", "doc_b")
+        if verify == "exact_index":
+            return minhash_lsh_dedup_pairs(
+                docs, id_col, text_col, num_perm=num_perm, bands=bands,
+                threshold=threshold, shingle_n=shingle_n,
+            ).select("doc_a", "doc_b")
+        return lsh_estimate_pairs(
+            docs, id_col, text_col, threshold=threshold, num_perm=num_perm,
             bands=bands, shingle_n=shingle_n,
         ).select("doc_a", "doc_b")
-    else:
-        raise ValueError(f"verify must be 'exact' or 'estimate', got {verify!r}")
-    comps = connected_components_alternating(
-        df.select(id_col), edges, id_col=id_col, src_col="doc_a", dst_col="doc_b"
+
+    if not collapse_exact:
+        comps = connected_components_alternating(
+            df.select(id_col), _edges(df), id_col=id_col,
+            src_col="doc_a", dst_col="doc_b",
+        )
+        return cluster_sizes(comps, id_col=id_col).select(
+            F.col(id_col),
+            "cluster_id",
+            "cluster_sz",
+            (F.col(id_col) == F.col("cluster_id")).alias("kept"),
+        )
+
+    # -- collapse bit-identical texts to their min id (exact: J(t,t)=1) --
+    # Only texts that produce >= 1 shingle collapse; shorter texts have no
+    # signature either way and must stay singletons exactly like the
+    # uncollapsed plan (two identical 2-token docs do NOT cluster there).
+    # The emptiness condition mirrors doc_shingles' Python tokenizer:
+    # lowercase whitespace split, shingle count = len(toks) - n + 1.
+    toks = tokens_col(F.col(text_col))
+    shingleable = (
+        F.col(text_col).isNotNull()
+        & (F.trim(F.col(text_col)) != "")
+        & (F.size(toks) >= shingle_n)
     )
-    return cluster_sizes(comps, id_col=id_col).select(
+    keyed = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.when(shingleable, F.md5(F.col(text_col))).alias("__dig"),
+    )
+    collapsible = keyed.filter(F.col("__dig").isNotNull())
+    passthrough = keyed.filter(F.col("__dig").isNull()).select(id_col, text_col)
+    # digest -> representative id; ids + digests only (text never rides it)
+    reps = collapsible.groupBy("__dig").agg(F.min(id_col).alias("__rep"))
+    mapping = (
+        collapsible.select(id_col, "__dig")
+        .join(reps, "__dig")
+        .select(id_col, "__rep")
+        .unionByName(
+            passthrough.select(F.col(id_col), F.col(id_col).alias("__rep"))
+        )
+    )
+    # one (id, text) row per distinct shingleable text: min/first aggregate
+    # with map-side combine, so the shuffle carries <= one copy of each
+    # distinct text per input partition (texts within a digest group are
+    # identical, so first() is deterministic)
+    rep_docs = (
+        collapsible.groupBy("__dig")
+        .agg(F.min(id_col).alias(id_col), F.first(text_col).alias(text_col))
+        .select(id_col, text_col)
+        .unionByName(passthrough)
+    )
+    comps = connected_components_alternating(
+        rep_docs.select(id_col), _edges(rep_docs), id_col=id_col,
+        src_col="doc_a", dst_col="doc_b",
+    )
+    # re-attach clones: every doc takes its representative's cluster.  The
+    # expanded cluster's min id equals the min of its reps' ids (each rep
+    # is already the min of its digest group), so cluster_id/kept
+    # semantics are unchanged; sizes count ALL members.
+    expanded = mapping.join(
+        comps.withColumnRenamed(id_col, "__rep"), "__rep"
+    ).select(F.col(id_col), "cluster_id")
+    return cluster_sizes(expanded, id_col=id_col).select(
         F.col(id_col),
         "cluster_id",
         "cluster_sz",

@@ -1024,3 +1024,110 @@ def pq_codes(
     return joined.select(
         F.col(id_col), F.explode(F.array(*subs)).alias("s")
     ).select(id_col, F.col("s.sub").alias("sub"), F.col("s.code").alias("code"))
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    dim: int,
+    k: int = 10,
+    m: int = 4,
+    n_codes: int = 16,
+    stride: int = 25,
+    n_centroids: int = 64,
+    nprobe: int = 3,
+) -> DataFrame:
+    """IVF-PQ ADC search (Jegou et al. 2011 §IV): route the query to the
+    `nprobe` nearest IVF cells (s2's coarse quantizer), then rank the
+    cells' members by ASYMMETRIC distance — the sum over subspaces of the
+    precomputed distance from the query's subvector to the member's PQ
+    code center.  This is the memory-bounded retrieval shape 100 TB
+    similarity search needs: at query time the corpus contributes ONLY
+    its cell assignment and its m small code ids (both computed once at
+    ingest — here derived inline from the vectors because the test corpus
+    carries them); the full float vectors are never touched for scoring.
+
+    Per-query work: an ADC lookup table (m maps of n_codes doubles,
+    evaluated ONCE on the collapsed one-row codebook and broadcast) and,
+    per candidate row, m codegen map lookups summed in fixed left-to-right
+    order — deterministic, so the whole approximate pipeline is exactly
+    reproducible in the SQL oracle (the s2/s10 rule: stride-seeded
+    codebooks, argmin ties on code id, DECIMAL(10,6)-quantized surfaced
+    distance).
+
+    Output: (id, adc_dist) — the k candidates with smallest ADC distance,
+    ties on id.  Smaller is nearer (squared-L2 semantics).
+    """
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d = dim // m
+    emb = F.col(vec_col).cast("array<double>")
+    q = lit_vector(query)
+
+    # -- coarse routing (s2 machinery): nprobe nearest cells --
+    centroids = centroid_table(df, vec_col, id_col, stride, n_centroids)
+    probe = (
+        centroids.select(
+            "centroid_id", sq_l2_expr(F.col("cvec"), q).alias("qdist")
+        )
+        .orderBy("qdist", "centroid_id")
+        .limit(nprobe)
+        .select("centroid_id")
+    )
+    cand = (
+        ivf_assign(df, vec_col, id_col, centroids)
+        .join(F.broadcast(probe), "centroid_id", "semi")
+        .select(F.col(id_col), emb.alias("__e"))
+    )
+
+    # -- PQ codebook (s10 seeding) + per-subspace ADC maps, ONE row --
+    seeds = (
+        df.filter((F.col(id_col) % stride) == 0)
+        .orderBy(id_col)
+        .limit(n_codes)
+        .select(F.col(id_col).alias("code_id"), emb.alias("v"))
+    )
+    cb = seeds.agg(F.collect_list(F.struct("code_id", "v")).alias("cbs"))
+
+    def _adc_entry(j):
+        # closure factory: a default-arg capture would change the lambda's
+        # arity, which PySpark uses to type the HOF
+        qsub = lit_vector([float(x) for x in query[j * d : (j + 1) * d]])
+        return lambda c: F.struct(
+            c.getField("code_id").alias("key"),
+            sq_l2_expr(F.slice(c.getField("v"), j * d + 1, d), qsub).alias("val"),
+        )
+
+    adc = cb.select(
+        "cbs",
+        *[
+            F.map_from_entries(F.transform("cbs", _adc_entry(j))).alias(f"__adc{j}")
+            for j in range(m)
+        ],
+    )
+
+    def _scorer(j, sub):
+        return lambda c: F.struct(
+            sq_l2_expr(sub, F.slice(c.getField("v"), j * d + 1, d)).alias("dist"),
+            c.getField("code_id").alias("code_id"),
+        )
+
+    joined = cand.crossJoin(F.broadcast(adc))
+    dist = None
+    for j in range(m):
+        sub = F.slice(F.col("__e"), j * d + 1, d)
+        code = F.array_min(F.transform("cbs", _scorer(j, sub))).getField("code_id")
+        term = F.element_at(F.col(f"__adc{j}"), code)
+        # fixed left-to-right sum so the float result is deterministic and
+        # bitwise-mirrorable by the SQL twin's parenthesized sum
+        dist = term if dist is None else dist + term
+    return (
+        joined.select(
+            F.col(id_col),
+            dist.cast("decimal(10,6)").cast("double").alias("adc_dist"),
+        )
+        .orderBy("adc_dist", id_col)
+        .limit(k)
+    )

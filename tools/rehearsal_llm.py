@@ -46,7 +46,7 @@ def shuffle_totals(spark) -> dict:
     }
 
 
-def build_corpus(spark, path: str, replicas: int) -> dict:
+def build_corpus(spark, path: str, replicas: int, clone_mode: str = "tail") -> dict:
     from pyspark.sql import functions as F
 
     if os.path.exists(os.path.join(path, "_SUCCESS")):
@@ -57,20 +57,25 @@ def build_corpus(spark, path: str, replicas: int) -> dict:
     )
     parts = []
     for k in range(replicas):
+        if clone_mode == "exact" or k == 0:
+            # clone-mode "exact": every replica is VERBATIM — bit-identical
+            # clone groups of size `replicas` (the re-crawled-page shape the
+            # md5 collapse in fuzzy_dedup defuses).  Replica 0 is always
+            # verbatim.
+            text = F.col("text")
+        else:
+            # clone-mode "tail": later replicas append a distinct tail so
+            # cross-replica pairs are near-dups (high containment) that NO
+            # exact-collapse can merge — the structure that separates the
+            # pair-bounded verify from the sum(df^2) index verify
+            text = F.concat(
+                F.col("text"),
+                F.lit(f" replica tail {k} marker appended for rehearsal"),
+            )
         parts.append(
             base.select(
                 (F.col("doc_id") + k * 1_000_000).alias("doc_id"),
-                # replica 0 is verbatim; later replicas append a distinct
-                # tail so cross-replica pairs are near-dups (high
-                # containment), the load dedup actually faces
-                (
-                    F.col("text")
-                    if k == 0
-                    else F.concat(
-                        F.col("text"),
-                        F.lit(f" replica tail {k} marker appended for rehearsal"),
-                    )
-                ).alias("text"),
+                text.alias("text"),
             )
         )
     allp = parts[0]
@@ -84,6 +89,20 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--replicas", type=int, default=8)
     ap.add_argument("--base", default="/tmp/llm_rehearsal")
+    ap.add_argument(
+        "--clone-mode", choices=("tail", "exact"), default="tail",
+        help="replica structure: 'tail' = near-dup replicas (distinct "
+        "tails); 'exact' = bit-identical clone groups",
+    )
+    ap.add_argument(
+        "--uncollapsed", action="store_true",
+        help="also measure the round-6 dd9 plan (inverted-index verify, "
+        "no exact-collapse) for a before/after in the same host window",
+    )
+    ap.add_argument(
+        "--dd9-only", action="store_true",
+        help="run only the dd9 phases (skip dd10/t11/t9/p7)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -96,10 +115,14 @@ def main() -> int:
     )
     ensure_package_shipped(spark)
 
-    out: dict = {"replicas": args.replicas, "sf_dir": SF_DIR}
-    corpus_path = os.path.join(args.base, f"docs_x{args.replicas}")
+    out: dict = {
+        "replicas": args.replicas, "sf_dir": SF_DIR,
+        "clone_mode": args.clone_mode,
+    }
+    suffix = "" if args.clone_mode == "tail" else f"_{args.clone_mode}"
+    corpus_path = os.path.join(args.base, f"docs_x{args.replicas}{suffix}")
     t0 = time.perf_counter()
-    out["corpus"] = build_corpus(spark, corpus_path, args.replicas)
+    out["corpus"] = build_corpus(spark, corpus_path, args.replicas, args.clone_mode)
     out["corpus"]["build_sec"] = round(time.perf_counter() - t0, 1)
     docs = spark.read.parquet(corpus_path)
     n_tokens = docs.select(
@@ -133,16 +156,17 @@ def main() -> int:
         print(f"{name}: {rec}", file=sys.stderr)
         return rec
 
-    r = phase(
-        "dd10_shared_spans",
-        lambda: shared_token_spans(docs, "doc_id", "text").count(),
-    )
-    r["shuffle_bytes_per_token"] = round(r["shuffle_write_mb"] * 1e6 / n_tokens, 1)
-    r = phase(
-        "t11_intra_doc_strip",
-        lambda: intra_doc_span_strip(docs, "doc_id", "text").count(),
-    )
-    r["shuffle_bytes_per_token"] = round(r["shuffle_write_mb"] * 1e6 / n_tokens, 1)
+    if not args.dd9_only:
+        r = phase(
+            "dd10_shared_spans",
+            lambda: shared_token_spans(docs, "doc_id", "text").count(),
+        )
+        r["shuffle_bytes_per_token"] = round(r["shuffle_write_mb"] * 1e6 / n_tokens, 1)
+        r = phase(
+            "t11_intra_doc_strip",
+            lambda: intra_doc_span_strip(docs, "doc_id", "text").count(),
+        )
+        r["shuffle_bytes_per_token"] = round(r["shuffle_write_mb"] * 1e6 / n_tokens, 1)
     phase(
         "dd9_fuzzy_dedup",
         lambda: fuzzy_dedup(docs, "doc_id", "text", threshold=0.5).filter("kept").count(),
@@ -153,16 +177,25 @@ def main() -> int:
             docs, "doc_id", "text", threshold=0.5, verify="estimate"
         ).filter("kept").count(),
     )
-    phase(
-        "t9_boilerplate_strip",
-        lambda: boilerplate_strip(docs, "doc_id", "text").count(),
-    )
-    phase(
-        "p7_global_order",
-        lambda: global_order(
-            docs.select("doc_id", F.length("text").alias("n")), "n", "doc_id"
-        ).count(),
-    )
+    if args.uncollapsed:
+        phase(
+            "dd9_fuzzy_dedup_round6_plan",
+            lambda: fuzzy_dedup(
+                docs, "doc_id", "text", threshold=0.5,
+                verify="exact_index", collapse_exact=False,
+            ).filter("kept").count(),
+        )
+    if not args.dd9_only:
+        phase(
+            "t9_boilerplate_strip",
+            lambda: boilerplate_strip(docs, "doc_id", "text").count(),
+        )
+        phase(
+            "p7_global_order",
+            lambda: global_order(
+                docs.select("doc_id", F.length("text").alias("n")), "n", "doc_id"
+            ).count(),
+        )
     print(json.dumps(out))
     return 0
 
