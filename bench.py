@@ -57,6 +57,8 @@ HEADLINE = [
     "t17_bigram_lm_score",
     "s10_pq_codes",
     "x23_countmin_sketch",
+    # round-7 additions (like-for-like vs r6: list above is unchanged)
+    "s11_ivf_pq_search",
 ]
 
 

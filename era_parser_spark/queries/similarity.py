@@ -321,3 +321,82 @@ def s10_pq_codes(spark, sf_dir):
 
     emb = table(spark, sf_dir, "embeddings")
     return pq_codes(emb, "embedding", "vec_id", dim=64, m=4, k=16, stride=25)
+
+
+@register(
+    "s11_ivf_pq_search",
+    # The full IVF-PQ ADC pipeline re-derived in SQL: s2's coarse routing
+    # (stride centroids, argmin assignment, 3-cell probe), s10's
+    # per-subspace code argmin restricted to the probed candidates, then
+    # the asymmetric distance — per-sub squared-L2 between the query
+    # subvector and the CODE CENTER, rebuilt as the same left-fold Spark's
+    # sq_l2_expr computes (list_reduce init = first element; 0.0 + t0 is
+    # exact, so both folds are bitwise identical), summed in the same
+    # parenthesized left-to-right order and DECIMAL(10,6)-quantized (the
+    # s1 rule) before the ORDER BY.
+    oracle="""
+    WITH cb AS (
+      SELECT vec_id AS code_id, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id % 25 = 0 ORDER BY vec_id LIMIT 16
+    ),
+    cent AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+      FROM embeddings WHERE vec_id % 25 = 0 ORDER BY vec_id LIMIT 64
+    ),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    assign AS (
+      SELECT e.vec_id, e.embedding::DOUBLE[] AS ev,
+             (SELECT c.cid FROM cent c
+               ORDER BY list_distance(e.embedding::DOUBLE[], c.cvec) ASC, c.cid ASC
+               LIMIT 1) AS centroid_id
+      FROM embeddings e
+    ),
+    probe AS (
+      SELECT c.cid FROM cent c, q
+      ORDER BY list_distance(c.cvec, q.qv) ASC, c.cid ASC LIMIT 3
+    ),
+    cand AS (
+      SELECT vec_id, ev FROM assign
+      WHERE centroid_id IN (SELECT cid FROM probe)
+    ),
+    codes AS (
+      SELECT cand.vec_id, j,
+        (SELECT c.code_id FROM cb c
+          ORDER BY list_distance(
+            cand.ev[CAST(j*16+1 AS INTEGER):CAST(j*16+16 AS INTEGER)],
+            c.v[CAST(j*16+1 AS INTEGER):CAST(j*16+16 AS INTEGER)]
+          ) ASC, c.code_id ASC LIMIT 1) AS code
+      FROM cand, unnest(range(0, 4)) AS u(j)
+    ),
+    dists AS (
+      SELECT co.vec_id, co.j,
+        list_reduce(
+          list_transform(range(1, 17), i ->
+            (c.v[CAST(co.j*16 AS INTEGER)+i] - q.qv[CAST(co.j*16 AS INTEGER)+i])
+            * (c.v[CAST(co.j*16 AS INTEGER)+i] - q.qv[CAST(co.j*16 AS INTEGER)+i])),
+          (x, y) -> x + y) AS dist
+      FROM codes co JOIN cb c ON c.code_id = co.code, q
+    )
+    SELECT vec_id,
+           CAST(CAST(
+             ((MAX(CASE WHEN j=0 THEN dist END)
+               + MAX(CASE WHEN j=1 THEN dist END))
+               + MAX(CASE WHEN j=2 THEN dist END))
+               + MAX(CASE WHEN j=3 THEN dist END)
+           AS DECIMAL(10,6)) AS DOUBLE) AS adc_dist
+    FROM dists GROUP BY vec_id
+    ORDER BY adc_dist ASC, vec_id ASC LIMIT 10
+    """,
+)
+def s11_ivf_pq_search(spark, sf_dir):
+    # IVF-PQ ADC search: s2's coarse routing composed with s10's codes
+    # into an actual query operator — the memory-bounded ANN shape
+    # (operators/similarity.py::ivf_pq_topk).  Recall@10 vs s1 brute
+    # force is pinned in tests/test_round7_ops.py.
+    from era_parser_spark.operators.similarity import ivf_pq_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    return ivf_pq_topk(
+        emb, "embedding", "vec_id", _query_vec(spark, sf_dir, 0),
+        dim=64, k=10, m=4, n_codes=16, stride=25, n_centroids=64, nprobe=3,
+    )

@@ -103,6 +103,109 @@ def test_fuzzy_dedup_clone_semantics(spark):
         assert out[i] == (i, 1, True), (i, out[i])
 
 
+def _pq_fixture(spark):
+    """A PQ-representable corpus: each vector concatenates one of 16
+    prototypes per subspace (+ small noise), and the 16 stride-seed ids
+    (0,25,..,375) hold vectors whose subspace j uses prototype (s+j)%16 —
+    gcd-style coverage, so every subspace codebook spans all 16
+    prototypes.  This is the regime PQ exists for; on near-uniform random
+    data 4x16 quantization is inherently coarse (measured 1-3/10 vs brute
+    on the sf0.01 embeddings — documented, not a defect)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    m, d, K = 4, 16, 16
+    protos = rng.normal(size=(m, K, d))
+    rows = []
+    for s in range(16):
+        v = np.concatenate([protos[j, (s + j) % K] for j in range(m)])
+        rows.append((s * 25, [float(x) for x in v]))
+    nid = 400
+    for _ in range(480):
+        combo = rng.integers(0, K, size=m)
+        v = np.concatenate(
+            [protos[j, combo[j]] for j in range(m)]
+        ) + rng.normal(scale=0.05, size=m * d)
+        if nid % 25 == 0:
+            nid += 1
+        rows.append((nid, [float(x) for x in v]))
+        nid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_ivf_pq_recall_vs_brute_force(spark):
+    """recall@10 of the IVF-PQ ADC search vs the s1 brute-force baseline
+    on the PQ-representable fixture.  Measured curve at nprobe=5: 9/7/6
+    across the three queries (mean 0.73); pinned bounds leave noise room.
+    The query vector itself must always be retrieved (its ADC distance is
+    the distance to its own code centers — minimal by construction)."""
+    from era_parser_spark.operators.similarity import cosine_topk, ivf_pq_topk
+
+    emb = _pq_fixture(spark)
+    recalls = []
+    for qid in (405, 488, 696):
+        q = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == qid).first()["embedding"]
+        ]
+        brute = [
+            r.vec_id
+            for r in cosine_topk(emb, "embedding", "vec_id", q, k=10).collect()
+        ]
+        approx = [
+            r.vec_id
+            for r in ivf_pq_topk(
+                emb, "embedding", "vec_id", q, dim=64, k=10, nprobe=5
+            ).collect()
+        ]
+        assert qid in approx, f"self not retrieved for {qid}"
+        recalls.append(len(set(brute) & set(approx)))
+    mean = sum(recalls) / (10 * len(recalls))
+    print(f"ivf-pq recall@10: {recalls} mean={mean:.2f}")
+    assert mean >= 0.55, recalls
+    assert min(recalls) >= 4, recalls
+
+
+def test_ivf_pq_results_come_from_probed_cells(spark):
+    """Composition invariant on the real corpus: every returned id must
+    belong to one of the nprobe probed IVF cells (the ADC ranking can
+    only reorder the probed candidates, never escape them)."""
+    from era_parser_spark.operators.similarity import (
+        centroid_table,
+        ivf_assign,
+        ivf_pq_topk,
+        lit_vector,
+        sq_l2_expr,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = [
+        float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    out = [
+        r.vec_id
+        for r in ivf_pq_topk(
+            emb, "embedding", "vec_id", q, dim=64, k=10, nprobe=3
+        ).collect()
+    ]
+    assert len(out) == 10 and 0 in out
+    cents = centroid_table(emb, "embedding", "vec_id", 25, 64)
+    probe = {
+        r.centroid_id
+        for r in cents.select(
+            "centroid_id", sq_l2_expr(F.col("cvec"), lit_vector(q)).alias("d")
+        )
+        .orderBy("d", "centroid_id")
+        .limit(3)
+        .collect()
+    }
+    cell = {
+        r.vec_id: r.centroid_id
+        for r in ivf_assign(emb, "embedding", "vec_id", cents).collect()
+    }
+    assert all(cell[i] in probe for i in out), (out, probe)
+
+
 def test_fuzzy_dedup_collapsed_plan_never_shingles_clones(spark):
     """The whole point: with collapse on, the pair/verify tier sees one
     row per DISTINCT text.  Pin it via the signature frame row count
