@@ -59,6 +59,7 @@ HEADLINE = [
     "x23_countmin_sketch",
     # round-7 additions (like-for-like vs r6: list above is unchanged)
     "s11_ivf_pq_search",
+    "t19_quality_classifier",
 ]
 
 

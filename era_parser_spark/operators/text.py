@@ -800,3 +800,147 @@ def trained_lang_id(
             F.coalesce("score", F.lit(0)).cast("long").alias("score"),
         )
     )
+
+
+def train_quality_model(
+    train_df: DataFrame,
+    text_col: str,
+    label_col: str,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """TRAIN a document-quality classifier from labeled good/bad text —
+    the fastText-quality-filter stage every production CommonCrawl
+    pipeline runs (the GPT-3/LLaMA recipe), as a fixed-point LINEAR model
+    so training and scoring are exact integer math (bit-identical across
+    engines and re-runs, the t18 rule; no libm logs).
+
+    Per token: w = q_good - q_bad, where q_class = quant * c(token,
+    class) div c(class tokens) is the scaled class-conditional frequency
+    — the same contrast a Naive-Bayes log-odds weight encodes, in
+    fixed-point.  Rows with a NULL label are ignored.  Output: (tok, w)
+    — the model table, bounded by vocabulary size regardless of corpus
+    size.
+
+    A real fastText / logistic model slots in behind the same
+    (token -> weight) signature; `quality_score` is the shared scorer.
+    """
+    ex = (
+        train_df.filter(F.col(label_col).isNotNull())
+        .select(
+            F.col(label_col).cast("boolean").alias("__good"),
+            F.explode(tokens_col(text_col)).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    counts = ex.groupBy("__good", "tok").agg(F.count(F.lit(1)).alias("__c"))
+    totals = counts.groupBy("__good").agg(F.sum("__c").alias("__tot"))
+    q = counts.join(totals, "__good").select(
+        "__good", "tok", F.expr(f"({quant} * __c) div __tot").alias("__q")
+    )
+    return q.groupBy("tok").agg(
+        (
+            F.sum(F.when(F.col("__good"), F.col("__q")).otherwise(F.lit(0)))
+            - F.sum(F.when(~F.col("__good"), F.col("__q")).otherwise(F.lit(0)))
+        )
+        .cast("long")
+        .alias("w")
+    )
+
+
+def quality_score(
+    model: DataFrame, df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """SCORE documents with a `train_quality_model` table: quality_score
+    = sum over token occurrences of w(token); is_good = score > 0.
+    Output: (id, quality_score, is_good) — one row per input document
+    (docs with no in-vocabulary token score 0 / not good).
+
+    Scale shape: the model is vocabulary-bounded (broadcastable); the
+    corpus joins it on the token key map-side and aggregates per doc —
+    the shuffle carries (doc, token, tf) rows, never documents.
+    """
+    ex = (
+        df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    tf = ex.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("__tf"))
+    sc = (
+        tf.join(F.broadcast(model), "tok")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("__tf") * F.col("w")).alias("quality_score"))
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(sc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("quality_score", F.lit(0)).cast("long").alias("quality_score"),
+            (F.coalesce("quality_score", F.lit(0)) > 0).alias("is_good"),
+        )
+    )
+
+
+def bigram_lm_score_split(
+    fit_df: DataFrame,
+    score_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """`bigram_lm_score` with the CCNet train/score split: bigram counts
+    are FIT on a reference slice and a (different) target slice is scored
+    against them — removing the self-reference of the one-frame form,
+    where a document's own transitions inflate its fluency.  Same output
+    contract as bigram_lm_score: (id, n_bigrams, q_prob_sum, mean_prob),
+    with n_bigrams counting only the target doc's bigrams that appear in
+    the REFERENCE model (unseen transitions contribute nothing — the
+    fixed-point analogue of them scoring -inf and being excluded).
+
+    Scale shape: the reference aggregates once to a (bigram, prefix)
+    count model; the target's (doc, bigram, tf) aggregate joins it on the
+    bigram key — shuffle carries grams + counts on both sides, never
+    documents.
+    """
+    tok = tokens_col(text_col)
+    grams = F.when(
+        F.size(tok) >= 2,
+        F.zip_with(
+            F.slice(tok, 1, F.size(tok) - 1),
+            F.slice(tok, 2, F.size(tok) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ref = fit_df.select(F.explode(grams).alias("bg"))
+    c_bg = ref.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    w1 = F.split(F.col("bg"), " ", 2).getItem(0)
+    c_w1 = (
+        c_bg.select(w1.alias("__w1"), "c_bg")
+        .groupBy("__w1")
+        .agg(F.sum("c_bg").alias("c_w1"))
+    )
+    model = c_bg.withColumn("__w1", w1).join(c_w1, "__w1").select(
+        "bg", F.expr(f"({quant} * c_bg) div c_w1").alias("q")
+    )
+    ex = score_df.select(F.col(id_col), F.explode(grams).alias("bg"))
+    tf = ex.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("tf"))
+    agg = (
+        tf.join(model, "bg")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.sum(F.col("tf") * F.col("q")).cast("long").alias("q_prob_sum"),
+        )
+    )
+    return (
+        score_df.select(F.col(id_col))
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("q_prob_sum", F.lit(0)).cast("long").alias("q_prob_sum"),
+            F.when(
+                F.coalesce("n_bigrams", F.lit(0)) > 0,
+                F.col("q_prob_sum") / (F.lit(float(quant)) * F.col("n_bigrams")),
+            ).otherwise(F.lit(0.0)).alias("mean_prob"),
+        )
+    )

@@ -751,3 +751,119 @@ def t18_trained_lang_id(spark, sf_dir):
         .groupBy("lang", "predicted_lang")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+@register(
+    "t19_quality_classifier",
+    # TRAINED quality filter (the fastText stage of the GPT-3/LLaMA
+    # CommonCrawl recipe) with the t18 gate: the corpus labels here are
+    # synthetic (good = source 'src0'), so accuracy is meaningless HERE
+    # and is pinned instead on a separable pytest fixture — the oracle
+    # checks exactness of the whole train+score math.  Fixed-point linear
+    # weights w = q_good - q_bad (scaled class frequencies, integer div),
+    # score = sum tf*w, all BIGINT: q <= 1e6, per-doc sums ~2e8 << 2^53.
+    oracle=f"""
+    WITH ex AS (
+      SELECT (source = 'src0') AS good, unnest({_TOK}) AS tok
+      FROM documents WHERE doc_id % 2 = 0 AND source IS NOT NULL
+    ),
+    counts AS (
+      SELECT good, tok, count(*) AS c FROM ex WHERE tok <> '' GROUP BY 1, 2
+    ),
+    tot AS (SELECT good, sum(c) AS tot FROM counts GROUP BY 1),
+    q AS (
+      SELECT counts.good, tok, (1000000 * c) // tot AS q
+      FROM counts JOIN tot USING (good)
+    ),
+    w AS (
+      SELECT tok,
+             sum(CASE WHEN good THEN q ELSE 0 END)
+             - sum(CASE WHEN NOT good THEN q ELSE 0 END) AS w
+      FROM q GROUP BY tok
+    ),
+    sx AS (
+      SELECT doc_id, unnest({_TOK}) AS tok FROM documents WHERE doc_id % 2 = 1
+    ),
+    tf AS (
+      SELECT doc_id, tok, count(*) AS tf FROM sx WHERE tok <> '' GROUP BY 1, 2
+    ),
+    sc AS (
+      SELECT tf.doc_id, sum(tf * w.w) AS score
+      FROM tf JOIN w USING (tok) GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(sc.score, 0) AS BIGINT) AS quality_score,
+           coalesce(sc.score, 0) > 0 AS is_good
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+    LEFT JOIN sc USING (doc_id)
+    """,
+)
+def t19_quality_classifier(spark, sf_dir):
+    # Train the fixed-point quality model on even doc_ids (good = source
+    # 'src0'), score the odd ids (operators/text.py::train_quality_model /
+    # quality_score).
+    from era_parser_spark.operators.text import quality_score, train_quality_model
+
+    docs = table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "__good", F.col("source") == "src0"
+    )
+    model = train_quality_model(train, "text", "__good")
+    return quality_score(model, docs.filter(F.col("doc_id") % 2 == 1), "doc_id", "text")
+
+
+@register(
+    "t17b_bigram_lm_split",
+    # t17 with the CCNet train/score split: bigram + prefix counts FIT on
+    # even doc_ids, odd ids scored against them — no self-reference (a
+    # doc's own transitions no longer inflate its fluency).  n_bigrams
+    # counts only target bigrams present in the reference model (unseen
+    # transitions contribute nothing — the fixed-point analogue of -inf).
+    oracle=f"""
+    WITH tokd AS (SELECT doc_id, {_TOK} AS w FROM documents),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 2
+                  THEN list_transform(range(1, len(w)),
+                                      i -> w[i] || ' ' || w[i+1])
+                  ELSE CAST([] AS VARCHAR[]) END AS grams
+      FROM tokd
+    ),
+    fit AS (SELECT unnest(grams) AS bg FROM g WHERE doc_id % 2 = 0),
+    cbg AS (SELECT bg, count(*) AS c_bg FROM fit GROUP BY bg),
+    cw1 AS (
+      SELECT split_part(bg, ' ', 1) AS w1, sum(c_bg) AS c_w1
+      FROM cbg GROUP BY 1
+    ),
+    model AS (
+      SELECT bg, (1000000 * c_bg) // c_w1 AS q
+      FROM cbg JOIN cw1 ON cw1.w1 = split_part(cbg.bg, ' ', 1)
+    ),
+    sx AS (SELECT doc_id, unnest(grams) AS bg FROM g WHERE doc_id % 2 = 1),
+    tf AS (SELECT doc_id, bg, count(*) AS tf FROM sx GROUP BY 1, 2),
+    agg AS (
+      SELECT tf.doc_id, sum(tf) AS n_bigrams, sum(tf * q) AS q_prob_sum
+      FROM tf JOIN model USING (bg) GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(coalesce(q_prob_sum, 0) AS BIGINT) AS q_prob_sum,
+           CASE WHEN coalesce(n_bigrams, 0) > 0
+                THEN CAST(q_prob_sum AS DOUBLE) / (1000000.0 * n_bigrams)
+                ELSE CAST(0.0 AS DOUBLE) END AS mean_prob
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+    LEFT JOIN agg USING (doc_id)
+    """,
+)
+def t17b_bigram_lm_split(spark, sf_dir):
+    # Fit the bigram model on even doc_ids, score the odd ids
+    # (operators/text.py::bigram_lm_score_split).
+    from era_parser_spark.operators.text import bigram_lm_score_split
+
+    docs = table(spark, sf_dir, "documents")
+    return bigram_lm_score_split(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "doc_id",
+        "text",
+    )

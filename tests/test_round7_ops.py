@@ -225,3 +225,77 @@ def test_fuzzy_dedup_collapsed_plan_never_shingles_clones(spark):
     assert len(rows) == 64
     assert all(r["cluster_id"] == 0 and r["cluster_sz"] == 64 for r in rows)
     assert sum(r["kept"] for r in rows) == 1
+
+
+def test_quality_classifier_separable_fixture(spark):
+    """t19's gate: on a separable corpus (good docs use vocab A, bad docs
+    vocab B, shared filler everywhere), the trained fixed-point model
+    classifies HELD-OUT docs perfectly, and the weights have the right
+    sign structure (good-vocab tokens positive, bad-vocab negative)."""
+    from era_parser_spark.operators.text import quality_score, train_quality_model
+
+    filler = "the of and to in for on"
+    rows = []
+    for i in range(40):
+        good = i % 2 == 0
+        vocab = (
+            f"insight analysis rigorous method cite{i % 5} evidence"
+            if good
+            else f"click buy cheap spam winner{i % 5} free"
+        )
+        rows.append((i, f"{filler} {vocab} {filler}", good))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, label boolean")
+    train = docs.filter(F.col("doc_id") < 30)
+    test = docs.filter(F.col("doc_id") >= 30)
+    model = train_quality_model(train, "text", "label")
+    w = {r["tok"]: r["w"] for r in model.collect()}
+    assert w["insight"] > 0 and w["rigorous"] > 0
+    assert w["click"] < 0 and w["spam"] < 0
+
+    out = {
+        r["doc_id"]: (r["quality_score"], r["is_good"])
+        for r in quality_score(model, test, "doc_id", "text").collect()
+    }
+    assert len(out) == 10
+    for i, (score, is_good) in out.items():
+        want = i % 2 == 0
+        assert is_good == want and (score > 0) == want, (i, score)
+
+    # a doc with no in-vocabulary tokens scores 0 / not good
+    odd = spark.createDataFrame([(99, "zzz qqq")], "doc_id long, text string")
+    r = quality_score(model, odd, "doc_id", "text").first()
+    assert r["quality_score"] == 0 and r["is_good"] is False
+
+
+def test_bigram_lm_split_fluent_beats_shuffled_heldout(spark):
+    """t17b's gate: with the model FIT on a reference slice, a fluent
+    HELD-OUT doc (typical transitions) outscores a shuffled-token doc of
+    the same vocabulary — and neither scored doc's own transitions are in
+    the model (the self-reference the split removes)."""
+    from era_parser_spark.operators.text import bigram_lm_score, bigram_lm_score_split
+
+    sent = "the quick brown fox jumps over the lazy dog"
+    fit_rows = [(i, sent) for i in range(20)]  # reference: fluent corpus
+    fluent = (100, sent)
+    shuffled = (101, "dog the over quick lazy jumps fox brown the")
+    fit = spark.createDataFrame(fit_rows, "doc_id long, text string")
+    score = spark.createDataFrame([fluent, shuffled], "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["mean_prob"]
+        for r in bigram_lm_score_split(fit, score, "doc_id", "text").collect()
+    }
+    assert out[100] > out[101], out
+
+    # self-reference check: in the ONE-frame form a shuffled doc scores
+    # itself (its own transitions are in the corpus counts); under the
+    # split the same doc's unseen transitions contribute nothing
+    both = fit.unionByName(score)
+    one_frame = {
+        r["doc_id"]: r["q_prob_sum"]
+        for r in bigram_lm_score(both, "doc_id", "text").collect()
+    }
+    split_form = {
+        r["doc_id"]: r["q_prob_sum"]
+        for r in bigram_lm_score_split(fit, score, "doc_id", "text").collect()
+    }
+    assert one_frame[101] > 0 and split_form[101] < one_frame[101]
