@@ -1025,7 +1025,14 @@ def tfidf_cosine_pairs(
     string — the same sum(df^2) expansion as every inverted-index
     verifier, so `max_doc_freq` (the dd2 hot-shingle guard) bounds viral
     terms; norms still count ALL terms, making guarded cosines a strict
-    lower bound.  Top pairs with total tie-break ordering.
+    lower bound.  Top pairs with total tie-break ordering.  The guard is
+    LOAD-BEARING (8x rehearsal, docs/PLANS.md round 7: on a clone-heavy
+    corpus whose vocabulary saturates the cutoff it drops the whole
+    index — 0 pairs — while ungated the join is ~sum(df^2) ~ 10^9 rows);
+    at scale, if guarded recall is insufficient, compose LSH candidates
+    (dd3/s6) with pair-bounded TF-IDF scoring instead (the dd9
+    `lsh_exact_pairs_bounded` pattern: ship each candidate doc's weighted
+    term vector per pair, never self-join the index).
 
     Output: (doc_a, doc_b, dot, cosine) — `dot` exposed for exactness
     audits.

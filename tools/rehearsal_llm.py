@@ -103,6 +103,11 @@ def main() -> int:
         "--dd9-only", action="store_true",
         help="run only the dd9 phases (skip dd10/t11/t9/p7)",
     )
+    ap.add_argument(
+        "--sim", action="store_true",
+        help="run the similarity/pair-join tier (s6 SRP-LSH, dd8 SemDeDup, "
+        "dd13 TF-IDF pairs) at 8x instead of the text phases",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -155,6 +160,69 @@ def main() -> int:
         out[name] = rec
         print(f"{name}: {rec}", file=sys.stderr)
         return rec
+
+    if args.sim:
+        # -- similarity / pair-join tier at 8x (round-7 verdict item #4) --
+        # embeddings corpus: replicas are NEAR-dups in cosine space (dim 0
+        # gets a small per-replica additive offset — deterministic, no
+        # RNG), so cross-replica pairs sit above every verify threshold:
+        # the dense-cluster stress the bucket/cell guards exist for.
+        from era_parser_spark.operators.dedup import tfidf_cosine_pairs
+        from era_parser_spark.operators.similarity import (
+            centroid_table,
+            semantic_dedup,
+            srp_lsh_pairs,
+        )
+
+        emb_path = os.path.join(args.base, f"emb_x{args.replicas}")
+        if not os.path.exists(os.path.join(emb_path, "_SUCCESS")):
+            base_e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+                "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+            )
+            eparts = []
+            for kk in range(args.replicas):
+                pert = F.concat(
+                    F.array(F.element_at("embedding", 1) + F.lit(kk * 0.01)),
+                    F.slice("embedding", 2, 63),
+                )
+                eparts.append(
+                    base_e.select(
+                        (F.col("vec_id") + kk * 1_000_000).alias("vec_id"),
+                        (F.col("embedding") if kk == 0 else pert).alias("embedding"),
+                    )
+                )
+            alle = eparts[0]
+            for p in eparts[1:]:
+                alle = alle.unionByName(p)
+            alle.repartition(32).write.mode("overwrite").parquet(emb_path)
+        emb8 = spark.read.parquet(emb_path)
+        out["emb_corpus"] = {"vectors": emb8.count()}
+        print(f"emb corpus: {out['emb_corpus']}", file=sys.stderr)
+
+        # planes sized to the corpus (12 bits ~ 4096 buckets for 16k
+        # vectors; the registry's 8 bits is sized for sf0.01's 500)
+        phase(
+            "s6_srp_lsh_pairs",
+            lambda: srp_lsh_pairs(
+                emb8, "embedding", "vec_id",
+                n_tables=4, n_planes=12, top_pairs=100, dim=64,
+            ).count(),
+        )
+        cents = centroid_table(emb8, "embedding", "vec_id", stride=5, k=256)
+        phase(
+            "dd8_semantic_dedup",
+            lambda: semantic_dedup(
+                emb8, "embedding", "vec_id", cents, threshold=0.95
+            ).count(),
+        )
+        phase(
+            "dd13_tfidf_pairs",
+            lambda: tfidf_cosine_pairs(
+                docs, "doc_id", "text", top_pairs=100, max_doc_freq=100
+            ).count(),
+        )
+        print(json.dumps(out))
+        return 0
 
     if not args.dd9_only:
         r = phase(
