@@ -1078,3 +1078,105 @@ def tfidf_cosine_pairs(
         .orderBy(F.desc("cosine"), "doc_a", "doc_b")
         .limit(top_pairs)
     )
+
+
+def tfidf_pairs_bounded(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    idf_scale: int = 10_000,
+    max_df_candidates: int = 20,
+    top_pairs: int | None = None,
+) -> DataFrame:
+    """TF-IDF cosine pairs with RARE-TERM BLOCKING + pair-bounded exact
+    scoring — the scale-safe composition the dd13 8x rehearsal finding
+    calls for (docs/PLANS.md round 7).
+
+    `tfidf_cosine_pairs`' guard faces a dilemma on clone-heavy corpora:
+    ungated, the inverted-index self-join pays sum(df^2); gated, dropped
+    viral terms are missing from the DOT (guarded cosines are lower
+    bounds, and a saturated vocabulary yields zero pairs).  This operator
+    splits the two roles the index join was serving:
+
+    - CANDIDATES come from rare terms only (df <= max_df_candidates) —
+      classic discriminative-term blocking; the join cost is
+      sum_over_rare_terms(df^2) <= max_df_candidates * index rows:
+      LINEAR in the corpus for a fixed cutoff.
+    - SCORING is the TRUE cosine over ALL terms (viral ones included):
+      each candidate doc ships its full (term, weight) vector once per
+      pair (the lsh_exact_pairs_bounded shape) and the integer dot is an
+      aggregate fold with a native map lookup per term — pair-bounded,
+      no df^2 term anywhere in scoring.
+
+    Recall contract: a pair is found iff it shares >= 1 term with df <=
+    max_df_candidates; its cosine is then EXACT (unlike the guarded
+    lower bound).  Same integer-weight exactness as dd13 (w = tf *
+    (idf_scale div df), BIGINT dot/norms, DECIMAL(10,6)-quantized
+    cosine).  Output: (doc_a, doc_b, dot, cosine), cosine >= threshold,
+    optionally top `top_pairs` by (cosine desc, doc_a, doc_b).
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_col(text_col)).alias("__t")
+    ).filter(F.col("__t") != "")
+    tf = toks.groupBy(id_col, "__t").agg(F.count(F.lit(1)).alias("__tf"))
+    dfreq = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    w = tf.join(dfreq, "__t").select(
+        F.col(id_col),
+        "__t",
+        (F.col("__tf") * F.expr(f"{idf_scale} div __df")).alias("__w"),
+        "__df",
+    )
+    # candidate pairs: equi-join restricted to RARE terms
+    rare = w.filter(F.col("__df") <= max_df_candidates).select(id_col, "__t")
+    ra = rare.select(F.col(id_col).alias("doc_a"), "__t")
+    rb = rare.select(F.col(id_col).alias("doc_b"), "__t")
+    cands = (
+        ra.join(rb, "__t")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # full weighted vectors, one row per doc (sorted for determinism)
+    vecs = w.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("__t", "__w")))
+        ).alias("__m"),
+        F.sum(F.col("__w") * F.col("__w")).alias("__n2"),
+    )
+    va = vecs.select(
+        F.col(id_col).alias("doc_a"), F.col("__m").alias("__ma"),
+        F.col("__n2").alias("__na"),
+    )
+    vb = vecs.select(
+        F.col(id_col).alias("doc_b"), F.col("__m").alias("__mb"),
+        F.col("__n2").alias("__nb"),
+    )
+    dot = F.aggregate(
+        F.map_entries("__ma"),
+        F.lit(0).cast("bigint"),
+        lambda acc, e: acc
+        + e.getField("value")
+        * F.coalesce(F.element_at("__mb", e.getField("key")), F.lit(0)),
+    )
+    cos = (
+        (
+            F.col("dot").cast("double")
+            / F.sqrt(F.col("__na").cast("double") * F.col("__nb").cast("double"))
+        )
+        .cast("decimal(10,6)")
+        .cast("double")
+    )
+    out = (
+        cands.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .withColumn("dot", dot)
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("doc_a", "doc_b", "dot", "cosine")
+    )
+    if top_pairs is not None:
+        out = out.orderBy(
+            F.desc("cosine"), F.asc("doc_a"), F.asc("doc_b")
+        ).limit(top_pairs)
+    return out

@@ -907,3 +907,61 @@ def dd14_bloom_decontaminate(spark, sf_dir):
     train = docs.filter(F.col("doc_id") % 17 != 0)
     bench = docs.filter(F.col("doc_id") % 17 == 0)
     return bloom_decontaminate(train, bench, "doc_id", "text", n=3)
+
+
+@register(
+    "dd13b_tfidf_pairs_bounded",
+    # The scale-safe dd13 composition (rare-term blocking + pair-bounded
+    # exact scoring — the 8x rehearsal finding's fix): candidates from
+    # terms with df <= 50, then the TRUE cosine over ALL terms per
+    # candidate pair.  Integer weights w = tf * (10^4 // df), BIGINT
+    # dot/norms, DECIMAL(10,6)-quantized cosine — same exactness as dd13;
+    # the whole pipeline (blocking included) is plain SQL.
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, t, count(*) AS tf FROM toks WHERE t <> '' GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+    w AS (
+      SELECT tf.doc_id, tf.t, tf.tf * (10000 // df) AS w, df
+      FROM tf JOIN dfreq USING (t)
+    ),
+    norms AS (SELECT doc_id, sum(w * w) AS n2 FROM w GROUP BY 1),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM w a JOIN w b ON a.t = b.t AND a.doc_id < b.doc_id
+      WHERE a.df <= 50 AND b.df <= 50
+    ),
+    dots AS (
+      SELECT c.doc_a, c.doc_b, sum(a.w * b.w) AS dot
+      FROM cand c
+      JOIN w a ON a.doc_id = c.doc_a
+      JOIN w b ON b.doc_id = c.doc_b AND b.t = a.t
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT d.doc_a, d.doc_b, CAST(d.dot AS BIGINT) AS dot,
+             CAST(CAST(CAST(d.dot AS DOUBLE)
+               / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))
+             AS DECIMAL(10,6)) AS DOUBLE) AS cosine
+      FROM dots d
+      JOIN norms na ON na.doc_id = d.doc_a
+      JOIN norms nb ON nb.doc_id = d.doc_b
+    )
+    SELECT doc_a, doc_b, dot, cosine FROM scored WHERE cosine >= 0.8
+    """,
+)
+def dd13b_tfidf_pairs_bounded(spark, sf_dir):
+    # Rare-term-blocked TF-IDF pairs with exact pair-bounded scoring
+    # (operators/dedup.py::tfidf_pairs_bounded).
+    from era_parser_spark.operators.dedup import tfidf_pairs_bounded
+
+    docs = table(spark, sf_dir, "documents")
+    return tfidf_pairs_bounded(
+        docs, "doc_id", "text", threshold=0.8, max_df_candidates=50
+    )

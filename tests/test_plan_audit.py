@@ -487,3 +487,57 @@ def test_bloom_decontaminate_train_side_never_shuffles(spark, queries):
     # which would mean the dd7-style inverted-index join came back
     assert exchanges.count("doc_id") == 1
     assert set(exchanges) <= {"doc_id", "bit", "w"}
+
+
+# ---------------------------------------------------------------------------
+# round-7 plans
+# ---------------------------------------------------------------------------
+
+
+def test_dd9_default_uses_pair_bounded_verify(spark):
+    """fuzzy_dedup's exact default must verify candidates with the
+    pair-bounded array_intersect plan, NOT the inverted-index self-join
+    (the round-6 sum(df^2) blowup — docs/PLANS.md round 7).  The CC stage
+    checkpoints (truncating lineage), so audit the verify stage itself:
+    lsh_exact_pairs_bounded IS what the default dispatches to."""
+    from era_parser_spark.operators.dedup import lsh_exact_pairs_bounded
+    from era_parser_spark.plans import formatted_plan
+    from era_parser_spark.queries.registry import table
+
+    docs = table(spark, SF_MED, "documents")
+    plan = formatted_plan(
+        lsh_exact_pairs_bounded(docs, "doc_id", "text", threshold=0.5)
+    )
+    assert "array_intersect" in plan
+    assert "collect_set" in plan  # per-doc shingle-hash set aggregation
+
+
+def test_s11_all_joins_broadcast(spark, queries):
+    """IVF-PQ search never shuffle-joins: routing is a broadcast semi
+    join, codebook/ADC ride one-row broadcasts, scoring is per-row map
+    lookups (element_at)."""
+    from era_parser_spark.plans import formatted_plan, plan_summary
+
+    df = queries["s11_ivf_pq_search"](spark, SF_MED)
+    assert plan_summary(df)["sort_merge_joins"] == 0
+    plan = formatted_plan(df)
+    assert "map_from_entries" in plan and "element_at" in plan
+
+
+def test_dd13b_pair_bounded_scoring_no_cartesian(spark, queries):
+    """dd13b: candidates come from an equi-join on the rare-term key and
+    scoring is per-pair map aggregation — no cartesian/unkeyed join
+    anywhere, and the full-vector maps appear in the plan."""
+    from era_parser_spark.plans import formatted_plan
+
+    plan = formatted_plan(queries["dd13b_tfidf_pairs_bounded"](spark, SF_MED))
+    assert "CartesianProduct" not in plan
+    assert "map_from_entries" in plan
+
+
+def test_t19_model_broadcasts(spark, queries):
+    """t19's vocabulary-bounded model must broadcast onto the corpus
+    token stream (never shuffle the corpus by token against it)."""
+    from era_parser_spark.plans import broadcast_join_count
+
+    assert broadcast_join_count(queries["t19_quality_classifier"](spark, SF_MED)) >= 1

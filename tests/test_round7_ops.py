@@ -299,3 +299,54 @@ def test_bigram_lm_split_fluent_beats_shuffled_heldout(spark):
         for r in bigram_lm_score_split(fit, score, "doc_id", "text").collect()
     }
     assert one_frame[101] > 0 and split_form[101] < one_frame[101]
+
+
+def test_tfidf_bounded_exact_scores_and_recall_contract(spark):
+    """dd13b's two claims: (1) for pairs it finds, the cosine is the TRUE
+    ungated TF-IDF cosine (viral terms included — where guarded dd13
+    reports only a lower bound); (2) the recall contract is exactly
+    'shares >= 1 rare term': rare-term pairs are found, viral-only pairs
+    are not."""
+    from era_parser_spark.operators.dedup import (
+        tfidf_cosine_pairs,
+        tfidf_pairs_bounded,
+    )
+
+    viral = "the common boilerplate header everyone shares " * 3
+    rows = [
+        (1, f"{viral} uniq_ab research alpha"),
+        (2, f"{viral} uniq_ab research beta"),   # pair (1,2): rare uniq_ab
+        (3, f"{viral} uniq_cd method gamma"),
+        (4, f"{viral} uniq_cd method delta"),    # pair (3,4): rare uniq_cd
+        (5, f"{viral} solo epsilon zeta"),       # viral-only overlaps
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # every term in <= 5 docs here, so rare cutoff 2 isolates uniq_* terms
+    bounded = {
+        (r["doc_a"], r["doc_b"]): (r["dot"], r["cosine"])
+        for r in tfidf_pairs_bounded(
+            docs, "doc_id", "text", threshold=0.0, max_df_candidates=2
+        ).collect()
+    }
+    assert set(bounded) == {(1, 2), (3, 4)}  # recall contract
+
+    # true (ungated) cosines for comparison
+    true_pairs = {
+        (r["doc_a"], r["doc_b"]): (r["dot"], r["cosine"])
+        for r in tfidf_cosine_pairs(
+            docs, "doc_id", "text", top_pairs=100, max_doc_freq=None
+        ).collect()
+    }
+    for pair, (dot, cosine) in bounded.items():
+        assert true_pairs[pair] == (dot, cosine), pair
+
+    # guarded dd13 at the same cutoff understates the same pairs (its dot
+    # drops the viral terms) — the deficiency dd13b exists to fix
+    guarded = {
+        (r["doc_a"], r["doc_b"]): r["cosine"]
+        for r in tfidf_cosine_pairs(
+            docs, "doc_id", "text", top_pairs=100, max_doc_freq=2
+        ).collect()
+    }
+    for pair in bounded:
+        assert guarded[pair] < bounded[pair][1], pair

@@ -221,6 +221,16 @@ def main() -> int:
                 docs, "doc_id", "text", top_pairs=100, max_doc_freq=100
             ).count(),
         )
+        from era_parser_spark.operators.dedup import tfidf_pairs_bounded
+
+        # the round-7 composition: rare-term blocking + pair-bounded TRUE
+        # cosine — cutoff sized to the 8x corpus (base df x8)
+        phase(
+            "dd13b_tfidf_bounded",
+            lambda: tfidf_pairs_bounded(
+                docs, "doc_id", "text", threshold=0.8, max_df_candidates=800
+            ).count(),
+        )
         print(json.dumps(out))
         return 0
 
