@@ -963,6 +963,71 @@ def incremental_topk(
     )
 
 
+def pq_codebook(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    m: int = 4,
+    k: int = 16,
+    stride: int = 25,
+    trainer: str = "stride",
+    seed: int = 42,
+    max_train_rows: int = 10_000,
+) -> DataFrame:
+    """(code_id, v) PQ codebook frame — `v` is a COMPOSITE vector whose
+    j-th slice is subspace j's code center, so every consumer (pq_codes /
+    ivf_pq_topk) slices it per subspace without caring how it was
+    trained.
+
+    trainer="stride" (default): the first k corpus vectors whose id
+    divides `stride` — deterministic, SQL-rederivable (the oracle path).
+
+    trainer="kmeans": m INDEPENDENT per-subspace Spark ML KMeans fits
+    (Jegou §III: each subspace gets its own quantizer) on a bounded
+    training sample; center i of each subspace concatenates into
+    composite code i.  Real codebook quality for production recall — on
+    data PQ-representable only after training, stride seeds can't span
+    the subspace clusters.  Deterministic for a fixed seed.
+    """
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d = dim // m
+    emb = F.col(vec_col).cast("array<double>")
+    if trainer == "stride":
+        return (
+            df.filter((F.col(id_col) % stride) == 0)
+            .orderBy(id_col)
+            .limit(k)
+            .select(F.col(id_col).alias("code_id"), emb.alias("v"))
+        )
+    if trainer != "kmeans":
+        raise ValueError(f"unknown PQ trainer: {trainer!r}")
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = df.select(emb.alias("v")).limit(max_train_rows).cache()
+    n_train = train.count()
+    if n_train < 2:
+        raise ValueError(
+            "kmeans PQ trainer needs >= 2 training vectors; "
+            "use trainer='stride' for tiny corpora"
+        )
+    k_eff = min(k, n_train)
+    centers: list[list[list[float]]] = []
+    for j in range(m):
+        sub = train.select(
+            array_to_vector(F.slice("v", j * d + 1, d)).alias("features")
+        )
+        model = KMeans(k=k_eff, seed=seed + j, maxIter=20).fit(sub)
+        centers.append([[float(x) for x in c] for c in model.clusterCenters()])
+    train.unpersist()
+    rows = [
+        (i, [x for j in range(m) for x in centers[j][i]]) for i in range(k_eff)
+    ]
+    return df.sparkSession.createDataFrame(rows, "code_id long, v array<double>")
+
+
 def pq_codes(
     df: DataFrame,
     vec_col: str,
@@ -971,6 +1036,7 @@ def pq_codes(
     m: int = 4,
     k: int = 16,
     stride: int = 25,
+    trainer: str = "stride",
 ) -> DataFrame:
     """Product-quantization encoding (Jegou et al. 2011, "Product
     Quantization for Nearest Neighbor Search"): the vector splits into m
@@ -978,11 +1044,11 @@ def pq_codes(
     per-subspace codebook — a 100 TB corpus compresses to m small ints
     per vector, and asymmetric distances are table lookups.
 
-    Codebooks use the deterministic stride seeding `centroid_table`
-    established (first k vectors whose id divides `stride`, subsliced per
-    subspace) — reproducible in plain SQL, so the ENTIRE encoding is
-    oracle-checkable; swap in per-subspace KMeans for production quality
-    behind the same signature (the s2 kmeans trainer precedent).
+    Codebooks come from `pq_codebook`: trainer="stride" (default) is the
+    deterministic SQL-rederivable seeding — the ENTIRE encoding is
+    oracle-checkable; trainer="kmeans" swaps in per-subspace Spark ML
+    KMeans for production quality behind the same signature (the s2
+    kmeans trainer precedent; recall vs stride pinned in pytest).
 
     Output: one row per (vector, subspace) — (id, sub, code) — integer
     only, no float columns (argmin ties break on code id, matching the
@@ -996,11 +1062,8 @@ def pq_codes(
         raise ValueError(f"dim {dim} not divisible by m {m}")
     d = dim // m
     emb = F.col(vec_col).cast("array<double>")
-    seeds = (
-        df.filter((F.col(id_col) % stride) == 0)
-        .orderBy(id_col)
-        .limit(k)
-        .select(F.col(id_col).alias("code_id"), emb.alias("v"))
+    seeds = pq_codebook(
+        df, vec_col, id_col, dim, m=m, k=k, stride=stride, trainer=trainer
     )
     cb = seeds.agg(F.collect_list(F.struct("code_id", "v")).alias("cbs"))
     joined = df.select(F.col(id_col), emb.alias("__e")).crossJoin(
@@ -1038,6 +1101,7 @@ def ivf_pq_topk(
     stride: int = 25,
     n_centroids: int = 64,
     nprobe: int = 3,
+    trainer: str = "stride",
 ) -> DataFrame:
     """IVF-PQ ADC search (Jegou et al. 2011 §IV): route the query to the
     `nprobe` nearest IVF cells (s2's coarse quantizer), then rank the
@@ -1059,6 +1123,11 @@ def ivf_pq_topk(
 
     Output: (id, adc_dist) — the k candidates with smallest ADC distance,
     ties on id.  Smaller is nearer (squared-L2 semantics).
+
+    ``trainer``: "stride" (default, the oracle path) or "kmeans" —
+    Spark-ML-trained coarse centroids AND per-subspace PQ codebooks
+    (centroid_table / pq_codebook), production recall behind the same
+    signature.
     """
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
@@ -1067,7 +1136,9 @@ def ivf_pq_topk(
     q = lit_vector(query)
 
     # -- coarse routing (s2 machinery): nprobe nearest cells --
-    centroids = centroid_table(df, vec_col, id_col, stride, n_centroids)
+    centroids = centroid_table(
+        df, vec_col, id_col, stride, n_centroids, trainer=trainer
+    )
     probe = (
         centroids.select(
             "centroid_id", sq_l2_expr(F.col("cvec"), q).alias("qdist")
@@ -1082,12 +1153,10 @@ def ivf_pq_topk(
         .select(F.col(id_col), emb.alias("__e"))
     )
 
-    # -- PQ codebook (s10 seeding) + per-subspace ADC maps, ONE row --
-    seeds = (
-        df.filter((F.col(id_col) % stride) == 0)
-        .orderBy(id_col)
-        .limit(n_codes)
-        .select(F.col(id_col).alias("code_id"), emb.alias("v"))
+    # -- PQ codebook (pq_codebook: stride seeding or per-subspace
+    # KMeans) + per-subspace ADC maps, ONE row --
+    seeds = pq_codebook(
+        df, vec_col, id_col, dim, m=m, k=n_codes, stride=stride, trainer=trainer
     )
     cb = seeds.agg(F.collect_list(F.struct("code_id", "v")).alias("cbs"))
 

@@ -350,3 +350,62 @@ def test_tfidf_bounded_exact_scores_and_recall_contract(spark):
     }
     for pair in bounded:
         assert guarded[pair] < bounded[pair][1], pair
+
+
+def test_pq_kmeans_trainer_beats_pathological_stride_seeds(spark):
+    """trainer='kmeans' for the PQ codebook (per-subspace Spark ML fits):
+    deterministic for a fixed seed, and on a corpus whose stride-seed ids
+    all fall in ONE cluster (so the stride codebook can't span the data)
+    the trained codebook recovers the recall the stride path loses."""
+    import numpy as np
+
+    from era_parser_spark.operators.similarity import cosine_topk, ivf_pq_topk
+
+    rng = np.random.default_rng(11)
+    m, d, K = 4, 16, 16
+    protos = rng.normal(size=(m, K, d))
+    rows = []
+    # ids 0,25,..,375 (the stride seeds) are all tiny variations of ONE
+    # prototype combo — a degenerate codebook for the stride trainer
+    combo0 = [0, 0, 0, 0]
+    for s in range(16):
+        v = np.concatenate(
+            [protos[j, combo0[j]] for j in range(m)]
+        ) + rng.normal(scale=0.01, size=m * d)
+        rows.append((s * 25, [float(x) for x in v]))
+    nid = 400
+    for _ in range(480):
+        combo = rng.integers(0, K, size=m)
+        v = np.concatenate(
+            [protos[j, combo[j]] for j in range(m)]
+        ) + rng.normal(scale=0.05, size=m * d)
+        if nid % 25 == 0:
+            nid += 1
+        rows.append((nid, [float(x) for x in v]))
+        nid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    recalls = {"stride": [], "kmeans": []}
+    for qid in (405, 488, 696):
+        q = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == qid).first()["embedding"]
+        ]
+        brute = [
+            r.vec_id
+            for r in cosine_topk(emb, "embedding", "vec_id", q, k=10).collect()
+        ]
+        for trainer in ("stride", "kmeans"):
+            approx = [
+                r.vec_id
+                for r in ivf_pq_topk(
+                    emb, "embedding", "vec_id", q, dim=64, k=10, nprobe=5,
+                    trainer=trainer,
+                ).collect()
+            ]
+            recalls[trainer].append(len(set(brute) & set(approx)))
+    s_mean = sum(recalls["stride"]) / 30
+    k_mean = sum(recalls["kmeans"]) / 30
+    print(f"pq recall stride={recalls['stride']} kmeans={recalls['kmeans']}")
+    assert k_mean > s_mean, (recalls)
+    assert k_mean >= 0.5, recalls
