@@ -60,6 +60,7 @@ HEADLINE = [
     # round-7 additions (like-for-like vs r6: list above is unchanged)
     "s11_ivf_pq_search",
     "t19_quality_classifier",
+    "s11b_ivf_pq_residual",
 ]
 
 

@@ -1200,3 +1200,140 @@ def ivf_pq_topk(
         .orderBy("adc_dist", id_col)
         .limit(k)
     )
+
+
+def ivf_pq_residual_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    dim: int,
+    k: int = 10,
+    m: int = 4,
+    n_codes: int = 16,
+    stride: int = 25,
+    n_centroids: int = 64,
+    nprobe: int = 3,
+    trainer: str = "stride",
+) -> DataFrame:
+    """IVFADC proper (Jegou et al. 2011 §IV-A): PQ encodes the RESIDUAL
+    v - c(v) of each vector from its coarse centroid, and the query's ADC
+    tables are built per probed cell from (q - c).  Residuals are smaller
+    than raw vectors, so the same m x n_codes budget quantizes finer —
+    the production IVF-PQ layout (`ivf_pq_topk` is the simpler
+    raw-vector variant; this one adds per-cell ADC tables, keyed
+    centroid_id * n_codes + code_rank in m broadcast maps).
+
+    Everything stays deterministic and SQL-rederivable (stride trainer):
+    the codebook is PQ over the stride seeds' residuals, code ranks are
+    the row_number over code_id, argmin ties break on rank, and the
+    surfaced distance ||(q - c) - pq(r)||^2 is a fixed-order float sum
+    DECIMAL(10,6)-quantized (the s11 rule).  trainer="kmeans" trains the
+    coarse quantizer AND the per-subspace codebooks on residuals.
+
+    Output: (id, adc_dist) ascending, ties on id.
+    """
+    from pyspark.sql import Window as W
+
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d = dim // m
+    emb = F.col(vec_col).cast("array<double>")
+    q = lit_vector(query)
+
+    centroids = centroid_table(
+        df, vec_col, id_col, stride, n_centroids, trainer=trainer
+    )
+    probe = (
+        centroids.select(
+            "centroid_id", "cvec", sq_l2_expr(F.col("cvec"), q).alias("qdist")
+        )
+        .orderBy("qdist", "centroid_id")
+        .limit(nprobe)
+        .select("centroid_id", "cvec")
+    )
+    # whole-corpus residual frame (assignment + subtract; the seeds
+    # filter pushes through the broadcast join, so the codebook path
+    # touches only the stride rows)
+    cents_arr = centroids.select(
+        F.col("centroid_id"), F.col("cvec").alias("__cv")
+    )
+    resid_all = (
+        ivf_assign(df, vec_col, id_col, centroids)
+        .join(F.broadcast(cents_arr), "centroid_id")
+        .select(
+            F.col(id_col),
+            F.col("centroid_id"),
+            F.zip_with(emb, F.col("__cv"), lambda x, y: x - y).alias("__r"),
+        )
+    )
+    # Codebook over RESIDUALS.  Stride seeds use offset 1 (id % stride ==
+    # 1), NOT the centroid offset 0: a vector that IS a coarse centroid
+    # has residual zero, and 16 zero codes would degenerate ADC to pure
+    # cell distance (ranking inside the cell lost).
+    if trainer == "stride":
+        seeds = (
+            resid_all.filter((F.col(id_col) % stride) == 1)
+            .orderBy(id_col)
+            .limit(n_codes)
+            .select(F.col(id_col).alias("code_id"), F.col("__r").alias("v"))
+        )
+    else:
+        seeds = pq_codebook(
+            resid_all, "__r", id_col, dim, m=m, k=n_codes, stride=stride,
+            trainer=trainer,
+        )
+    seeds = seeds.withColumn("rank", F.row_number().over(W.orderBy("code_id")) - 1)
+    cb = seeds.agg(F.collect_list(F.struct("rank", "v")).alias("cbs"))
+
+    def _adc_entry(j):
+        # per probed cell: qres = (q - cvec) sliced to subspace j; key =
+        # centroid_id * n_codes + rank (injective; both factors bounded)
+        return lambda c: F.struct(
+            (F.col("centroid_id") * n_codes + c.getField("rank")).alias("key"),
+            sq_l2_expr(
+                F.slice(F.zip_with(q, F.col("cvec"), lambda x, y: x - y),
+                        j * d + 1, d),
+                F.slice(c.getField("v"), j * d + 1, d),
+            ).alias("val"),
+        )
+
+    per_cell = probe.crossJoin(F.broadcast(cb)).select(
+        *[F.transform("cbs", _adc_entry(j)).alias(f"__e{j}") for j in range(m)]
+    )
+    adc = per_cell.agg(
+        *[
+            F.map_from_entries(
+                F.flatten(F.collect_list(F.col(f"__e{j}")))
+            ).alias(f"__adc{j}")
+            for j in range(m)
+        ]
+    ).crossJoin(cb)
+
+    cand = resid_all.join(
+        F.broadcast(probe.select("centroid_id")), "centroid_id", "semi"
+    ).select(id_col, "centroid_id", "__r")
+
+    def _scorer(j, sub):
+        return lambda c: F.struct(
+            sq_l2_expr(sub, F.slice(c.getField("v"), j * d + 1, d)).alias("dist"),
+            c.getField("rank").alias("rank"),
+        )
+
+    joined = cand.crossJoin(F.broadcast(adc))
+    dist = None
+    for j in range(m):
+        sub = F.slice(F.col("__r"), j * d + 1, d)
+        rank = F.array_min(F.transform("cbs", _scorer(j, sub))).getField("rank")
+        term = F.element_at(
+            F.col(f"__adc{j}"), F.col("centroid_id") * n_codes + rank
+        )
+        dist = term if dist is None else dist + term
+    return (
+        joined.select(
+            F.col(id_col),
+            dist.cast("decimal(10,6)").cast("double").alias("adc_dist"),
+        )
+        .orderBy("adc_dist", id_col)
+        .limit(k)
+    )

@@ -400,3 +400,93 @@ def s11_ivf_pq_search(spark, sf_dir):
         emb, "embedding", "vec_id", _query_vec(spark, sf_dir, 0),
         dim=64, k=10, m=4, n_codes=16, stride=25, n_centroids=64, nprobe=3,
     )
+
+
+@register(
+    "s11b_ivf_pq_residual",
+    # IVFADC proper (residual encoding): the s11 oracle extended with the
+    # residual frame (r = v - c(v), elementwise), offset-1 stride seeds
+    # (offset 0 would pick coarse centroids whose residual is zero — a
+    # degenerate codebook), code ranks by row_number over code_id, and
+    # per-probed-cell ADC distances between (q - cvec) and the seed
+    # residuals — same exact left-fold and parenthesized fixed-order sum
+    # as s11, DECIMAL(10,6)-quantized.
+    oracle="""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+      FROM embeddings WHERE vec_id % 25 = 0 ORDER BY vec_id LIMIT 64
+    ),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    assign AS (
+      SELECT e.vec_id, e.embedding::DOUBLE[] AS ev,
+             (SELECT c.cid FROM cent c
+               ORDER BY list_distance(e.embedding::DOUBLE[], c.cvec) ASC, c.cid ASC
+               LIMIT 1) AS centroid_id
+      FROM embeddings e
+    ),
+    resid AS (
+      SELECT a.vec_id, a.centroid_id,
+             list_transform(range(1, 65),
+               i -> a.ev[CAST(i AS INTEGER)] - c.cvec[CAST(i AS INTEGER)]) AS r
+      FROM assign a JOIN cent c ON c.cid = a.centroid_id
+    ),
+    probe AS (
+      SELECT c.cid, c.cvec FROM cent c, q
+      ORDER BY list_distance(c.cvec, q.qv) ASC, c.cid ASC LIMIT 3
+    ),
+    seeds AS (
+      SELECT vec_id AS code_id, r AS v FROM resid
+      WHERE vec_id % 25 = 1 ORDER BY vec_id LIMIT 16
+    ),
+    ranked AS (
+      SELECT code_id, v, row_number() OVER (ORDER BY code_id) - 1 AS rnk
+      FROM seeds
+    ),
+    cand AS (
+      SELECT vec_id, centroid_id, r FROM resid
+      WHERE centroid_id IN (SELECT cid FROM probe)
+    ),
+    codes AS (
+      SELECT cand.vec_id, cand.centroid_id, j,
+        (SELECT s.rnk FROM ranked s
+          ORDER BY list_distance(
+            cand.r[CAST(j*16+1 AS INTEGER):CAST(j*16+16 AS INTEGER)],
+            s.v[CAST(j*16+1 AS INTEGER):CAST(j*16+16 AS INTEGER)]
+          ) ASC, s.rnk ASC LIMIT 1) AS rnk
+      FROM cand, unnest(range(0, 4)) AS u(j)
+    ),
+    dists AS (
+      SELECT p.cid, s.rnk, j,
+        list_reduce(
+          list_transform(range(1, 17), i ->
+            ((q.qv[CAST(j*16 AS INTEGER)+i] - p.cvec[CAST(j*16 AS INTEGER)+i])
+              - s.v[CAST(j*16 AS INTEGER)+i])
+            * ((q.qv[CAST(j*16 AS INTEGER)+i] - p.cvec[CAST(j*16 AS INTEGER)+i])
+              - s.v[CAST(j*16 AS INTEGER)+i])),
+          (x, y) -> x + y) AS dist
+      FROM probe p, ranked s, unnest(range(0, 4)) AS u(j), q
+    ),
+    scored AS (
+      SELECT co.vec_id,
+        ((MAX(CASE WHEN co.j=0 THEN dd.dist END)
+          + MAX(CASE WHEN co.j=1 THEN dd.dist END))
+          + MAX(CASE WHEN co.j=2 THEN dd.dist END))
+          + MAX(CASE WHEN co.j=3 THEN dd.dist END) AS s
+      FROM codes co
+      JOIN dists dd ON dd.cid = co.centroid_id AND dd.rnk = co.rnk AND dd.j = co.j
+      GROUP BY co.vec_id
+    )
+    SELECT vec_id, CAST(CAST(s AS DECIMAL(10,6)) AS DOUBLE) AS adc_dist
+    FROM scored ORDER BY adc_dist ASC, vec_id ASC LIMIT 10
+    """,
+)
+def s11b_ivf_pq_residual(spark, sf_dir):
+    # IVFADC with residual encoding and per-cell ADC tables
+    # (operators/similarity.py::ivf_pq_residual_topk).
+    from era_parser_spark.operators.similarity import ivf_pq_residual_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    return ivf_pq_residual_topk(
+        emb, "embedding", "vec_id", _query_vec(spark, sf_dir, 0),
+        dim=64, k=10, m=4, n_codes=16, stride=25, n_centroids=64, nprobe=3,
+    )
