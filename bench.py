@@ -61,6 +61,7 @@ HEADLINE = [
     "s11_ivf_pq_search",
     "t19_quality_classifier",
     "s11b_ivf_pq_residual",
+    "s11c_ivf_pq_rerank",
 ]
 
 

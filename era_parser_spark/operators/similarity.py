@@ -1337,3 +1337,64 @@ def ivf_pq_residual_topk(
         .orderBy("adc_dist", id_col)
         .limit(k)
     )
+
+
+def ivf_pq_rerank_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    dim: int,
+    k: int = 10,
+    shortlist: int = 40,
+    m: int = 4,
+    n_codes: int = 16,
+    stride: int = 25,
+    n_centroids: int = 64,
+    nprobe: int = 3,
+    trainer: str = "stride",
+) -> DataFrame:
+    """IVFADC with re-ranking (Jegou et al. 2011 §V, "IVFADC+R"): the ADC
+    stage ranks the probed cells' members from their PQ codes alone and
+    keeps a `shortlist` (>> k); only those `shortlist` rows' FULL vectors
+    are then fetched and re-ranked by exact squared L2 to the query.  This
+    recovers most of the recall the code approximation loses while keeping
+    the scan memory-bounded: the corpus-wide pass still touches only cell
+    ids + m code ids per row, and the float vectors are read for a
+    constant `shortlist` rows, not per candidate.
+
+    Scale shape: the shortlist frame is k'-row tiny, so the re-rank is a
+    broadcast-hash join against the corpus — at 100 TB the exact fetch is
+    a second pruned pass over the id + vector columns with the broadcast
+    filter applied at the scan (in a production layout the vectors would
+    be fetched from an id-keyed store; the plan shape is the same:
+    shortlist broadcast, corpus never shuffles).  The second FileScan of
+    `df` is therefore by design, not an accidental recompute.
+
+    Determinism: the ADC stage is `ivf_pq_topk` (stride trainer is
+    SQL-rederivable); the exact distance is sq_l2_expr's left fold —
+    init 0.0 then ((0.0+t1)+t2)+... — which DuckDB's no-init list_reduce
+    reproduces bitwise (0.0+t1 is exact).  Both surfaced distances are
+    DECIMAL(10,6)-quantized (the s1 rule).
+
+    Output: (id, adc_dist, exact_dist), ascending exact_dist, ties on id.
+    """
+    short = ivf_pq_topk(
+        df, vec_col, id_col, query, dim, k=shortlist, m=m, n_codes=n_codes,
+        stride=stride, n_centroids=n_centroids, nprobe=nprobe, trainer=trainer,
+    )
+    emb = F.col(vec_col).cast("array<double>")
+    q = lit_vector(query)
+    return (
+        df.join(F.broadcast(short), id_col)
+        .select(
+            F.col(id_col),
+            F.col("adc_dist"),
+            sq_l2_expr(emb, q)
+            .cast("decimal(10,6)")
+            .cast("double")
+            .alias("exact_dist"),
+        )
+        .orderBy("exact_dist", id_col)
+        .limit(k)
+    )

@@ -490,3 +490,90 @@ def s11b_ivf_pq_residual(spark, sf_dir):
         emb, "embedding", "vec_id", _query_vec(spark, sf_dir, 0),
         dim=64, k=10, m=4, n_codes=16, stride=25, n_centroids=64, nprobe=3,
     )
+
+
+@register(
+    "s11c_ivf_pq_rerank",
+    # IVFADC+R: the s11 oracle's ADC pipeline kept to a 40-row shortlist
+    # CTE, then the shortlist's full vectors joined back and re-ranked by
+    # exact squared L2 — the same left fold as Spark's sq_l2_expr
+    # (list_reduce init = first element; 0.0 + t0 is exact), both
+    # distances DECIMAL(10,6)-quantized.
+    oracle="""
+    WITH cb AS (
+      SELECT vec_id AS code_id, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id % 25 = 0 ORDER BY vec_id LIMIT 16
+    ),
+    cent AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+      FROM embeddings WHERE vec_id % 25 = 0 ORDER BY vec_id LIMIT 64
+    ),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    assign AS (
+      SELECT e.vec_id, e.embedding::DOUBLE[] AS ev,
+             (SELECT c.cid FROM cent c
+               ORDER BY list_distance(e.embedding::DOUBLE[], c.cvec) ASC, c.cid ASC
+               LIMIT 1) AS centroid_id
+      FROM embeddings e
+    ),
+    probe AS (
+      SELECT c.cid FROM cent c, q
+      ORDER BY list_distance(c.cvec, q.qv) ASC, c.cid ASC LIMIT 3
+    ),
+    cand AS (
+      SELECT vec_id, ev FROM assign
+      WHERE centroid_id IN (SELECT cid FROM probe)
+    ),
+    codes AS (
+      SELECT cand.vec_id, j,
+        (SELECT c.code_id FROM cb c
+          ORDER BY list_distance(
+            cand.ev[CAST(j*16+1 AS INTEGER):CAST(j*16+16 AS INTEGER)],
+            c.v[CAST(j*16+1 AS INTEGER):CAST(j*16+16 AS INTEGER)]
+          ) ASC, c.code_id ASC LIMIT 1) AS code
+      FROM cand, unnest(range(0, 4)) AS u(j)
+    ),
+    dists AS (
+      SELECT co.vec_id, co.j,
+        list_reduce(
+          list_transform(range(1, 17), i ->
+            (c.v[CAST(co.j*16 AS INTEGER)+i] - q.qv[CAST(co.j*16 AS INTEGER)+i])
+            * (c.v[CAST(co.j*16 AS INTEGER)+i] - q.qv[CAST(co.j*16 AS INTEGER)+i])),
+          (x, y) -> x + y) AS dist
+      FROM codes co JOIN cb c ON c.code_id = co.code, q
+    ),
+    short AS (
+      SELECT vec_id,
+             CAST(CAST(
+               ((MAX(CASE WHEN j=0 THEN dist END)
+                 + MAX(CASE WHEN j=1 THEN dist END))
+                 + MAX(CASE WHEN j=2 THEN dist END))
+                 + MAX(CASE WHEN j=3 THEN dist END)
+             AS DECIMAL(10,6)) AS DOUBLE) AS adc_dist
+      FROM dists GROUP BY vec_id
+      ORDER BY adc_dist ASC, vec_id ASC LIMIT 40
+    )
+    SELECT s.vec_id, s.adc_dist,
+           CAST(CAST(list_reduce(
+             list_transform(range(1, 65), i ->
+               (e.embedding[CAST(i AS INTEGER)]::DOUBLE - q.qv[CAST(i AS INTEGER)])
+               * (e.embedding[CAST(i AS INTEGER)]::DOUBLE - q.qv[CAST(i AS INTEGER)])),
+             (x, y) -> x + y) AS DECIMAL(10,6)) AS DOUBLE) AS exact_dist
+    FROM short s JOIN embeddings e ON e.vec_id = s.vec_id, q
+    ORDER BY exact_dist ASC, s.vec_id ASC LIMIT 10
+    """,
+)
+def s11c_ivf_pq_rerank(spark, sf_dir):
+    # IVFADC+R (operators/similarity.py::ivf_pq_rerank_topk): ADC
+    # shortlist from codes alone, exact re-rank of the shortlist's full
+    # vectors — completes the production retrieval recipe on top of
+    # s11/s11b.  Recall@10 vs s1 brute force pinned in
+    # tests/test_round7_ops.py (re-rank dominates plain ADC).
+    from era_parser_spark.operators.similarity import ivf_pq_rerank_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    return ivf_pq_rerank_topk(
+        emb, "embedding", "vec_id", _query_vec(spark, sf_dir, 0),
+        dim=64, k=10, shortlist=40, m=4, n_codes=16, stride=25,
+        n_centroids=64, nprobe=3,
+    )

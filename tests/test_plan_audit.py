@@ -541,3 +541,17 @@ def test_t19_model_broadcasts(spark, queries):
     from era_parser_spark.plans import broadcast_join_count
 
     assert broadcast_join_count(queries["t19_quality_classifier"](spark, SF_MED)) >= 1
+
+
+def test_s11c_rerank_fetch_is_broadcast(spark, queries):
+    """IVFADC+R: the exact-distance re-rank joins the tiny shortlist back
+    to the corpus as a BROADCAST hash join (the corpus never shuffles for
+    the fetch), and the whole pipeline stays sort-merge-join-free."""
+    from era_parser_spark.plans import (
+        broadcast_join_count,
+        plan_summary,
+    )
+
+    df = queries["s11c_ivf_pq_rerank"](spark, SF_MED)
+    assert plan_summary(df)["sort_merge_joins"] == 0
+    assert broadcast_join_count(df) >= 2  # semi probe + shortlist fetch

@@ -479,3 +479,86 @@ def test_ivf_pq_residual_beats_raw_on_clustered_data(spark):
     print(f"ivf-pq clustered recall totals: {totals}")
     assert totals["residual"] >= totals["plain"]
     assert totals["residual"] >= 24  # measured 28/30; slack for noise
+
+
+def test_ivf_pq_rerank_dominates_plain_adc(spark):
+    """IVFADC+R on the regime it exists for: near-uniform data where 4x16
+    codes are inherently coarse (the sf0.01 embeddings — plain ADC recall
+    1-3/10 per _pq_fixture's docstring).  The re-rank replaces the
+    approximate distances with exact squared L2 over the probed cells'
+    shortlist, so vs the exact-L2 brute force it can only improve on
+    plain ADC, and its recall is capped by the probe ceiling (true
+    neighbors living in unprobed cells are unreachable).  Measured:
+    plain 3/2/2, rerank 6/4/4, ceiling 8/4/4 across queries 0/7/13 —
+    re-rank DOUBLES recall and hits the ceiling on two of three."""
+    from era_parser_spark.operators.similarity import (
+        centroid_table,
+        ivf_assign,
+        ivf_pq_rerank_topk,
+        ivf_pq_topk,
+        lit_vector,
+        sq_l2_expr,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cents = centroid_table(emb, "embedding", "vec_id", 25, 64)
+    totals = {"plain": 0, "rerank": 0, "ceiling": 0}
+    for qid in (0, 7, 13):
+        q = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == qid).first()["embedding"]
+        ]
+        brute = [
+            r.vec_id
+            for r in emb.select(
+                "vec_id",
+                sq_l2_expr(
+                    F.col("embedding").cast("array<double>"), lit_vector(q)
+                ).alias("d"),
+            )
+            .orderBy("d", "vec_id")
+            .limit(10)
+            .collect()
+        ]
+        plain = {
+            r.vec_id
+            for r in ivf_pq_topk(
+                emb, "embedding", "vec_id", q, dim=64, k=10, nprobe=3
+            ).collect()
+        }
+        rer = ivf_pq_rerank_topk(
+            emb, "embedding", "vec_id", q, dim=64, k=10, shortlist=40, nprobe=3
+        ).collect()
+        ids = {r.vec_id for r in rer}
+        assert qid in ids
+        # exact_dist of the query itself is 0 and must sort first
+        assert rer[0].vec_id == qid and rer[0].exact_dist == 0.0
+        # exact distances are ascending
+        ds = [r.exact_dist for r in rer]
+        assert ds == sorted(ds)
+        probe = {
+            r.centroid_id
+            for r in cents.select(
+                "centroid_id",
+                sq_l2_expr(F.col("cvec"), lit_vector(q)).alias("d"),
+            )
+            .orderBy("d", "centroid_id")
+            .limit(3)
+            .collect()
+        }
+        cells = {
+            r.vec_id: r.centroid_id
+            for r in ivf_assign(
+                emb.filter(F.col("vec_id").isin(brute)),
+                "embedding",
+                "vec_id",
+                cents,
+            ).collect()
+        }
+        totals["plain"] += len(set(brute) & plain)
+        totals["rerank"] += len(set(brute) & ids)
+        totals["ceiling"] += sum(1 for i in brute if cells[i] in probe)
+    print(f"ivf-pq rerank recall totals (vs exact-L2 brute): {totals}")
+    assert totals["rerank"] >= totals["plain"] + 5  # measured 14 vs 7
+    assert totals["rerank"] >= 12
+    assert totals["rerank"] <= totals["ceiling"]  # can't escape the probe
