@@ -62,6 +62,7 @@ HEADLINE = [
     "t19_quality_classifier",
     "s11b_ivf_pq_residual",
     "s11c_ivf_pq_rerank",
+    "t20_gopher_rules",
 ]
 
 

@@ -944,3 +944,109 @@ def bigram_lm_score_split(
             ).otherwise(F.lit(0.0)).alias("mean_prob"),
         )
     )
+
+
+# Gopher / MassiveText document-quality rules (Rae et al. 2021, Appendix
+# A1.1) — the rule set most production CommonCrawl pipelines start from.
+GOPHER_REQUIRED_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+GOPHER_BULLET_CHARS: tuple[str, ...] = ("-", "*", "•")
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_required_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher rule-based quality filter (Rae et al. 2021 A1.1): per-doc
+    repetition-independent quality signals and the conjunction verdict —
+    word-count bounds, mean word length bounds, symbol-to-word ratio
+    (# and ellipsis), bullet-started and ellipsis-ended line fractions,
+    fraction of words with an alphabetic character, and the
+    required-stopword count (>= 2 of the canonical 8).  Upgrades t2's
+    generic heuristics to the published filter set; t7/t13 carry the
+    repetition rules Gopher lists separately.
+
+    Everything is JVM-side codegen over materialized token/line arrays
+    (one split each — the HOF-reevaluation trap).  Every surfaced double
+    is an exact-integer division (correctly rounded, bit-identical in
+    DuckDB), so the rule comparisons can never straddle an engine
+    rounding — the whole verdict is oracle-exact.
+
+    Output: (id, n_words, mean_word_len, symbol_word_ratio,
+    bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+    n_required_stopwords, gopher_keep).
+
+    Scale shape: zero-shuffle narrow projection — scans at parquet speed
+    and column-prunes to (id, text) at any corpus size.
+    """
+    txt = F.coalesce(
+        F.col(text_col) if isinstance(text_col, str) else text_col, F.lit("")
+    )
+    base = df.select(
+        F.col(id_col),
+        txt.alias("__t"),
+        tokens_col(txt).alias("__tok"),
+        F.split(txt, "\n", -1).alias("__ln"),
+    )
+    n_words = F.size("__tok")
+    n_lines = F.size("__ln")
+    sum_word_len = F.aggregate(
+        "__tok", F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    n_hash = F.length("__t") - F.length(F.replace("__t", F.lit("#")))
+    n_ell = (
+        (F.length("__t") - F.length(F.replace("__t", F.lit("...")))) / F.lit(3)
+    ).cast("long") + (
+        F.length("__t") - F.length(F.replace("__t", F.lit("…")))
+    )
+    bullet = F.size(
+        F.filter(
+            "__ln",
+            lambda x: F.substring(F.ltrim(x), 1, 1).isin(*GOPHER_BULLET_CHARS),
+        )
+    )
+    ell_lines = F.size(
+        F.filter(
+            "__ln",
+            lambda x: F.endswith(F.rtrim(x), F.lit("..."))
+            | F.endswith(F.rtrim(x), F.lit("…")),
+        )
+    )
+    alpha = F.size(F.filter("__tok", lambda x: x.rlike("[a-z]")))
+    required = None
+    for w in GOPHER_REQUIRED_STOPWORDS:
+        hit = F.array_contains("__tok", w).cast("int")
+        required = hit if required is None else required + hit
+    m = base.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        (sum_word_len / n_words).alias("mean_word_len"),
+        ((n_hash + n_ell) / n_words).alias("symbol_word_ratio"),
+        (bullet / n_lines).alias("bullet_line_frac"),
+        (ell_lines / n_lines).alias("ellipsis_line_frac"),
+        (alpha / n_words).alias("alpha_word_frac"),
+        required.cast("long").alias("n_required_stopwords"),
+    )
+    keep = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
+        & (F.col("bullet_line_frac") <= max_bullet_line_frac)
+        & (F.col("ellipsis_line_frac") <= max_ellipsis_line_frac)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+        & (F.col("n_required_stopwords") >= min_required_stopwords)
+    )
+    return m.select("*", keep.alias("gopher_keep"))

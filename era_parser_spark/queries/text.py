@@ -867,3 +867,87 @@ def t17b_bigram_lm_split(spark, sf_dir):
         "doc_id",
         "text",
     )
+
+
+@register(
+    "t20_gopher_rules",
+    # The Gopher A1.1 rule set re-derived in SQL over the SAME
+    # deterministically line-augmented corpus (the t15 injection pattern:
+    # the raw corpus has no newlines, so ellipsis/bullet/stopword lines
+    # are appended by doc_id residue identically on both sides).  Every
+    # surfaced double is an exact-integer division — correctly rounded
+    # and bit-identical in both engines — so the rule comparisons and the
+    # conjunction verdict are oracle-exact.
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             coalesce(text, '')
+             || CASE WHEN doc_id % 3 = 0
+                     THEN chr(10) || 'to be continued...' ELSE '' END
+             || CASE WHEN doc_id % 7 = 0
+                     THEN chr(10) || '- first bullet' || chr(10) || '* second bullet'
+                     ELSE '' END AS t
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, t,
+             regexp_split_to_array(trim(lower(t)), '\\s+') AS tok,
+             string_split(t, chr(10)) AS ln
+      FROM aug
+    ),
+    g AS (
+      SELECT doc_id,
+        CAST(len(tok) AS BIGINT) AS n_words,
+        CAST(list_sum(list_transform(tok, x -> length(x))) AS DOUBLE)
+          / len(tok) AS mean_word_len,
+        CAST((length(t) - length(replace(t, '#', '')))
+             + (length(t) - length(replace(t, '...', ''))) // 3
+             + (length(t) - length(replace(t, '…', ''))) AS DOUBLE)
+          / len(tok) AS symbol_word_ratio,
+        CAST(len(list_filter(ln,
+               l -> substr(ltrim(l), 1, 1) IN ('-', '*', '•'))) AS DOUBLE)
+          / len(ln) AS bullet_line_frac,
+        CAST(len(list_filter(ln,
+               l -> ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…')))
+             AS DOUBLE) / len(ln) AS ellipsis_line_frac,
+        CAST(len(list_filter(tok, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+          / len(tok) AS alpha_word_frac,
+        CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+               w -> list_contains(tok, w))) AS BIGINT) AS n_required_stopwords
+      FROM m
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+           bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+           n_required_stopwords,
+           n_words >= 50 AND n_words <= 100000
+           AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+           AND symbol_word_ratio <= 0.1
+           AND bullet_line_frac <= 0.9
+           AND ellipsis_line_frac <= 0.3
+           AND alpha_word_frac >= 0.8
+           AND n_required_stopwords >= 2 AS gopher_keep
+    FROM g
+    """,
+)
+def t20_gopher_rules(spark, sf_dir):
+    # Gopher/MassiveText rule-based quality filter (Rae et al. 2021
+    # A1.1) over the line-augmented corpus: word-count + mean-word-length
+    # bounds, symbol ratio, bullet/ellipsis line fractions, alpha-word
+    # fraction, required stopwords — and the conjunction verdict
+    # (operators/text.py::gopher_quality_flags).  Zero-shuffle codegen.
+    from era_parser_spark.operators.text import gopher_quality_flags
+
+    docs = table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("\nto be continued..."))
+            .otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit("\n- first bullet\n* second bullet"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return gopher_quality_flags(aug, "doc_id", "text")

@@ -555,3 +555,16 @@ def test_s11c_rerank_fetch_is_broadcast(spark, queries):
     df = queries["s11c_ivf_pq_rerank"](spark, SF_MED)
     assert plan_summary(df)["sort_merge_joins"] == 0
     assert broadcast_join_count(df) >= 2  # semi probe + shortlist fetch
+
+
+def test_t20_gopher_rules_zero_shuffle(spark, queries):
+    """t20 is a pure per-row codegen projection over materialized
+    token/line arrays — zero Exchange, zero Python, single scan."""
+    import re
+
+    from era_parser_spark.plans import formatted_plan
+
+    plan = formatted_plan(queries["t20_gopher_rules"](spark, SF_MED))
+    assert not re.search(r"\(\d+\) Exchange", plan)
+    assert "Python" not in plan and "MapInPandas" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1

@@ -562,3 +562,42 @@ def test_ivf_pq_rerank_dominates_plain_adc(spark):
     assert totals["rerank"] >= totals["plain"] + 5  # measured 14 vs 7
     assert totals["rerank"] >= 12
     assert totals["rerank"] <= totals["ceiling"]  # can't escape the probe
+
+
+def test_gopher_rules_each_rule_binds(spark):
+    """Per-rule separable fixture: one document passes every Gopher rule;
+    each other document violates exactly one rule (word count, mean word
+    length, symbol ratio, bullet lines, ellipsis lines, alpha fraction,
+    stopwords) and must be rejected with the matching metric out of
+    bounds."""
+    from era_parser_spark.operators.text import gopher_quality_flags
+
+    good = ("the cast with that done have gone to be sure of it and more "
+            "word flow here " * 4)
+    rows = [
+        (0, good),
+        (1, "the to of and"),                               # too few words
+        (2, ("a b c d e f g h i j the to " * 10)),          # mean len < 3
+        (3, good + " " + "#tag " * 30),                     # symbol ratio
+        (4, good + ("\n- b" * 60)),                         # bullet lines
+        (5, good + ("\nto go on..." * 30)),                 # ellipsis lines
+        (6, good + " " + "123 456 " * 40),                  # alpha frac
+        (7, ("spark table rows " * 20)),                    # no stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in gopher_quality_flags(
+            df, "doc_id", "text", min_words=20
+        ).collect()
+    }
+    assert out[0].gopher_keep, out[0]
+    for i in range(1, 8):
+        assert not out[i].gopher_keep, out[i]
+    assert out[1].n_words < 20
+    assert out[2].mean_word_len < 3.0
+    assert out[3].symbol_word_ratio > 0.1
+    assert out[4].bullet_line_frac > 0.9
+    assert out[5].ellipsis_line_frac > 0.3
+    assert out[6].alpha_word_frac < 0.8
+    assert out[7].n_required_stopwords < 2
