@@ -63,6 +63,7 @@ HEADLINE = [
     "s11b_ivf_pq_residual",
     "s11c_ivf_pq_rerank",
     "t20_gopher_rules",
+    "p11_weighted_sample",
 ]
 
 

@@ -442,3 +442,77 @@ def token_budget_cap(
             ((F.col(_BASE) + F.col("__cum")) <= F.lit(int(budget))).alias("kept"),
         )
     )
+
+
+def _repeated_sqrt(c: Column, times: int) -> Column:
+    for _ in range(times):
+        c = F.sqrt(c)
+    return c
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    n: int,
+    salt: str = "wsamp",
+    max_class: int = 20,
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis & Spirakis 2006
+    A-ES: key_i = u_i^(1/w_i), take the n largest keys) with weights
+    rounded down to POWER-OF-TWO CLASSES so the key is computable with
+    only correctly-rounded IEEE operations: u^(1/2^k) is sqrt applied k
+    times, and sqrt — unlike pow()/ln(), which libms don't guarantee to
+    the last ulp — is exact-rounded everywhere, so the selected set is a
+    pure function of (id, weight) reproducible across engines, runs, and
+    partitionings (the temperature_mix determinism argument, extended
+    from one sqrt to a chain).
+
+    u_i = (md5_60(salt || id) + 1) / 2^60 in (0, 1]: the +1 happens in
+    INTEGER math (adding 1 after the int->double conversion would be
+    inexact above 2^53), the one int->double conversion is
+    correctly rounded, and /2^60 is an exact exponent shift.  Weight
+    class k = floor(log2(w)) is derived from the BINARY STRING length
+    (bit-exact; floor(log2()) itself misrounds near powers of two), and
+    clamps at `max_class`.  Rows with weight < 1 can never be drawn
+    (true A-ES semantics for w=0) and are filtered out.
+
+    Scale shape: zero-shuffle scoring (per-row codegen) + a global top-n
+    = TakeOrderedAndProject — per-partition partial top-n, only n rows
+    per partition reach the driver-side merge; the corpus never
+    exchanges.
+
+    Output: (id, weight, weight_class, sample_key DECIMAL(10,6)-quantized)
+    — the n rows with the largest keys, ties on id.
+    """
+    w = F.col(weight_col).cast("long")
+    from era_parser_spark.operators.dedup import md5_60bit
+
+    u = (
+        (md5_60bit(F.concat(F.lit(salt + "_"), F.col(id_col).cast("string"))) + 1)
+        .cast("double")
+        / F.lit(float(1 << 60))
+    )
+    kcls = F.least(F.length(F.bin(w)) - 1, F.lit(max_class))
+    key = F.when(kcls == 0, u)
+    for k in range(1, max_class + 1):
+        key = key.when(kcls == k, _repeated_sqrt(u, k))
+    scored = (
+        df.filter(w >= 1)
+        .select(
+            F.col(id_col),
+            w.alias("weight"),
+            kcls.cast("long").alias("weight_class"),
+            key.alias("__key"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("__key"), id_col)
+        .limit(n)
+        .select(
+            id_col,
+            "weight",
+            "weight_class",
+            F.col("__key").cast("decimal(10,6)").cast("double").alias("sample_key"),
+        )
+    )

@@ -350,3 +350,56 @@ def p10_token_budget_cap(spark, sf_dir):
         "source", "doc_id", token_count_col("text").alias("n_toks")
     )
     return token_budget_cap(counted, "source", "doc_id", "n_toks", budget=3000)
+
+
+def _p11_sqrt_chain(k: int) -> str:
+    e = "u"
+    for _ in range(k):
+        e = f"sqrt({e})"
+    return e
+
+
+_P11_KEY = (
+    "CASE "
+    + " ".join(
+        f"WHEN kcls = {k} THEN {_p11_sqrt_chain(k)}" for k in range(0, 21)
+    )
+    + f" ELSE {_p11_sqrt_chain(20)} END"
+)
+
+
+@register(
+    "p11_weighted_sample",
+    # A-ES re-derived in SQL: same 60-bit md5 draw (+1 in INTEGER math
+    # before the one int->double conversion), same binary-string weight
+    # class, and the same repeated-sqrt key chain — every operation
+    # correctly rounded, so the selected 100 rows are bit-identical.
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+             CAST(concat('0x', substr(md5('wsamp_' || CAST(doc_id AS VARCHAR)),
+                  1, 15)) AS BIGINT) AS h
+      FROM documents WHERE CAST(n_chars AS BIGINT) >= 1
+    ),
+    scored AS (
+      SELECT doc_id, w,
+             CAST(least(length(printf('%b', w)) - 1, 20) AS BIGINT) AS kcls,
+             CAST(h + 1 AS DOUBLE) / 1152921504606846976.0 AS u
+      FROM base
+    )
+    SELECT doc_id, w AS weight, kcls AS weight_class,
+           CAST(CAST({{key}} AS DECIMAL(10,6)) AS DOUBLE) AS sample_key
+    FROM scored
+    ORDER BY {{key}} DESC, doc_id LIMIT 100
+    """.replace("{key}", _P11_KEY),
+)
+def p11_weighted_sample(spark, sf_dir):
+    # Weighted sampling without replacement (Efraimidis-Spirakis A-ES
+    # with power-of-two weight classes — operators/curation.py::
+    # weighted_sample): length-proportional document sampling, the
+    # "sample long documents preferentially" curation stage.  100 of the
+    # corpus by n_chars weight; selection is a zero-shuffle top-n.
+    from era_parser_spark.operators.curation import weighted_sample
+
+    docs = table(spark, sf_dir, "documents")
+    return weighted_sample(docs, "doc_id", "n_chars", n=100)

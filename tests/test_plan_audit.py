@@ -568,3 +568,17 @@ def test_t20_gopher_rules_zero_shuffle(spark, queries):
     assert not re.search(r"\(\d+\) Exchange", plan)
     assert "Python" not in plan and "MapInPandas" not in plan
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_p11_weighted_sample_no_exchange(spark, queries):
+    """p11's selection is a global top-n over per-row codegen scores:
+    TakeOrderedAndProject (per-partition partial top-n), zero Exchange,
+    zero Python — the corpus never shuffles."""
+    import re
+
+    from era_parser_spark.plans import formatted_plan
+
+    plan = formatted_plan(queries["p11_weighted_sample"](spark, SF_MED))
+    assert "TakeOrderedAndProject" in plan
+    assert not re.search(r"\(\d+\) Exchange", plan)
+    assert "Python" not in plan and "MapInPandas" not in plan

@@ -601,3 +601,43 @@ def test_gopher_rules_each_rule_binds(spark):
     assert out[5].ellipsis_line_frac > 0.3
     assert out[6].alpha_word_frac < 0.8
     assert out[7].n_required_stopwords < 2
+
+
+def test_weighted_sample_aes_semantics(spark):
+    """A-ES weighted sampling: heavy-weight rows dominate the sample
+    (P[u^(1/1024) beats a uniform] ~ 1), zero/negative weights can never
+    be drawn, and the weight class is the exact floor(log2(w)) with the
+    max_class clamp."""
+    from era_parser_spark.operators.curation import weighted_sample
+
+    rows = [(i, 1) for i in range(900)]
+    rows += [(1000 + i, 1024) for i in range(100)]
+    rows += [(2000, 0), (2001, 0)]          # never drawn
+    df = spark.createDataFrame(rows, "id long, w long")
+    out = weighted_sample(df, "id", "w", n=50).collect()
+    assert len(out) == 50
+    heavy = sum(1 for r in out if r.id >= 1000)
+    assert heavy >= 45, heavy               # weight-1024 docs dominate
+    assert all(r.id < 2000 for r in out)    # zero-weight excluded
+    by_id = {r.id: r for r in out}
+    for r in out:
+        assert r.weight_class == (0 if r.weight == 1 else 10)
+    # keys are valid probability powers in (0, 1]
+    assert all(0.0 < r.sample_key <= 1.0 for r in out)
+    # clamp: a 2^25 weight lands in class 20
+    big = spark.createDataFrame([(1, 1 << 25)], "id long, w long")
+    assert weighted_sample(big, "id", "w", n=1).first().weight_class == 20
+
+
+def test_weighted_sample_deterministic_and_sorted(spark):
+    """Same inputs => same sample regardless of partitioning, and the
+    selection is the global top-n by key (ties impossible in practice,
+    broken by id)."""
+    from era_parser_spark.operators.curation import weighted_sample
+
+    rows = [(i, (i % 7) + 1) for i in range(500)]
+    a = spark.createDataFrame(rows, "id long, w long")
+    b = spark.createDataFrame(rows, "id long, w long").repartition(13)
+    sa = sorted(tuple(r) for r in weighted_sample(a, "id", "w", 40).collect())
+    sb = sorted(tuple(r) for r in weighted_sample(b, "id", "w", 40).collect())
+    assert sa == sb and len(sa) == 40
