@@ -64,6 +64,7 @@ HEADLINE = [
     "s11c_ivf_pq_rerank",
     "t20_gopher_rules",
     "p11_weighted_sample",
+    "t21_perplexity_buckets",
 ]
 
 

@@ -1050,3 +1050,67 @@ def gopher_quality_flags(
         & (F.col("n_required_stopwords") >= min_required_stopwords)
     )
     return m.select("*", keep.alias("gopher_keep"))
+
+
+def perplexity_buckets(
+    fit_df: DataFrame,
+    score_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lang_col: str,
+    sample_mod: int = 5,
+    sample_rem: int = 1,
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020): score the
+    target corpus with a reference-fit LM (`bigram_lm_score_split` — the
+    fixed-point stand-in for the Kneser-Ney perplexity model), derive
+    per-language TERCILE THRESHOLDS from a deterministic 1/`sample_mod`
+    sample of the scored targets, and bucket every target doc by
+    comparing its score to the thresholds.
+
+    Thresholds are VALUES, not ranks: t_head = the lowest score among
+    the sample's top ceil(n/3) (descending), t_mid = among the top
+    ceil(2n/3) — so the bucket rule (score >= t) is a pure codegen
+    comparison and docs tying a threshold all land in the better bucket,
+    deterministically in any engine.  A language absent from the sample
+    yields NULL thresholds and its docs fall to 'tail' (NULL comparisons
+    are never true in either engine).
+
+    Scale shape (the CCNet production shape): only the bounded sample
+    goes through the per-language rank window; the full corpus gets its
+    bucket from a |langs|-row broadcast join + CASE — it never shuffles
+    for the bucketing, and the LM scoring itself shuffles grams+counts,
+    never documents.  The threshold branch re-derives scores for the
+    sample slice only; the corpus-wide scoring subtree runs once.
+
+    Output: (id, lang, mean_prob, bucket in {head, middle, tail}).
+    """
+    from pyspark.sql import Window as W
+
+    scored = bigram_lm_score_split(fit_df, score_df, id_col, text_col)
+    langs = score_df.select(F.col(id_col), F.col(lang_col))
+    scored = scored.join(langs, id_col).select(
+        F.col(id_col), F.col(lang_col), F.col("mean_prob")
+    )
+    sample = scored.filter(F.col(id_col) % sample_mod == sample_rem)
+    w = W.partitionBy(lang_col).orderBy(F.desc("mean_prob"), id_col)
+    ranked = sample.select(
+        F.col(lang_col),
+        F.col("mean_prob"),
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(W.partitionBy(lang_col)).alias("__n"),
+    )
+    third = F.floor((F.col("__n") + 2) / F.lit(3))
+    two_thirds = F.floor((2 * F.col("__n") + 2) / F.lit(3))
+    th = ranked.groupBy(lang_col).agg(
+        F.min(F.when(F.col("__rn") <= third, F.col("mean_prob"))).alias("__t_head"),
+        F.min(F.when(F.col("__rn") <= two_thirds, F.col("mean_prob"))).alias("__t_mid"),
+    )
+    bucket = (
+        F.when(F.col("mean_prob") >= F.col("__t_head"), F.lit("head"))
+        .when(F.col("mean_prob") >= F.col("__t_mid"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return scored.join(F.broadcast(th), lang_col, "left").select(
+        F.col(id_col), F.col(lang_col), F.col("mean_prob"), bucket.alias("bucket")
+    )

@@ -951,3 +951,85 @@ def t20_gopher_rules(spark, sf_dir):
         ).alias("text"),
     )
     return gopher_quality_flags(aug, "doc_id", "text")
+
+
+@register(
+    "t21_perplexity_buckets",
+    # CCNet head/middle/tail: the t17b scoring CTEs verbatim, then
+    # per-language tercile thresholds from the deterministic doc_id%5==1
+    # sample (thresholds are VALUES — min score of the top ceil(n/3) /
+    # ceil(2n/3) by (mean_prob DESC, doc_id)), and the bucket CASE on
+    # the full target slice.  mean_prob is an exact-integer-ratio double
+    # (t17b), so every comparison is bit-identical in both engines; a
+    # language missing from the sample gives NULL thresholds -> 'tail'
+    # in both.
+    oracle=f"""
+    WITH tokd AS (SELECT doc_id, {_TOK} AS w FROM documents),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 2
+                  THEN list_transform(range(1, len(w)),
+                                      i -> w[i] || ' ' || w[i+1])
+                  ELSE CAST([] AS VARCHAR[]) END AS grams
+      FROM tokd
+    ),
+    fit AS (SELECT unnest(grams) AS bg FROM g WHERE doc_id % 2 = 0),
+    cbg AS (SELECT bg, count(*) AS c_bg FROM fit GROUP BY bg),
+    cw1 AS (
+      SELECT split_part(bg, ' ', 1) AS w1, sum(c_bg) AS c_w1
+      FROM cbg GROUP BY 1
+    ),
+    model AS (
+      SELECT bg, (1000000 * c_bg) // c_w1 AS q
+      FROM cbg JOIN cw1 ON cw1.w1 = split_part(cbg.bg, ' ', 1)
+    ),
+    sx AS (SELECT doc_id, unnest(grams) AS bg FROM g WHERE doc_id % 2 = 1),
+    tf AS (SELECT doc_id, bg, count(*) AS tf FROM sx GROUP BY 1, 2),
+    agg AS (
+      SELECT tf.doc_id, sum(tf) AS n_bigrams, sum(tf * q) AS q_prob_sum
+      FROM tf JOIN model USING (bg) GROUP BY 1
+    ),
+    scored AS (
+      SELECT d.doc_id, d.lang,
+             CASE WHEN coalesce(n_bigrams, 0) > 0
+                  THEN CAST(q_prob_sum AS DOUBLE) / (1000000.0 * n_bigrams)
+                  ELSE CAST(0.0 AS DOUBLE) END AS mean_prob
+      FROM (SELECT doc_id, lang FROM documents WHERE doc_id % 2 = 1) d
+      LEFT JOIN agg USING (doc_id)
+    ),
+    ranked AS (
+      SELECT lang, mean_prob,
+             row_number() OVER (
+               PARTITION BY lang ORDER BY mean_prob DESC, doc_id
+             ) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM scored WHERE doc_id % 5 = 1
+    ),
+    th AS (
+      SELECT lang,
+             min(CASE WHEN rn <= (n + 2) // 3 THEN mean_prob END) AS t_head,
+             min(CASE WHEN rn <= (2 * n + 2) // 3 THEN mean_prob END) AS t_mid
+      FROM ranked GROUP BY lang
+    )
+    SELECT s.doc_id, s.lang, s.mean_prob,
+           CASE WHEN s.mean_prob >= th.t_head THEN 'head'
+                WHEN s.mean_prob >= th.t_mid THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scored s LEFT JOIN th USING (lang)
+    """,
+)
+def t21_perplexity_buckets(spark, sf_dir):
+    # CCNet perplexity bucketing (Wenzek et al. 2020) composed on t17b's
+    # reference-fit LM scores (operators/text.py::perplexity_buckets):
+    # fit on even ids, score odd ids, thresholds from the doc_id%5==1
+    # sample, bucket the full target slice by broadcast CASE.
+    from era_parser_spark.operators.text import perplexity_buckets
+
+    docs = table(spark, sf_dir, "documents")
+    return perplexity_buckets(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "doc_id",
+        "text",
+        "lang",
+    )

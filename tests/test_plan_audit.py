@@ -582,3 +582,14 @@ def test_p11_weighted_sample_no_exchange(spark, queries):
     assert "TakeOrderedAndProject" in plan
     assert not re.search(r"\(\d+\) Exchange", plan)
     assert "Python" not in plan and "MapInPandas" not in plan
+
+
+def test_t21_bucket_join_broadcasts_thresholds(spark, queries):
+    """t21: the corpus gets its bucket from a |langs|-row broadcast
+    threshold join — never a shuffle keyed on lang — and only the
+    bounded sample slice goes through the rank window."""
+    from era_parser_spark.plans import broadcast_join_count, formatted_plan
+
+    df = queries["t21_perplexity_buckets"](spark, SF_MED)
+    assert broadcast_join_count(df) >= 1
+    assert "CartesianProduct" not in formatted_plan(df)

@@ -641,3 +641,38 @@ def test_weighted_sample_deterministic_and_sorted(spark):
     sa = sorted(tuple(r) for r in weighted_sample(a, "id", "w", 40).collect())
     sb = sorted(tuple(r) for r in weighted_sample(b, "id", "w", 40).collect())
     assert sa == sb and len(sa) == 40
+
+
+def test_perplexity_buckets_fluent_head_garbage_tail(spark):
+    """CCNet bucket semantics: fluent held-out docs (bigrams seen in the
+    reference fit) land in 'head'; scrambled/unseen-bigram docs land in
+    'tail'; a language absent from the threshold sample falls to 'tail'
+    (NULL thresholds)."""
+    from era_parser_spark.operators.text import perplexity_buckets
+
+    fluent = "the cat sat on the mat and the dog ran to the cat"
+    fit = [(i * 2, fluent, "en") for i in range(10)]
+    # target ids chosen so id%5==1 sampling sees both classes:
+    # fluent: 1, 11, 21, 31 (1%5==1, 11%5==1 ...)
+    targets = [(i, fluent, "en") for i in (1, 11, 21, 31)]
+    # garbage: reversed word salad, unseen bigrams -> mean_prob 0
+    targets += [(i, "mat cat ran dog zzz qqq xyz abc", "en") for i in (3, 13, 23, 33)]
+    # unsampled language (no id % 5 == 1): NULL thresholds -> tail
+    targets += [(5, fluent, "xx"), (7, fluent, "xx")]
+    df = spark.createDataFrame(fit + targets, "doc_id long, text string, lang string")
+    out = {
+        r.doc_id: r.bucket
+        for r in perplexity_buckets(
+            df.filter(F.col("doc_id") % 2 == 0),
+            df.filter(F.col("doc_id") % 2 == 1),
+            "doc_id",
+            "text",
+            "lang",
+        ).collect()
+    }
+    for i in (1, 11, 21, 31):
+        assert out[i] == "head", (i, out[i])
+    for i in (3, 13, 23, 33):
+        assert out[i] == "tail", (i, out[i])
+    for i in (5, 7):
+        assert out[i] == "tail", (i, out[i])
