@@ -87,6 +87,55 @@ def shingles_col(tok: Column, n: int = 3) -> Column:
     )
 
 
+def row_band_buckets(
+    text_col: str | Column,
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> Column:
+    """MinHash LSH band buckets computed ENTIRELY within one row — the
+    streaming-safe form of `minhash_signatures` + `lsh_candidate_pairs`'s
+    bucketing: h_i = min over the doc's distinct shingles of
+    xxhash64(i, xxhash64(shingle)), band bucket = xxhash64 over that
+    band's rows.  Bit-identical to the batch aggregate path (same hash
+    composition over the same distinct shingle set), but needs no
+    groupBy — so it can run in a streaming query ahead of a stateful
+    operator, where an aggregation would be a second stateful op.
+
+    Cost note: the per-permutation array passes are interpreted HOFs
+    (~num_perm * |shingles| evals per row) — the batch path's
+    hash-aggregate form stays the right choice for batch jobs; this is
+    the price of row-locality in streams.
+
+    Returns array<struct<band int, bucket long>>; empty for docs with
+    fewer than `shingle_n` tokens (they can never be near-dup
+    candidates, matching the batch semantics).
+    """
+    rows_per_band = num_perm // bands
+    sh = shingles_col(tokens_col(text_col), shingle_n)
+    hsh = F.transform(sh, lambda s: F.xxhash64(s))
+
+    def _perm(i):
+        # closure factory: default-arg capture would change lambda arity
+        return lambda x: F.xxhash64(F.lit(i), x)
+
+    mins = [F.array_min(F.transform(hsh, _perm(i))) for i in range(num_perm)]
+    return F.when(
+        F.size(sh) >= 1,
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        *[mins[b * rows_per_band + r] for r in range(rows_per_band)]
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ]
+        ),
+    ).otherwise(F.array().cast("array<struct<band:int,bucket:bigint>>"))
+
+
 def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """(id, shingle) exploded inverted index — distinct n-gram shingles.
 
@@ -646,6 +695,24 @@ def lsh_exact_pairs_bounded(
     ]
     sigs = hashed.groupBy(id_col).agg(*aggs)
     cands = lsh_candidate_pairs(sigs, id_col, bands, num_perm // bands)
+    return verify_candidate_pairs(hashed, cands, id_col, threshold)
+
+
+def verify_candidate_pairs(
+    hashed: DataFrame,
+    cands: DataFrame,
+    id_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The pair-bounded exact verifier behind `lsh_exact_pairs_bounded`,
+    factored so any candidate source (batch LSH banding, the streaming
+    band monitor st9, an external blocker) gets the same exact-Jaccard
+    verification with the same O(sum over pairs of |A|+|B|) shuffle.
+
+    `hashed`: (id, __sh) — one row per (doc, xxhash64'd distinct
+    shingle).  `cands`: (doc_a, doc_b).  Output: (doc_a, doc_b, inter,
+    union_sz, jaccard) for pairs with inter >= 1, jaccard >= threshold.
+    """
     # collect arrays only for candidate docs (same semi-join the index
     # plan uses), so non-candidate docs never aggregate an array
     cand_docs = (

@@ -407,3 +407,83 @@ def st8_stream_stream_join(spark, sf_dir):
     )
     joined = attribution_join(views, purchases, window="1 hour")
     return run_stream_once(joined, f"st8_{uuid.uuid4().hex[:8]}")
+
+
+_ST9_TOK = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+_ST9_SHINGLES = (
+    f"list_distinct(list_transform(range(1, len({_ST9_TOK}) - 1), "
+    f"i -> {_ST9_TOK}[i] || ' ' || {_ST9_TOK}[i+1] || ' ' || {_ST9_TOK}[i+2]))"
+)
+
+
+@register(
+    "st9_stream_near_dedup",
+    # The dd3 exact-oracle argument carries over: the stream's band
+    # buckets are bit-identical to the batch banding (differential-
+    # pinned), per-bucket state emits a pair for every colliding doc
+    # combination across micro-batches, and the downstream verifier is
+    # exact — so with LSH recall 1.0 at the fixture's threshold the
+    # output is exactly {pairs with true Jaccard >= 0.5}, and DuckDB
+    # needs no xxhash64 twin.
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, unnest({_ST9_SHINGLES}) AS shingle FROM documents),
+         sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id
+         )
+    SELECT doc_a, doc_b, inter,
+           sa.nsh + sb.nsh - inter AS union_sz,
+           CAST(inter AS DOUBLE) / (sa.nsh + sb.nsh - inter) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(inter AS DOUBLE) / (sa.nsh + sb.nsh - inter) >= 0.5
+    ORDER BY jaccard DESC, doc_a, doc_b
+    LIMIT 100
+    """,
+)
+def st9_stream_near_dedup(spark, sf_dir):
+    """Streaming near-dedup: MinHash-LSH candidate discovery as a custom
+    stateful operator (streaming/incremental.py::band_pair_monitor) over
+    row-local band buckets (operators/dedup.py::row_band_buckets — no
+    aggregation ahead of the stateful op), exact-verified downstream by
+    the same pair-bounded verifier the batch pipeline uses
+    (verify_candidate_pairs).  Cross-micro-batch continuity pinned in
+    tests/test_round7_ops.py."""
+    from era_parser_spark.operators.dedup import (
+        doc_shingles,
+        row_band_buckets,
+        verify_candidate_pairs,
+    )
+    from era_parser_spark.streaming.incremental import (
+        band_pair_monitor,
+        run_stream_once,
+    )
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream_dir = _stream_src_dir("st9", sf_dir, "documents.parquet")
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(stream_dir)
+        .select(
+            F.col("doc_id"),
+            F.explode(row_band_buckets("text")).alias("bb"),
+        )
+        .select("doc_id", "bb.band", "bb.bucket")
+    )
+    cands = (
+        run_stream_once(band_pair_monitor(stream), f"st9_{uuid.uuid4().hex[:8]}")
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    docs = table(spark, sf_dir, "documents")
+    hashed = doc_shingles(docs, "doc_id", "text").select(
+        "doc_id", F.xxhash64("shingle").alias("__sh")
+    )
+    return (
+        verify_candidate_pairs(hashed, cands, "doc_id", threshold=0.5)
+        .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
+        .limit(100)
+    )

@@ -554,3 +554,77 @@ def topk_monitor(stream: DataFrame, k: int = 5) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+_BAND_OUT_SCHEMA = "doc_a long, doc_b long"
+_BAND_STATE_SCHEMA = "ids array<long>, capped boolean"
+
+
+def _band_pair_fn(max_bucket: int):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        new: list[int] = []
+        for pdf in pdfs:
+            new.extend(int(i) for i in pdf["doc_id"])
+        new = sorted(set(new))
+        if state.exists:
+            seen_raw, capped = state.get
+            seen = [int(i) for i in seen_raw]
+            capped = bool(capped)
+        else:
+            seen, capped = [], False
+        a_out: list[int] = []
+        b_out: list[int] = []
+        seen_set = set(seen)
+        for nid in new:
+            if nid in seen_set:
+                continue
+            if not capped:
+                for sid in seen:
+                    lo, hi = (sid, nid) if sid < nid else (nid, sid)
+                    a_out.append(lo)
+                    b_out.append(hi)
+            seen.append(nid)
+            seen_set.add(nid)
+            if len(seen) >= max_bucket:
+                # viral-bucket guard (the dd8 max_cell rule): a bucket at
+                # the cap stops emitting new pairs — checked PER DOC so a
+                # viral bucket arriving inside one batch is still bounded;
+                # near-dups this common are caught by the exact-dedup
+                # tier, and unbounded emission here would be the streaming
+                # analogue of the sum(df^2) blowup
+                capped = True
+        state.update((sorted(seen_set), capped))
+        yield pd.DataFrame({"doc_a": a_out, "doc_b": b_out})
+
+    return fn
+
+
+def band_pair_monitor(stream: DataFrame, max_bucket: int = 64) -> DataFrame:
+    """Custom stateful streaming operator #6: MinHash-LSH candidate
+    discovery across micro-batches (the streaming half of dd3/dd11).
+    Input needs `band`, `bucket`, `doc_id` — compute them JVM-side with
+    `operators.dedup.row_band_buckets` (bit-identical to the batch
+    banding; differential-pinned).  Per-(band, bucket) state keeps the
+    sorted id set seen so far; each arriving doc emits a candidate pair
+    with EVERY resident — so over any micro-batch split the emitted pair
+    set equals the batch self-join's colliding pairs (duplicates across
+    bands resolved by a downstream distinct), and exact verification
+    composes downstream (`verify_candidate_pairs`) exactly as in batch.
+
+    State is bounded by `max_bucket` ids per bucket (the dd8 max_cell
+    rule); a capped bucket stops emitting — documented recall trade, the
+    alternative is O(bucket^2) emission under viral collisions.
+    """
+    return (
+        stream.select("band", "bucket", "doc_id")
+        .groupBy("band", "bucket")
+        .applyInPandasWithState(
+            _band_pair_fn(max_bucket),
+            outputStructType=_BAND_OUT_SCHEMA,
+            stateStructType=_BAND_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

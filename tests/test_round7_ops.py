@@ -676,3 +676,76 @@ def test_perplexity_buckets_fluent_head_garbage_tail(spark):
         assert out[i] == "tail", (i, out[i])
     for i in (5, 7):
         assert out[i] == "tail", (i, out[i])
+
+
+def test_band_pair_state_across_microbatches(spark, tmp_path_factory):
+    """st9's per-bucket state must survive micro-batch boundaries: a
+    near-dup arriving in a LATER batch pairs with the resident from the
+    first batch, the pair set over any split equals the single-batch
+    (= batch self-join) answer, and the viral-bucket cap stops emission
+    without corrupting earlier pairs."""
+    import uuid as _uuid
+
+    from era_parser_spark.operators.dedup import row_band_buckets
+    from era_parser_spark.streaming.incremental import (
+        band_pair_monitor,
+        run_stream_once,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    near = base.replace("lazy", "sleepy")
+    other = "completely different content about spark catalyst optimizer " * 3
+
+    def bucket_rows(rows):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return df.select(
+            "doc_id", F.explode(row_band_buckets("text")).alias("bb")
+        ).select("doc_id", "bb.band", "bb.bucket")
+
+    src = tmp_path_factory.mktemp("st9_src")
+    bucket_rows([(1, base), (50, other)]).coalesce(1).write.parquet(
+        str(src / "a_batch1")
+    )
+    bucket_rows([(2, near), (3, base)]).coalesce(1).write.parquet(
+        str(src / "b_batch2")
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, band int, bucket long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    out = run_stream_once(
+        band_pair_monitor(stream), f"st9t_{_uuid.uuid4().hex[:8]}"
+    )
+    pairs = {(r.doc_a, r.doc_b) for r in out.collect()}
+    # cross-batch pair (1 from batch1, 2/3 from batch2) + intra-batch pair
+    assert pairs == {(1, 2), (1, 3), (2, 3)}, pairs
+
+    # single-batch run emits the same pair set (split-invariance)
+    src2 = tmp_path_factory.mktemp("st9_src_one")
+    bucket_rows([(1, base), (50, other), (2, near), (3, base)]).coalesce(
+        1
+    ).write.parquet(str(src2 / "only"))
+    stream2 = (
+        spark.readStream.schema("doc_id long, band int, bucket long")
+        .parquet(f"{src2}/*")
+    )
+    out2 = run_stream_once(
+        band_pair_monitor(stream2), f"st9u_{_uuid.uuid4().hex[:8]}"
+    )
+    assert {(r.doc_a, r.doc_b) for r in out2.collect()} == pairs
+
+    # viral-bucket cap: max_bucket=2 stops emission after 2 residents
+    src3 = tmp_path_factory.mktemp("st9_src_cap")
+    bucket_rows([(i, base) for i in range(1, 6)]).coalesce(1).write.parquet(
+        str(src3 / "only")
+    )
+    stream3 = (
+        spark.readStream.schema("doc_id long, band int, bucket long")
+        .parquet(f"{src3}/*")
+    )
+    out3 = run_stream_once(
+        band_pair_monitor(stream3, max_bucket=2), f"st9v_{_uuid.uuid4().hex[:8]}"
+    )
+    capped = {(r.doc_a, r.doc_b) for r in out3.collect()}
+    assert (1, 2) in capped and len(capped) < 10  # full clique would be 10
