@@ -1398,3 +1398,86 @@ def ivf_pq_rerank_topk(
         .orderBy("exact_dist", id_col)
         .limit(k)
     )
+
+
+def mmr_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal Marginal Relevance diversity re-ranking (Carbonell &
+    Goldstein 1998): greedily select k documents maximizing
+    lam * sim(q, d) - (1 - lam) * max over selected of sim(d, s) — the
+    standard retrieval-stack step that stops a near-dup cluster from
+    filling the whole top-k.
+
+    Distribution contract: the HEAVY work is distributed — the exact
+    cosine top-`pool` over the corpus (cosine_topk's scan shape) and the
+    pool's pairwise similarity matrix (a pool-row broadcast self-join).
+    The greedy selection itself is inherently sequential (step i depends
+    on the argmax of step i-1), so it runs driver-side over the
+    pool^2-bounded QUANTIZED matrix — a bounded artifact of the same
+    class as collected centroids/thresholds, never corpus-sized.
+
+    Determinism: every similarity is DECIMAL(10,6)-quantized before the
+    arithmetic; lam products and the subtraction are single IEEE ops —
+    so scores are bit-identical in any engine and the selection is
+    exactly re-derivable in SQL (chained per-step CTEs).  Ties break on
+    id ascending at every step.
+
+    Output: (id, rank, relevance, mmr_score) — rank 1..k in selection
+    order; rank 1's mmr_score is its pure relevance (no selected set
+    yet).
+    """
+    cand = cosine_topk(df, vec_col, id_col, query, k=pool).select(
+        F.col(id_col), F.col("cosine_sim").alias("relevance")
+    )
+    emb = df.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).join(F.broadcast(cand.select(id_col)), id_col, "semi")
+    a = emb.select(F.col(id_col).alias("__ia"), F.col("__v").alias("__va"))
+    b = emb.select(F.col(id_col).alias("__ib"), F.col("__v").alias("__vb"))
+    psim = (
+        a.join(F.broadcast(b), F.col("__ia") < F.col("__ib"))
+        .select(
+            "__ia",
+            "__ib",
+            quantized_cosine(cosine_expr(F.col("__va"), F.col("__vb"))).alias(
+                "__s"
+            ),
+        )
+    )
+    rel = {int(r[0]): float(r[1]) for r in cand.collect()}
+    sims: dict[tuple[int, int], float] = {}
+    for r in psim.collect():
+        sims[(int(r["__ia"]), int(r["__ib"]))] = float(r["__s"])
+
+    def pair_sim(x: int, y: int) -> float:
+        return sims.get((x, y) if x < y else (y, x), 0.0)
+
+    selected: list[tuple[int, float, float]] = []
+    chosen: list[int] = []
+    remaining = sorted(rel)
+    for rank in range(1, min(k, len(remaining)) + 1):
+        best = None
+        for cid in remaining:
+            if cid in chosen:
+                continue
+            if chosen:
+                worst = max(pair_sim(cid, s) for s in chosen)
+                score = lam * rel[cid] - (1.0 - lam) * worst
+            else:
+                score = lam * rel[cid]
+            if best is None or score > best[1] or (score == best[1] and cid < best[0]):
+                best = (cid, score)
+        chosen.append(best[0])
+        selected.append((best[0], rank, rel[best[0]], best[1]))
+    out = df.sparkSession.createDataFrame(
+        selected, f"{id_col} long, rank int, relevance double, mmr_score double"
+    )
+    return out.orderBy("rank")

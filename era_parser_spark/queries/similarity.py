@@ -577,3 +577,73 @@ def s11c_ivf_pq_rerank(spark, sf_dir):
         dim=64, k=10, shortlist=40, m=4, n_codes=16, stride=25,
         n_centroids=64, nprobe=3,
     )
+
+
+def _mmr_oracle(k: int = 5, pool: int = 20, lam: float = 0.7) -> str:
+    """Chained per-step CTEs re-deriving the greedy MMR selection: step i
+    picks argmax(lam*rel - (1-lam)*max sim to selected) over the pool
+    minus the selected set, ties on vec_id.  All sims DECIMAL(10,6)-
+    quantized; lam products/subtractions are single IEEE ops — identical
+    to the operator's driver-side arithmetic."""
+    q = "(SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]"
+    parts = [
+        f"""WITH pool AS (
+      SELECT vec_id,
+             CAST(CAST(list_cosine_similarity(embedding::DOUBLE[], {q})
+                  AS DECIMAL(10,6)) AS DOUBLE) AS rel
+      FROM embeddings ORDER BY rel DESC, vec_id LIMIT {pool}
+    ),
+    ps AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             CAST(CAST(list_cosine_similarity(
+               ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]
+             ) AS DECIMAL(10,6)) AS DOUBLE) AS s
+      FROM pool a JOIN pool b ON a.vec_id < b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+    ),
+    sel1 AS (
+      SELECT vec_id, rel, CAST({lam} AS DOUBLE) * rel AS score
+      FROM pool ORDER BY score DESC, vec_id LIMIT 1
+    )"""
+    ]
+    for i in range(2, k + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT vec_id FROM sel{j}" for j in range(1, i)
+        )
+        parts.append(
+            f""",
+    sel{i} AS (
+      SELECT p.vec_id, p.rel,
+             CAST({lam} AS DOUBLE) * p.rel
+             - (CAST(1.0 AS DOUBLE) - CAST({lam} AS DOUBLE)) * (
+               SELECT max(s) FROM ps
+               WHERE (ia = p.vec_id AND ib IN ({prev}))
+                  OR (ib = p.vec_id AND ia IN ({prev}))
+             ) AS score
+      FROM pool p WHERE p.vec_id NOT IN ({prev})
+      ORDER BY score DESC, p.vec_id LIMIT 1
+    )"""
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT vec_id, CAST({i} AS INTEGER) AS rank, rel AS relevance, "
+        f"score AS mmr_score FROM sel{i}"
+        for i in range(1, k + 1)
+    )
+    parts.append(f"\n    {finals} ORDER BY rank")
+    return "".join(parts)
+
+
+@register("s12_mmr_diversify", oracle=_mmr_oracle())
+def s12_mmr_diversify(spark, sf_dir):
+    # MMR diversity re-ranking (operators/similarity.py::mmr_topk):
+    # distributed exact top-20 pool + pairwise quantized matrix, greedy
+    # k=5 selection over the bounded artifact; oracle re-derives every
+    # step in chained CTEs.  Diversity-vs-relevance behavior pinned in
+    # tests/test_round7_ops.py.
+    from era_parser_spark.operators.similarity import mmr_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    return mmr_topk(
+        emb, "embedding", "vec_id", _query_vec(spark, sf_dir, 0), k=5, pool=20
+    )

@@ -749,3 +749,48 @@ def test_band_pair_state_across_microbatches(spark, tmp_path_factory):
     )
     capped = {(r.doc_a, r.doc_b) for r in out3.collect()}
     assert (1, 2) in capped and len(capped) < 10  # full clique would be 10
+
+
+def test_mmr_breaks_up_near_dup_cluster(spark):
+    """MMR's reason to exist: when a near-dup cluster dominates relevance,
+    plain top-k returns the whole cluster; MMR keeps one representative
+    and fills the rest with diverse results.  Rank 1 is always the plain
+    argmax, and with lam=1.0 MMR degenerates to plain top-k order."""
+    import numpy as np
+
+    from era_parser_spark.operators.similarity import mmr_topk
+
+    rng = np.random.default_rng(11)
+    q = rng.normal(size=32)
+    q /= np.linalg.norm(q)
+    rows = [(0, [float(x) for x in q])]
+    # cluster: 5 tiny perturbations of q (near-dups, highest relevance)
+    for i in range(1, 6):
+        v = q + rng.normal(scale=0.01, size=32)
+        rows.append((i, [float(x) for x in v]))
+    # diverse: clearly related to q but mutually orthogonal-ish
+    for i in range(6, 12):
+        d = rng.normal(size=32)
+        d -= (d @ q) * q
+        d /= np.linalg.norm(d)
+        v = 0.75 * q + 0.66 * d
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # lam=0.3: diversity-weighted.  (With q itself selected first, every
+    # candidate's penalty is at least its relevance — sim-to-q — so lam
+    # must be < 0.5 for diversity to outweigh the cluster's relevance
+    # edge; the classic MMR regime for dedup-style re-ranking.)
+    out = mmr_topk(
+        df, "embedding", "vec_id", [float(x) for x in q], k=5, pool=12, lam=0.3
+    )
+    sel = [r.vec_id for r in out.orderBy("rank").collect()]
+    assert sel[0] == 0  # rank 1 = plain argmax (the query itself)
+    cluster_hits = sum(1 for i in sel if 1 <= i <= 5)
+    assert cluster_hits <= 1, sel  # the near-dup cluster collapsed
+    assert len(sel) == 5
+    # lam=1.0: pure relevance — the cluster fills the top-k again
+    out1 = mmr_topk(
+        df, "embedding", "vec_id", [float(x) for x in q], k=5, pool=12, lam=1.0
+    )
+    sel1 = [r.vec_id for r in out1.orderBy("rank").collect()]
+    assert sum(1 for i in sel1 if 1 <= i <= 5) >= 4, sel1
