@@ -65,6 +65,7 @@ HEADLINE = [
     "t20_gopher_rules",
     "p11_weighted_sample",
     "t21_perplexity_buckets",
+    "p12_curation_v2",
 ]
 
 

@@ -967,6 +967,7 @@ def gopher_quality_flags(
     max_ellipsis_line_frac: float = 0.3,
     min_alpha_word_frac: float = 0.8,
     min_required_stopwords: int = 2,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Gopher rule-based quality filter (Rae et al. 2021 A1.1): per-doc
     repetition-independent quality signals and the conjunction verdict —
@@ -993,11 +994,15 @@ def gopher_quality_flags(
     txt = F.coalesce(
         F.col(text_col) if isinstance(text_col, str) else text_col, F.lit("")
     )
+    # keep_cols ride through the metric projection so a pipeline stage
+    # (p12) can filter on the verdict and keep going without an id-keyed
+    # re-join against the corpus
     base = df.select(
         F.col(id_col),
         txt.alias("__t"),
         tokens_col(txt).alias("__tok"),
         F.split(txt, "\n", -1).alias("__ln"),
+        *[F.col(c) for c in keep_cols],
     )
     n_words = F.size("__tok")
     n_lines = F.size("__ln")
@@ -1037,6 +1042,7 @@ def gopher_quality_flags(
         (ell_lines / n_lines).alias("ellipsis_line_frac"),
         (alpha / n_words).alias("alpha_word_frac"),
         required.cast("long").alias("n_required_stopwords"),
+        *[F.col(c) for c in keep_cols],
     )
     keep = (
         (F.col("n_words") >= min_words)

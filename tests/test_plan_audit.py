@@ -593,3 +593,21 @@ def test_t21_bucket_join_broadcasts_thresholds(spark, queries):
     df = queries["t21_perplexity_buckets"](spark, SF_MED)
     assert broadcast_join_count(df) >= 1
     assert "CartesianProduct" not in formatted_plan(df)
+
+
+def test_p12_pipeline_no_interstage_id_joins(spark, queries):
+    """p12 chains its three stages inline: the Gopher gate is a codegen
+    filter at the scan (keep_cols passthrough — no id-keyed re-join of
+    the corpus), the Bloom screen's only row shuffle is the per-doc hit
+    aggregate, and the split is a codegen CASE.  No sort-merge join
+    anywhere; the only hash exchanges are the doc_id aggregate and the
+    tiny benchmark-side filter build."""
+    import re
+
+    df = queries["p12_curation_v2"](spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan and "Cartesian" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row words broadcast
+    exchanges = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert exchanges.count("doc_id") == 1
+    assert set(exchanges) <= {"doc_id", "bit", "w"}

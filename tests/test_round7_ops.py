@@ -794,3 +794,26 @@ def test_mmr_breaks_up_near_dup_cluster(spark):
     )
     sel1 = [r.vec_id for r in out1.orderBy("rank").collect()]
     assert sum(1 for i in sel1 if 1 <= i <= 5) >= 4, sel1
+
+
+def test_curation_v2_each_stage_binds(spark):
+    """p12's three stages must each do real work on the fixture: the
+    Gopher gate drops docs, the Bloom screen drops more, the survivors
+    get all three split labels, and a doc violating a quality rule (or
+    quoting the benchmark) never reaches the output."""
+    from era_parser_spark.queries import QUERIES, load_all
+
+    load_all()
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["p12_curation_v2"](spark, sf).collect()
+    docs_n = spark.read.parquet(f"{sf}/documents.parquet").count()
+    train_slice = docs_n - spark.read.parquet(f"{sf}/documents.parquet").filter(
+        "doc_id % 17 = 0"
+    ).count()
+    assert 0 < len(out) < train_slice  # both gates bound
+    splits = {r.split for r in out}
+    assert splits == {"train", "val", "test"}
+    # bench docs never appear
+    assert all(r.doc_id % 17 != 0 for r in out)
+    # survivors carry their shingle counts (>= min_words - 2 by the gate)
+    assert all(r.n_shingles >= 1 for r in out)
