@@ -406,3 +406,118 @@ def scene_cuts(
             )
 
     return df.select("media_id", "payload").mapInPandas(fn, SCENE_SCHEMA)
+
+
+FRAME_ENERGY_SCHEMA = "media_id long, fi long, energy long"
+
+
+def frame_energies(df: DataFrame, frame_bytes: int = 16) -> DataFrame:
+    """Per-frame integer energies of a frame-stream payload (mm2/mm6's
+    convention: `frame_bytes` per frame, trailing partial dropped).
+    Arrow-batched numpy; the payload never shuffles — only (id, frame,
+    energy) longs leave the scan, which for real frames (KBs each) is a
+    negligible fraction of the input bytes.
+    """
+    import numpy as np
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids: list[int] = []
+            idxs: list[int] = []
+            es: list[int] = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                n_frames = len(data) // frame_bytes
+                if n_frames < 1:
+                    continue
+                arr = np.frombuffer(
+                    data[: n_frames * frame_bytes], np.uint8
+                ).reshape(n_frames, frame_bytes)
+                energy = arr.sum(axis=1, dtype=np.int64)
+                ids.extend([int(mid)] * n_frames)
+                idxs.extend(range(n_frames))
+                es.extend(int(x) for x in energy)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "fi": pd.Series(idxs, dtype="int64"),
+                    "energy": pd.Series(es, dtype="int64"),
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(fn, FRAME_ENERGY_SCHEMA)
+
+
+def scene_keyframes(
+    df: DataFrame, frame_bytes: int = 16, threshold: int = 200
+) -> DataFrame:
+    """Keyframe selection: segment each media's frame stream into scenes
+    at mm6's cut boundaries (|energy - lag| > threshold), then pick ONE
+    representative frame per scene — the frame whose energy is closest
+    to the scene mean, compared in integers as |energy * n - sum| (no
+    division, so the argmin is exact), ties to the earliest frame.  The
+    video-curation primitive after shot detection: sample one frame per
+    shot instead of every frame.
+
+    Plan shape: scene assignment is a running sum over the SAME
+    (media_id, fi) window the lag uses, and the per-scene stats
+    (n/sum/span) are window aggregates over (media_id, scene_idx) — a
+    window-only formulation on purpose: a groupBy+join would make
+    Catalyst re-run the mapInPandas energy scan once per branch (the
+    multi-branch recompute trap, docs/PLANS.md).  One exchange on
+    media_id, one on (media_id, scene_idx); payloads never shuffle.
+
+    All-integer math => exactly SQL-rederivable (the mm6 argument).
+    Output: (media_id, scene_idx, start_idx, end_idx, n_frames,
+    key_idx, key_energy).
+    """
+    from pyspark.sql import Window as W
+
+    e = frame_energies(df, frame_bytes)
+    w = W.partitionBy("media_id").orderBy("fi")
+    cut = (
+        F.abs(F.col("energy") - F.lag("energy").over(w)) > threshold
+    ).cast("long")
+    marked = e.select(
+        "media_id",
+        "fi",
+        "energy",
+        F.coalesce(cut, F.lit(0)).alias("__c"),
+    )
+    scn = marked.select(
+        "media_id",
+        "fi",
+        "energy",
+        F.sum("__c")
+        .over(w.rowsBetween(W.unboundedPreceding, 0))
+        .alias("scene_idx"),
+    )
+    pw = W.partitionBy("media_id", "scene_idx")
+    stats = scn.select(
+        "media_id",
+        "scene_idx",
+        "fi",
+        "energy",
+        F.count(F.lit(1)).over(pw).alias("n_frames"),
+        F.sum("energy").over(pw).alias("__s"),
+        F.min("fi").over(pw).alias("start_idx"),
+        F.max("fi").over(pw).alias("end_idx"),
+    )
+    rn = F.row_number().over(
+        pw.orderBy(
+            F.abs(F.col("energy") * F.col("n_frames") - F.col("__s")), "fi"
+        )
+    )
+    return (
+        stats.withColumn("__rn", rn)
+        .filter(F.col("__rn") == 1)
+        .select(
+            "media_id",
+            F.col("scene_idx").cast("long").alias("scene_idx"),
+            "start_idx",
+            "end_idx",
+            F.col("n_frames").cast("long").alias("n_frames"),
+            F.col("fi").alias("key_idx"),
+            F.col("energy").alias("key_energy"),
+        )
+    )

@@ -965,3 +965,71 @@ def dd13b_tfidf_pairs_bounded(spark, sf_dir):
     return tfidf_pairs_bounded(
         docs, "doc_id", "text", threshold=0.8, max_df_candidates=50
     )
+
+
+@register(
+    "mm7_scene_keyframes",
+    # mm6's integer frame energies extended to scene segmentation (cut
+    # cumsum) and per-scene representative frames: key = argmin of
+    # |energy * n - sum| (integer, no division), ties to earliest frame.
+    # All-integer windows — bitwise-exact in both engines.
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) // 16 AS nf
+      FROM documents WHERE octet_length(encode(text)) >= 16
+    ),
+    b AS (
+      SELECT media_id, CAST(i AS BIGINT) AS fi,
+             CAST(concat('0x',
+                  substr(hx, CAST((i * 16 + j) * 2 + 1 AS INTEGER), 2))
+                  AS BIGINT) AS bv
+      FROM m, unnest(range(0, nf)) AS u(i), unnest(range(0, 16)) AS v(j)
+    ),
+    e AS (SELECT media_id, fi, sum(bv) AS energy FROM b GROUP BY media_id, fi),
+    d AS (
+      SELECT media_id, fi, energy,
+             CASE WHEN abs(energy - lag(energy) OVER (
+                    PARTITION BY media_id ORDER BY fi)) > 200
+                  THEN 1 ELSE 0 END AS c
+      FROM e
+    ),
+    s AS (
+      SELECT media_id, fi, energy,
+             sum(c) OVER (PARTITION BY media_id ORDER BY fi
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS scene_idx
+      FROM d
+    ),
+    st AS (
+      SELECT media_id, scene_idx, fi, energy,
+             count(*) OVER pw AS n_frames,
+             sum(energy) OVER pw AS es,
+             min(fi) OVER pw AS start_idx,
+             max(fi) OVER pw AS end_idx
+      FROM s WINDOW pw AS (PARTITION BY media_id, scene_idx)
+    ),
+    rk AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY media_id, scene_idx
+               ORDER BY abs(energy * n_frames - es), fi) AS rn
+      FROM st
+    )
+    SELECT media_id, CAST(scene_idx AS BIGINT) AS scene_idx,
+           start_idx, end_idx, CAST(n_frames AS BIGINT) AS n_frames,
+           fi AS key_idx, CAST(energy AS BIGINT) AS key_energy
+    FROM rk WHERE rn = 1
+    """,
+)
+def mm7_scene_keyframes(spark, sf_dir):
+    # Keyframe selection after shot detection — one representative frame
+    # per scene (operators/multimodal.py::scene_keyframes); window-only
+    # plan, single energy scan, payloads never shuffle.
+    from era_parser_spark.operators.multimodal import (
+        documents_as_media,
+        scene_keyframes,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return scene_keyframes(
+        documents_as_media(docs), frame_bytes=16, threshold=200
+    )

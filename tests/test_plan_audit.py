@@ -611,3 +611,17 @@ def test_p12_pipeline_no_interstage_id_joins(spark, queries):
     exchanges = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
     assert exchanges.count("doc_id") == 1
     assert set(exchanges) <= {"doc_id", "bit", "w"}
+
+
+def test_mm7_single_energy_scan_window_only(spark, queries):
+    """mm7 is deliberately window-only (no groupBy+join back): the
+    mapInPandas energy scan must appear exactly ONCE in the executed
+    plan — a stats-join formulation would re-run it per branch."""
+    import re
+
+    from era_parser_spark.plans import formatted_plan
+
+    plan = formatted_plan(queries["mm7_scene_keyframes"](spark, SF_MED))
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "SortMergeJoin" not in plan

@@ -817,3 +817,39 @@ def test_curation_v2_each_stage_binds(spark):
     assert all(r.doc_id % 17 != 0 for r in out)
     # survivors carry their shingle counts (>= min_words - 2 by the gate)
     assert all(r.n_shingles >= 1 for r in out)
+
+
+def test_scene_keyframes_semantics(spark):
+    """Crafted frame stream: two scenes split by one hard cut; the
+    keyframe is the frame closest to its scene's mean energy (integer
+    compare |e*n - sum|), ties to the earliest frame; single-frame media
+    yield one scene with themselves as keyframe."""
+    from era_parser_spark.operators.multimodal import scene_keyframes
+
+    # 16-byte frames: energies 16*v for constant-value frames
+    def frames(*vals):
+        return b"".join(bytes([v]) * 16 for v in vals)
+
+    rows = [
+        # media 1: scene A energies [160,320,160] (mean 213.33 -> frame 0
+        # |160*3-640|=160 vs f1 |960-640|=320 vs f2 160 -> tie f0,f2 ->
+        # f0), then cut (delta 16*13=208>200) to scene B [16*23,16*23]
+        (1, frames(10, 20, 10, 23, 23)),
+        # media 2: single frame
+        (2, frames(7)),
+        # media 3: empty payload -> no rows
+        (3, b""),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {
+        (r.media_id, r.scene_idx): r for r in scene_keyframes(df).collect()
+    }
+    assert set(out) == {(1, 0), (1, 1), (2, 0)}
+    a = out[(1, 0)]
+    assert (a.start_idx, a.end_idx, a.n_frames) == (0, 2, 3)
+    assert a.key_idx == 0 and a.key_energy == 160  # tie -> earliest
+    b = out[(1, 1)]
+    assert (b.start_idx, b.end_idx, b.n_frames) == (3, 4, 2)
+    assert b.key_idx == 3 and b.key_energy == 16 * 23
+    c = out[(2, 0)]
+    assert (c.n_frames, c.key_idx, c.key_energy) == (1, 0, 7 * 16)
