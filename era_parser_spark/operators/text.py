@@ -1120,3 +1120,47 @@ def perplexity_buckets(
     return scored.join(F.broadcast(th), lang_col, "left").select(
         F.col(id_col), F.col(lang_col), F.col("mean_prob"), bucket.alias("bucket")
     )
+
+
+TRACKING_PARAM_RE = "^(utm_[^=]*|fbclid|gclid|msclkid|ref)="
+
+
+def canonical_url_col(u: Column) -> Column:
+    """URL canonicalization (the CommonCrawl URL-dedup normal form):
+    lowercase scheme+host, strip default :80/:443 ports, drop the
+    fragment, strip trailing path slashes, remove tracking query params
+    (utm_*/fbclid/gclid/msclkid/ref) and SORT the survivors so param
+    order can't split a group.  Pure codegen regex/array ops — the same
+    RE2-safe patterns evaluate identically under Java regex and DuckDB,
+    so the canonical form (and any dedup keyed on it) is oracle-exact.
+
+    Scale shape: zero-shuffle per-row expression; dedup on top is the
+    dd1 digest-groupBy.
+    """
+    nofrag = F.regexp_replace(u, "#.*$", "")
+    scheme = F.lower(F.regexp_extract(nofrag, "(?i)^(https?)://", 1))
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(nofrag, "(?i)^https?://([^/?#]+)", 1)),
+        "(:80|:443)$",
+        "",
+    )
+    path = F.regexp_replace(
+        F.regexp_extract(nofrag, "(?i)^https?://[^/?#]+([^?#]*)", 1), "/+$", ""
+    )
+    query = F.regexp_extract(nofrag, "\\?([^#]*)", 1)
+    kept = F.array_join(
+        F.sort_array(
+            F.filter(
+                F.split(query, "&", -1),
+                lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+            )
+        ),
+        "&",
+    )
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(kept != "", F.concat(F.lit("?"), kept)).otherwise(F.lit("")),
+    )

@@ -1033,3 +1033,84 @@ def mm7_scene_keyframes(spark, sf_dir):
     return scene_keyframes(
         documents_as_media(docs), frame_bytes=16, threshold=200
     )
+
+
+@register(
+    "dd15_url_dedup",
+    # Canonicalization re-derived with the SAME RE2-safe regexes: drop
+    # fragment, lowercase scheme+host, strip :80/:443, strip trailing
+    # path slash, remove tracking params and SORT the survivors.  The
+    # injected per-doc URL varies case (%2), default port (%3), trailing
+    # slash (%7), and carries utm_/fbclid params keyed to the FULL
+    # doc_id — so groups only merge if every normalization step works;
+    # the canonical group key is (doc_id%5, doc_id%97).
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+        'https://'
+        || CASE WHEN doc_id % 2 = 0 THEN 'Example' ELSE 'example' END
+        || CAST(doc_id % 5 AS VARCHAR) || '.com'
+        || CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END
+        || '/p/' || CAST(doc_id % 97 AS VARCHAR)
+        || CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END
+        || '?utm_source=tr' || CAST(doc_id AS VARCHAR)
+        || '&id=' || CAST(doc_id % 5 AS VARCHAR)
+        || '&a=1&fbclid=f' || CAST(doc_id AS VARCHAR)
+        || '#sec' || CAST(doc_id AS VARCHAR) AS url
+      FROM documents
+    ),
+    nf AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nofrag FROM u),
+    q AS (
+      SELECT doc_id, nofrag,
+        array_to_string(list_sort(list_filter(
+          string_split(regexp_extract(nofrag, '\\?([^#]*)', 1), '&'),
+          p -> p <> '' AND NOT regexp_matches(p,
+            '^(utm_[^=]*|fbclid|gclid|msclkid|ref)='))), '&') AS kept
+      FROM nf
+    ),
+    c AS (
+      SELECT doc_id,
+        lower(regexp_extract(nofrag, '(?i)^(https?)://', 1)) || '://'
+        || regexp_replace(lower(regexp_extract(nofrag,
+             '(?i)^https?://([^/?#]+)', 1)), '(:80|:443)$', '')
+        || regexp_replace(regexp_extract(nofrag,
+             '(?i)^https?://[^/?#]+([^?#]*)', 1), '/+$', '')
+        || CASE WHEN kept <> '' THEN '?' || kept ELSE '' END AS canon_url
+      FROM q
+    )
+    SELECT canon_url, min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM c GROUP BY canon_url
+    """,
+)
+def dd15_url_dedup(spark, sf_dir):
+    # URL-canonicalization dedup — the pre-content dedup stage every
+    # crawl pipeline runs (operators/text.py::canonical_url_col):
+    # zero-shuffle canonical form at the scan, then the dd1 keep-min-id
+    # digest groupBy on the canonical key.
+    from era_parser_spark.operators.text import canonical_url_col
+
+    docs = table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(d % 2 == 0, F.lit("Example")).otherwise(F.lit("example")),
+        (d % 5).cast("string"),
+        F.lit(".com"),
+        F.when(d % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/p/"),
+        (d % 97).cast("string"),
+        F.when(d % 7 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=tr"),
+        d.cast("string"),
+        F.lit("&id="),
+        (d % 5).cast("string"),
+        F.lit("&a=1&fbclid=f"),
+        d.cast("string"),
+        F.lit("#sec"),
+        d.cast("string"),
+    )
+    return (
+        docs.select(d.alias("doc_id"), canonical_url_col(url).alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )

@@ -853,3 +853,34 @@ def test_scene_keyframes_semantics(spark):
     assert b.key_idx == 3 and b.key_energy == 16 * 23
     c = out[(2, 0)]
     assert (c.n_frames, c.key_idx, c.key_energy) == (1, 0, 7 * 16)
+
+
+def test_canonical_url_each_rule(spark):
+    """Each canonicalization rule pinned in isolation: case, default
+    port, non-default port kept, fragment, trailing slash, tracking
+    params stripped + survivors sorted, empty query."""
+    from era_parser_spark.operators.text import canonical_url_col
+
+    cases = [
+        ("HTTPS://WWW.Ex.COM/Path", "https://www.ex.com/Path"),  # host only
+        ("https://ex.com:443/a", "https://ex.com/a"),
+        ("http://ex.com:80/a", "http://ex.com/a"),
+        ("http://ex.com:8080/a", "http://ex.com:8080/a"),       # kept
+        ("https://ex.com/a#frag", "https://ex.com/a"),
+        ("https://ex.com/a/", "https://ex.com/a"),
+        ("https://ex.com/a//", "https://ex.com/a"),
+        ("https://ex.com/a?z=2&utm_source=x&a=1&fbclid=y",
+         "https://ex.com/a?a=1&z=2"),
+        ("https://ex.com/a?utm_campaign=x&gclid=1&ref=h",
+         "https://ex.com/a"),
+        ("https://ex.com/?utm_source=x", "https://ex.com"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i long, u string"
+    )
+    got = {
+        r.i: r.c
+        for r in df.select("i", canonical_url_col(F.col("u")).alias("c")).collect()
+    }
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, (u, got[i], want)
