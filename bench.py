@@ -66,6 +66,7 @@ HEADLINE = [
     "p11_weighted_sample",
     "t21_perplexity_buckets",
     "p12_curation_v2",
+    "s13_ann_knn_join",
 ]
 
 

@@ -1481,3 +1481,126 @@ def mmr_topk(
         selected, f"{id_col} long, rank int, relevance double, mmr_score double"
     )
     return out.orderBy("rank")
+
+
+def ivf_pq_knn_join(
+    corpus: DataFrame,
+    queries_df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    k: int = 5,
+    m: int = 4,
+    n_codes: int = 16,
+    stride: int = 25,
+    n_centroids: int = 64,
+    nprobe: int = 3,
+    trainer: str = "stride",
+) -> DataFrame:
+    """Batch ANN k-NN JOIN: every query row gets its approximate top-k
+    corpus neighbors by IVF-PQ ADC — the bulk-retrieval shape (cross-
+    dataset dedup, retrieval-augmented labeling) where s5's exact k-NN
+    join would pay |queries| x |corpus| float distances.  Corpus-side
+    cost is ONE assignment scan + code argmins; each corpus row is then
+    replicated only to the queries probing its cell (the broadcast probe
+    join), and scoring is per-row map lookups against a single broadcast
+    ADC map keyed (query, subspace, code) — queries x m x n_codes
+    entries, tiny for any sane query batch.
+
+    Everything deterministic per the s11 rules (stride trainer, argmin
+    ties on code id, fixed-order float sums, DECIMAL(10,6) quantization)
+    — the whole batch pipeline is exactly SQL-rederivable.  Self-matches
+    (corpus id == query id) are excluded, matching s5's contract.
+
+    Output: (query_id, nbr_id, adc_dist, rnk) with rnk 1..k per query,
+    ties on nbr_id.
+    """
+    from pyspark.sql import Window as W
+
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d = dim // m
+    emb = F.col(vec_col).cast("array<double>")
+
+    cents = centroid_table(corpus, vec_col, id_col, stride, n_centroids, trainer=trainer)
+    qs = queries_df.select(F.col(id_col).alias("query_id"), emb.alias("__q"))
+    probe = (
+        qs.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "centroid_id",
+            sq_l2_expr(F.col("__q"), F.col("cvec")).alias("__qd"),
+        )
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy("__qd", "centroid_id")
+            ),
+        )
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "centroid_id")
+    )
+
+    seeds = pq_codebook(
+        corpus, vec_col, id_col, dim, m=m, k=n_codes, stride=stride, trainer=trainer
+    )
+    cb = seeds.agg(F.collect_list(F.struct("code_id", "v")).alias("cbs"))
+
+    def _adc_entry(j):
+        # closure factory (PySpark types HOF lambdas by arity)
+        return lambda c: F.struct(
+            (
+                (F.col("query_id") * m + F.lit(j)) * n_codes
+                + c.getField("code_id")
+            ).alias("key"),
+            sq_l2_expr(
+                F.slice(F.col("__q"), j * d + 1, d),
+                F.slice(c.getField("v"), j * d + 1, d),
+            ).alias("val"),
+        )
+
+    ent = qs.crossJoin(F.broadcast(cb)).select(
+        F.flatten(
+            F.array(*[F.transform("cbs", _adc_entry(j)) for j in range(m)])
+        ).alias("__es")
+    )
+    admap = ent.agg(
+        F.map_from_entries(F.flatten(F.collect_list("__es"))).alias("__adc")
+    )
+
+    assigned = ivf_assign(corpus, vec_col, id_col, cents).select(
+        F.col(id_col), F.col("centroid_id"), emb.alias("__e")
+    )
+    cand = assigned.join(F.broadcast(probe), "centroid_id").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+
+    def _scorer(j, sub):
+        return lambda c: F.struct(
+            sq_l2_expr(sub, F.slice(c.getField("v"), j * d + 1, d)).alias("dist"),
+            c.getField("code_id").alias("code_id"),
+        )
+
+    joined = cand.crossJoin(F.broadcast(cb)).crossJoin(F.broadcast(admap))
+    dist = None
+    for j in range(m):
+        sub = F.slice(F.col("__e"), j * d + 1, d)
+        code = F.array_min(F.transform("cbs", _scorer(j, sub))).getField("code_id")
+        term = F.element_at(
+            F.col("__adc"),
+            (F.col("query_id") * m + F.lit(j)) * n_codes + code,
+        )
+        dist = term if dist is None else dist + term
+    scored = joined.select(
+        "query_id",
+        F.col(id_col).alias("nbr_id"),
+        dist.cast("decimal(10,6)").cast("double").alias("adc_dist"),
+    )
+    rnk = F.row_number().over(
+        W.partitionBy("query_id").orderBy("adc_dist", "nbr_id")
+    )
+    return (
+        scored.withColumn("rnk", rnk.cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "nbr_id", "adc_dist", "rnk")
+    )

@@ -647,3 +647,103 @@ def s12_mmr_diversify(spark, sf_dir):
     return mmr_topk(
         emb, "embedding", "vec_id", _query_vec(spark, sf_dir, 0), k=5, pool=20
     )
+
+
+@register(
+    "s13_ann_knn_join",
+    # The s11 ADC oracle generalized to a query BATCH (the s5 query set,
+    # vec_id % 101 = 0): per-query probes via a rank window, candidates
+    # from probed cells minus self, per-(query, subspace, code) distance
+    # table, and the same fixed-order quantized sums — per-query top-5.
+    oracle="""
+    WITH cb AS (
+      SELECT vec_id AS code_id, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id % 25 = 0 ORDER BY vec_id LIMIT 16
+    ),
+    cent AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+      FROM embeddings WHERE vec_id % 25 = 0 ORDER BY vec_id LIMIT 64
+    ),
+    qs AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id % 101 = 0
+    ),
+    assign AS (
+      SELECT e.vec_id, e.embedding::DOUBLE[] AS ev,
+             (SELECT c.cid FROM cent c
+               ORDER BY list_distance(e.embedding::DOUBLE[], c.cvec) ASC, c.cid ASC
+               LIMIT 1) AS centroid_id
+      FROM embeddings e
+    ),
+    probe AS (
+      SELECT query_id, cid FROM (
+        SELECT q.query_id, c.cid,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY list_distance(c.cvec, q.qv) ASC, c.cid ASC) AS rn
+        FROM cent c, qs q)
+      WHERE rn <= 3
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id
+      FROM assign a JOIN probe p ON a.centroid_id = p.cid
+      WHERE a.vec_id <> p.query_id
+    ),
+    cdocs AS (
+      SELECT DISTINCT a.vec_id, a.ev FROM assign a
+      JOIN (SELECT DISTINCT vec_id FROM cand) cv ON cv.vec_id = a.vec_id
+    ),
+    codes AS (
+      SELECT cdocs.vec_id, j,
+        (SELECT c.code_id FROM cb c
+          ORDER BY list_distance(
+            cdocs.ev[CAST(j*16+1 AS INTEGER):CAST(j*16+16 AS INTEGER)],
+            c.v[CAST(j*16+1 AS INTEGER):CAST(j*16+16 AS INTEGER)]
+          ) ASC, c.code_id ASC LIMIT 1) AS code
+      FROM cdocs, unnest(range(0, 4)) AS u(j)
+    ),
+    qd AS (
+      SELECT q.query_id, u.j, c.code_id AS code,
+        list_reduce(
+          list_transform(range(1, 17), i ->
+            (c.v[CAST(u.j*16 AS INTEGER)+i] - q.qv[CAST(u.j*16 AS INTEGER)+i])
+            * (c.v[CAST(u.j*16 AS INTEGER)+i] - q.qv[CAST(u.j*16 AS INTEGER)+i])),
+          (x, y) -> x + y) AS dist
+      FROM qs q, cb c, unnest(range(0, 4)) AS u(j)
+    ),
+    scored AS (
+      SELECT p.query_id, p.vec_id,
+        CAST(CAST(
+          ((MAX(CASE WHEN co.j=0 THEN qd.dist END)
+            + MAX(CASE WHEN co.j=1 THEN qd.dist END))
+            + MAX(CASE WHEN co.j=2 THEN qd.dist END))
+            + MAX(CASE WHEN co.j=3 THEN qd.dist END)
+        AS DECIMAL(10,6)) AS DOUBLE) AS adc_dist
+      FROM cand p
+      JOIN codes co ON co.vec_id = p.vec_id
+      JOIN qd ON qd.query_id = p.query_id AND qd.j = co.j AND qd.code = co.code
+      GROUP BY p.query_id, p.vec_id
+    )
+    SELECT query_id, vec_id AS nbr_id, adc_dist,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY adc_dist ASC, vec_id ASC
+           ) AS INTEGER) AS rnk
+    FROM scored QUALIFY rnk <= 5
+    """,
+)
+def s13_ann_knn_join(spark, sf_dir):
+    # Batch ANN k-NN join (operators/similarity.py::ivf_pq_knn_join):
+    # the approximate counterpart of s5's exact k-NN join — corpus
+    # scanned once, candidates only where a query probes, scoring via
+    # one broadcast (query, subspace, code) ADC map.
+    from era_parser_spark.operators.similarity import ivf_pq_knn_join
+
+    emb = table(spark, sf_dir, "embeddings")
+    return ivf_pq_knn_join(
+        emb,
+        emb.filter(F.col("vec_id") % 101 == 0),
+        "embedding",
+        "vec_id",
+        dim=64,
+        k=5,
+        nprobe=3,
+    )

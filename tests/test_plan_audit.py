@@ -625,3 +625,15 @@ def test_mm7_single_energy_scan_window_only(spark, queries):
     assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert "SortMergeJoin" not in plan
+
+
+def test_s13_batch_ann_join_all_broadcast(spark, queries):
+    """s13: the corpus is scanned for assignment once and candidates
+    come from a BROADCAST probe join; scoring is map lookups against
+    one broadcast ADC map — no sort-merge join anywhere."""
+    from era_parser_spark.plans import formatted_plan, plan_summary
+
+    df = queries["s13_ann_knn_join"](spark, SF_MED)
+    assert plan_summary(df)["sort_merge_joins"] == 0
+    plan = formatted_plan(df)
+    assert "map_from_entries" in plan and "element_at" in plan

@@ -884,3 +884,37 @@ def test_canonical_url_each_rule(spark):
     }
     for i, (u, want) in enumerate(cases):
         assert got[i] == want, (u, got[i], want)
+
+
+def test_ann_knn_join_matches_per_query_search(spark):
+    """Batch-vs-scalar parity: for every query in the batch, s13's
+    ranked neighbor list must equal the single-query IVF-PQ search over
+    the same corpus (same codebook, same quantized ADC sums, same
+    tie-break), minus the self-match the join contract excludes."""
+    from era_parser_spark.operators.similarity import (
+        ivf_pq_knn_join,
+        ivf_pq_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 101 == 0)
+    batch = {}
+    for r in ivf_pq_knn_join(
+        emb, queries, "embedding", "vec_id", dim=64, k=5, nprobe=3
+    ).collect():
+        batch.setdefault(r.query_id, []).append((r.rnk, r.nbr_id, r.adc_dist))
+    assert len(batch) == queries.count()
+    for qid in sorted(batch)[:3]:
+        q = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == qid).first()["embedding"]
+        ]
+        solo = [
+            (r.vec_id, r.adc_dist)
+            for r in ivf_pq_topk(
+                emb, "embedding", "vec_id", q, dim=64, k=20, nprobe=3
+            ).collect()
+            if r.vec_id != qid
+        ][:5]
+        got = [(n, d) for _, n, d in sorted(batch[qid])]
+        assert got == solo, (qid, got, solo)
