@@ -193,3 +193,96 @@ def cluster_sizes(components: DataFrame, id_col: str = "id") -> DataFrame:
     """(id_col, cluster_id, cluster_sz) — components annotated with size."""
     sizes = components.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_sz"))
     return components.join(sizes, "cluster_id").select(id_col, "cluster_id", "cluster_sz")
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: tuple[int, int] = (85, 100),
+    scale: int = 10**12,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-point integer PageRank over a directed edge list.
+
+    The link-graph centrality signal web-corpus curation pipelines rank
+    hosts with (the CommonCrawl webgraph publishes exactly this; Gopher /
+    RefinedWeb-style pipelines consume it as a quality prior).  All
+    arithmetic is integer: ranks live at ``scale`` fixed-point precision,
+    the damping factor is the exact rational ``d_num/d_den``, and every
+    step is truncating BIGINT division — so the ranks are bit-identical
+    across engines and the whole unrolled iteration is SQL-rederivable
+    (x25's oracle).  Dangling mass (nodes with no out-edges) is
+    redistributed uniformly each round, per the standard formulation.
+
+    Per-round update, all in BIGINT (values non-negative, so Spark `div`
+    == DuckDB `//`)::
+
+        base   = ((d_den - d_num) * (scale div N)) div d_den
+        dterm  = (d_num * (dangling_sum div N)) div d_den
+        r'(v)  = base + (d_num * sum_{u->v}(r(u) div outdeg(u))) div d_den
+                      + dterm
+
+    Scale notes:
+      * the iteration is the Pregel shape: the (src, dst, outdeg) edge
+        frame is checkpointed ONCE and reused every round; each round
+        shuffles only the (node, rank) frame — never the edges.
+      * the dangling sum is a 1-row aggregate broadcast-crossed onto the
+        rank frame (no driver round-trip inside the loop would be needed
+        on a cluster; we fold it as a literal per round, which costs one
+        tiny job — same shape as connected_components' convergence count).
+      * ``localCheckpoint`` after every round truncates lineage so the
+        plan does not double per iteration.
+
+    Returns (node, pr): one row per node, ``pr`` the BIGINT fixed-point
+    rank after ``iterations`` rounds.
+    """
+    d_num, d_den = damping
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("node", F.lit(0).cast("long").alias("pr"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # edges annotated with the source's outdegree, reused every round
+    e_deg = e.join(deg, "src").localCheckpoint(eager=True)
+    r0 = scale // n
+    base = ((d_den - d_num) * r0) // d_den
+
+    ranks = nodes.select("node", F.lit(r0).cast("long").alias("pr"))
+    for _ in range(iterations):
+        # dangling mass: rank held by nodes with no out-edges this round
+        dang_row = (
+            ranks.join(deg, ranks["node"] == deg["src"], "left_anti")
+            .agg(F.coalesce(F.sum("pr"), F.lit(0)).alias("dang"))
+            .first()
+        )
+        dterm = (d_num * (int(dang_row["dang"]) // n)) // d_den
+        contrib = (
+            e_deg.join(ranks, e_deg["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.expr("pr div outdeg")).alias("insum"))
+        )
+        # integral `div` keeps every step exact (non-negative, == DuckDB //)
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                F.expr(
+                    f"CAST({base} + ({d_num} * coalesce(insum, 0)) div {d_den}"
+                    f" + {dterm} AS BIGINT)"
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -1005,3 +1005,73 @@ def x24_bloom_filter(spark, sf_dir):
 
     ev = table(spark, sf_dir, "events")
     return bloom_bits(ev, "user_id", m_bits=1 << 14, k=4)
+
+
+def _x25_oracle() -> str:
+    """Unrolled 3-iteration integer PageRank as DuckDB CTEs — the exact
+    twin of operators/graph.py::pagerank (truncating BIGINT division on
+    non-negative values, so DuckDB // == Spark div everywhere)."""
+    head = """
+    WITH e AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT 'h' || CAST(doc_id % 40 AS VARCHAR) AS src,
+               'h' || CAST((doc_id * 7 + 3) % 53 AS VARCHAR) AS dst
+        FROM documents
+        UNION ALL
+        SELECT 'h' || CAST(doc_id % 40 AS VARCHAR),
+               'h' || CAST((doc_id * 13 + 5) % 53 AS VARCHAR)
+        FROM documents
+      ) WHERE src <> dst
+    ),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+    p AS (SELECT count(*) AS n,
+                 1000000000000 // count(*) AS r0,
+                 ((100 - 85) * (1000000000000 // count(*))) // 100 AS base
+          FROM nodes),
+    r0 AS (SELECT node, (SELECT r0 FROM p) AS pr FROM nodes)"""
+    steps = []
+    for i in range(1, 4):
+        prev = f"r{i - 1}"
+        steps.append(f"""
+    d{i} AS (SELECT coalesce(sum(pr), 0) AS dang
+             FROM {prev} LEFT JOIN deg ON node = src WHERE outdeg IS NULL),
+    i{i} AS (SELECT e.dst AS dst, sum({prev}.pr // deg.outdeg) AS insum
+             FROM e JOIN {prev} ON e.src = {prev}.node
+                    JOIN deg ON e.src = deg.src
+             GROUP BY e.dst),
+    r{i} AS (SELECT node,
+                    CAST((SELECT base FROM p)
+                         + (85 * coalesce(insum, 0)) // 100
+                         + (85 * ((SELECT dang FROM d{i}) // (SELECT n FROM p))) // 100
+                      AS BIGINT) AS pr
+             FROM nodes LEFT JOIN i{i} ON node = dst)""")
+    return head + "," + ",".join(steps) + "\n    SELECT node, pr FROM r3"
+
+
+@register(
+    "x25_pagerank",
+    # Every step is truncating BIGINT division on non-negative values,
+    # so the unrolled iteration is bit-identical across engines — the
+    # centrality ranks themselves are oracle-EXACT, not approximate.
+    oracle=_x25_oracle(),
+)
+def x25_pagerank(spark, sf_dir):
+    """PageRank host centrality over a link graph — the CommonCrawl
+    webgraph quality-prior signal (harmonic/PageRank centrality feeds
+    curation the way p6 consumes domain reputation).  The corpus has no
+    natural hyperlinks, so the edge list is doc_id-derived identically on
+    both sides (the t10 injection pattern): hosts h0..h39 link out, dst
+    hosts h0..h52 — so h40..h52 are dangling and exercise the
+    redistribution term.  operators/graph.py::pagerank runs 3 Pregel-shaped
+    rounds: edges+outdeg checkpointed once, each round shuffles only the
+    (node, rank) frame; all fixed-point integer math."""
+    from era_parser_spark.operators.graph import pagerank
+
+    docs = table(spark, sf_dir, "documents")
+    mk = lambda mult, add, mod: F.concat(  # noqa: E731
+        F.lit("h"), ((F.col("doc_id") * mult + add) % mod).cast("string")
+    )
+    e1 = docs.select(mk(1, 0, 40).alias("src"), mk(7, 3, 53).alias("dst"))
+    e2 = docs.select(mk(1, 0, 40).alias("src"), mk(13, 5, 53).alias("dst"))
+    return pagerank(e1.unionByName(e2), iterations=3)

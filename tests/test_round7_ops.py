@@ -918,3 +918,70 @@ def test_ann_knn_join_matches_per_query_search(spark):
         ][:5]
         got = [(n, d) for _, n, d in sorted(batch[qid])]
         assert got == solo, (qid, got, solo)
+
+
+# ---------------------------------------------------------------- x25 pagerank
+
+
+def _py_pagerank(edges, iterations=3, d=(85, 100), scale=10**12):
+    """Pure-Python twin of operators/graph.py::pagerank (same integer ops)."""
+    e = sorted({(s, t) for s, t in edges if s != t})
+    nodes = sorted({s for s, _ in e} | {t for _, t in e})
+    n = len(nodes)
+    deg = {}
+    for s, _ in e:
+        deg[s] = deg.get(s, 0) + 1
+    d_num, d_den = d
+    r0 = scale // n
+    base = ((d_den - d_num) * r0) // d_den
+    r = {v: r0 for v in nodes}
+    for _ in range(iterations):
+        dang = sum(r[v] for v in nodes if v not in deg)
+        dterm = (d_num * (dang // n)) // d_den
+        insum = {}
+        for s, t in e:
+            insum[t] = insum.get(t, 0) + r[s] // deg[s]
+        r = {v: base + (d_num * insum.get(v, 0)) // d_den + dterm for v in nodes}
+    return r
+
+
+def test_pagerank_matches_python_twin_and_semantics(spark):
+    """Hub structure: everyone links to 'hub'; 'dang' has no out-edges so
+    the dangling term must spread its mass.  Spark ranks == the pure-Python
+    integer twin bit-for-bit, the hub outranks every spoke, and repartition
+    does not change a single rank (order-independent BIGINT sums)."""
+    from era_parser_spark.operators.graph import pagerank
+
+    edges = [("a", "hub"), ("b", "hub"), ("c", "hub"), ("hub", "dang"),
+             ("a", "b"), ("b", "hub")]  # dup edge collapses
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["pr"] for r in pagerank(df, iterations=3).collect()}
+    want = _py_pagerank(edges)
+    assert got == want
+    # hub drains into dang (its sole out-edge), so dang tops; hub beats
+    # every spoke that merely links to it
+    assert got["dang"] == max(got.values())
+    assert all(got["hub"] > got[v] for v in ("a", "b", "c"))
+    # dangling redistribution reached the no-in-edge node 'a': it holds
+    # strictly more than the no-redistribution floor would give it
+    assert got["a"] > 0
+    got2 = {
+        r["node"]: r["pr"]
+        for r in pagerank(df.repartition(7), iterations=3).collect()
+    }
+    assert got2 == want
+
+
+def test_pagerank_dangling_mass_redistributed(spark):
+    """Two isolated-ish nodes where one is dangling: without the dangling
+    term, b's rank would stay at base forever; with it, a (which b cannot
+    reach by edges) still gains rank each round."""
+    from era_parser_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    got = {r["node"]: r["pr"] for r in pagerank(df, iterations=2).collect()}
+    want = _py_pagerank([("a", "b")], iterations=2)
+    assert got == want
+    scale, n = 10**12, 2
+    base = ((100 - 85) * (scale // n)) // 100
+    assert got["a"] > base  # dangling b's mass came back to a
