@@ -67,6 +67,7 @@ HEADLINE = [
     "t21_perplexity_buckets",
     "p12_curation_v2",
     "s13_ann_knn_join",
+    "t22_bm25_topk",
 ]
 
 

@@ -1164,3 +1164,78 @@ def canonical_url_col(u: Column) -> Column:
         path,
         F.when(kept != "", F.concat(F.lit("?"), kept)).otherwise(F.lit("")),
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 10,
+) -> DataFrame:
+    """BM25 top-k retrieval (Robertson-Spärck Jones) with exact integer
+    math: the ranking surface production search stacks (Lucene,
+    Elasticsearch) compute per query.
+
+    Parameters are the textbook defaults pinned as exact rationals —
+    k1 = 6/5, b = 3/4 — so the saturation term has a closed integer
+    form.  With N docs, D total corpus tokens (avgdl = D/N), per-term
+    frequency ``tf`` and doc length ``dl``::
+
+        tf_part = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+                = 44*tf*D / (20*tf*D + 6*D + 18*dl*N)     -- exact integers
+
+    scaled by 1e6 under truncating BIGINT division.  The idf is the
+    rational surrogate ``1e6*(2*(N-df)+1) div (2*df+1)`` — the argument
+    of Robertson's log, scaled — monotone in df like the log form, but
+    engine-exact (a libm log would differ in the last ulp across
+    engines; the t17 move).  A log idf slots in behind the same plan if
+    cross-engine bit-equality isn't needed.
+
+    Scale shape: two corpus passes — a stats pass (N, D: aggregate-only,
+    one row out, no shuffle; at 100 TB these are precomputed corpus
+    constants reused across every query) and the retrieval pass, where
+    the explode is filtered to the query's terms BEFORE any shuffle, so
+    the only shuffled rows are (id, dl, term) hits bounded by
+    |query| x N — document text never leaves the scan.  df and the
+    corpus stats broadcast.  Overflow bound: 44e6*tf*D needs
+    tf*D < 2.1e11 (fine to ~billions of corpus tokens; shrink the 1e6
+    premultiplier or move to DECIMAL(38,0) beyond that).
+
+    Returns (id, n_terms_hit, bm25_score), score-desc/id-asc top-k;
+    docs matching no query term are absent (standard retrieval).
+    """
+    toks = tokens_col(text_col)
+    docs = df.select(F.col(id_col), F.size(toks).alias("__dl"))
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("__dl").cast("bigint").alias("__d")
+    )
+    terms = sorted({t.lower() for t in query_terms})
+    ex = (
+        df.select(F.col(id_col), F.size(toks).alias("__dl"), F.explode(toks).alias("term"))
+        .filter(F.col("term").isin(terms))
+    )
+    tf = ex.groupBy(id_col, "__dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    per_term = (
+        tf.join(F.broadcast(dft), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "__ts",
+            F.expr(
+                "((1000000 * (2*(__n - df) + 1)) div (2*df + 1))"
+                " * ((1000000 * 44 * tf * __d)"
+                "    div (20*tf*__d + 6*__d + 18*__dl*__n))"
+                " div 1000000"
+            ),
+        )
+    )
+    out = per_term.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_terms_hit"),
+        F.sum("__ts").alias("bm25_score"),
+    )
+    return (
+        out.orderBy(F.desc("bm25_score"), id_col)
+        .limit(k)
+        .select(id_col, "n_terms_hit", "bm25_score")
+    )

@@ -1033,3 +1033,46 @@ def t21_perplexity_buckets(spark, sf_dir):
         "text",
         "lang",
     )
+
+
+@register(
+    "t22_bm25_topk",
+    # Integer BM25 re-derived in SQL: same rational idf surrogate, same
+    # 1e6-scaled saturation term under truncating integer division (`//`
+    # in DuckDB == `div` in Spark for these all-positive BIGINTs); DuckDB
+    # HUGEINT sums cast back to BIGINT.  k1=6/5, b=3/4 are folded into
+    # the 44/20/6/18 coefficients on both sides.
+    oracle=f"""
+    WITH tokd AS (SELECT doc_id, {_TOK} AS tok FROM documents),
+    docs AS (SELECT doc_id, len(tok) AS dl FROM tokd),
+    stats AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS d FROM docs),
+    ex AS (
+      SELECT doc_id, t
+      FROM (SELECT doc_id, unnest(tok) AS t FROM tokd)
+      WHERE t IN ('hash', 'join', 'vector')
+    ),
+    tf AS (SELECT doc_id, t, count(*) AS tf FROM ex GROUP BY 1, 2),
+    dft AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+    per AS (
+      SELECT tf.doc_id,
+             ((1000000 * (2*(s.n - dft.df) + 1)) // (2*dft.df + 1))
+             * ((1000000 * 44 * tf.tf * s.d)
+                // (20*tf.tf*s.d + 6*s.d + 18*docs.dl*s.n))
+             // 1000000 AS ts
+      FROM tf JOIN dft USING (t) JOIN docs USING (doc_id) CROSS JOIN stats s
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+           CAST(sum(ts) AS BIGINT) AS bm25_score
+    FROM per GROUP BY doc_id
+    ORDER BY bm25_score DESC, doc_id LIMIT 10
+    """,
+)
+def t22_bm25_topk(spark, sf_dir):
+    # BM25 top-10 for the query {hash, join, vector} — the retrieval
+    # ranking stage (Lucene/Elasticsearch surface) over the corpus, with
+    # exact integer math so the whole surface is oracle-exact
+    # (operators/text.py::bm25_topk has the 100 TB plan notes).
+    from era_parser_spark.operators.text import bm25_topk
+
+    docs = table(spark, sf_dir, "documents")
+    return bm25_topk(docs, "doc_id", "text", ["hash", "join", "vector"], k=10)

@@ -985,3 +985,64 @@ def test_pagerank_dangling_mass_redistributed(spark):
     scale, n = 10**12, 2
     base = ((100 - 85) * (scale // n)) // 100
     assert got["a"] > base  # dangling b's mass came back to a
+
+
+def test_bm25_matches_python_twin_and_ranking(spark):
+    """t22: integer BM25 equals a pure-Python twin on a hand fixture, and
+    the ranking behaves like BM25 should (more hits up, rarer terms up,
+    no-hit docs absent)."""
+    from era_parser_spark.operators.text import bm25_topk
+
+    rows = [
+        (1, "hash join hash join hash"),          # heavy on both query terms
+        (2, "hash scan scan scan scan scan"),     # one hit, long doc
+        (3, "vector scan"),                       # rare term, short doc
+        (4, "scan merge filter scan"),            # no hits
+        (5, "hash"),                              # single-token doc, pure hit
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = bm25_topk(df, "doc_id", "text", ["hash", "join", "vector"], k=10)
+    got = {r["doc_id"]: (r["n_terms_hit"], r["bm25_score"]) for r in out.collect()}
+
+    # Pure-Python twin of the integer formulas.
+    docs = {i: t.split() for i, t in rows}
+    n = len(docs)
+    d = sum(len(t) for t in docs.values())
+    tf = {}
+    for i, toks in docs.items():
+        for t in toks:
+            if t in ("hash", "join", "vector"):
+                tf[(i, t)] = tf.get((i, t), 0) + 1
+    dft = {}
+    for (_, t) in tf:
+        dft[t] = dft.get(t, 0) + 1
+    want = {}
+    for (i, t), f in tf.items():
+        dl = len(docs[i])
+        idf = (1_000_000 * (2 * (n - dft[t]) + 1)) // (2 * dft[t] + 1)
+        tfp = (1_000_000 * 44 * f * d) // (20 * f * d + 6 * d + 18 * dl * n)
+        hits, score = want.get(i, (0, 0))
+        want[i] = (hits + 1, score + idf * tfp // 1_000_000)
+    assert got == want
+    assert 4 not in got                           # no-hit doc absent
+    # vector appears in exactly one doc => rarest => highest idf; doc 3
+    # must outscore doc 2 (common term, diluted by length).
+    assert got[3][1] > got[2][1]
+    # doc 1 hits two terms repeatedly => top score overall.
+    assert max(got.values(), key=lambda v: v[1]) == got[1]
+
+
+def test_bm25_shuffle_never_carries_text(spark):
+    """t22 plan: document text stays on the scan — every Exchange in the
+    executed plan carries only (id, dl, term, tf)-shaped columns."""
+    from era_parser_spark.operators.text import bm25_topk
+    from era_parser_spark.queries.registry import table
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    out = bm25_topk(docs, "doc_id", "text", ["hash", "join"], k=5)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for m in re.finditer(r"Exchange [^\n]*", plan):
+        assert "text#" not in m.group(0), m.group(0)
