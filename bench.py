@@ -68,6 +68,7 @@ HEADLINE = [
     "p12_curation_v2",
     "s13_ann_knn_join",
     "t22_bm25_topk",
+    "s14_sq8_topk",
 ]
 
 

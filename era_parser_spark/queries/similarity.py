@@ -747,3 +747,54 @@ def s13_ann_knn_join(spark, sf_dir):
         k=5,
         nprobe=3,
     )
+
+
+@register(
+    "s14_sq8_topk",
+    # Same two IEEE double ops + floor on both sides (x*127 then /smax,
+    # left-assoc); int8 products and 64-dim sums are exact in DuckDB's
+    # double list_dot_product; final cosine re-rank is the standard
+    # DECIMAL(10,6) quantized surface.
+    oracle="""
+    WITH s AS (
+      SELECT max(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))))
+             AS smax
+      FROM embeddings
+    ),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    qc AS (
+      SELECT list_transform(qv, x -> least(greatest(
+               CAST(floor(x * 127 / s.smax) AS BIGINT), -127), 127)) AS q8
+      FROM q, s
+    ),
+    scored AS (
+      SELECT e.vec_id,
+             CAST(list_dot_product(
+               list_transform(e.embedding::DOUBLE[],
+                              x -> floor(x * 127 / s.smax)),
+               list_transform(qc.q8, y -> CAST(y AS DOUBLE))
+             ) AS BIGINT) AS int8_dot
+      FROM embeddings e, s, qc
+    ),
+    short AS (
+      SELECT vec_id, int8_dot FROM scored
+      ORDER BY int8_dot DESC, vec_id LIMIT 50
+    )
+    SELECT sh.vec_id, sh.int8_dot,
+           CAST(CAST(list_cosine_similarity(
+             e.embedding::DOUBLE[], (SELECT qv FROM q)
+           ) AS DECIMAL(10,6)) AS DOUBLE) AS cosine_sim
+    FROM short sh JOIN embeddings e USING (vec_id)
+    ORDER BY cosine_sim DESC, vec_id LIMIT 10
+    """,
+)
+def s14_sq8_topk(spark, sf_dir):
+    # int8 scalar-quantized ANN to the vec_id=0 query: integer-dot
+    # shortlist over 4x-smaller codes, exact cosine re-rank of the
+    # fetched shortlist (operators/similarity.py::sq8_topk).
+    from era_parser_spark.operators.similarity import sq8_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    return sq8_topk(
+        emb, "embedding", "vec_id", _query_vec(spark, sf_dir, 0), k=10, shortlist=50
+    )

@@ -1046,3 +1046,55 @@ def test_bm25_shuffle_never_carries_text(spark):
 
     for m in re.finditer(r"Exchange [^\n]*", plan):
         assert "text#" not in m.group(0), m.group(0)
+
+
+def test_sq8_topk_twin_and_recall(spark):
+    """s14: int8 codes match the pure-Python twin; the shortlist+rerank
+    recovers the exact brute-force top-k when shortlist covers the
+    corpus; the fetch join broadcasts (no full-vector shuffle)."""
+    import math
+
+    from era_parser_spark.operators.similarity import sq8_topk
+
+    # 40 vectors in 8 dims: two tight clusters plus noise-free ramps so
+    # quantization order is unambiguous.
+    def vec(i):
+        return [math.sin(0.1 * i * (d + 1)) for d in range(8)]
+
+    rows = [(i, vec(i)) for i in range(1, 41)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = vec(7)
+
+    out = sq8_topk(df, "embedding", "vec_id", q, k=5, shortlist=40).collect()
+    assert len(out) == 5
+
+    # Python twin of phase 1 + phase 2 (floor semantics, same tie-break).
+    smax = max(abs(x) for r in rows for x in r[1])
+    enc = lambda v: [math.floor(x * 127 / smax) for x in v]
+    q8 = [min(max(c, -127), 127) for c in enc(q)]
+    dots = {i: sum(a * b for a, b in zip(enc(v), q8)) for i, v in rows}
+    short = sorted(dots, key=lambda i: (-dots[i], i))[:40]
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / math.sqrt(sum(x * x for x in a) * sum(y * y for y in b))
+
+    want = sorted(short, key=lambda i: (-round(cos(dict(rows)[i], q), 6), i))[:5]
+    assert [r["vec_id"] for r in out] == want
+    assert all(r["int8_dot"] == dots[r["vec_id"]] for r in out)
+    # Self-match first: the query IS vec 7.
+    assert out[0]["vec_id"] == 7 and out[0]["cosine_sim"] == 1.0
+
+    # Plan: the full-vector fetch is a broadcast join, never a shuffle of
+    # the embedding column.
+    plan = (
+        sq8_topk(df, "embedding", "vec_id", q, k=5, shortlist=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    import re
+
+    for m in re.finditer(r"Exchange [^\n]*", plan):
+        assert "embedding#" not in m.group(0), m.group(0)
