@@ -69,6 +69,7 @@ HEADLINE = [
     "s13_ann_knn_join",
     "t22_bm25_topk",
     "s14_sq8_topk",
+    "mm8_speech_segments",
 ]
 
 

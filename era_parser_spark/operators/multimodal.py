@@ -521,3 +521,80 @@ def scene_keyframes(
             F.col("energy").alias("key_energy"),
         )
     )
+
+
+def speech_segments(
+    df: DataFrame,
+    frame_bytes: int = 16,
+    threshold: int = 1506,
+    min_frames: int = 2,
+) -> DataFrame:
+    """Energy-threshold voice-activity segmentation (VAD) over binary
+    audio payloads — the silence-trimming stage ASR/TTS data pipelines
+    run before transcription (webrtcvad's shape, with a real feature
+    extractor sloting in behind frame_energies like `_real_decode`).
+
+    A frame (mm2's convention: `frame_bytes` per frame, trailing partial
+    dropped) is *voiced* iff its integer byte-sum energy >= `threshold`;
+    maximal runs of consecutive voiced frames become segments; runs
+    shorter than `min_frames` are discarded as clicks.  All-integer =>
+    exactly SQL-rederivable over hex(payload) (the mm4/mm6 argument).
+
+    Plan shape: one Arrow-batched energy scan (payload bytes never
+    shuffle), run-starts by lag + running sum over the SAME (media_id,
+    fi) window, then ONE map-side-combined groupBy on (media_id,
+    seg_idx) over long-only rows.  seg_idx is the 1-based voiced-run
+    index per media; runs dropped by `min_frames` leave gaps (their
+    index was consumed) — deterministic either way.
+
+    Output: (media_id, seg_idx, start_idx, end_idx, n_frames,
+    seg_energy).
+    """
+    from pyspark.sql import Window as W
+
+    e = frame_energies(df, frame_bytes)
+    w = W.partitionBy("media_id").orderBy("fi")
+    marked = e.select(
+        "media_id",
+        "fi",
+        "energy",
+        (F.col("energy") >= threshold).cast("long").alias("__v"),
+    )
+    started = marked.select(
+        "media_id",
+        "fi",
+        "energy",
+        "__v",
+        (
+            (F.col("__v") == 1)
+            & (F.coalesce(F.lag("__v").over(w), F.lit(0)) == 0)
+        )
+        .cast("long")
+        .alias("__st"),
+    )
+    runs = started.select(
+        "media_id",
+        "fi",
+        "energy",
+        "__v",
+        F.sum("__st").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("seg_idx"),
+    )
+    return (
+        runs.filter(F.col("__v") == 1)
+        .groupBy("media_id", "seg_idx")
+        .agg(
+            F.min("fi").alias("start_idx"),
+            F.max("fi").alias("end_idx"),
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum("energy").alias("seg_energy"),
+        )
+        .filter(F.col("n_frames") >= min_frames)
+        .select(
+            "media_id",
+            F.col("seg_idx").cast("long").alias("seg_idx"),
+            "start_idx",
+            "end_idx",
+            F.col("n_frames").cast("long").alias("n_frames"),
+            F.col("seg_energy").cast("long").alias("seg_energy"),
+        )
+    )

@@ -1114,3 +1114,61 @@ def dd15_url_dedup(spark, sf_dir):
         .groupBy("canon_url")
         .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
     )
+
+
+@register(
+    "mm8_speech_segments",
+    # VAD re-derived over hex(payload): voiced = frame byte-sum energy >=
+    # 1506 (the corpus median), segments = maximal voiced runs (lag +
+    # running sum), clicks under 2 frames dropped.  All-integer,
+    # bitwise-exact in both engines.
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) // 16 AS nf
+      FROM documents WHERE octet_length(encode(text)) >= 16
+    ),
+    b AS (
+      SELECT media_id, CAST(i AS BIGINT) AS fi,
+             CAST(concat('0x',
+                  substr(hx, CAST((i * 16 + j) * 2 + 1 AS INTEGER), 2))
+                  AS BIGINT) AS bv
+      FROM m, unnest(range(0, nf)) AS u(i), unnest(range(0, 16)) AS v(j)
+    ),
+    e AS (SELECT media_id, fi, sum(bv) AS energy FROM b GROUP BY media_id, fi),
+    v AS (
+      SELECT media_id, fi, energy,
+             CASE WHEN energy >= 1506 THEN 1 ELSE 0 END AS vv
+      FROM e
+    ),
+    s AS (
+      SELECT media_id, fi, energy, vv,
+             CASE WHEN vv = 1 AND coalesce(lag(vv) OVER (
+                    PARTITION BY media_id ORDER BY fi), 0) = 0
+                  THEN 1 ELSE 0 END AS st
+      FROM v
+    ),
+    r AS (
+      SELECT media_id, fi, energy, vv,
+             sum(st) OVER (PARTITION BY media_id ORDER BY fi
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_idx
+      FROM s
+    )
+    SELECT media_id, CAST(seg_idx AS BIGINT) AS seg_idx,
+           min(fi) AS start_idx, max(fi) AS end_idx,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(sum(energy) AS BIGINT) AS seg_energy
+    FROM r WHERE vv = 1
+    GROUP BY media_id, seg_idx
+    HAVING count(*) >= 2
+    """,
+)
+def mm8_speech_segments(spark, sf_dir):
+    # Voice-activity segmentation over the media payloads — silence
+    # trimming ahead of ASR (operators/multimodal.py::speech_segments).
+    from era_parser_spark.operators.multimodal import speech_segments
+
+    docs = table(spark, sf_dir, "documents")
+    return speech_segments(
+        documents_as_media(docs), frame_bytes=16, threshold=1506, min_frames=2
+    )

@@ -1098,3 +1098,36 @@ def test_sq8_topk_twin_and_recall(spark):
 
     for m in re.finditer(r"Exchange [^\n]*", plan):
         assert "embedding#" not in m.group(0), m.group(0)
+
+
+def test_speech_segments_semantics(spark):
+    """mm8: voiced runs split on silence, clicks under min_frames drop,
+    boundary frames land in the right segment, payloads never shuffle."""
+    from era_parser_spark.operators.multimodal import speech_segments
+
+    # 4-byte frames; threshold 400 => voiced iff all-high bytes.
+    loud, quiet = bytes([120] * 4), bytes([10] * 4)
+    payload = (
+        loud * 3  # seg 1: frames 0-2
+        + quiet * 2
+        + loud * 1  # click at frame 5 (dropped by min_frames=2)
+        + quiet * 1
+        + loud * 2  # seg 3: frames 7-8
+    )
+    df = spark.createDataFrame([(1, bytearray(payload))], "media_id long, payload binary")
+    out = {
+        r["seg_idx"]: (r["start_idx"], r["end_idx"], r["n_frames"], r["seg_energy"])
+        for r in speech_segments(df, frame_bytes=4, threshold=400, min_frames=2).collect()
+    }
+    assert out == {1: (0, 2, 3, 3 * 480), 3: (7, 8, 2, 2 * 480)}
+
+    plan = (
+        speech_segments(df, frame_bytes=4, threshold=400, min_frames=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    for m in re.finditer(r"Exchange [^\n]*", plan):
+        assert "payload#" not in m.group(0), m.group(0)
