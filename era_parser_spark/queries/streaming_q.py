@@ -487,3 +487,39 @@ def st9_stream_near_dedup(spark, sf_dir):
         .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
         .limit(100)
     )
+
+
+@register(
+    "st10_stream_watermark_dedup",
+    # One AvailableNow batch delivers every row before any state can
+    # expire, so the native watermark dedup equals batch DISTINCT on the
+    # key exactly; only key columns are emitted, so first-arrival row
+    # identity (a processing-order artifact) never reaches the output.
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def st10_stream_watermark_dedup(spark, sf_dir):
+    """NATIVE state-bounded streaming dedup: Spark's
+    dropDuplicatesWithinWatermark keeps one row per (user_id, event_type)
+    while the key's state lives and expires it once the watermark passes
+    event_ts + delay — so state is O(keys in the trailing hour) at any
+    corpus rate, the property that lets exact dedup run forever on a live
+    ingest (st4 is the custom-operator twin that instead keeps counts and
+    never expires; this is the operator to reach for first).  Re-emission
+    after state expiry is pinned across micro-batches in
+    tests/test_round7_ops.py."""
+    from era_parser_spark.streaming.incremental import run_stream_once
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream_dir = _stream_src_dir("st10", sf_dir)
+    s = spark.readStream.schema(raw_schema).parquet(stream_dir)
+    if dict(s.dtypes).get("ts") == "bigint":
+        s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # watermarks need TIMESTAMP (not NTZ); identity is unaffected
+    s = s.withColumn("ts", F.col("ts").cast("timestamp"))
+    dedup = (
+        s.select("user_id", "event_type", "ts")
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return run_stream_once(dedup, f"st10_{uuid.uuid4().hex[:8]}")

@@ -1131,3 +1131,47 @@ def test_speech_segments_semantics(spark):
 
     for m in re.finditer(r"Exchange [^\n]*", plan):
         assert "payload#" not in m.group(0), m.group(0)
+
+
+def test_watermark_dedup_state_expires_and_reemits(spark, tmp_path_factory):
+    """st10's native dropDuplicatesWithinWatermark: a duplicate inside the
+    watermark window is dropped across micro-batch boundaries; once the
+    watermark passes first_ts + delay the key's state is gone and the
+    same key is emitted AGAIN — the state-bounded property st4's
+    keep-forever monitor doesn't have."""
+    import datetime as dt
+    import uuid as _uuid
+
+    from era_parser_spark.streaming.incremental import run_stream_once
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def batch(name, rows, src):
+        spark.createDataFrame(
+            [(k, t0 + dt.timedelta(seconds=s)) for k, s in rows],
+            "k string, ts timestamp",
+        ).coalesce(1).write.parquet(str(src / name))
+
+    src = tmp_path_factory.mktemp("st10_src")
+    # delay = 10 s.  batch1: A,B at t=0.  batch2: dup A at t=5 (state
+    # alive -> dropped) + C at t=100 (advances the watermark to 90 >
+    # 0+10, so A's state expires).  batch3 exists because the advanced
+    # watermark takes effect one batch later (measured: eviction in batch
+    # N uses the watermark committed after batch N-1, which reflects data
+    # through batch N-2).  batch4: A again at t=120 -> re-emitted.
+    batch("a_b1", [("A", 0), ("B", 0)], src)
+    batch("b_b2", [("A", 5), ("C", 100)], src)
+    batch("c_b3", [("D", 110)], src)
+    batch("d_b4", [("A", 120)], src)
+    stream = (
+        spark.readStream.schema("k string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    dedup = (
+        stream.withWatermark("ts", "10 seconds")
+        .dropDuplicatesWithinWatermark(["k"])
+        .select("k")
+    )
+    out = [r.k for r in run_stream_once(dedup, f"st10t_{_uuid.uuid4().hex[:8]}").collect()]
+    assert sorted(out) == ["A", "A", "B", "C", "D"], out
