@@ -70,6 +70,7 @@ HEADLINE = [
     "t22_bm25_topk",
     "s14_sq8_topk",
     "mm8_speech_segments",
+    "x26_label_propagation",
 ]
 
 

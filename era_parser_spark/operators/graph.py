@@ -286,3 +286,69 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007): community
+    detection over a link graph — the host-clustering signal crawl
+    curation uses to spot template farms / mirror networks that PageRank
+    (x25) and connected components (dd5/dd6) can't separate: CC merges
+    anything touching, LPA keeps densely-linked groups apart.
+
+    Fully deterministic (no RNG, no update-order dependence): the graph
+    is symmetrized and deduplicated, every node starts labeled with its
+    own id, and each round EVERY node simultaneously adopts the most
+    frequent label among its neighbors, ties to the lexicographically
+    smallest label (string comparison — identical in Spark and DuckDB
+    for these ASCII host names).  ``iterations`` unrolled rounds make
+    the whole computation SQL-rederivable (the x25 argument) — the
+    communities are oracle-EXACT, not approximate.
+
+    Scale shape (Pregel): the symmetrized edge frame is checkpointed
+    ONCE; each round shuffles only (node, label) pairs — a join on the
+    node key, a map-side-combined (v, label) count, and a per-v window
+    whose input is at most one row per (node, distinct neighbor label).
+    ``localCheckpoint`` after each round truncates lineage.  Isolated
+    nodes never appear in an edge list, so every node has >= 1 neighbor.
+
+    Known property of the synchronous schedule: perfectly bipartite
+    structures can 2-cycle (labels swap each round) — standard for sync
+    LPA (Raghavan §3 suggests async to break it); here determinism is
+    the contract, so the ``iterations`` parity decides such nodes.
+
+    Returns (node, community) after ``iterations`` rounds.
+    """
+    from pyspark.sql import Window as W
+
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    und = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # symmetric graph: the src column already enumerates every node
+    labels = und.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = W.partitionBy("v").orderBy(F.desc("c"), "label")
+    for _ in range(iterations):
+        nbr = und.join(labels, und["dst"] == labels["node"]).select(
+            und["src"].alias("v"), "label"
+        )
+        cnt = nbr.groupBy("v", "label").agg(F.count(F.lit(1)).alias("c"))
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("v").alias("node"), "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("node", F.col("label").alias("community"))

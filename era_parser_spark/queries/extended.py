@@ -1075,3 +1075,66 @@ def x25_pagerank(spark, sf_dir):
     e1 = docs.select(mk(1, 0, 40).alias("src"), mk(7, 3, 53).alias("dst"))
     e2 = docs.select(mk(1, 0, 40).alias("src"), mk(13, 5, 53).alias("dst"))
     return pagerank(e1.unionByName(e2), iterations=3)
+
+
+def _x26_oracle(iterations: int = 3) -> str:
+    """Unrolled synchronous label propagation as DuckDB CTEs — the exact
+    twin of operators/graph.py::label_propagation (mode of neighbor
+    labels, ties to the lexicographically smallest; same x25 edge list,
+    symmetrized + deduplicated)."""
+    head = """
+    WITH e AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT 'h' || CAST(doc_id % 40 AS VARCHAR) AS src,
+               'h' || CAST((doc_id * 7 + 3) % 53 AS VARCHAR) AS dst
+        FROM documents
+        UNION ALL
+        SELECT 'h' || CAST(doc_id % 40 AS VARCHAR),
+               'h' || CAST((doc_id * 13 + 5) % 53 AS VARCHAR)
+        FROM documents
+      ) WHERE src <> dst
+    ),
+    u AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM u)"""
+    steps = []
+    for i in range(1, iterations + 1):
+        prev = f"l{i - 1}"
+        steps.append(f"""
+    c{i} AS (SELECT u.src AS v, {prev}.label, count(*) AS c
+             FROM u JOIN {prev} ON u.dst = {prev}.node
+             GROUP BY 1, 2),
+    l{i} AS (SELECT v AS node, label FROM (
+               SELECT v, label,
+                      row_number() OVER (PARTITION BY v
+                        ORDER BY c DESC, label) AS rn
+               FROM c{i}) WHERE rn = 1)""")
+    return (
+        head + "," + ",".join(steps)
+        + f"\n    SELECT node, label AS community FROM l{iterations}"
+    )
+
+
+@register(
+    "x26_label_propagation",
+    # Mode-of-neighbor-labels with lexicographic tie-break is pure
+    # integer counting + ASCII string comparison — the unrolled rounds
+    # are bit-identical across engines, so the communities themselves
+    # are oracle-EXACT.
+    oracle=_x26_oracle(3),
+)
+def x26_label_propagation(spark, sf_dir):
+    """Label-propagation communities over the x25 link graph — the
+    host-clustering signal that separates densely-linked template/mirror
+    farms which connected components would merge with everything they
+    touch (operators/graph.py::label_propagation has the Pregel plan
+    notes: edges checkpointed once, each round shuffles (node, label)
+    pairs only)."""
+    from era_parser_spark.operators.graph import label_propagation
+
+    docs = table(spark, sf_dir, "documents")
+    mk = lambda mult, add, mod: F.concat(  # noqa: E731
+        F.lit("h"), ((F.col("doc_id") * mult + add) % mod).cast("string")
+    )
+    e1 = docs.select(mk(1, 0, 40).alias("src"), mk(7, 3, 53).alias("dst"))
+    e2 = docs.select(mk(1, 0, 40).alias("src"), mk(13, 5, 53).alias("dst"))
+    return label_propagation(e1.unionByName(e2), iterations=3)

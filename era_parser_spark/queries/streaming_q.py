@@ -523,3 +523,64 @@ def st10_stream_watermark_dedup(spark, sf_dir):
         .select("user_id", "event_type")
     )
     return run_stream_once(dedup, f"st10_{uuid.uuid4().hex[:8]}")
+
+
+@register(
+    "st11_stream_session_window",
+    # Native session_window treats a gap of EXACTLY 30 min as a new
+    # session (window end = last_ts + gap is exclusive), so the batch
+    # twin marks new_session on diff >= gap — x2's custom rule uses >.
+    # window end = max(ts) + gap by the same definition.
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM sessions GROUP BY user_id, sid
+    """,
+)
+def st11_stream_session_window(spark, sf_dir):
+    """NATIVE streaming sessionization: Spark's session_window(ts, gap)
+    merges events into dynamic-length sessions inside the engine's own
+    stateful aggregation — the built-in operator to reach for before
+    st3's applyInPandasWithState twin (which exists to show arbitrary
+    custom state).  In production append mode the watermark closes
+    sessions and bounds state to the trailing gap; one AvailableNow
+    complete-mode snapshot equals the batch gap-rule sessionization
+    exactly (with session_window's >=-gap split semantics — see the
+    oracle note)."""
+    from era_parser_spark.streaming.incremental import run_stream_once
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream_dir = _stream_src_dir("st11", sf_dir)
+    s = spark.readStream.schema(raw_schema).parquet(stream_dir)
+    if dict(s.dtypes).get("ts") == "bigint":
+        s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    s = s.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return run_stream_once(
+        agg, f"st11_{uuid.uuid4().hex[:8]}", output_mode="complete"
+    )

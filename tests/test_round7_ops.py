@@ -1175,3 +1175,71 @@ def test_watermark_dedup_state_expires_and_reemits(spark, tmp_path_factory):
     )
     out = [r.k for r in run_stream_once(dedup, f"st10t_{_uuid.uuid4().hex[:8]}").collect()]
     assert sorted(out) == ["A", "A", "B", "C", "D"], out
+
+
+def test_label_propagation_keeps_cliques_apart(spark):
+    """x26's reason to exist: two 4-cliques joined by one bridge edge are
+    ONE connected component but TWO LPA communities — the density signal
+    CC can't see.  Labels converge to each clique's min node id."""
+    from era_parser_spark.operators.graph import label_propagation
+
+    a = ["a1", "a2", "a3", "a4"]
+    b = ["b1", "b2", "b3", "b4"]
+    edges = [(x, y) for i, x in enumerate(a) for y in a[i + 1:]]
+    edges += [(x, y) for i, x in enumerate(b) for y in b[i + 1:]]
+    edges.append(("a1", "b1"))  # bridge
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = {
+        r["node"]: r["community"]
+        for r in label_propagation(df, iterations=3).collect()
+    }
+    assert all(out[x] == "a1" for x in a), out
+    assert all(out[x] == "b1" for x in b), out
+
+
+def test_session_window_merges_across_microbatches(spark, tmp_path_factory):
+    """st11: native session_window state must merge a later-batch event
+    into the session opened in an earlier batch, and split on a >= gap
+    jump."""
+    import datetime as dt
+    import uuid as _uuid
+
+    from era_parser_spark.streaming.incremental import run_stream_once
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    src = tmp_path_factory.mktemp("st11_src")
+
+    def batch(name, offsets_min):
+        spark.createDataFrame(
+            [(1, t0 + dt.timedelta(minutes=m)) for m in offsets_min],
+            "user_id long, ts timestamp",
+        ).coalesce(1).write.parquet(str(src / name))
+
+    batch("a_b1", [0, 10])
+    batch("b_b2", [20, 120])  # 20 merges into the open session; 120 splits
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("s"),
+            F.col("session_window.end").alias("e"),
+            "n_events",
+        )
+    )
+    out = sorted(
+        (r.s, r.e, r.n_events)
+        for r in run_stream_once(
+            agg, f"st11t_{_uuid.uuid4().hex[:8]}", output_mode="complete"
+        ).collect()
+    )
+    mins = lambda m: t0 + dt.timedelta(minutes=m)  # noqa: E731
+    assert out == [
+        (mins(0), mins(50), 3),     # 0,10,20 merged; end = 20 + 30
+        (mins(120), mins(150), 1),  # the jump
+    ], out
