@@ -71,6 +71,8 @@ HEADLINE = [
     "s14_sq8_topk",
     "mm8_speech_segments",
     "x26_label_propagation",
+    "x27_kmv_intersection",
+    "t23_fix_mojibake",
 ]
 
 

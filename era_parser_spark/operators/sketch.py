@@ -239,3 +239,84 @@ def bloom_probe_sql(words_col: str, value_col: str, m_bits: int = 4096, k: int =
             f"((shiftright(element_at({words_col}, cast(({pos}) div 64 as int) + 1), cast(({pos}) % 64 as int)) & 1) = 1)"
         )
     return "(" + " AND ".join(checks) + ")"
+
+
+def _kmv_one_row(df: DataFrame, value_col: str, k: int, buckets: int):
+    """Single-set KMV: the k smallest distinct 60-bit md5 hashes of a
+    column, as ONE (m, kth, ks) row — kmv_distinct's two salted all-JVM
+    phases without the group key."""
+    from era_parser_spark.operators.dedup import md5_60bit
+
+    h = md5_60bit(F.col(value_col).cast("string")).alias("__h")
+    cells = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(h)
+        .groupBy(F.pmod(F.col("__h"), F.lit(buckets)).alias("__c"))
+        .agg(F.slice(F.array_sort(F.collect_set("__h")), 1, k).alias("__ks"))
+    )
+    return (
+        cells.select(F.explode("__ks").alias("__h"))
+        .agg(F.slice(F.array_sort(F.collect_set("__h")), 1, k).alias("ks"))
+    )
+
+
+def kmv_intersection(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    k: int = 32,
+    buckets: int = 16,
+) -> DataFrame:
+    """Theta-sketch-style set overlap from two KMV sketches (Dasgupta et
+    al., the DataSketches theta family): estimate |A∩B|, |A∪B| and the
+    Jaccard of two distinct-value sets while shuffling only k hashes per
+    side — the audience-overlap / cross-corpus-contamination estimator at
+    100 TB (exact answers need a full |A∪B| shuffle; this needs two
+    one-row sketches).
+
+    theta = min over sides of (kth smallest hash, or 2^60 if the side
+    holds fewer than k distinct values); every sketch hash below theta is
+    a uniform sample of the union, so
+
+        est_inter = |sketchA ∩ sketchB below theta| * 2^60 / theta
+        est_union = |sketchA ∪ sketchB below theta| * 2^60 / theta
+        jaccard_est = inter_size / union_size
+
+    Unsaturated sides degrade gracefully: theta = 2^60 makes both
+    estimates exact counts.  Like x12, every quantity is a pure function
+    of the value sets (md5 hashes, integer counts) and each estimate is
+    ONE correctly-rounded IEEE division on exactly-representable doubles
+    (counts <= 2k, 2^60 a power of two, theta < 2^60 integral) — so the
+    whole operator is oracle-EXACT.  Sketches are mergeable (array_union
+    + re-truncate), the DataSketches property that lets partial sketches
+    roll up across partitions and days.
+    """
+    ka = _kmv_one_row(a, value_col, k, buckets).select(F.col("ks").alias("ka"))
+    kb = _kmv_one_row(b, value_col, k, buckets).select(F.col("ks").alias("kb"))
+    pow60 = F.lit(float(_POW60))
+    side_theta = lambda c: F.when(  # noqa: E731
+        F.size(c) < k, F.lit(_POW60).cast("long")
+    ).otherwise(F.element_at(c, F.size(c)))
+    j = ka.crossJoin(kb).select(
+        "ka",
+        "kb",
+        F.least(side_theta(F.col("ka")), side_theta(F.col("kb"))).alias("theta"),
+    )
+    below = lambda arr: F.filter(arr, lambda x: x < F.col("theta"))  # noqa: E731
+    sized = j.select(
+        "theta",
+        F.size(below(F.array_intersect("ka", "kb"))).alias("n_common"),
+        F.size(below(F.array_union("ka", "kb"))).alias("union_size"),
+    )
+    return sized.select(
+        F.col("n_common").cast("long").alias("n_common"),
+        F.col("union_size").cast("long").alias("union_size"),
+        "theta",
+        (F.col("n_common").cast("double") * pow60 / F.col("theta").cast("double"))
+        .alias("est_intersection"),
+        (F.col("union_size").cast("double") * pow60 / F.col("theta").cast("double"))
+        .alias("est_union"),
+        F.when(F.col("union_size") == 0, F.lit(0.0))
+        .otherwise(F.col("n_common").cast("double") / F.col("union_size").cast("double"))
+        .alias("jaccard_est"),
+    )

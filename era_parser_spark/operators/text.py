@@ -1239,3 +1239,62 @@ def bm25_topk(
         .limit(k)
         .select(id_col, "n_terms_hit", "bm25_score")
     )
+
+
+# cp1252-mojibake repair table (UTF-8 bytes mis-decoded as cp1252 — the
+# ftfy top hits).  LONGEST FIRST and applied in this exact order on both
+# engines: the 3-char punctuation forms share the 'â' head, so a shorter
+# rule running first would corrupt them (the t14 entity-order lesson).
+MOJIBAKE_FIXES: tuple[tuple[str, str], ...] = (
+    ("â€™", "’"),  # â€™ -> right single quote
+    ("â€œ", "“"),  # â€œ -> left double quote
+    ("â€“", "–"),  # â€“ -> en dash
+    ("â€¦", "…"),  # â€¦ -> ellipsis
+    ("â‚¬", "€"),  # â‚¬ -> euro sign
+    ("Ã©", "é"),  # Ã© -> é
+    ("Ã¨", "è"),  # Ã¨ -> è
+    ("Ã¡", "á"),  # Ã¡ -> á
+    ("Ã¤", "ä"),  # Ã¤ -> ä
+    ("Ã¶", "ö"),  # Ã¶ -> ö
+    ("Ã¼", "ü"),  # Ã¼ -> ü
+    ("Ã±", "ñ"),  # Ã± -> ñ
+    ("Ã§", "ç"),  # Ã§ -> ç
+    ("Ã¯", "ï"),  # Ã¯ -> ï
+    ("Â ", " "),  # Â +nbsp -> nbsp
+    ("Â«", "«"),  # Â« -> «
+    ("Â»", "»"),  # Â» -> »
+)
+
+
+def fix_mojibake(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Encoding repair (ftfy-lite): undo the commonest real-world corpus
+    corruption — UTF-8 bytes decoded as cp1252 ("cafÃ©", "â€œquotesâ€™")
+    — via an ordered literal replacement chain.  Web-crawl pipelines run
+    exactly this before tokenization; a full ftfy (confidence-scored
+    round-trip decoding) slots in behind the same signature as a Pandas
+    UDF, but the table covers the high-frequency cases losslessly and
+    keeps the operator pure zero-shuffle JVM codegen, exactly
+    SQL-rederivable (plain substring replace, no regex).
+
+    Returns (id, text_fixed, changed).
+    """
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    fixed = c
+    for bad, good in MOJIBAKE_FIXES:
+        fixed = F.replace(fixed, F.lit(bad), F.lit(good))
+    return df.select(
+        F.col(id_col),
+        fixed.alias("text_fixed"),
+        (fixed != c).alias("changed"),
+    )
+
+
+def sql_mojibake_expr(text_expr: str) -> str:
+    """The DuckDB twin of fix_mojibake's replacement chain — generated
+    from the SAME table so the two can never drift."""
+    out = f"coalesce({text_expr}, '')"
+    for bad, good in MOJIBAKE_FIXES:
+        b = bad.replace("'", "''")
+        g = good.replace("'", "''")
+        out = f"replace({out}, '{b}', '{g}')"
+    return out

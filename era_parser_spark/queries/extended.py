@@ -1138,3 +1138,65 @@ def x26_label_propagation(spark, sf_dir):
     e1 = docs.select(mk(1, 0, 40).alias("src"), mk(7, 3, 53).alias("dst"))
     e2 = docs.select(mk(1, 0, 40).alias("src"), mk(13, 5, 53).alias("dst"))
     return label_propagation(e1.unionByName(e2), iterations=3)
+
+
+@register(
+    "x27_kmv_intersection",
+    # Theta overlap of two KMV sketches is a pure function of the value
+    # sets (60-bit md5 k-mins, integer counts); each estimate is one
+    # correctly-rounded IEEE division on exactly-representable doubles —
+    # oracle-EXACT like x12.
+    oracle="""
+    WITH ha AS (
+      SELECT DISTINCT CAST(concat('0x',
+               substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      FROM events WHERE event_type = 'view' AND user_id IS NOT NULL
+    ),
+    hb AS (
+      SELECT DISTINCT CAST(concat('0x',
+               substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+    ),
+    ka AS (SELECT h FROM ha ORDER BY h LIMIT 32),
+    kb AS (SELECT h FROM hb ORDER BY h LIMIT 32),
+    sa AS (SELECT count(*) AS m, max(h) AS kth FROM ka),
+    sb AS (SELECT count(*) AS m, max(h) AS kth FROM kb),
+    th AS (
+      SELECT least(
+        CASE WHEN sa.m < 32 THEN 1152921504606846976 ELSE sa.kth END,
+        CASE WHEN sb.m < 32 THEN 1152921504606846976 ELSE sb.kth END
+      ) AS theta FROM sa, sb
+    ),
+    co AS (SELECT count(*) AS c FROM ka JOIN kb USING (h), th
+           WHERE h < th.theta),
+    un AS (SELECT count(DISTINCT h) AS u
+           FROM (SELECT h FROM ka UNION ALL SELECT h FROM kb) x, th
+           WHERE h < th.theta)
+    SELECT CAST(co.c AS BIGINT) AS n_common,
+           CAST(un.u AS BIGINT) AS union_size,
+           CAST(th.theta AS BIGINT) AS theta,
+           CAST(co.c AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+             / CAST(th.theta AS DOUBLE) AS est_intersection,
+           CAST(un.u AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+             / CAST(th.theta AS DOUBLE) AS est_union,
+           CASE WHEN un.u = 0 THEN CAST(0 AS DOUBLE)
+                ELSE CAST(co.c AS DOUBLE) / CAST(un.u AS DOUBLE)
+           END AS jaccard_est
+    FROM co, un, th
+    """,
+)
+def x27_kmv_intersection(spark, sf_dir):
+    """Theta-sketch audience overlap: estimated |A∩B| / |A∪B| / Jaccard
+    of viewer vs purchaser user sets from two 32-min KMV sketches — two
+    one-row sketches shuffle instead of the full user sets
+    (operators/sketch.py::kmv_intersection)."""
+    from era_parser_spark.operators.sketch import kmv_intersection
+
+    ev = table(spark, sf_dir, "events")
+    return kmv_intersection(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+        "user_id",
+        k=32,
+        buckets=16,
+    )

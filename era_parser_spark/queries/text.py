@@ -1076,3 +1076,49 @@ def t22_bm25_topk(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     return bm25_topk(docs, "doc_id", "text", ["hash", "join", "vector"], k=10)
+
+
+def _t23_oracle() -> str:
+    from era_parser_spark.operators.text import sql_mojibake_expr
+
+    fixed = sql_mojibake_expr("t")
+    return f"""
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN coalesce(text, '') || '{_T23_MOJ}'
+                  ELSE coalesce(text, '') END AS t
+      FROM documents
+    )
+    SELECT doc_id, {fixed} AS text_fixed, {fixed} <> t AS changed
+    FROM aug
+    """
+
+
+# Deterministic mojibake injection (the t10 PII pattern): the corpus is
+# clean ASCII, so every third doc gets the classic cp1252 casualties
+# appended identically on both sides.
+_T23_MOJ = (
+    " cafÃ© â€œnaÃ¯veâ€™"
+    " costs â‚¬5 Â«hereÂ»"
+)
+
+
+@register("t23_fix_mojibake", oracle=_t23_oracle())
+def t23_fix_mojibake(spark, sf_dir):
+    # Encoding repair (ftfy-lite) over a deterministically corrupted
+    # corpus slice — operators/text.py::fix_mojibake; the replacement
+    # chain and its SQL twin are generated from the SAME ordered table.
+    from era_parser_spark.operators.text import fix_mojibake
+
+    docs = table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(_T23_MOJ)),
+        )
+        .otherwise(F.coalesce(F.col("text"), F.lit("")))
+        .alias("text"),
+    )
+    return fix_mojibake(aug, "doc_id", "text")

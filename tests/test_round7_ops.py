@@ -1243,3 +1243,60 @@ def test_session_window_merges_across_microbatches(spark, tmp_path_factory):
         (mins(0), mins(50), 3),     # 0,10,20 merged; end = 20 + 30
         (mins(120), mins(150), 1),  # the jump
     ], out
+
+
+def test_kmv_intersection_exact_when_unsaturated_and_sane_at_scale(spark):
+    """x27: below k the theta estimates ARE the exact counts; saturated
+    sketches land near the true overlap (deterministic md5, so the bounds
+    are stable, not flaky)."""
+    from era_parser_spark.operators.sketch import kmv_intersection
+
+    def setdf(vals):
+        return spark.createDataFrame([(v,) for v in vals], "v string")
+
+    # |A|=10, |B|=8, overlap 5 — both unsaturated at k=32 => exact.
+    a = setdf([f"u{i}" for i in range(10)])
+    b = setdf([f"u{i}" for i in range(5, 13)])
+    r = kmv_intersection(a, b, "v", k=32).first()
+    assert (r.n_common, r.union_size) == (5, 13)
+    assert r.est_intersection == 5.0 and r.est_union == 13.0
+    assert r.jaccard_est == 5 / 13
+
+    # |A|=|B|=2000, overlap 1000 (true J=1/3, union 3000) — saturated.
+    a = setdf([f"u{i}" for i in range(2000)])
+    b = setdf([f"u{i}" for i in range(1000, 3000)])
+    r = kmv_intersection(a, b, "v", k=32).first()
+    assert 0.15 < r.jaccard_est < 0.55, r
+    assert 1200 < r.est_union < 6000, r
+    assert 300 < r.est_intersection < 2600, r
+
+
+def test_fix_mojibake_each_rule_and_order(spark):
+    """t23: every table entry repairs, the 3-char 'â€¢' family survives
+    the shared 'â' head (order matters), clean text is untouched, and a
+    python .replace chain over the same table agrees exactly."""
+    from era_parser_spark.operators.text import MOJIBAKE_FIXES, fix_mojibake
+
+    rows = [(i, f"x {bad} y") for i, (bad, _) in enumerate(MOJIBAKE_FIXES)]
+    rows += [
+        (100, "plain ascii stays put"),
+        (101, "cafÃ© â€œnaÃ¯veâ€™ â‚¬5"),
+        (102, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text_fixed"], r["changed"])
+        for r in fix_mojibake(df, "doc_id", "text").collect()
+    }
+    for i, (bad, good) in enumerate(MOJIBAKE_FIXES):
+        assert got[i] == (f"x {good} y", True), (bad, got[i])
+    assert got[100] == ("plain ascii stays put", False)
+
+    def twin(s):
+        for bad, good in MOJIBAKE_FIXES:
+            s = s.replace(bad, good)
+        return s
+
+    assert got[101] == (twin("cafÃ© â€œnaÃ¯veâ€™ â‚¬5"), True)
+    assert got[101][0] == "café “naïve’ €5"
+    assert got[102] == ("", False)
