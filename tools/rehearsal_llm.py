@@ -108,6 +108,11 @@ def main() -> int:
         help="run the similarity/pair-join tier (s6 SRP-LSH, dd8 SemDeDup, "
         "dd13 TF-IDF pairs) at 8x instead of the text phases",
     )
+    ap.add_argument(
+        "--retrieval", action="store_true",
+        help="run the retrieval tier (t22 BM25, s14 SQ8 ANN, x26 label "
+        "propagation) at 8x instead of the text phases",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -161,19 +166,11 @@ def main() -> int:
         print(f"{name}: {rec}", file=sys.stderr)
         return rec
 
-    if args.sim:
-        # -- similarity / pair-join tier at 8x (round-7 verdict item #4) --
+    def build_emb_corpus():
         # embeddings corpus: replicas are NEAR-dups in cosine space (dim 0
         # gets a small per-replica additive offset — deterministic, no
         # RNG), so cross-replica pairs sit above every verify threshold:
         # the dense-cluster stress the bucket/cell guards exist for.
-        from era_parser_spark.operators.dedup import tfidf_cosine_pairs
-        from era_parser_spark.operators.similarity import (
-            centroid_table,
-            semantic_dedup,
-            srp_lsh_pairs,
-        )
-
         emb_path = os.path.join(args.base, f"emb_x{args.replicas}")
         if not os.path.exists(os.path.join(emb_path, "_SUCCESS")):
             base_e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
@@ -198,6 +195,56 @@ def main() -> int:
         emb8 = spark.read.parquet(emb_path)
         out["emb_corpus"] = {"vectors": emb8.count()}
         print(f"emb corpus: {out['emb_corpus']}", file=sys.stderr)
+        return emb8
+
+    if args.retrieval:
+        # -- retrieval tier at 8x: the query-serving shapes --
+        from era_parser_spark.operators.graph import label_propagation
+        from era_parser_spark.operators.similarity import sq8_topk
+        from era_parser_spark.operators.text import bm25_topk
+
+        emb8 = build_emb_corpus()
+        q = [
+            float(x)
+            for x in emb8.filter(F.col("vec_id") == 0).first()["embedding"]
+        ]
+        phase(
+            "t22_bm25_topk",
+            lambda: bm25_topk(
+                docs, "doc_id", "text", ["hash", "join", "vector"], k=10
+            ).count(),
+        )
+        phase(
+            "s14_sq8_topk",
+            lambda: sq8_topk(
+                emb8, "embedding", "vec_id", q, k=10, shortlist=50
+            ).count(),
+        )
+        # link graph off the 8x corpus ids (x25/x26's derived-edge shape):
+        # ~320 src hosts x 424 dst hosts over 40k docs
+        mk = lambda mult, add, mod: F.concat(  # noqa: E731
+            F.lit("h"), ((F.col("doc_id") * mult + add) % mod).cast("string")
+        )
+        e1 = docs.select(mk(1, 0, 320).alias("src"), mk(7, 3, 424).alias("dst"))
+        e2 = docs.select(mk(1, 0, 320).alias("src"), mk(13, 5, 424).alias("dst"))
+        edges = e1.unionByName(e2)
+        phase(
+            "x26_label_propagation",
+            lambda: label_propagation(edges, iterations=3).count(),
+        )
+        print(json.dumps(out))
+        return 0
+
+    if args.sim:
+        # -- similarity / pair-join tier at 8x (round-7 verdict item #4) --
+        from era_parser_spark.operators.dedup import tfidf_cosine_pairs
+        from era_parser_spark.operators.similarity import (
+            centroid_table,
+            semantic_dedup,
+            srp_lsh_pairs,
+        )
+
+        emb8 = build_emb_corpus()
 
         # planes sized to the corpus (12 bits ~ 4096 buckets for 16k
         # vectors; the registry's 8 bits is sized for sf0.01's 500)
