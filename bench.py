@@ -73,6 +73,7 @@ HEADLINE = [
     "x26_label_propagation",
     "x27_kmv_intersection",
     "t23_fix_mojibake",
+    "t24_chunk_windows",
 ]
 
 

@@ -1298,3 +1298,66 @@ def sql_mojibake_expr(text_expr: str) -> str:
         g = good.replace("'", "''")
         out = f"replace({out}, '{b}', '{g}')"
     return out
+
+
+def chunk_windows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Sliding-window chunking for retrieval corpora (the RAG indexing
+    prep every embedding pipeline runs): each document becomes
+    overlapping windows of ``chunk_tokens`` whitespace tokens starting
+    every ``stride`` tokens — chunk i covers tokens
+    [i*stride, i*stride + chunk_tokens), and windows start while
+    i*stride < n_tokens, so the tail is covered and a non-empty doc
+    yields >= 1 chunk (empty/null docs yield none).  ``stride <
+    chunk_tokens`` gives the standard overlap that keeps sentences
+    straddling a boundary retrievable.
+
+    Zero-shuffle codegen: tokens are materialized ONCE per row (the
+    boilerplate_strip HOF lesson — a split() referenced inside a lambda
+    re-evaluates per element), windows come from one transform-over-range
+    of slice()s, and the explode inherits the scan partitioning.  Output:
+    (id, chunk_idx, chunk_text, n_chunk_tokens).
+    """
+    tokd = df.select(
+        F.col(id_col), tokens_col(text_col).alias("__tok")
+    ).select(
+        id_col,
+        "__tok",
+        F.when(
+            (F.size("__tok") == 1) & (F.element_at("__tok", 1) == ""),
+            F.lit(0),
+        )
+        .otherwise(F.size("__tok"))
+        .alias("__n"),
+    )
+    n_chunks = F.ceil(F.col("__n") / F.lit(stride)).cast("int")
+    # while i*stride < n: i in [0, ceil(n/stride)); but a window that
+    # starts past (n - chunk) when a previous window already covers the
+    # tail is still emitted only if its start < n (slice clamps the end)
+    windows = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.alias("ci"),
+            F.array_join(
+                F.slice(F.col("__tok"), i * stride + 1, chunk_tokens), " "
+            ).alias("ct"),
+            F.least(
+                F.lit(chunk_tokens), F.col("__n") - i * stride
+            ).alias("nt"),
+        ),
+    )
+    return (
+        tokd.filter(F.col("__n") > 0)
+        .select(F.col(id_col), F.explode(windows).alias("__w"))
+        .select(
+            id_col,
+            F.col("__w.ci").cast("long").alias("chunk_idx"),
+            F.col("__w.ct").alias("chunk_text"),
+            F.col("__w.nt").cast("long").alias("n_chunk_tokens"),
+        )
+    )

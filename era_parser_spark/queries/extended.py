@@ -1200,3 +1200,25 @@ def x27_kmv_intersection(spark, sf_dir):
         k=32,
         buckets=16,
     )
+
+
+@register(
+    "x28_cube",
+    # CUBE = all 2^2 grouping sets; Spark plans it as one Expand + one
+    # aggregate (each input row fans to 4 grouping combinations before the
+    # map-side combine), identical totals to DuckDB's CUBE.
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+           {sql_dsum('o_totalprice')} AS total
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def x28_cube(spark, sf_dir):
+    """Full CUBE totals — completes the grouping-sets family next to
+    x3's ROLLUP: adds the priority-only marginals ROLLUP's hierarchy
+    omits (the slice dashboards group by either dimension alone)."""
+    return (
+        table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("o_totalprice").alias("total"))
+    )

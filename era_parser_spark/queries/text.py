@@ -1122,3 +1122,32 @@ def t23_fix_mojibake(spark, sf_dir):
         .alias("text"),
     )
     return fix_mojibake(aug, "doc_id", "text")
+
+
+@register(
+    "t24_chunk_windows",
+    # Spark slice(arr, start, len) == DuckDB's inclusive tok[a : a+len-1]
+    # (both 1-based, both clamp); ceil(n/stride) over an exact small-int
+    # IEEE division is identical; empty docs yield no chunks.
+    oracle=f"""
+    WITH tokd AS (
+      SELECT doc_id, {_TOK} AS tok,
+             CASE WHEN len({_TOK}) = 1 AND ({_TOK})[1] = '' THEN 0
+                  ELSE len({_TOK}) END AS n
+      FROM documents
+    )
+    SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+           array_to_string(tok[CAST(i*48+1 AS INTEGER) :
+                               CAST(i*48+64 AS INTEGER)], ' ') AS chunk_text,
+           CAST(least(64, n - i*48) AS BIGINT) AS n_chunk_tokens
+    FROM tokd, unnest(range(0, CAST(ceil(n / 48) AS BIGINT))) AS u(i)
+    WHERE n > 0
+    """,
+)
+def t24_chunk_windows(spark, sf_dir):
+    # RAG indexing prep: 64-token windows every 48 tokens (16-token
+    # overlap) — operators/text.py::chunk_windows; zero-shuffle codegen.
+    from era_parser_spark.operators.text import chunk_windows
+
+    docs = table(spark, sf_dir, "documents")
+    return chunk_windows(docs, "doc_id", "text", chunk_tokens=64, stride=48)

@@ -1300,3 +1300,40 @@ def test_fix_mojibake_each_rule_and_order(spark):
     assert got[101] == (twin("cafÃ© â€œnaÃ¯veâ€™ â‚¬5"), True)
     assert got[101][0] == "café “naïve’ €5"
     assert got[102] == ("", False)
+
+
+def test_chunk_windows_semantics(spark):
+    """t24: overlap, tail coverage, short/empty/null docs, and exact
+    chunk content against a python twin."""
+    from era_parser_spark.operators.text import chunk_windows
+
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(10))),  # 10 tokens
+        (2, "a b c"),                               # shorter than chunk
+        (3, ""),                                    # empty -> no chunks
+        (4, None),                                  # null -> no chunks
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(
+        (r.doc_id, r.chunk_idx, r.chunk_text, r.n_chunk_tokens)
+        for r in chunk_windows(df, "doc_id", "text", chunk_tokens=4, stride=3).collect()
+    )
+
+    def twin(i, text):
+        toks = text.split()
+        res = []
+        ci = 0
+        while ci * 3 < len(toks):
+            w = toks[ci * 3 : ci * 3 + 4]
+            res.append((i, ci, " ".join(w), len(w)))
+            ci += 1
+        return res
+
+    want = sorted(twin(1, rows[0][1]) + twin(2, "a b c"))
+    assert out == want, out
+    # doc 1: chunks start at 0,3,6,9 — last covers the tail token alone
+    d1 = [c for c in out if c[0] == 1]
+    assert [c[1] for c in d1] == [0, 1, 2, 3]
+    assert d1[-1] == (1, 3, "w9", 1)
+    # consecutive chunks overlap by chunk-stride = 1 token
+    assert d1[0][2].split()[-1] == d1[1][2].split()[0]
