@@ -74,6 +74,7 @@ HEADLINE = [
     "x27_kmv_intersection",
     "t23_fix_mojibake",
     "t24_chunk_windows",
+    "x29_grid_interpolate",
 ]
 
 

