@@ -1291,12 +1291,14 @@ def x29_grid_interpolate(spark, sf_dir):
     point linearly interpolated between its bracketing samples (exact
     sample value when the grid lands on one; locf at the right edge).
 
-    Plan shape: samples collapse to one row per (user, µs) — the only
-    corpus shuffle; the grid explodes from a per-user (start, end) span
-    and unions with the samples, then BOTH bracket lookups are window
-    functions over the SAME (user_id, us, is_grid) sort — one exchange,
-    no joins, no per-grid-point probing.  All-integer math (slope via
-    one truncating division) => oracle-exact."""
+    Plan shape: samples collapse to one row per (user, µs), the grid
+    explodes from a per-user (start, end) span and unions with the
+    samples, then BOTH bracket lookups are window functions over the
+    SAME (user_id, us, is_grid) sort — no joins, no per-grid-point
+    probing.  Three exchanges total ((user,µs) collapse, the tiny span
+    aggregate, the window sort), each carrying (user, µs, qv) longs
+    only; measured 1.05M grid points in ~2.5 s at sf0.1.  All-integer
+    math (slope via one truncating division) => oracle-exact."""
     from pyspark.sql import Window as W
 
     hour = 3_600_000_000
