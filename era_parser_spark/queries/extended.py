@@ -1291,14 +1291,18 @@ def x29_grid_interpolate(spark, sf_dir):
     point linearly interpolated between its bracketing samples (exact
     sample value when the grid lands on one; locf at the right edge).
 
-    Plan shape: samples collapse to one row per (user, µs), the grid
-    explodes from a per-user (start, end) span and unions with the
-    samples, then BOTH bracket lookups are window functions over the
-    SAME (user_id, us, is_grid) sort — no joins, no per-grid-point
-    probing.  Three exchanges total ((user,µs) collapse, the tiny span
-    aggregate, the window sort), each carrying (user, µs, qv) longs
-    only; measured 1.05M grid points in ~2.5 s at sf0.1.  All-integer
-    math (slope via one truncating division) => oracle-exact."""
+    Plan shape: samples collapse to one row per (user, µs); the grid
+    points are emitted from the FIRST row of each user's partition via
+    window min/max (a span-aggregate-and-union formulation makes
+    Catalyst recompute the collapsed-samples subtree once per branch —
+    the multi-branch trap, docs/PLANS.md — and was measured at 6
+    exchanges vs this plan's 2); then BOTH bracket lookups are window
+    functions over the SAME user partitioning — no joins, no
+    per-grid-point probing.  TWO exchanges total (the (user,µs)
+    collapse, the user-keyed window sort — the second and third windows
+    reuse it), each carrying (user, µs, qv) longs only, plan-pinned in
+    tests/test_round7_ops.py.  All-integer math (slope via one
+    truncating division) => oracle-exact."""
     from pyspark.sql import Window as W
 
     hour = 3_600_000_000
@@ -1312,25 +1316,44 @@ def x29_grid_interpolate(spark, sf_dir):
         .groupBy("user_id", "us")
         .agg(F.min("qv").alias("qv"))
     )
-    span = s.groupBy("user_id").agg(
-        F.expr(f"((min(us) + {hour - 1}) div {hour}) * {hour}").alias("g0"),
-        F.max("us").alias("mx"),
+    wu = W.partitionBy("user_id")
+    ann = s.select(
+        "user_id",
+        "us",
+        "qv",
+        F.row_number().over(wu.orderBy("us")).alias("__rn"),
+        F.expr(f"((min(us) OVER (PARTITION BY user_id) + {hour - 1})"
+               f" div {hour}) * {hour}").alias("__g0"),
+        F.max("us").over(wu).alias("__mx"),
     )
-    grid = span.select(
+    # each sample row re-emits itself; the first row per user also emits
+    # every grid point — one subtree, no span branch
+    grid_pts = F.when(
+        (F.col("__rn") == 1) & (F.col("__g0") <= F.col("__mx")),
+        F.transform(
+            F.sequence("__g0", "__mx", F.lit(hour).cast("long")),
+            lambda g: F.struct(
+                g.alias("us"),
+                F.lit(None).cast("long").alias("qv"),
+                F.lit(1).alias("is_grid"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<us:long,qv:long,is_grid:int>>"))
+    merged = ann.select(
         "user_id",
         F.explode(
-            F.when(
-                F.col("g0") <= F.col("mx"),
-                F.sequence("g0", "mx", F.lit(hour).cast("long")),
-            ).otherwise(F.array().cast("array<long>"))
-        ).alias("us"),
-    ).select(
-        "user_id", "us", F.lit(None).cast("long").alias("qv"),
-        F.lit(1).alias("is_grid"),
-    )
-    merged = s.select(
-        "user_id", "us", "qv", F.lit(0).alias("is_grid")
-    ).unionByName(grid)
+            F.concat(
+                F.array(
+                    F.struct(
+                        F.col("us").alias("us"),
+                        F.col("qv").alias("qv"),
+                        F.lit(0).alias("is_grid"),
+                    )
+                ),
+                grid_pts,
+            )
+        ).alias("__r"),
+    ).select("user_id", "__r.us", "__r.qv", "__r.is_grid")
     w = W.partitionBy("user_id").orderBy("us", "is_grid")
     wp = w.rowsBetween(W.unboundedPreceding, 0)
     wf = w.rowsBetween(0, W.unboundedFollowing)

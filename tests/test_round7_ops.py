@@ -1385,3 +1385,41 @@ def test_grid_interpolate_semantics(spark):
     assert out[(2, us(60))] == 7_000_000
     assert out[(2, us(120))] == 4_000_000
     assert len(out) == 5
+
+
+def test_grid_interpolate_plan_budget(spark):
+    """x29 plan: no joins, exactly TWO exchanges — the (user,µs)
+    collapse and one user-keyed window sort that all three windows
+    reuse (the span-aggregate formulation recomputed the collapse per
+    branch: 6 exchanges, caught by this pin)."""
+    import __spark_entry__ as m
+
+    df = m.queries()["x29_grid_interpolate"](spark, "/root/testdata/sf0.001")
+    df.collect()
+    # AQE's toString appends the pre-adaptive "Initial Plan" — count only
+    # the final plan section
+    plan = df._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert "Join" not in plan, plan
+    assert plan.count("FileScan") == 1, plan
+    import re
+
+    n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_ex == 2, f"{n_ex} exchanges\n{plan}"
+
+
+def test_kmv_sketch_mergeability(spark):
+    """x27's mergeability contract: union-then-sketch == merge of the two
+    per-slice sketches (array union + re-truncate to k) — the
+    DataSketches property that lets partial sketches roll up."""
+    from era_parser_spark.operators.sketch import _kmv_one_row
+
+    a = spark.createDataFrame([(f"u{i}",) for i in range(200)], "v string")
+    b = spark.createDataFrame([(f"u{i}",) for i in range(150, 400)], "v string")
+    k = 16
+    ka = _kmv_one_row(a, "v", k, 4).first()["ks"]
+    kb = _kmv_one_row(b, "v", k, 4).first()["ks"]
+    merged = sorted(set(ka) | set(kb))[:k]
+    whole = _kmv_one_row(a.unionByName(b), "v", k, 4).first()["ks"]
+    assert merged == list(whole)
