@@ -75,6 +75,8 @@ HEADLINE = [
     "t23_fix_mojibake",
     "t24_chunk_windows",
     "x29_grid_interpolate",
+    "t25_ngram_novelty",
+    "p13_corpus_report",
 ]
 
 

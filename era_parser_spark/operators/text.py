@@ -1361,3 +1361,48 @@ def chunk_windows(
             F.col("__w.nt").cast("long").alias("n_chunk_tokens"),
         )
     )
+
+
+def ngram_novelty(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's distinct
+    n-token shingles that occur in NO other document — the
+    memorization-risk / content-originality audit signal (Lee et al.
+    2022's dedup work measures exactly this overlap mass; dataset cards
+    report it).  Low novelty = the document is mostly assembled from
+    corpus-shared n-grams (template/boilerplate/copy heavy); 1.0 = all
+    original.
+
+    Plan shape: the dd-family inverted index (one Arrow-batched shingle
+    explode, distinct within doc), ONE shuffle keyed on shingle for the
+    document-frequency window (a groupBy+join-back would rescan the
+    explode per branch — the t6 lesson), then a map-side-combined
+    groupBy(id).  The shuffle carries (id, shingle) pairs, never texts.
+    novelty = n_unique / n_shingles: two exact BIGINTs, one IEEE
+    division.  Docs with fewer than n tokens have no shingles and are
+    absent (they have no n-gram identity to audit).
+    """
+    from pyspark.sql import Window as W
+
+    from era_parser_spark.operators.dedup import doc_shingles
+
+    ex = doc_shingles(df, id_col, text_col, n)
+    cnt = ex.withColumn(
+        "__c", F.count(F.lit(1)).over(W.partitionBy("shingle"))
+    )
+    return (
+        cnt.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("__c") == 1).cast("long")).alias("n_unique"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_unique",
+            (F.col("n_unique").cast("double") / F.col("n_shingles")).alias(
+                "novelty"
+            ),
+        )
+    )

@@ -534,3 +534,65 @@ def p12_curation_v2(spark, sf_dir):
     return split_assign(
         clean, "doc_id", [("train", 0.8), ("val", 0.1), ("test", 0.1)]
     ).select("doc_id", "n_shingles", "split")
+
+
+@register(
+    "p13_corpus_report",
+    # Dataset-card rollup: every figure is exact integer math except the
+    # two final divisions (one IEEE each); dup membership via a count
+    # window over md5(text).
+    oracle=f"""
+    WITH d AS (
+      SELECT lang, source,
+             len({_TOK}) AS n_tokens,
+             count(*) OVER (PARTITION BY md5(text)) AS copies
+      FROM documents
+    )
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(n_tokens) // count(*) AS BIGINT) AS mean_tokens,
+           CAST(sum(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_member_docs,
+           CAST(sum(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS dup_frac,
+           CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens
+    FROM d GROUP BY lang, source
+    """,
+)
+def p13_corpus_report(spark, sf_dir):
+    """Corpus health report — the dataset-card table every corpus release
+    ships (per language x source: volume, token mass, length envelope,
+    exact-duplicate membership).  The audit you run FIRST at 100 TB to
+    decide where dedup/filter effort goes.
+
+    Plan: one md5-keyed count window (the dd1 digest key — the shuffle
+    carries digests + longs, never text), then one map-side-combined
+    groupBy(lang, source).  Integer everything; the two fractions are
+    single IEEE divisions of exact BIGINTs."""
+    from pyspark.sql import Window as W
+
+    from era_parser_spark.operators.text import token_count_col
+
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang",
+        "source",
+        token_count_col("text").cast("long").alias("n_tokens"),
+        F.count(F.lit(1))
+        .over(W.partitionBy(F.md5(F.col("text").cast("binary"))))
+        .alias("copies"),
+    )
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.expr("sum(n_tokens) div count(1)").alias("mean_tokens"),
+        F.sum((F.col("copies") > 1).cast("long")).alias("n_dup_member_docs"),
+        (
+            F.sum((F.col("copies") > 1).cast("long")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("dup_frac"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+    )

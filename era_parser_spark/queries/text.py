@@ -1151,3 +1151,35 @@ def t24_chunk_windows(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     return chunk_windows(docs, "doc_id", "text", chunk_tokens=64, stride=48)
+
+
+_T25_SHINGLES = (
+    f"list_distinct(list_transform(range(1, len({_TOK}) - 1), "
+    f"i -> {_TOK}[i] || ' ' || {_TOK}[i+1] || ' ' || {_TOK}[i+2]))"
+)
+
+
+@register(
+    "t25_ngram_novelty",
+    # Same distinct-3-gram definition as the dd family; df via a window
+    # over the exploded index; novelty = one IEEE division of two exact
+    # BIGINTs.  Sub-3-token docs have no shingles and are absent on both
+    # sides.
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, unnest({_T25_SHINGLES}) AS s FROM documents),
+    w AS (SELECT doc_id, count(*) OVER (PARTITION BY s) AS c FROM sh)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+             AS novelty
+    FROM w GROUP BY doc_id
+    """,
+)
+def t25_ngram_novelty(spark, sf_dir):
+    # Memorization-risk audit: fraction of each doc's distinct 3-gram
+    # shingles unique to it corpus-wide
+    # (operators/text.py::ngram_novelty).
+    from era_parser_spark.operators.text import ngram_novelty
+
+    docs = table(spark, sf_dir, "documents")
+    return ngram_novelty(docs, "doc_id", "text", n=3)

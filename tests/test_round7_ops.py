@@ -1423,3 +1423,62 @@ def test_kmv_sketch_mergeability(spark):
     merged = sorted(set(ka) | set(kb))[:k]
     whole = _kmv_one_row(a.unionByName(b), "v", k, 4).first()["ks"]
     assert merged == list(whole)
+
+
+def test_ngram_novelty_semantics(spark):
+    """t25: a fully-copied doc scores 0, an original doc scores 1, a
+    half-shared doc lands exactly on its shingle ratio, short docs are
+    absent."""
+    from era_parser_spark.operators.text import ngram_novelty
+
+    orig = "alpha beta gamma delta epsilon zeta"       # 4 shingles, unique
+    rows = [
+        (1, orig),
+        (2, orig),                                     # exact copy -> both 0
+        (3, "alpha beta gamma mu nu xi"),              # shares 'alpha beta gamma'
+        (4, "totally fresh words nobody else uses"),   # fully novel
+        (5, "too short"),                              # < 3 tokens -> absent
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.n_shingles, r.n_unique, r.novelty)
+        for r in ngram_novelty(df, "doc_id", "text").collect()
+    }
+    assert out[1] == (4, 0, 0.0) and out[2] == (4, 0, 0.0)
+    # doc 3: 4 shingles, 'alpha beta gamma' shared with docs 1/2 -> 3 unique
+    assert out[3] == (4, 3, 0.75)
+    assert out[4] == (4, 4, 1.0)
+    assert 5 not in out
+
+
+def test_corpus_report_semantics(spark):
+    """p13: per (lang, source) volumes, exact-dup membership counts, and
+    integer mean/min/max line up on a hand fixture."""
+    import era_parser_spark.queries.pipeline as P
+
+    rows = [
+        (1, "a b c", "en", "web", 5),
+        (2, "a b c", "en", "web", 5),     # exact dup of 1
+        (3, "d e f g", "en", "web", 7),
+        (4, "h i", "de", "web", 3),
+    ]
+    ev = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    from era_parser_spark.queries.registry import QUERIES
+
+    orig = P.table
+    try:
+        P.table = lambda spark, sf_dir, name: ev
+        out = {
+            (r.lang, r.source): r
+            for r in QUERIES["p13_corpus_report"](spark, "ignored").collect()
+        }
+    finally:
+        P.table = orig
+    en = out[("en", "web")]
+    assert (en.n_docs, en.total_tokens, en.mean_tokens) == (3, 10, 3)
+    assert (en.n_dup_member_docs, en.min_tokens, en.max_tokens) == (2, 3, 4)
+    assert en.dup_frac == 2 / 3
+    de = out[("de", "web")]
+    assert (de.n_docs, de.n_dup_member_docs, de.dup_frac) == (1, 0, 0.0)
