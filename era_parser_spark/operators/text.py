@@ -1406,3 +1406,68 @@ def ngram_novelty(
             ),
         )
     )
+
+
+def hash_embed(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    dim: int = 64,
+) -> DataFrame:
+    """Feature-hashing text embeddings (Weinberger et al. 2009, the
+    fastText/Vowpal hashing trick): each token lands in bucket
+    ``h % dim`` with sign ``±1`` from the next hash bit, summed with
+    multiplicity — a fixed-width vector with the inner-product-
+    preservation guarantees of the hashing trick, and the in-engine
+    bridge from the text tier to the vector tier (the output composes
+    directly with s1/s8/s14: integer dots are exact).
+
+    Hash: the shared 60-bit md5 integer (md5_60bit) — bucket
+    ``h % dim``, sign from high bit ``(h >> 30) & 1`` (a bit disjoint
+    from the bucket for any dim <= 2^30, and extracted with exact
+    integer shifts — never a double division, which would lose bits
+    above 2^53) — so the whole embedding is a pure function of the
+    token multiset, bit-identical in SQL (oracle-EXACT, unlike any
+    trained embedding).
+
+    Plan: ONE shuffle carrying (id, bucket, signed-count) longs
+    (map-side combined); norm_sq folds JVM-side over the sparse
+    (bucket, v) rows BEFORE densifying, so the per-row HOF fold is
+    only the dim-element densify transform.  Docs with no tokens
+    embed to the zero vector (present, not absent).  Returns
+    (id, feat array<bigint>, norm_sq bigint).
+    """
+    from era_parser_spark.operators.dedup import md5_60bit
+
+    assert dim <= (1 << 30), "sign bit 30 must sit above the bucket bits"
+    ex = df.select(
+        F.col(id_col), F.explode(tokens_col(text_col)).alias("__t")
+    ).filter(F.col("__t") != "")
+    h = md5_60bit(F.col("__t"))
+    signed = ex.select(
+        id_col,
+        F.pmod(h, F.lit(dim)).cast("int").alias("__b"),
+        F.when(F.pmod(F.shiftright(h, 30), F.lit(2)) == 0, F.lit(1))
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("__s"),
+    )
+    cnt = signed.groupBy(id_col, "__b").agg(F.sum("__s").alias("__v"))
+    dense = cnt.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("__b"), F.col("__v")))
+        ).alias("__m"),
+        F.sum(F.col("__v") * F.col("__v")).alias("__n2"),
+    )
+    feat = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("__m"), i), F.lit(0).cast("long")),
+    )
+    base = df.select(F.col(id_col)).join(dense, id_col, "left")
+    return base.select(
+        id_col,
+        F.coalesce(
+            feat, F.array_repeat(F.lit(0).cast("long"), dim)
+        ).alias("feat"),
+        F.coalesce(F.col("__n2"), F.lit(0).cast("long")).alias("norm_sq"),
+    )

@@ -1183,3 +1183,53 @@ def t25_ngram_novelty(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     return ngram_novelty(docs, "doc_id", "text", n=3)
+
+
+_T26_H = "CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)"
+
+
+@register(
+    "t26_hash_embed",
+    # Feature-hashing embeddings (hashing trick): bucket = h % 64, sign
+    # from high bit (h >> 30) & 1 — both exact integer ops in both
+    # engines (NEVER a double division: 60-bit hashes lose bits above
+    # 2^53).  The dense vector is rendered as a comma-joined string so
+    # the driver hash is representation-stable (the e15 lesson); DuckDB
+    # SUM(BIGINT) returns HUGEINT, so both sums cast back to BIGINT.
+    oracle=f"""
+    WITH ex AS (SELECT doc_id, unnest({_TOK}) AS t FROM documents),
+    s AS (
+      SELECT doc_id,
+             CAST({_T26_H} % 64 AS INTEGER) AS b,
+             CASE WHEN (({_T26_H} >> 30) % 2) = 0 THEN 1 ELSE -1 END AS sgn
+      FROM ex WHERE t <> ''
+    ),
+    c AS (SELECT doc_id, b, CAST(SUM(sgn) AS BIGINT) AS v
+          FROM s GROUP BY doc_id, b),
+    grid AS (SELECT d.doc_id, CAST(u.i AS INTEGER) AS b
+             FROM (SELECT DISTINCT doc_id FROM documents) d,
+                  unnest(range(0, 64)) AS u(i)),
+    dense AS (
+      SELECT g.doc_id, g.b, COALESCE(c.v, 0) AS v
+      FROM grid g LEFT JOIN c ON g.doc_id = c.doc_id AND g.b = c.b
+    )
+    SELECT doc_id,
+           string_agg(CAST(v AS VARCHAR), ',' ORDER BY b) AS feat,
+           CAST(SUM(v * v) AS BIGINT) AS norm_sq
+    FROM dense GROUP BY doc_id
+    """,
+)
+def t26_hash_embed(spark, sf_dir):
+    # Text -> fixed-width integer vector bridge to the similarity tier
+    # (operators/text.py::hash_embed); ONE (id, bucket) shuffle.
+    from era_parser_spark.operators.text import hash_embed
+
+    docs = table(spark, sf_dir, "documents")
+    out = hash_embed(docs, "doc_id", "text", dim=64)
+    return out.select(
+        "doc_id",
+        F.array_join(
+            F.transform("feat", lambda x: x.cast("string")), ","
+        ).alias("feat"),
+        "norm_sq",
+    )

@@ -1482,3 +1482,31 @@ def test_corpus_report_semantics(spark):
     assert en.dup_frac == 2 / 3
     de = out[("de", "web")]
     assert (de.n_docs, de.n_dup_member_docs, de.dup_frac) == (1, 0, 0.0)
+
+
+def test_hash_embed_semantics(spark):
+    """t26: hashing-trick embeddings are an exact function of the token
+    multiset — identical texts get identical vectors, the vector's L1
+    mass is bounded by the token count, norm_sq matches the vector, and
+    empty docs embed to the present zero vector."""
+    from era_parser_spark.operators.text import hash_embed
+
+    rows = [
+        (1, "alpha beta gamma alpha"),
+        (2, "alpha beta gamma alpha"),   # clone of 1
+        (3, "gamma alpha beta alpha"),   # same multiset, other order
+        (4, "delta"),
+        (5, ""),                          # zero vector, still present
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in hash_embed(df, "doc_id", "text", dim=16).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert out[1].feat == out[2].feat == out[3].feat  # multiset function
+    assert len(out[1].feat) == 16
+    # signed sums: |feat| summed <= token count; norm_sq consistent
+    assert sum(abs(v) for v in out[1].feat) <= 4
+    for r in out.values():
+        assert r.norm_sq == sum(v * v for v in r.feat)
+    assert out[5].feat == [0] * 16 and out[5].norm_sq == 0
+    # single token lands in exactly one bucket with weight +-1
+    assert sorted(abs(v) for v in out[4].feat) == [0] * 15 + [1]
