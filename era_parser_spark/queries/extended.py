@@ -1387,3 +1387,146 @@ def x29_grid_interpolate(spark, sf_dir):
             (v_micro.cast("long") / F.lit(1000000.0)).alias("v"),
         )
     )
+
+
+@register(
+    "x30_window_funnel",
+    # ClickHouse windowFunnel(6h)(ts, view, click, purchase): max chain
+    # v < c < p with p_ts - v_ts <= 6h.  Greedy is optimal: for each
+    # event the LATEST prior view (and the best chain-2 start over prior
+    # clicks) minimizes window usage, so two running ROWS-window maxima
+    # decide every level.  "Prior" = earlier in the (us, event_id) total
+    # order — deterministic in both engines; all arithmetic is epoch-
+    # microsecond BIGINT (never an NTZ cast).
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+             max(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+               OVER wp AS lastv
+      FROM events
+      WINDOW wp AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    o2 AS (
+      SELECT *, max(CASE WHEN event_type = 'click' THEN lastv END)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS best2
+      FROM o
+    )
+    SELECT user_id,
+           CAST(max(CASE WHEN event_type = 'purchase' AND best2 IS NOT NULL
+                              AND us - best2 <= 21600000000 THEN 3
+                         WHEN event_type = 'click' AND lastv IS NOT NULL
+                              AND us - lastv <= 21600000000 THEN 2
+                         WHEN event_type = 'view' THEN 1
+                         ELSE 0 END) AS INTEGER) AS funnel_level
+    FROM o2 GROUP BY user_id
+    """,
+)
+def x30_window_funnel(spark, sf_dir):
+    """Sliding-window funnel (ClickHouse ``windowFunnel``): deepest
+    view->click->purchase chain per user completing within 6 h of the
+    chain's FIRST event — unlike x13's calendar-day scope, the window
+    slides with the chain start.
+
+    Plan: ONE (user_id) exchange + sort feeds both running maxima and
+    the final aggregate (same-keyed windows share the partitioning);
+    shuffle carries (user, type, two longs).  No self-join, no
+    per-level pass: the greedy running-max DP is O(events) with k-1
+    window columns for a k-step funnel.
+    """
+    from pyspark.sql import Window as W
+
+    WIN = 21_600_000_000  # 6 h in µs
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    wp = (
+        W.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    o = ev.withColumn(
+        "lastv",
+        F.max(F.when(F.col("event_type") == "view", F.col("us"))).over(wp),
+    )
+    o2 = o.withColumn(
+        "best2",
+        F.max(F.when(F.col("event_type") == "click", F.col("lastv"))).over(wp),
+    )
+    lvl = (
+        F.when(
+            (F.col("event_type") == "purchase")
+            & F.col("best2").isNotNull()
+            & (F.col("us") - F.col("best2") <= WIN),
+            F.lit(3),
+        )
+        .when(
+            (F.col("event_type") == "click")
+            & F.col("lastv").isNotNull()
+            & (F.col("us") - F.col("lastv") <= WIN),
+            F.lit(2),
+        )
+        .when(F.col("event_type") == "view", F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    return o2.groupBy("user_id").agg(
+        F.max(lvl).cast("int").alias("funnel_level")
+    )
+
+
+@register(
+    "x31_retention_cohorts",
+    # ClickHouse `retention` / product-analytics cohort table: users
+    # grouped by first-SIGNUP day, distinct-user counts per day offset.
+    # Window-min formulation — no join with a first-seen dim; offsets
+    # are DATE diffs (both engines return integer days).
+    oracle="""
+    WITH d AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             min(CASE WHEN event_type = 'signup' THEN CAST(ts AS DATE) END)
+               OVER (PARTITION BY user_id) AS cohort_d
+      FROM events
+    )
+    SELECT cohort_d, CAST(datediff('day', cohort_d, d) AS INTEGER) AS day_offset,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM d
+    WHERE cohort_d IS NOT NULL AND d >= cohort_d
+    GROUP BY cohort_d, day_offset
+    """,
+)
+def x31_retention_cohorts(spark, sf_dir):
+    """Retention cohort table: cohort = each user's first ``signup``
+    day; a cohort's ``day_offset`` row counts distinct users active
+    (any event) that many days after signing up.  Pre-signup activity
+    is excluded (classic signup->activity retention).
+
+    Plan: cohort day via a partition-only window min (ONE user-keyed
+    exchange, no first-seen dim join), then a map-side-combined
+    count-distinct over (cohort, offset) — shuffle carries dates and
+    longs only.  At 100 TB both exchanges are user-id/date-keyed longs;
+    nothing is per-event after the window.
+    """
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.to_date("ts").alias("d"),
+    )
+    c = ev.withColumn(
+        "cohort_d",
+        F.min(
+            F.when(F.col("event_type") == "signup", F.col("d"))
+        ).over(W.partitionBy("user_id")),
+    )
+    return (
+        c.filter(F.col("cohort_d").isNotNull() & (F.col("d") >= F.col("cohort_d")))
+        .withColumn("day_offset", F.datediff("d", "cohort_d"))
+        .groupBy("cohort_d", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )

@@ -637,3 +637,31 @@ def test_s13_batch_ann_join_all_broadcast(spark, queries):
     assert plan_summary(df)["sort_merge_joins"] == 0
     plan = formatted_plan(df)
     assert "map_from_entries" in plan and "element_at" in plan
+
+
+def test_window_funnel_single_user_exchange(spark, queries):
+    """x30: both running-max windows AND the final per-user aggregate
+    reuse ONE user_id hash exchange — a k-step funnel must stay one
+    shuffle, not one per level."""
+    import re
+
+    df = queries["x30_window_funnel"](spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    exchanges = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert exchanges == ["user_id"]
+    assert len(re.findall(r"FileScan parquet", plan)) == 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_retention_cohorts_no_first_seen_join(spark, queries):
+    """x31: cohort day comes from a partition-only window min, not a
+    join against a first-seen dim — no join operator, one scan, and
+    only the user window + (cohort, offset) distinct-agg exchanges."""
+    import re
+
+    df = queries["x31_retention_cohorts"](spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    exchanges = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert exchanges.count("user_id") == 1 and len(exchanges) == 2
+    assert len(re.findall(r"FileScan parquet", plan)) == 1
+    assert "Join" not in plan

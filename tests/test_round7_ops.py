@@ -1510,3 +1510,77 @@ def test_hash_embed_semantics(spark):
     assert out[5].feat == [0] * 16 and out[5].norm_sq == 0
     # single token lands in exactly one bucket with weight +-1
     assert sorted(abs(v) for v in out[4].feat) == [0] * 15 + [1]
+
+
+def _run_on_events(spark, name, rows, schema):
+    """Run a registry entry against a hand fixture standing in for events."""
+    import era_parser_spark.queries.extended as X
+    from era_parser_spark.queries.registry import QUERIES
+
+    ev = spark.createDataFrame(rows, schema)
+    orig = X.table
+    try:
+        X.table = lambda spark, sf_dir, name: ev
+        return QUERIES[name](spark, "ignored").collect()
+    finally:
+        X.table = orig
+
+
+def test_window_funnel_semantics(spark):
+    """x30: sliding 6h window from the CHAIN start; greedy latest-view
+    chain selection; strict event order by (ts, event_id)."""
+    from datetime import datetime as DT
+
+    def t(h):
+        return DT(2024, 1, 1, h)
+
+    rows = [
+        # user 1: clean 3-chain inside 6h
+        (1, "view", 1, t(0)), (1, "click", 2, t(1)), (1, "purchase", 3, t(2)),
+        # user 2: purchase 7h after the only view -> level 2 only
+        (2, "view", 4, t(0)), (2, "click", 5, t(5)), (2, "purchase", 6, t(7)),
+        # user 3: greedy must pick the LATER view (4h) to finish at 8h
+        (3, "view", 7, t(0)), (3, "view", 8, t(4)),
+        (3, "click", 9, t(5)), (3, "purchase", 10, t(8)),
+        # user 4: no view at all -> level 0
+        (4, "click", 11, t(0)), (4, "purchase", 12, t(1)),
+        # user 5: reversed order -> only the view counts
+        (5, "purchase", 13, t(0)), (5, "click", 14, t(1)), (5, "view", 15, t(2)),
+        # user 6: purchase BEFORE the click -> level 2
+        (6, "view", 16, t(0)), (6, "purchase", 17, t(1)), (6, "click", 18, t(2)),
+    ]
+    out = {
+        r.user_id: r.funnel_level
+        for r in _run_on_events(
+            spark, "x30_window_funnel", rows,
+            "user_id long, event_type string, event_id long, ts timestamp",
+        )
+    }
+    assert out == {1: 3, 2: 2, 3: 3, 4: 0, 5: 1, 6: 2}
+
+
+def test_retention_cohorts_semantics(spark):
+    """x31: cohort = first signup day; pre-signup activity excluded;
+    never-signed-up users absent."""
+    from datetime import datetime as DT
+
+    rows = [
+        (1, "signup", 1, DT(2024, 1, 1)), (1, "view", 2, DT(2024, 1, 1, 5)),
+        (1, "click", 3, DT(2024, 1, 2)), (1, "view", 4, DT(2024, 1, 5)),
+        # user 2: pre-signup click on d1 must not count
+        (2, "click", 5, DT(2024, 1, 1)), (2, "signup", 6, DT(2024, 1, 2)),
+        (2, "view", 7, DT(2024, 1, 3)),
+        # user 3: never signs up
+        (3, "view", 8, DT(2024, 1, 1)),
+    ]
+    out = {
+        (str(r.cohort_d), r.day_offset): r.n_users
+        for r in _run_on_events(
+            spark, "x31_retention_cohorts", rows,
+            "user_id long, event_type string, event_id long, ts timestamp",
+        )
+    }
+    assert out == {
+        ("2024-01-01", 0): 1, ("2024-01-01", 1): 1, ("2024-01-01", 4): 1,
+        ("2024-01-02", 0): 1, ("2024-01-02", 1): 1,
+    }
