@@ -1247,3 +1247,72 @@ def tfidf_pairs_bounded(
             F.desc("cosine"), F.asc("doc_a"), F.asc("doc_b")
         ).limit(top_pairs)
     return out
+
+
+def remove_shared_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    l: int = 8,
+    min_span_tokens: int = 12,
+    max_doc_freq: int = 100,
+) -> DataFrame:
+    """The CUT step of exact substring dedup (Lee et al., ExactSubstr):
+    wherever `shared_token_spans` finds a verbatim >= min_span_tokens
+    run shared by two documents, keep the lower-id document's copy and
+    cut the tokens out of the higher-id one, then reassemble the
+    surviving tokens into text.  dd10 is the detector; this is the
+    transform a curation run actually applies.
+
+    Plan: spans (doc_a < doc_b) -> masked (doc, pos) positions by
+    exploding each doc_b-side span range (rows = tokens REMOVED — the
+    removal volume, never the corpus); distinct absorbs overlapping
+    spans.  Tokens left-anti join the mask on (id, pos) and re-join
+    into text via one sorted collect per doc.  Shuffle = corpus tokens
+    once (the rewrite is inherently token-granular) + removal volume;
+    no stage is pairwise.
+
+    Output: (id, n_tokens, n_removed, clean_text); fully-masked docs
+    come back with clean_text = '' (present, not dropped).
+    """
+    spans = shared_token_spans(
+        df, id_col, text_col, l=l, min_span_tokens=min_span_tokens,
+        max_doc_freq=max_doc_freq,
+    )
+    masked = (
+        spans.select(
+            F.col("doc_b").alias(id_col),
+            F.explode(
+                F.sequence(
+                    F.col("start_b").cast("long"),
+                    F.col("start_b").cast("long") + F.col("span_tokens") - 1,
+                )
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokens_col(text_col)).alias("pos", "__tk")
+    ).withColumn("pos", F.col("pos").cast("long"))
+    kept = toks.join(masked, [id_col, "pos"], "left_anti")
+    agg = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "__tk"))),
+                lambda s: s["__tk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    base = df.select(
+        F.col(id_col), F.size(tokens_col(text_col)).cast("long").alias("n_tokens")
+    )
+    return base.join(agg, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce(F.col("__n_kept"), F.lit(0))).alias(
+            "n_removed"
+        ),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )

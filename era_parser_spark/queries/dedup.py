@@ -1172,3 +1172,67 @@ def mm8_speech_segments(spark, sf_dir):
     return speech_segments(
         documents_as_media(docs), frame_bytes=16, threshold=1506, min_frames=2
     )
+
+
+@register(
+    "dd16_remove_shared_spans",
+    # dd10's whole detection chain as the CTE prefix (oracle joins gram
+    # STRINGS where the engine joins xxhash64 — same accepted 64-bit
+    # collision risk), then the cut: doc_b-side span ranges -> DISTINCT
+    # masked positions -> anti-join -> ORDER BY pos reassembly.  All
+    # integer positions; text equality is exact.
+    oracle=f"""
+    WITH tokd AS (SELECT doc_id, {_TOK} AS tok FROM documents),
+    grams AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             array_to_string(tok[CAST(i + 1 AS INTEGER) : CAST(i + 8 AS INTEGER)], ' ') AS gram
+      FROM tokd, unnest(range(0, len(tok) - 7)) AS u(i)
+    ),
+    hot AS (SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) > 100),
+    j AS (SELECT * FROM grams ANTI JOIN hot USING (gram)),
+    m AS (
+      SELECT a.doc_id doc_a, b.doc_id doc_b, a.pos pa, b.pos pb,
+             a.pos - b.pos AS diag
+      FROM j a JOIN j b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    ),
+    isl AS (
+      SELECT doc_a, doc_b, pa, pb, diag,
+             pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa)
+               AS grp
+      FROM m
+    ),
+    spans AS (
+      SELECT doc_a, doc_b, min(pb) AS start_b,
+             CAST(max(pa) - min(pa) + 8 AS BIGINT) AS span_tokens
+      FROM isl GROUP BY doc_a, doc_b, diag, grp
+      HAVING span_tokens >= 12
+    ),
+    masked AS (
+      SELECT DISTINCT doc_b AS doc_id, CAST(u.p AS BIGINT) AS pos
+      FROM spans, unnest(range(start_b, start_b + span_tokens)) AS u(p)
+    ),
+    toks AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos, tok[CAST(i + 1 AS INTEGER)] AS tk
+      FROM tokd, unnest(range(0, len(tok))) AS u(i)
+    ),
+    kept AS (SELECT t.* FROM toks t ANTI JOIN masked USING (doc_id, pos)),
+    agg AS (
+      SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS clean_text,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT tokd.doc_id,
+           CAST(len(tok) AS BIGINT) AS n_tokens,
+           CAST(len(tok) - COALESCE(n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(clean_text, '') AS clean_text
+    FROM tokd LEFT JOIN agg USING (doc_id)
+    """,
+)
+def dd16_remove_shared_spans(spark, sf_dir):
+    # ExactSubstr's cut step: keep the min-id copy of every >=12-token
+    # verbatim shared run, cut it from the higher-id doc, reassemble
+    # (operators/dedup.py::remove_shared_spans).
+    from era_parser_spark.operators.dedup import remove_shared_spans
+
+    docs = table(spark, sf_dir, "documents")
+    return remove_shared_spans(docs, "doc_id", "text", l=8, min_span_tokens=12)

@@ -1584,3 +1584,30 @@ def test_retention_cohorts_semantics(spark):
         ("2024-01-01", 0): 1, ("2024-01-01", 1): 1, ("2024-01-01", 4): 1,
         ("2024-01-02", 0): 1, ("2024-01-02", 1): 1,
     }
+
+
+def test_remove_shared_spans_semantics(spark):
+    """dd16: the min-id copy of a shared run survives, the higher-id
+    occurrence is cut; exact clones collapse to empty text; untouched
+    docs round-trip."""
+    from era_parser_spark.operators.dedup import remove_shared_spans
+
+    run = " ".join(f"w{i}" for i in range(14))          # 14-token shared run
+    rows = [
+        (1, run),                                       # span source (kept)
+        (2, "x y z " + run + " q"),                     # loses the 14 tokens
+        (3, run),                                       # exact clone -> ''
+        (4, "p q r s t u v"),                           # untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in remove_shared_spans(
+            df, "doc_id", "text", l=8, min_span_tokens=12
+        ).collect()
+    }
+    assert out[1].n_removed == 0 and out[1].clean_text == run
+    assert (out[2].n_tokens, out[2].n_removed) == (18, 14)
+    assert out[2].clean_text == "x y z q"
+    assert (out[3].n_removed, out[3].clean_text) == (14, "")
+    assert out[4].n_removed == 0 and out[4].clean_text == "p q r s t u v"
