@@ -1471,3 +1471,37 @@ def hash_embed(
         ).alias("feat"),
         F.coalesce(F.col("__n2"), F.lit(0).cast("long")).alias("norm_sq"),
     )
+
+
+def readability_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Flesch-Kincaid readability (the classic curation-report metric):
+    grade = 0.39*(words/sentences) + 11.8*(syllables/words) - 15.59,
+    with the standard heuristics — syllables = maximal [aeiouy]+ runs,
+    sentences = maximal [.!?]+ runs clamped to >= 1 (fragments count as
+    one sentence), words = whitespace tokens.
+
+    All three counts are exact integers from regexp_extract_all (pure
+    codegen, zero shuffle); the grade is two IEEE divisions and a fixed
+    multiply-add chain, bit-identical in SQL when the literals are
+    DOUBLE on both sides (the DuckDB bare-decimal DECIMAL trap).
+    """
+    words = F.size(tokens_col(text_col)).cast("long")
+    syl = F.size(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[aeiouy]+"), 0)
+    ).cast("long")
+    sent = F.greatest(
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit("[.!?]+"), 0)).cast("long"),
+        F.lit(1).cast("long"),
+    )
+    grade = (
+        F.lit(0.39) * (words.cast("double") / sent)
+        + F.lit(11.8) * (syl.cast("double") / words)
+        - F.lit(15.59)
+    )
+    return df.select(
+        F.col(id_col),
+        words.alias("n_words"),
+        sent.alias("n_sentences"),
+        syl.alias("n_syllables"),
+        grade.alias("fk_grade"),
+    )

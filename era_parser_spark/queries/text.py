@@ -1233,3 +1233,34 @@ def t26_hash_embed(spark, sf_dir):
         ).alias("feat"),
         "norm_sq",
     )
+
+
+@register(
+    "t27_readability",
+    # Exact integer run counts; grade arithmetic keeps every literal
+    # CAST(... AS DOUBLE) (bare decimals parse as DECIMAL in DuckDB and
+    # round differently) and mirrors Spark's multiply-add order.
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_TOK}) AS BIGINT) AS n_words,
+           CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+             AS n_sentences,
+           CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+             AS n_syllables,
+           CAST(0.39 AS DOUBLE)
+             * (CAST(len({_TOK}) AS DOUBLE)
+                / greatest(len(regexp_extract_all(text, '[.!?]+')), 1))
+           + CAST(11.8 AS DOUBLE)
+             * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE)
+                / len({_TOK}))
+           - CAST(15.59 AS DOUBLE) AS fk_grade
+    FROM documents
+    """,
+)
+def t27_readability(spark, sf_dir):
+    # Flesch-Kincaid grade from exact [aeiouy]+ / [.!?]+ run counts —
+    # zero-shuffle codegen (operators/text.py::readability_scores).
+    from era_parser_spark.operators.text import readability_scores
+
+    docs = table(spark, sf_dir, "documents")
+    return readability_scores(docs, "doc_id", "text")

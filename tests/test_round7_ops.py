@@ -1611,3 +1611,21 @@ def test_remove_shared_spans_semantics(spark):
     assert out[2].clean_text == "x y z q"
     assert (out[3].n_removed, out[3].clean_text) == (14, "")
     assert out[4].n_removed == 0 and out[4].clean_text == "p q r s t u v"
+
+
+def test_readability_semantics(spark):
+    """t27: run-count heuristics and the FK formula on hand fixtures."""
+    from era_parser_spark.operators.text import readability_scores
+
+    rows = [
+        (1, "The cat sat. The dog ran!"),   # 6 words, 2 sentences
+        (2, "no punctuation here"),          # fragment -> 1 sentence
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in readability_scores(df, "doc_id", "text").collect()}
+    r1 = out[1]
+    assert (r1.n_words, r1.n_sentences) == (6, 2)
+    # syllable runs: the-e, cat-a, sat-a, the-e, dog-o, ran-a = 6
+    assert r1.n_syllables == 6
+    assert abs(r1.fk_grade - (0.39 * 3 + 11.8 * 1.0 - 15.59)) < 1e-12
+    assert out[2].n_sentences == 1
