@@ -1681,3 +1681,74 @@ def sq8_topk(
         .orderBy(F.desc("cosine_sim"), id_col)
         .limit(k)
     )
+
+
+def hashed_semantic_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    dim: int = 64,
+    min_cos: float = 0.5,
+) -> DataFrame:
+    """Semantic near-dup pairs over feature-hashed text embeddings —
+    the in-engine composition text -> hash_embed (t26) -> blocked
+    cosine pairs, with EXACT integer verification.
+
+    Blocking (deterministic, so the SQL twin reproduces it): a doc's
+    cell is the 0-based index of its max-|weight| bucket (first index
+    on ties) — cosine-similar vectors concentrate mass in the same
+    buckets, the dd8 cell idea without trained centroids.  Within-cell
+    equi-join only; recall below 1 by design (a blocked ANN surface,
+    like dd8/s6 — dd8's ``max_cell`` hash sub-split is the guard shape
+    if a cell ever grows pathological).
+
+    Verify: cosine >= min_cos decided in exact BIGINT arithmetic —
+    10^4*dot^2 >= round(10^4*min_cos^2)*n_a*n_b with dot > 0 (squares
+    stay < 2^53 for corpora under ~10^6 tokens/doc); the reported
+    ``cosine`` is one IEEE div/sqrt of exact integers.  The per-pair
+    64-element zip_with fold is interpreted (HOF rule) — fine at
+    pair-verify volume; a numpy matmul kernel (srp_signatures) is the
+    swap if pair volume ever dominates.
+    """
+    from era_parser_spark.operators.text import hash_embed
+
+    q = int(round(10_000 * min_cos * min_cos))
+    emb = hash_embed(df, id_col, text_col, dim).filter(F.col("norm_sq") > 0)
+    absfeat = F.transform("feat", lambda x: F.abs(x))
+    cells = emb.withColumn(
+        "__cell", F.array_position(absfeat, F.array_max(absfeat)) - 1
+    )
+    a = cells.select(
+        F.col(id_col).alias("doc_a"), F.col("feat").alias("__fa"),
+        F.col("norm_sq").alias("__na"), "__cell",
+    )
+    b = cells.select(
+        F.col(id_col).alias("doc_b"), F.col("feat").alias("__fb"),
+        F.col("norm_sq").alias("__nb"), "__cell",
+    )
+    dot = F.aggregate(
+        F.zip_with("__fa", "__fb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, "__cell")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("dot", dot)
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.lit(10_000) * F.col("dot") * F.col("dot")
+                >= F.lit(q) * F.col("__na") * F.col("__nb")
+            )
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "dot",
+            (
+                F.col("dot").cast("double")
+                / F.sqrt((F.col("__na") * F.col("__nb")).cast("double"))
+            ).alias("cosine"),
+        )
+    )

@@ -798,3 +798,64 @@ def s14_sq8_topk(spark, sf_dir):
     return sq8_topk(
         emb, "embedding", "vec_id", _query_vec(spark, sf_dir, 0), k=10, shortlist=50
     )
+
+
+_S15_TOK = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+_S15_H = "CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)"
+
+
+@register(
+    "s15_hashed_semantic_pairs",
+    # t26's hash CTE -> sparse (doc, bucket, weight) rows; cell = first
+    # max-|v| bucket (abs DESC, b ASC — identical to Spark's dense
+    # array_position tie-break since zeros can never win); dot via a
+    # shared-bucket join over the SPARSE rows (same integer as the
+    # engine's dense zip_with fold); threshold decided in exact BIGINT.
+    oracle=f"""
+    WITH ex AS (SELECT doc_id, unnest({_S15_TOK}) AS t FROM documents),
+    s AS (
+      SELECT doc_id,
+             CAST({_S15_H} % 64 AS INTEGER) AS b,
+             CASE WHEN (({_S15_H} >> 30) % 2) = 0 THEN 1 ELSE -1 END AS sgn
+      FROM ex WHERE t <> ''
+    ),
+    c AS (SELECT doc_id, b, CAST(SUM(sgn) AS BIGINT) AS v
+          FROM s GROUP BY doc_id, b),
+    stats AS (SELECT doc_id, CAST(SUM(v * v) AS BIGINT) AS n2
+              FROM c GROUP BY doc_id HAVING SUM(v * v) > 0),
+    cell AS (
+      SELECT doc_id, b AS cell FROM (
+        SELECT doc_id, b,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY abs(v) DESC, b) AS rn
+        FROM c WHERE v <> 0
+      ) WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT ca.doc_id AS doc_a, cb.doc_id AS doc_b
+      FROM cell ca JOIN cell cb
+        ON ca.cell = cb.cell AND ca.doc_id < cb.doc_id
+    ),
+    dots AS (
+      SELECT p.doc_a, p.doc_b, CAST(SUM(x.v * y.v) AS BIGINT) AS dot
+      FROM pairs p
+      JOIN c x ON x.doc_id = p.doc_a
+      JOIN c y ON y.doc_id = p.doc_b AND y.b = x.b
+      GROUP BY p.doc_a, p.doc_b
+    )
+    SELECT d.doc_a, d.doc_b, d.dot,
+           CAST(d.dot AS DOUBLE) / sqrt(CAST(sa.n2 * sb.n2 AS DOUBLE))
+             AS cosine
+    FROM dots d
+    JOIN stats sa ON sa.doc_id = d.doc_a
+    JOIN stats sb ON sb.doc_id = d.doc_b
+    WHERE d.dot > 0 AND 10000 * d.dot * d.dot >= 8100 * sa.n2 * sb.n2
+    """,
+)
+def s15_hashed_semantic_pairs(spark, sf_dir):
+    # text -> hashing-trick vectors -> blocked exact-integer cosine
+    # pairs (operators/similarity.py::hashed_semantic_pairs).
+    from era_parser_spark.operators.similarity import hashed_semantic_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    return hashed_semantic_pairs(docs, "doc_id", "text", dim=64, min_cos=0.9)

@@ -1629,3 +1629,28 @@ def test_readability_semantics(spark):
     assert r1.n_syllables == 6
     assert abs(r1.fk_grade - (0.39 * 3 + 11.8 * 1.0 - 15.59)) < 1e-12
     assert out[2].n_sentences == 1
+
+
+def test_hashed_semantic_pairs_semantics(spark):
+    """s15: clones land in one cell with cosine 1; disjoint-vocab docs
+    never pair; the threshold is decided exactly."""
+    from era_parser_spark.operators.similarity import hashed_semantic_pairs
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),      # clone of 1
+        (3, "alpha beta gamma delta epsilon eta"),       # 5/6 overlap
+        (4, "one two three four five six seven"),        # disjoint vocab
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r.doc_a, r.doc_b): r
+        for r in hashed_semantic_pairs(
+            df, "doc_id", "text", dim=64, min_cos=0.9
+        ).collect()
+    }
+    assert (1, 2) in out and abs(out[(1, 2)].cosine - 1.0) < 1e-12
+    assert not any(4 in p for p in out)
+    # the 5/6-overlap pair passes only if its exact cosine clears 0.9
+    for (a, b), r in out.items():
+        assert r.cosine >= 0.9 - 1e-12
