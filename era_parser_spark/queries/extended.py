@@ -1530,3 +1530,54 @@ def x31_retention_cohorts(spark, sf_dir):
         .groupBy("cohort_d", "day_offset")
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+@register(
+    "x32_triangle_count",
+    # Degree-orientation triangle enumeration re-derived in SQL: same
+    # (degree, node) total-order orientation, wedge pairs ordered by
+    # name with BOTH closure orientations checked — pure integer
+    # counting, oracle-EXACT.
+    oracle="""
+    WITH raw AS (
+      SELECT 'h' || CAST(doc_id % 40 AS VARCHAR) AS src,
+             'h' || CAST((doc_id * 7 + 3) % 53 AS VARCHAR) AS dst
+      FROM documents
+      UNION ALL
+      SELECT 'h' || CAST(doc_id % 40 AS VARCHAR),
+             'h' || CAST((doc_id * 13 + 5) % 53 AS VARCHAR)
+      FROM documents
+    ),
+    und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+            FROM raw WHERE src <> dst),
+    deg AS (SELECT node, count(*) AS deg FROM (
+              SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+            GROUP BY node),
+    o AS (SELECT CASE WHEN (d1.deg < d2.deg)
+                        OR (d1.deg = d2.deg AND u < v) THEN u ELSE v END AS s,
+                 CASE WHEN (d1.deg < d2.deg)
+                        OR (d1.deg = d2.deg AND u < v) THEN v ELSE u END AS t
+          FROM und JOIN deg d1 ON d1.node = u JOIN deg d2 ON d2.node = v),
+    w AS (SELECT x.s AS a, x.t AS b, y.t AS c
+          FROM o x JOIN o y ON x.s = y.s AND x.t < y.t),
+    tri AS (SELECT a, b, c FROM w JOIN o
+            ON (o.s = w.b AND o.t = w.c) OR (o.s = w.c AND o.t = w.b))
+    SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM (SELECT unnest([a, b, c]) AS node FROM tri) GROUP BY node
+    """,
+)
+def x32_triangle_count(spark, sf_dir):
+    """Per-node triangle counts over the x25/x26 host link graph — the
+    clustering-coefficient signal that exposes densely-interlinked
+    mirror/template farms (operators/graph.py::triangle_count has the
+    degree-orientation scale argument: wedge join bounded by the
+    O(sqrt(m)) oriented out-degree, hub-skew-proof)."""
+    from era_parser_spark.operators.graph import triangle_count
+
+    docs = table(spark, sf_dir, "documents")
+    mk = lambda mult, add, mod: F.concat(  # noqa: E731
+        F.lit("h"), ((F.col("doc_id") * mult + add) % mod).cast("string")
+    )
+    e1 = docs.select(mk(1, 0, 40).alias("src"), mk(7, 3, 53).alias("dst"))
+    e2 = docs.select(mk(1, 0, 40).alias("src"), mk(13, 5, 53).alias("dst"))
+    return triangle_count(e1.unionByName(e2))

@@ -1654,3 +1654,29 @@ def test_hashed_semantic_pairs_semantics(spark):
     # the 5/6-overlap pair passes only if its exact cosine clears 0.9
     for (a, b), r in out.items():
         assert r.cosine >= 0.9 - 1e-12
+
+
+def test_triangle_count_semantics(spark):
+    """x32: a 4-clique has 4 triangles (3 per node); a pendant node and
+    a square (4-cycle, no diagonal) contribute none; hub orientation
+    counts each triangle exactly once."""
+    from era_parser_spark.operators.graph import triangle_count
+
+    clique = [(a, b) for i, a in enumerate("abcd") for b in "abcd"[i + 1:]]
+    square = [("p", "q"), ("q", "r"), ("r", "s"), ("s", "p")]
+    edges = clique + square + [("a", "z")]          # z pendant off the clique
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = {r.node: r.n_triangles for r in triangle_count(df).collect()}
+    assert out == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_triangle_count_duplicate_and_reversed_edges(spark):
+    """x32: duplicate edges, reversed duplicates, and self-loops don't
+    change the count (simple-graph semantics)."""
+    from era_parser_spark.operators.graph import triangle_count
+
+    edges = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"),
+             ("a", "b"), ("a", "a")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = {r.node: r.n_triangles for r in triangle_count(df).collect()}
+    assert out == {"a": 1, "b": 1, "c": 1}
