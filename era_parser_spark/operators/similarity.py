@@ -1683,12 +1683,34 @@ def sq8_topk(
     )
 
 
+def _rowwise_dot_kernel(out_fields):
+    """mapInPandas kernel: exact int64 row-wise dot of two equal-dim
+    array columns — vectorized einsum instead of a per-pair interpreted
+    zip_with fold (the HOF trap: the 8x rehearsal measured the fold at
+    173 s where this kernel runs the tier in seconds)."""
+    import numpy as np
+
+    def fn(batches):
+        for pdf in batches:
+            out = pdf.drop(columns=["__fa", "__fb"])
+            if len(pdf) == 0:
+                out = out.assign(dot=np.zeros(0, dtype=np.int64))
+            else:
+                A = np.asarray(pdf["__fa"].tolist(), dtype=np.int64)
+                B = np.asarray(pdf["__fb"].tolist(), dtype=np.int64)
+                out = out.assign(dot=np.einsum("ij,ij->i", A, B))
+            yield out[out_fields]
+
+    return fn
+
+
 def hashed_semantic_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     dim: int = 64,
     min_cos: float = 0.5,
+    max_cell: int | None = None,
 ) -> DataFrame:
     """Semantic near-dup pairs over feature-hashed text embeddings —
     the in-engine composition text -> hash_embed (t26) -> blocked
@@ -1698,18 +1720,25 @@ def hashed_semantic_pairs(
     cell is the 0-based index of its max-|weight| bucket (first index
     on ties) — cosine-similar vectors concentrate mass in the same
     buckets, the dd8 cell idea without trained centroids.  Within-cell
-    equi-join only; recall below 1 by design (a blocked ANN surface,
-    like dd8/s6 — dd8's ``max_cell`` hash sub-split is the guard shape
-    if a cell ever grows pathological).
+    equi-join only; recall below 1 by design (a blocked ANN surface).
+    Size ``dim`` to the corpus: cells ~ dim, so candidates shrink as
+    the width grows.  ``max_cell`` is dd8's skew guard: oversized cells
+    hash sub-split on xxhash64(feat) into ceil(n/max_cell) sub-cells
+    (bounded per-task pairs; cross-sub-cell pairs of a capped cell are
+    the documented recall cost).  Clone-heavy corpora should run dd1 /
+    dd9 first — their true pair set is inherently quadratic.
 
-    Verify: cosine >= min_cos decided in exact BIGINT arithmetic —
-    10^4*dot^2 >= round(10^4*min_cos^2)*n_a*n_b with dot > 0 (squares
-    stay < 2^53 for corpora under ~10^6 tokens/doc); the reported
-    ``cosine`` is one IEEE div/sqrt of exact integers.  The per-pair
-    64-element zip_with fold is interpreted (HOF rule) — fine at
-    pair-verify volume; a numpy matmul kernel (srp_signatures) is the
-    swap if pair volume ever dominates.
+    Verify: the dot is an Arrow-batched numpy int64 einsum over the
+    candidate pairs (linear in candidates, vectorized — the 8x
+    rehearsal measured the interpreted zip_with fold at 173 s on 40k
+    docs, this kernel at seconds), then cosine >= min_cos is decided
+    JVM-side in exact BIGINT arithmetic — 10^4*dot^2 >=
+    round(10^4*min_cos^2)*n_a*n_b with dot > 0 (squares stay < 2^53
+    for corpora under ~10^6 tokens/doc); the reported ``cosine`` is one
+    IEEE div/sqrt of exact integers.
     """
+    from pyspark.sql import types as T
+
     from era_parser_spark.operators.text import hash_embed
 
     q = int(round(10_000 * min_cos * min_cos))
@@ -1718,24 +1747,49 @@ def hashed_semantic_pairs(
     cells = emb.withColumn(
         "__cell", F.array_position(absfeat, F.array_max(absfeat)) - 1
     )
+    if max_cell is None:
+        cells = cells.withColumn("__sub", F.lit(0).cast("long"))
+    else:
+        if max_cell < 1:
+            raise ValueError(f"max_cell must be >= 1, got {max_cell}")
+        sizes = cells.groupBy("__cell").agg(F.count(F.lit(1)).alias("__n"))
+        cells = cells.join(F.broadcast(sizes), "__cell").withColumn(
+            "__sub",
+            F.when(F.col("__n") <= max_cell, F.lit(0).cast("long")).otherwise(
+                F.pmod(
+                    F.xxhash64("feat"),
+                    F.ceil(F.col("__n") / F.lit(max_cell)).cast("long"),
+                )
+            ),
+        )
+    keys = ["__cell", "__sub"]
     a = cells.select(
         F.col(id_col).alias("doc_a"), F.col("feat").alias("__fa"),
-        F.col("norm_sq").alias("__na"), "__cell",
+        F.col("norm_sq").alias("__na"), *keys,
     )
     b = cells.select(
         F.col(id_col).alias("doc_b"), F.col("feat").alias("__fb"),
-        F.col("norm_sq").alias("__nb"), "__cell",
+        F.col("norm_sq").alias("__nb"), *keys,
     )
-    dot = F.aggregate(
-        F.zip_with("__fa", "__fb", lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    pairs = (
+        a.join(b, keys)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        # JVM-side guard before the numpy kernel (null/wrong-dim rows
+        # would flip the batch to object dtype) — hash_embed always
+        # emits dim-length non-null arrays, but the kernel contract is
+        # enforced here, not assumed
+        .filter((F.size("__fa") == dim) & (F.size("__fb") == dim))
+        .select("doc_a", "doc_b", "__fa", "__fb", "__na", "__nb")
+    )
+    out_schema = T.StructType(
+        [f for f in pairs.schema.fields if f.name not in ("__fa", "__fb")]
+        + [T.StructField("dot", T.LongType())]
+    )
+    dotted = pairs.mapInPandas(
+        _rowwise_dot_kernel([f.name for f in out_schema.fields]), out_schema
     )
     return (
-        a.join(b, "__cell")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("dot", dot)
-        .filter(
+        dotted.filter(
             (F.col("dot") > 0)
             & (
                 F.lit(10_000) * F.col("dot") * F.col("dot")

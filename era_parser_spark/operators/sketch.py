@@ -320,3 +320,95 @@ def kmv_intersection(
         .otherwise(F.col("n_common").cast("double") / F.col("union_size").cast("double"))
         .alias("jaccard_est"),
     )
+
+
+_HLL_ALPHA_NUM: dict[int, float] = {}
+
+
+def _hll_numerator(m: int) -> float:
+    """alpha_m * m^2 * 2^51 as ONE Python float, embedded verbatim on
+    both engine sides so the raw estimate is a single identical IEEE
+    division (m^2 * 2^51 is a power of two — exactly representable; the
+    product is computed once HERE, not re-derived per engine)."""
+    if m not in _HLL_ALPHA_NUM:
+        alpha = 0.7213 / (1 + 1.079 / m)
+        _HLL_ALPHA_NUM[m] = alpha * (m * m) * float(1 << 51)
+    return _HLL_ALPHA_NUM[m]
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    p: int = 10,
+) -> DataFrame:
+    """From-scratch HyperLogLog (Flajolet et al. 2007) with a FULLY
+    DETERMINISTIC register state — the oracle-exact twin of Spark's
+    opaque approx_count_distinct (x8), the way x12's KMV is, but with
+    HLL's O(m) state instead of KMV's O(k) mins.
+
+    Hash split: the 60-bit md5 int's low p bits are the register index
+    (``h & (m-1)`` == pmod, m a power of two) and the high 50 bits are
+    ``w = h >> p`` — exact bit ops in both engines.  rho(w) = leading
+    zeros in the 50-bit w + 1 = 51 - bitlen(w), where bitlen is the
+    LENGTH OF THE BINARY STRING (Spark ``bin()`` / DuckDB
+    ``ltrim(bin(),'0')`` — integer-exact, no log2 double).
+
+    Estimator: raw = alpha_m*m^2 / sum_j 2^-M_j.  The harmonic sum is
+    kept in EXACT BIGINT by scaling with 2^51: present registers
+    contribute 2^(51-rho), the (m - n_present) empty ones 2^51 each —
+    no float summation-order dependence.  Small-range correction
+    (raw <= 2.5m and empty registers exist) switches to linear counting
+    m*ln(m/V); ln is the one non-exact op, so ``est_distinct`` is
+    rounded to 2 decimals (a last-ulp libm divergence flipping a
+    centi-boundary is the same accepted-risk class as 64-bit hash
+    collisions).  ``est_raw`` stays unrounded — it is bit-deterministic.
+    The 60-bit hash space makes large-range correction unreachable.
+
+    Plan: ONE map-side-combined (group, j, max rho) shuffle — register
+    rows, never values; registers merge by MAX, so sketches are
+    mergeable across partitions/streams by construction.
+
+    Returns (group, n_present_registers, n_zero_registers, est_raw,
+    est_distinct).
+    """
+    from era_parser_spark.operators.dedup import md5_60bit
+
+    m = 1 << p
+    h = md5_60bit(F.col(value_col).cast("string"))
+    w = F.shiftright(h, p)
+    bits = F.when(w == 0, F.lit(0)).otherwise(F.length(F.bin(w)))
+    rho = (F.lit(51) - bits).alias("__rho")
+    regs = (
+        df.select(F.col(group_col), F.pmod(h, F.lit(m)).alias("__j"), rho)
+        .groupBy(group_col, "__j")
+        .agg(F.max("__rho").alias("__r"))
+    )
+    per = regs.groupBy(group_col).agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(51 - __r AS INT))")).alias(
+            "__s_present"
+        ),
+        F.count(F.lit(1)).alias("n_present_registers"),
+    )
+    s_total = (
+        F.col("__s_present")
+        + (F.lit(m) - F.col("n_present_registers")) * F.lit(1 << 51)
+    )
+    v = (F.lit(m) - F.col("n_present_registers")).alias("n_zero_registers")
+    est_raw = F.lit(_hll_numerator(m)) / s_total.cast("double")
+    linear = F.lit(float(m)) * F.log(
+        F.lit(float(m)) / F.col("n_zero_registers").cast("double")
+    )
+    return per.select(
+        F.col(group_col),
+        F.col("n_present_registers"),
+        v,
+        est_raw.alias("est_raw"),
+        F.round(
+            F.when(
+                (est_raw <= F.lit(2.5 * m)) & (F.col("n_zero_registers") > 0),
+                linear,
+            ).otherwise(est_raw),
+            2,
+        ).alias("est_distinct"),
+    )

@@ -1581,3 +1581,59 @@ def x32_triangle_count(spark, sf_dir):
     e1 = docs.select(mk(1, 0, 40).alias("src"), mk(7, 3, 53).alias("dst"))
     e2 = docs.select(mk(1, 0, 40).alias("src"), mk(13, 5, 53).alias("dst"))
     return triangle_count(e1.unionByName(e2))
+
+
+@register(
+    "x33_hll_distinct",
+    # The whole register state re-derived in SQL: same 60-bit md5, same
+    # low/high bit split, bitlen via binary-string length (no log2
+    # doubles), harmonic sum in exact BIGINT via the 2^51 scaling; the
+    # one libm op (ln in linear counting) is rounded to 2 decimals on
+    # both sides (accepted last-ulp risk, documented in the operator).
+    oracle="""
+    WITH h AS (
+      SELECT event_type,
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, h % 1024 AS j,
+             51 - length(ltrim(bin(h >> 10), '0')) AS rho
+      FROM h
+    ),
+    reg AS (SELECT event_type, j, max(rho) AS r FROM r GROUP BY event_type, j),
+    per AS (
+      SELECT event_type,
+             CAST(SUM(CAST(1 AS BIGINT) << CAST(51 - r AS INTEGER)) AS BIGINT)
+               AS s_present,
+             CAST(count(*) AS BIGINT) AS n_present_registers
+      FROM reg GROUP BY event_type
+    ),
+    est AS (
+      SELECT event_type, n_present_registers,
+             1024 - n_present_registers AS n_zero_registers,
+             CAST(1.7013287633207432e+21 AS DOUBLE)
+               / CAST(s_present + (1024 - n_present_registers)
+                      * (CAST(1 AS BIGINT) << 51) AS DOUBLE) AS est_raw
+      FROM per
+    )
+    SELECT event_type, n_present_registers, n_zero_registers, est_raw,
+           round(CASE WHEN est_raw <= 2560.0 AND n_zero_registers > 0
+                      THEN CAST(1024 AS DOUBLE)
+                           * ln(CAST(1024 AS DOUBLE)
+                                / CAST(n_zero_registers AS DOUBLE))
+                      ELSE est_raw END, 2) AS est_distinct
+    FROM est
+    """,
+)
+def x33_hll_distinct(spark, sf_dir):
+    """Per-event-type distinct users via a from-scratch deterministic
+    HyperLogLog (operators/sketch.py::hll_distinct) — the oracle-exact
+    register-sketch twin of x8's opaque approx_count_distinct, closing
+    the sketch tier: KMV (x12), count-min (x23), Bloom (x24), theta
+    (x27), HLL (x33)."""
+    from era_parser_spark.operators.sketch import hll_distinct
+
+    ev = table(spark, sf_dir, "events")
+    return hll_distinct(ev, "event_type", "user_id", p=10)

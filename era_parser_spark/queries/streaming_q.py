@@ -584,3 +584,59 @@ def st11_stream_session_window(spark, sf_dir):
     return run_stream_once(
         agg, f"st11_{uuid.uuid4().hex[:8]}", output_mode="complete"
     )
+
+
+@register(
+    "st12_stream_window_funnel",
+    # x30's oracle verbatim: one AvailableNow batch makes every user
+    # "new" so each emits its level — the streaming state path must
+    # reproduce the batch greedy-DP funnel exactly, level-0 users
+    # included.
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+             max(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+               OVER wp AS lastv
+      FROM events
+      WINDOW wp AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    o2 AS (
+      SELECT *, max(CASE WHEN event_type = 'click' THEN lastv END)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS best2
+      FROM o
+    )
+    SELECT user_id,
+           CAST(max(CASE WHEN event_type = 'purchase' AND best2 IS NOT NULL
+                              AND us - best2 <= 21600000000 THEN 3
+                         WHEN event_type = 'click' AND lastv IS NOT NULL
+                              AND us - lastv <= 21600000000 THEN 2
+                         WHEN event_type = 'view' THEN 1
+                         ELSE 0 END) AS INTEGER) AS funnel_level
+    FROM o2 GROUP BY user_id
+    """,
+)
+def st12_stream_window_funnel(spark, sf_dir):
+    """Streaming windowFunnel driven to completion: per-user O(1) state
+    (three longs — the greedy-DP collapse that makes x30 one shuffle
+    also makes the stream state constant-size); emits on level change
+    (streaming/incremental.py::funnel_monitor)."""
+    from era_parser_spark.streaming.incremental import funnel_monitor, run_stream_once
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream_dir = _stream_src_dir("st12", sf_dir)
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(stream_dir)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        )
+    )
+    return run_stream_once(
+        funnel_monitor(stream), f"st12_{uuid.uuid4().hex[:8]}"
+    )

@@ -628,3 +628,78 @@ def band_pair_monitor(stream: DataFrame, max_bucket: int = 64) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+_FUNNEL_OUT_SCHEMA = "user_id long, funnel_level int"
+_FUNNEL_STATE_SCHEMA = "lastv long, best2 long, level int"
+_FUNNEL_WIN_US = 21_600_000_000  # 6 h, matching x30's batch funnel
+
+
+def _funnel_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user,) = key
+    if state.exists:
+        lastv, best2, level = state.get
+        is_new = False
+    else:
+        lastv, best2, level = -1, -1, 0
+        is_new = True
+    prev_level = level
+    evs: list[tuple[int, int, str]] = []
+    for pdf in pdfs:
+        evs.extend(
+            (int(u), int(e), str(t))
+            for u, e, t in zip(pdf["us"], pdf["event_id"], pdf["event_type"])
+        )
+    # replay the batch in the SAME (us, event_id) total order x30 uses;
+    # state updates apply after each event, so "strictly prior" holds
+    # within and across micro-batches
+    for us, _eid, et in sorted(evs):
+        if et == "purchase":
+            if best2 >= 0 and us - best2 <= _FUNNEL_WIN_US:
+                level = max(level, 3)
+        elif et == "click":
+            if lastv >= 0 and us - lastv <= _FUNNEL_WIN_US:
+                level = max(level, 2)
+            if lastv >= 0:
+                best2 = max(best2, lastv)
+        elif et == "view":
+            level = max(level, 1)
+            lastv = max(lastv, us)
+    state.update((lastv, best2, level))
+    if evs and (is_new or level != prev_level):
+        yield pd.DataFrame(
+            [(user, level)], columns=["user_id", "funnel_level"]
+        )
+    else:
+        yield pd.DataFrame([], columns=["user_id", "funnel_level"])
+
+
+def funnel_monitor(stream: DataFrame) -> DataFrame:
+    """Streaming windowFunnel (the live twin of x30's batch operator):
+    per-user state is THREE longs — latest prior view, best chain-2
+    start over prior clicks, deepest level reached — because the greedy
+    running-max DP that makes x30 one shuffle also makes the funnel's
+    whole history collapsible to O(1) state per key.  A user's row is
+    re-emitted only when their level deepens (monotone, so downstream
+    consumers can MAX-merge).
+
+    Over one AvailableNow batch every seen user is new and emits,
+    reproducing x30's batch output exactly (its SQL oracle).  State is
+    per-user forever by the funnel's definition (chains have a 6 h
+    window but user lifetimes don't); a production deployment bounds it
+    with a GroupStateTimeout TTL — kept NoTimeout here to preserve the
+    batch-equality contract.
+    """
+    return (
+        stream.select("user_id", "event_id", "event_type", "us")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _funnel_fn,
+            outputStructType=_FUNNEL_OUT_SCHEMA,
+            stateStructType=_FUNNEL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

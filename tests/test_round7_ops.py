@@ -1680,3 +1680,94 @@ def test_triangle_count_duplicate_and_reversed_edges(spark):
     df = spark.createDataFrame(edges, "src string, dst string")
     out = {r.node: r.n_triangles for r in triangle_count(df).collect()}
     assert out == {"a": 1, "b": 1, "c": 1}
+
+
+def test_hll_distinct_matches_python_twin_and_accuracy(spark):
+    """x33: the register state and raw estimate are a pure function of
+    the value set — a Python twin reproduces them; linear counting puts
+    the estimate within a few percent at this fill factor; permutation
+    invariance holds."""
+    import hashlib
+    import math
+
+    from era_parser_spark.operators.sketch import _hll_numerator, hll_distinct
+
+    def twin(vals, p=10):
+        m = 1 << p
+        regs = [0] * m
+        for v in set(vals):
+            h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+            regs[h % m] = max(regs[h % m], 51 - (h >> p).bit_length())
+        s = sum(1 << (51 - r) for r in regs)
+        v0 = regs.count(0)
+        raw = _hll_numerator(m) / s
+        n_present = m - v0
+        est = m * math.log(m / v0) if (raw <= 2.5 * m and v0 > 0) else raw
+        return n_present, v0, raw, est
+
+    rows = [(f"g{(i * 7) % 3}", i % 400) for i in range(3000)]
+    df = spark.createDataFrame(rows, "grp string, val long")
+    out = {r.grp: r for r in hll_distinct(df, "grp", "val", p=10).collect()}
+    truth = {
+        g: {v for gg, v in rows if gg == g} for g in ("g0", "g1", "g2")
+    }
+    for g, vals in truth.items():
+        npres, v0, raw, est = twin(vals)
+        r = out[g]
+        assert (r.n_present_registers, r.n_zero_registers) == (npres, v0)
+        assert r.est_raw == raw                      # bit-deterministic
+        assert abs(r.est_distinct - round(est, 2)) < 0.011
+        assert abs(r.est_distinct - len(vals)) / len(vals) < 0.08
+    # permutation invariance: reversed input, same sketch
+    df2 = spark.createDataFrame(rows[::-1], "grp string, val long")
+    out2 = {r.grp: r for r in hll_distinct(df2, "grp", "val", p=10).collect()}
+    for g in truth:
+        assert out2[g].est_distinct == out[g].est_distinct
+
+
+def test_stream_window_funnel_levels_across_microbatches(spark, tmp_path_factory):
+    """st12: the 3-longs-per-user state carries the funnel across
+    micro-batches — a chain completing in a later batch deepens the
+    level, out-of-window purchases don't, and a no-change batch emits
+    nothing for that user."""
+    import uuid as _uuid
+    from datetime import datetime as DT
+
+    from era_parser_spark.streaming.incremental import (
+        funnel_monitor,
+        run_stream_once,
+    )
+
+    def rows_df(rows):
+        return spark.createDataFrame(
+            rows, "user_id long, event_id long, event_type string, us long"
+        )
+
+    def us(h):
+        return int(DT(2024, 1, 1, h).timestamp() * 1_000_000)
+
+    src = tmp_path_factory.mktemp("st12_src")
+    # batch1: u1 view+click (level 2); u2 view (level 1)
+    rows_df([
+        (1, 1, "view", us(0)), (1, 2, "click", us(1)),
+        (2, 3, "view", us(0)),
+    ]).coalesce(1).write.parquet(str(src / "a_b1"))
+    # batch2: u1 purchase at 2h -> level 3 (chain within 6h);
+    # u2 purchase (no click ever) -> still level 1 => NO emission
+    rows_df([
+        (1, 4, "purchase", us(2)),
+        (2, 5, "purchase", us(2)),
+    ]).coalesce(1).write.parquet(str(src / "b_b2"))
+    # batch3: u2 click at 9h (view was 0h -> OUT of 6h window) -> stays 1
+    rows_df([
+        (2, 6, "click", us(9)),
+    ]).coalesce(1).write.parquet(str(src / "c_b3"))
+    stream = (
+        spark.readStream.schema("user_id long, event_id long, event_type string, us long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    out = run_stream_once(funnel_monitor(stream), f"st12t_{_uuid.uuid4().hex[:8]}")
+    emitted = [(r.user_id, r.funnel_level) for r in out.collect()]
+    # u1: level 2 in batch1 then 3 in batch2; u2: level 1 once, never again
+    assert sorted(emitted) == [(1, 2), (1, 3), (2, 1)]

@@ -113,6 +113,11 @@ def main() -> int:
         help="run the retrieval tier (t22 BM25, s14 SQ8 ANN, x26 label "
         "propagation) at 8x instead of the text phases",
     )
+    ap.add_argument(
+        "--cut", action="store_true",
+        help="run the session-3 tier (dd16 span cut, t26 hash embed, s15 "
+        "hashed pairs, x32 triangles) at 8x instead of the text phases",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -231,6 +236,66 @@ def main() -> int:
         phase(
             "x26_label_propagation",
             lambda: label_propagation(edges, iterations=3).count(),
+        )
+        print(json.dumps(out))
+        return 0
+
+    if args.cut:
+        # -- session-3 tier at 8x: the ExactSubstr CUT transform (the one
+        # new op whose shuffle is token-granular by design), the hashing-
+        # trick embed, its blocked-pair consumer, and triangle counting
+        # over the 8x host graph --
+        from era_parser_spark.operators.dedup import remove_shared_spans
+        from era_parser_spark.operators.graph import triangle_count
+        from era_parser_spark.operators.similarity import hashed_semantic_pairs
+        from era_parser_spark.operators.text import hash_embed
+
+        # noop writes, NOT .count(): Catalyst prunes the agg/join
+        # branches under count() (the left-join base alone answers it),
+        # which zeroed these phases' first measurement
+        def _noop(d):
+            d.write.format("noop").mode("overwrite").save()
+            return -1
+
+        r = phase(
+            "dd16_remove_shared_spans",
+            lambda: _noop(remove_shared_spans(docs, "doc_id", "text")),
+        )
+        r["shuffle_bytes_per_token"] = round(
+            r["shuffle_write_mb"] * 1e6 / n_tokens, 1
+        )
+        r = phase(
+            "t26_hash_embed",
+            lambda: _noop(hash_embed(docs, "doc_id", "text", dim=64)),
+        )
+        r["shuffle_bytes_per_token"] = round(
+            r["shuffle_write_mb"] * 1e6 / n_tokens, 1
+        )
+        # dim scaled with the corpus: cells ~ dim, so 256 cells for 40k
+        # docs (the registry's 64 is sized for sf0.01's 500 docs);
+        # max_cell bounds the clone-concentration skew
+        phase(
+            "s15_hashed_pairs_d256",
+            lambda: hashed_semantic_pairs(
+                docs, "doc_id", "text", dim=256, min_cos=0.9, max_cell=1024
+            ).count(),
+        )
+        phase(
+            "s15_hashed_pairs_unguarded",
+            lambda: hashed_semantic_pairs(
+                docs, "doc_id", "text", dim=256, min_cos=0.9
+            ).count(),
+        )
+        # the registry's dense 53-host graph shape (the 320x424 bipartite
+        # derivation has no triangles at all), driven by all 40k docs
+        mk = lambda mult, add, mod: F.concat(  # noqa: E731
+            F.lit("h"), ((F.col("doc_id") * mult + add) % mod).cast("string")
+        )
+        e1 = docs.select(mk(1, 0, 40).alias("src"), mk(7, 3, 53).alias("dst"))
+        e2 = docs.select(mk(1, 0, 40).alias("src"), mk(13, 5, 53).alias("dst"))
+        phase(
+            "x32_triangle_count",
+            lambda: triangle_count(e1.unionByName(e2)).count(),
         )
         print(json.dumps(out))
         return 0
