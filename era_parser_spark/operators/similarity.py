@@ -1806,3 +1806,109 @@ def hashed_semantic_pairs(
             ).alias("cosine"),
         )
     )
+
+
+def semantic_decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    dim: int = 64,
+    min_cos: float = 0.9,
+) -> DataFrame:
+    """Embedding-space decontamination: flag training documents whose
+    feature-hashed vector (t26) is cosine-close to ANY benchmark
+    document — the semantic screen eval decontamination runs alongside
+    dd7/dd14's n-gram screens (paraphrased leakage that no shingle
+    overlap catches).
+
+    Plan mirrors dd14's broadcast shape one tier up: the bench side
+    collapses to a k x dim int64 matrix CARRIED IN THE TASK CLOSURE
+    (eval sets are tiny by construction — the 32 KB-Bloom assumption);
+    the screen itself is JOIN-FREE — one Arrow-batched numpy int64
+    matmul pass over the train vectors, no train-vs-bench shuffle ever.
+    The only exchanges in the plan are hash_embed's own long-keyed
+    aggregations (t26's 9.3 B/token, measured); at 100 TB the screen
+    adds exactly one pass over train vectors on top of embedding.
+
+    Exactness: every decision is integer.  A bench hit is
+    ``dot > 0 AND floor(10^4*dot^2 / (n_t*n_b)) >= round(10^4*
+    min_cos^2)`` (equivalent to the s15 predicate since the threshold
+    is integral); ``max_cos_q`` reports the best hit's quantized
+    cos^2*10^4 — max of exact integers, so no float argmax
+    tie-ambiguity ever reaches the output.  Bounds: 10^4*dot^2 needs
+    dot < ~9.6*10^6, i.e. docs under ~10^6 tokens (s15's bound).
+    Zero-norm docs can neither hit nor be hit.
+
+    Returns (id, n_bench_hits, max_cos_q, contaminated) — one row per
+    train doc.
+    """
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    from era_parser_spark.operators.text import hash_embed
+
+    q = int(round(10_000 * min_cos * min_cos))
+    brows = (
+        hash_embed(bench, id_col, text_col, dim)
+        .filter(F.col("norm_sq") > 0)
+        .collect()
+    )
+    B = np.asarray([r["feat"] for r in brows], dtype=np.int64)
+    NB = np.asarray([r["norm_sq"] for r in brows], dtype=np.int64)
+    k = len(brows)
+
+    temb = hash_embed(train, id_col, text_col, dim).select(
+        F.col(id_col), "feat", "norm_sq"
+    )
+    id_field = [f for f in temb.schema.fields if f.name == id_col][0]
+    out_schema = T.StructType(
+        [
+            id_field,
+            T.StructField("n_bench_hits", T.LongType()),
+            T.StructField("max_cos_q", T.LongType()),
+            T.StructField("contaminated", T.BooleanType()),
+        ]
+    )
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0 or k == 0:
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col] if n else pd.Series([], dtype="int64"),
+                        "n_bench_hits": np.zeros(n, dtype=np.int64),
+                        "max_cos_q": np.zeros(n, dtype=np.int64),
+                        "contaminated": np.zeros(n, dtype=bool),
+                    }
+                )
+                continue
+            A = np.asarray(pdf["feat"].tolist(), dtype=np.int64)
+            NT = np.asarray(pdf["norm_sq"], dtype=np.int64)
+            D = A @ B.T                                   # exact int64
+            denom = np.outer(NT, NB)
+            pos = (D > 0) & (denom > 0)
+            cq = np.zeros_like(D)
+            np.floor_divide(
+                10_000 * D * D, denom, out=cq, where=pos
+            )
+            hits = pos & (cq >= q)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bench_hits": hits.sum(axis=1).astype(np.int64),
+                    "max_cos_q": np.where(
+                        hits.any(axis=1), np.max(np.where(hits, cq, 0), axis=1), 0
+                    ).astype(np.int64),
+                    "contaminated": hits.any(axis=1),
+                }
+            )
+
+    guarded = temb.filter(
+        F.col("feat").isNotNull() & (F.size("feat") == dim)
+    )
+    return guarded.mapInPandas(fn, out_schema)

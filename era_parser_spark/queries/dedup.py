@@ -1236,3 +1236,60 @@ def dd16_remove_shared_spans(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     return remove_shared_spans(docs, "doc_id", "text", l=8, min_span_tokens=12)
+
+
+_DD17_H = "CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)"
+
+
+@register(
+    "dd17_semantic_decontaminate",
+    # Same %17 train/bench split as dd7/dd14, one tier up: the t26 hash
+    # CTE on both sides, bench x train dots via a sparse bucket join
+    # (same integer as the engine's broadcast numpy matmul), hit
+    # predicate and max_cos_q both in truncating BIGINT arithmetic —
+    # no float argmax anywhere.
+    oracle=f"""
+    WITH ex AS (SELECT doc_id, unnest({_TOK}) AS t FROM documents),
+    s AS (SELECT doc_id, CAST({_DD17_H} % 64 AS INTEGER) AS b,
+                 CASE WHEN (({_DD17_H} >> 30) % 2) = 0 THEN 1 ELSE -1 END AS sgn
+          FROM ex WHERE t <> ''),
+    c AS (SELECT doc_id, b, CAST(SUM(sgn) AS BIGINT) AS v
+          FROM s GROUP BY doc_id, b),
+    stats AS (SELECT doc_id, CAST(SUM(v * v) AS BIGINT) AS n2
+              FROM c GROUP BY doc_id),
+    dots AS (
+      SELECT ct.doc_id AS t_id, cb.doc_id AS b_id,
+             CAST(SUM(ct.v * cb.v) AS BIGINT) AS dot
+      FROM c ct JOIN c cb ON ct.b = cb.b
+      WHERE ct.doc_id % 17 <> 0 AND cb.doc_id % 17 = 0
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT d.t_id, (10000 * d.dot * d.dot) // (st.n2 * sb.n2) AS cq
+      FROM dots d JOIN stats st ON st.doc_id = d.t_id
+                  JOIN stats sb ON sb.doc_id = d.b_id
+      WHERE d.dot > 0 AND st.n2 > 0 AND sb.n2 > 0
+    ),
+    hits AS (SELECT t_id, CAST(count(*) AS BIGINT) AS n_hits,
+                    CAST(max(cq) AS BIGINT) AS max_cq
+             FROM scored WHERE cq >= 8100 GROUP BY t_id)
+    SELECT d.doc_id,
+           COALESCE(n_hits, 0) AS n_bench_hits,
+           COALESCE(max_cq, 0) AS max_cos_q,
+           COALESCE(n_hits, 0) >= 1 AS contaminated
+    FROM documents d LEFT JOIN hits ON hits.t_id = d.doc_id
+    WHERE d.doc_id % 17 <> 0
+    """,
+)
+def dd17_semantic_decontaminate(spark, sf_dir):
+    # Embedding-space decontamination screen: broadcast bench matrix,
+    # train side never shuffles
+    # (operators/similarity.py::semantic_decontaminate).
+    from era_parser_spark.operators.similarity import semantic_decontaminate
+
+    docs = table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 17 != 0)
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    return semantic_decontaminate(
+        train, bench, "doc_id", "text", dim=64, min_cos=0.9
+    )

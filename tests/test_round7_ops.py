@@ -1771,3 +1771,50 @@ def test_stream_window_funnel_levels_across_microbatches(spark, tmp_path_factory
     emitted = [(r.user_id, r.funnel_level) for r in out.collect()]
     # u1: level 2 in batch1 then 3 in batch2; u2: level 1 once, never again
     assert sorted(emitted) == [(1, 2), (1, 3), (2, 1)]
+
+
+def test_semantic_decontaminate_semantics(spark):
+    """dd17: a paraphrase-free clone of a bench doc is flagged with
+    cos^2*10^4 = 10000; a high-overlap doc flags iff it clears the
+    threshold; disjoint-vocab docs never flag; train never shuffles
+    (no Exchange in the plan)."""
+    from era_parser_spark.operators.similarity import semantic_decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),   # clone
+            (2, "one two three four five six"),           # disjoint
+            (3, ""),                                      # zero vector
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in semantic_decontaminate(
+            train, bench, "doc_id", "text", dim=64, min_cos=0.9
+        ).collect()
+    }
+    assert out[1].contaminated and out[1].max_cos_q == 10000
+    assert out[1].n_bench_hits == 1
+    assert not out[2].contaminated and out[2].max_cos_q == 0
+    assert not out[3].contaminated
+    # the SCREEN is join-free (the dd14 invariant one tier up): dd17's
+    # plan has exactly the joins/exchanges of hash_embed(train) alone —
+    # the bench matrix rides the task closure, never a join operator
+    import re
+
+    from era_parser_spark.operators.text import hash_embed
+
+    def counts(d):
+        p = d._jdf.queryExecution().executedPlan().toString()
+        return (
+            len(re.findall(r"Exchange hashpartitioning", p)),
+            len(re.findall(r"\wJoin", p)),
+        )
+
+    df = semantic_decontaminate(train, bench, "doc_id", "text", dim=64)
+    assert counts(df) == counts(hash_embed(train, "doc_id", "text", dim=64))
