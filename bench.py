@@ -77,6 +77,17 @@ HEADLINE = [
     "x29_grid_interpolate",
     "t25_ngram_novelty",
     "p13_corpus_report",
+    # round-7 session-3 additions (like-for-like vs earlier r7 sessions:
+    # list above is unchanged)
+    "t26_hash_embed",
+    "t27_readability",
+    "x30_window_funnel",
+    "x31_retention_cohorts",
+    "x32_triangle_count",
+    "x33_hll_distinct",
+    "dd16_remove_shared_spans",
+    "s15_hashed_semantic_pairs",
+    "dd17_semantic_decontaminate",
 ]
 
 
