@@ -516,3 +516,41 @@ def weighted_sample(
             F.col("__key").cast("decimal(10,6)").cast("double").alias("sample_key"),
         )
     )
+
+
+def snapshot_diff(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Corpus snapshot diff — the dataset-versioning audit every
+    reproducible training run needs (what changed between crawl v1 and
+    v2?): per-document status ``added`` (id only in new), ``removed``
+    (only in old), ``changed`` (both, content digest differs),
+    ``unchanged``.
+
+    Content identity is md5(text) computed BEFORE the join, so the full
+    outer join shuffles (id, 32-hex digest) — never document bodies;
+    at 100 TB the diff costs two digest scans + one id-keyed exchange
+    per side.  Null text and empty text digest differently on purpose
+    (absence vs emptiness is a real change).
+
+    Returns (id, status, old_digest, new_digest).
+    """
+    o = old_df.select(
+        F.col(id_col),
+        F.md5(F.coalesce(F.col(text_col), F.lit("\x00null"))).alias("old_digest"),
+    )
+    n = new_df.select(
+        F.col(id_col),
+        F.md5(F.coalesce(F.col(text_col), F.lit("\x00null"))).alias("new_digest"),
+    )
+    j = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("old_digest").isNull(), F.lit("added"))
+        .when(F.col("new_digest").isNull(), F.lit("removed"))
+        .when(F.col("old_digest") == F.col("new_digest"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(F.col(id_col), status.alias("status"), "old_digest", "new_digest")

@@ -596,3 +596,47 @@ def p13_corpus_report(spark, sf_dir):
         F.min("n_tokens").alias("min_tokens"),
         F.max("n_tokens").alias("max_tokens"),
     )
+
+
+@register(
+    "p14_snapshot_diff",
+    # Snapshots derived from the one documents table (t10 injection
+    # pattern): old = doc_id % 11 <> 3, new = doc_id % 7 <> 0 with text
+    # rewritten for doc_id % 13 = 0 — so all four statuses appear.
+    # Digest compare is md5 on both sides.
+    oracle="""
+    WITH old AS (
+      SELECT doc_id, md5(text) AS old_digest FROM documents
+      WHERE doc_id % 11 <> 3
+    ),
+    new AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 13 = 0
+                      THEN text || ' [rev2]' ELSE text END) AS new_digest
+      FROM documents WHERE doc_id % 7 <> 0
+    )
+    SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
+           CASE WHEN old_digest IS NULL THEN 'added'
+                WHEN new_digest IS NULL THEN 'removed'
+                WHEN old_digest = new_digest THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           old_digest, new_digest
+    FROM old FULL OUTER JOIN new USING (doc_id)
+    """,
+)
+def p14_snapshot_diff(spark, sf_dir):
+    # Dataset-versioning audit: digest-only full outer join
+    # (operators/curation.py::snapshot_diff).
+    from era_parser_spark.operators.curation import snapshot_diff
+
+    docs = table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 11 != 3)
+    new = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return snapshot_diff(old, new, "doc_id", "text")

@@ -1818,3 +1818,24 @@ def test_semantic_decontaminate_semantics(spark):
 
     df = semantic_decontaminate(train, bench, "doc_id", "text", dim=64)
     assert counts(df) == counts(hash_embed(train, "doc_id", "text", dim=64))
+
+
+def test_snapshot_diff_semantics(spark):
+    """p14: all four statuses on a hand fixture; null vs empty text is a
+    real change; digest-only shuffle (no text column past the scan)."""
+    from era_parser_spark.operators.curation import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, None), (5, "e")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, ""), (6, "f")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.status for r in snapshot_diff(old, new, "doc_id", "text").collect()}
+    assert out == {
+        1: "unchanged", 2: "changed", 3: "removed",
+        4: "changed",                       # None -> "" IS a change
+        5: "removed", 6: "added",
+    }
