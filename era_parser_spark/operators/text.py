@@ -1505,3 +1505,105 @@ def readability_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         syl.alias("n_syllables"),
         grade.alias("fk_grade"),
     )
+
+
+def gopher_repetition_flags(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    thresholds: tuple[float, float, float, float] = (0.20, 0.18, 0.16, 0.15),
+) -> DataFrame:
+    """Gopher's A1.2 repetition filters (Rae et al. 2021, Table A1) —
+    the companion to t20's A1.1 rule gate: fraction of characters in
+    the most frequent 2-/3-/4-gram and in duplicated (count >= 2)
+    5-grams.  char mass of a gram = count * length(gram string); the
+    fraction divides by length(text) — exact BIGINTs, one IEEE division
+    each (a doc whose repeats overlap can exceed 1.0, as in the paper's
+    loose counting).
+
+    Plan: ONE explode pass emits (id, n, gram) for all four widths
+    (gram arrays built per width from a single materialized token array
+    — the HOF lesson; no joins between widths), one map-side-combined
+    count, then per-(id, n) aggregates; top-gram is argmax with the
+    (count DESC, gram ASC) total order, re-derived identically in SQL.
+    Shuffle carries grams+counts, never documents (the t17 shape).
+    Docs with no n-width grams score 0 for that n.
+
+    Returns (id, n_chars, top2_frac, top3_frac, top4_frac, dup5_frac,
+    rep_keep).
+    """
+    from pyspark.sql import Window as W
+
+    base = df.select(
+        F.col(id_col),
+        F.length(F.coalesce(F.col(text_col), F.lit(""))).cast("long").alias(
+            "__nc"
+        ),
+        tokens_col(F.coalesce(F.col(text_col), F.lit(""))).alias("__tok"),
+    )
+
+    def grams_of(n):
+        # guard: sequence(1, 0) DESCENDS in Spark, so short docs must
+        # produce an empty index array, not [1, 0]
+        idx = F.when(
+            F.size("__tok") >= n, F.sequence(F.lit(1), F.size("__tok") - (n - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            idx,
+            lambda i: F.struct(
+                F.lit(n).alias("n"),
+                F.array_join(F.slice("__tok", i, n), " ").alias("g"),
+            ),
+        )
+
+    ex = base.select(
+        F.col(id_col),
+        "__nc",
+        F.explode(
+            F.concat(grams_of(2), grams_of(3), grams_of(4), grams_of(5))
+        ).alias("__e"),
+    ).select(F.col(id_col), "__nc", F.col("__e.n").alias("__n"), F.col("__e.g").alias("__g"))
+    cnt = ex.groupBy(id_col, "__nc", "__n", "__g").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    w = W.partitionBy(id_col, "__n").orderBy(F.col("__c").desc(), F.col("__g"))
+    per_n = (
+        cnt.withColumn("__rn", F.row_number().over(w))
+        .groupBy(id_col, "__nc", "__n")
+        .agg(
+            F.max(
+                F.when(F.col("__rn") == 1, F.col("__c") * F.length("__g"))
+            ).alias("__topmass"),
+            F.sum(
+                F.when(F.col("__c") >= 2, F.col("__c") * F.length("__g")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("__dupmass"),
+        )
+    )
+    t2, t3, t4, d5 = thresholds
+    agg = per_n.groupBy(id_col, "__nc").agg(
+        *[
+            F.max(
+                F.when(F.col("__n") == n, F.col("__topmass"))
+            ).alias(f"__top{n}")
+            for n in (2, 3, 4)
+        ],
+        F.max(F.when(F.col("__n") == 5, F.col("__dupmass"))).alias("__dup5"),
+    )
+    frac = lambda c: F.coalesce(c.cast("double") / F.col("__nc"), F.lit(0.0))  # noqa: E731
+    out = base.select(F.col(id_col), "__nc").join(agg.drop("__nc"), id_col, "left")
+    return out.select(
+        F.col(id_col),
+        F.col("__nc").alias("n_chars"),
+        frac(F.col("__top2")).alias("top2_frac"),
+        frac(F.col("__top3")).alias("top3_frac"),
+        frac(F.col("__top4")).alias("top4_frac"),
+        frac(F.col("__dup5")).alias("dup5_frac"),
+        (
+            (frac(F.col("__top2")) <= t2)
+            & (frac(F.col("__top3")) <= t3)
+            & (frac(F.col("__top4")) <= t4)
+            & (frac(F.col("__dup5")) <= d5)
+        ).alias("rep_keep"),
+    )

@@ -1264,3 +1264,69 @@ def t27_readability(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     return readability_scores(docs, "doc_id", "text")
+
+
+def _t29_gram_cte(n: int) -> str:
+    return f"""
+    g{n} AS (
+      SELECT doc_id, nc, {n} AS n,
+             array_to_string(tok[CAST(i AS INTEGER)
+                                 : CAST(i + {n} - 1 AS INTEGER)], ' ') AS g
+      FROM base, unnest(range(1, len(tok) - {n} + 2)) AS u(i)
+      WHERE len(tok) >= {n}
+    )"""
+
+
+@register(
+    "t29_gopher_repetition",
+    # Same gram definition (token slices with multiplicity), same
+    # (count DESC, gram ASC) argmax order, char mass = count *
+    # length(gram); fractions are one IEEE division each with DOUBLE
+    # thresholds (bare decimals parse DECIMAL in DuckDB).
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, CAST(length(coalesce(text, '')) AS BIGINT) AS nc,
+             regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+') AS tok
+      FROM documents
+    ),{",".join(_t29_gram_cte(n) for n in (2, 3, 4, 5))},
+    ex AS (SELECT * FROM g2 UNION ALL SELECT * FROM g3
+           UNION ALL SELECT * FROM g4 UNION ALL SELECT * FROM g5),
+    cnt AS (SELECT doc_id, nc, n, g, count(*) AS c
+            FROM ex GROUP BY doc_id, nc, n, g),
+    rn AS (SELECT *, row_number() OVER (PARTITION BY doc_id, n
+                                        ORDER BY c DESC, g) AS rnk
+           FROM cnt),
+    per_n AS (
+      SELECT doc_id, nc, n,
+             max(CASE WHEN rnk = 1 THEN c * length(g) END) AS topmass,
+             sum(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END) AS dupmass
+      FROM rn GROUP BY doc_id, nc, n
+    ),
+    agg AS (
+      SELECT doc_id,
+             max(CASE WHEN n = 2 THEN topmass END) AS t2,
+             max(CASE WHEN n = 3 THEN topmass END) AS t3,
+             max(CASE WHEN n = 4 THEN topmass END) AS t4,
+             max(CASE WHEN n = 5 THEN dupmass END) AS d5
+      FROM per_n GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.nc AS n_chars,
+           COALESCE(CAST(t2 AS DOUBLE) / nc, 0.0) AS top2_frac,
+           COALESCE(CAST(t3 AS DOUBLE) / nc, 0.0) AS top3_frac,
+           COALESCE(CAST(t4 AS DOUBLE) / nc, 0.0) AS top4_frac,
+           COALESCE(CAST(d5 AS DOUBLE) / nc, 0.0) AS dup5_frac,
+           COALESCE(CAST(t2 AS DOUBLE) / nc, 0.0) <= CAST(0.20 AS DOUBLE)
+           AND COALESCE(CAST(t3 AS DOUBLE) / nc, 0.0) <= CAST(0.18 AS DOUBLE)
+           AND COALESCE(CAST(t4 AS DOUBLE) / nc, 0.0) <= CAST(0.16 AS DOUBLE)
+           AND COALESCE(CAST(d5 AS DOUBLE) / nc, 0.0) <= CAST(0.15 AS DOUBLE)
+             AS rep_keep
+    FROM base b LEFT JOIN agg USING (doc_id)
+    """,
+)
+def t29_gopher_repetition(spark, sf_dir):
+    # Gopher A1.2 repetition filters (top n-gram / duplicated 5-gram
+    # char fractions) — operators/text.py::gopher_repetition_flags.
+    from era_parser_spark.operators.text import gopher_repetition_flags
+
+    docs = table(spark, sf_dir, "documents")
+    return gopher_repetition_flags(docs, "doc_id", "text")

@@ -1839,3 +1839,30 @@ def test_snapshot_diff_semantics(spark):
         4: "changed",                       # None -> "" IS a change
         5: "removed", 6: "added",
     }
+
+
+def test_gopher_repetition_semantics(spark):
+    """t29: hand-computed char masses; repeated bigram dominates; short
+    and empty docs score 0 and keep."""
+    from era_parser_spark.operators.text import gopher_repetition_flags
+
+    rows = [
+        (1, "ab cd ab cd ab cd"),      # "ab cd" bigram x3 (+ "cd ab" x2)
+        (2, "one"),                     # no grams at any width
+        (3, ""),                        # empty
+        (4, " ".join(f"tok{i:02d}" for i in range(32))),  # all grams unique
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in gopher_repetition_flags(df, "doc_id", "text").collect()}
+    r1 = out[1]
+    # doc 1: 17 chars; top 2-gram "ab cd" count 3, len 5 -> 15/17
+    assert r1.n_chars == 17 and abs(r1.top2_frac - 15 / 17) < 1e-12
+    # top 3-gram "ab cd ab" count 2, len 8 -> 16/17
+    assert abs(r1.top3_frac - 16 / 17) < 1e-12
+    # dup 5-grams: "ab cd ab cd ab" x2? positions 1..3 of width5 over 6
+    # tokens: "ab cd ab cd ab"(1), "cd ab cd ab cd"(2) -> both unique
+    assert r1.dup5_frac == 0.0
+    assert not r1.rep_keep
+    assert out[2].top2_frac == 0.0 and out[2].rep_keep
+    assert out[3].n_chars == 0 and out[3].rep_keep
+    assert out[4].rep_keep and out[4].top2_frac > 0  # unique top gram still has mass
