@@ -1607,3 +1607,59 @@ def gopher_repetition_flags(
             & (frac(F.col("__dup5")) <= d5)
         ).alias("rep_keep"),
     )
+
+
+def c4_rules(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The C4 cleaning heuristics (Raffel et al. 2020 §2.2) — the third
+    named recipe beside Gopher (t20/t29) and CCNet (t21): keep only
+    lines ending in terminal punctuation with >= 5 words; drop pages
+    with < 3 sentences, any page containing "lorem ipsum" or "{", and
+    pages with blocklisted words.
+
+    Pure zero-shuffle codegen: line retention is a HOF filter over the
+    newline split (per-line cost, the t9 shape), sentence count reuses
+    t27's [.!?]+ run counting, word membership is a token-array filter.
+
+    Returns (id, n_lines, n_kept_lines, n_sentences, has_lorem,
+    has_brace, has_badword, c4_keep, clean_text).
+    """
+    _BAD = ("casino", "viagra", "xxx")
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(text, "\n")
+    kept = F.filter(
+        lines,
+        lambda l: (
+            F.endswith(F.rtrim(l), F.lit("."))
+            | F.endswith(F.rtrim(l), F.lit("!"))
+            | F.endswith(F.rtrim(l), F.lit("?"))
+            | F.endswith(F.rtrim(l), F.lit('"'))
+        )
+        & (F.size(F.split(F.trim(l), r"\s+")) >= 5),
+    )
+    n_sent = F.size(F.regexp_extract_all(text, F.lit("[.!?]+"), 0)).cast("long")
+    tok = tokens_col(text)
+    has_bad = F.size(
+        F.filter(
+            F.array(*[F.lit(w) for w in _BAD]),
+            lambda w: F.array_contains(tok, w),
+        )
+    ) > 0
+    has_lorem = F.contains(F.lower(text), F.lit("lorem ipsum"))
+    has_brace = F.contains(text, F.lit("{"))
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        n_sent.alias("n_sentences"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        has_bad.alias("has_badword"),
+        (
+            (n_sent >= 3)
+            & ~has_lorem
+            & ~has_brace
+            & ~has_bad
+            & (F.size(kept) >= 1)
+        ).alias("c4_keep"),
+        F.array_join(kept, "\n").alias("clean_text"),
+    )

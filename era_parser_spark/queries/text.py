@@ -1330,3 +1330,84 @@ def t29_gopher_repetition(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     return gopher_repetition_flags(docs, "doc_id", "text")
+
+
+@register(
+    "t28_c4_rules",
+    # The corpus is single-line and punctuation-free, so both sides
+    # first build the SAME augmented page (t10 injection pattern):
+    # 12-token chunk lines, '.' appended when (doc_id+i) % 4 <> 0,
+    # lorem/{/blocklist lines injected by doc_id residues — then the C4
+    # rules run on that page.  Plain string (NOT an f-string): the
+    # oracle contains literal braces.
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS tok
+      FROM documents
+    ),
+    aug AS (
+      SELECT doc_id,
+        array_to_string(
+          list_transform(range(0, CAST(ceil(len(tok) / 12.0) AS BIGINT)),
+            i -> array_to_string(tok[CAST(i * 12 + 1 AS INTEGER)
+                                     : CAST(i * 12 + 12 AS INTEGER)], ' ')
+                 || CASE WHEN (doc_id + i) % 4 <> 0 THEN '.' ELSE '' END),
+          chr(10))
+        || CASE WHEN doc_id % 29 = 0 THEN chr(10) || 'lorem ipsum dolor sit'
+                ELSE '' END
+        || CASE WHEN doc_id % 31 = 0 THEN chr(10) || 'if (x) {' ELSE '' END
+        || CASE WHEN doc_id % 37 = 0 THEN chr(10) || 'visit the casino again today.'
+                ELSE '' END AS page
+      FROM base
+    ),
+    c AS (
+      SELECT doc_id, page,
+             string_split(page, chr(10)) AS lines,
+             list_filter(string_split(page, chr(10)),
+               l -> (ends_with(rtrim(l), '.') OR ends_with(rtrim(l), '!')
+                     OR ends_with(rtrim(l), '?') OR ends_with(rtrim(l), chr(34)))
+                    AND len(regexp_split_to_array(trim(l), '\\s+')) >= 5) AS kept,
+             len(regexp_extract_all(page, '[.!?]+')) AS n_sent,
+             contains(lower(page), 'lorem ipsum') AS has_lorem,
+             contains(page, chr(123)) AS has_brace,
+             len(list_filter(['casino', 'viagra', 'xxx'],
+                 w -> list_contains(regexp_split_to_array(trim(lower(page)),
+                                                          '\\s+'), w))) > 0
+               AS has_badword
+      FROM aug
+    )
+    SELECT doc_id,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept_lines,
+           CAST(n_sent AS BIGINT) AS n_sentences,
+           has_lorem, has_brace, has_badword,
+           n_sent >= 3 AND NOT has_lorem AND NOT has_brace
+             AND NOT has_badword AND len(kept) >= 1 AS c4_keep,
+           COALESCE(array_to_string(kept, chr(10)), '') AS clean_text
+    FROM c
+    """,
+)
+def t28_c4_rules(spark, sf_dir):
+    # C4 cleaning (operators/text.py::c4_rules) over the deterministic
+    # augmented page; augmentation mirrored in the oracle.
+    from era_parser_spark.operators.text import c4_rules
+
+    docs = table(spark, sf_dir, "documents")
+    tok = F.split(F.trim(F.lower("text")), r"\s+")
+    nch = F.ceil(F.size(tok) / F.lit(12.0)).cast("int")
+    line = lambda i: F.concat(  # noqa: E731
+        F.array_join(F.slice(tok, i * 12 + 1, 12), " "),
+        F.when((F.col("doc_id") + i) % 4 != 0, F.lit(".")).otherwise(F.lit("")),
+    )
+    page = F.concat(
+        F.array_join(F.transform(F.sequence(F.lit(0), nch - 1), line), "\n"),
+        F.when(F.col("doc_id") % 29 == 0, F.lit("\nlorem ipsum dolor sit"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 31 == 0, F.lit("\nif (x) {")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 37 == 0, F.lit("\nvisit the casino again today.")
+        ).otherwise(F.lit("")),
+    )
+    pages = docs.select("doc_id", page.alias("text"))
+    return c4_rules(pages, "doc_id", "text")

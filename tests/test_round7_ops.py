@@ -1866,3 +1866,33 @@ def test_gopher_repetition_semantics(spark):
     assert out[2].top2_frac == 0.0 and out[2].rep_keep
     assert out[3].n_chars == 0 and out[3].rep_keep
     assert out[4].rep_keep and out[4].top2_frac > 0  # unique top gram still has mass
+
+
+def test_c4_rules_semantics(spark):
+    """t28: line retention needs terminal punctuation AND >= 5 words;
+    page gates (sentences, lorem, brace, blocklist) behave per rule."""
+    from era_parser_spark.operators.text import c4_rules
+
+    rows = [
+        (1, "one two three four five six.\nshort line.\nno punct here at all\n"
+            'quoted line with five words"\nsecond real sentence here now!'
+            "\nthird real sentence right here."),
+        (2, "only two sentences here today.\nanother good sentence right here."),
+        (3, "lorem ipsum is here.\ngood sentence one two three.\nmore words "
+            "here for sentences.\nthird sentence with five words."),
+        (4, "code page { with brace.\ngood sentence one two three!\nmore "
+            "good words in here.\nfourth sentence with five words?"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in c4_rules(df, "doc_id", "text").collect()}
+    r1 = out[1]
+    # kept: line1 (6w + .), quoted line (5w + "), sentences 2 and 3;
+    # dropped: "short line." (2 words), "no punct here at all"
+    assert (r1.n_lines, r1.n_kept_lines) == (6, 4)
+    assert r1.c4_keep
+    assert not out[2].c4_keep and out[2].n_sentences == 2   # < 3 sentences
+    assert not out[3].c4_keep and out[3].has_lorem
+    assert not out[4].c4_keep and out[4].has_brace
+    r5 = out[5]
+    assert not r5.c4_keep and r5.n_kept_lines == 0 and r5.clean_text == ""

@@ -180,6 +180,28 @@ def main() -> int:
         rows_in=len(rows),
     )
 
+    # st12 shape: custom stateful windowFunnel — EXPECTED UNBOUNDED here:
+    # funnel level is a lifetime-of-user fact (state = 3 longs per user
+    # forever, the st4 keep-forever class; the TTL lever is documented in
+    # funnel_monitor).  Measured so the growth CLASS is on record next to
+    # the watermarked operators' plateaus, not assumed.
+    from era_parser_spark.streaming.incremental import funnel_monitor
+
+    ev = stream().select(
+        F.xxhash64("k").alias("user_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("event_id"),
+        F.col("et").alias("event_type"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    run_to_end(
+        funnel_monitor(ev),
+        f"sr_funnel_{uuid.uuid4().hex[:8]}",
+        out,
+        "st12_window_funnel",
+        distinct_keys=B * K,
+        rows_in=len(rows),
+    )
+
     print(json.dumps(out))
     return 0
 
