@@ -88,6 +88,10 @@ HEADLINE = [
     "dd16_remove_shared_spans",
     "s15_hashed_semantic_pairs",
     "dd17_semantic_decontaminate",
+    "p14_snapshot_diff",
+    "t28_c4_rules",
+    "t29_gopher_repetition",
+    "x34_hll_sliding",
 ]
 
 

@@ -412,3 +412,88 @@ def hll_distinct(
             2,
         ).alias("est_distinct"),
     )
+
+
+def hll_sliding_distinct(
+    df: DataFrame,
+    day_col: Column,
+    value_col: str,
+    p: int = 10,
+    window_days: int = 3,
+) -> DataFrame:
+    """Trailing-window distinct-count estimates from MERGED daily HLL
+    sketches — the demonstration that x33's registers are an ALGEBRA,
+    not just an aggregate: a day's sketch is built once and every
+    window containing that day reuses it by register-wise MAX, which is
+    how a production rollup serves "distinct users, trailing N days"
+    without re-scanning N days of raw events.
+
+    Plan: one (day, register) shuffle builds the daily sketches (rows =
+    days x m, independent of event volume); each daily register row is
+    replicated to the <= window_days target days it serves (explode of
+    a day-offset array — tiny, register-level), then a second
+    map-side-combined MAX merge per (target_day, register).  Raw values
+    shuffle ONCE, at daily-sketch build.  Windows at the head of the
+    range merge fewer days (partial trailing window, the standard
+    rollup convention); target days with no events in-window don't
+    appear.
+
+    Same estimator and exactness story as hll_distinct (shared rho /
+    harmonic-sum rules).  Returns (day, n_present_registers,
+    n_zero_registers, est_raw, est_distinct).
+    """
+    from era_parser_spark.operators.dedup import md5_60bit
+
+    m = 1 << p
+    h = md5_60bit(F.col(value_col).cast("string"))
+    w = F.shiftright(h, p)
+    bits = F.when(w == 0, F.lit(0)).otherwise(F.length(F.bin(w)))
+    daily = (
+        df.select(
+            day_col.alias("day"),
+            F.pmod(h, F.lit(m)).alias("__j"),
+            (F.lit(51) - bits).alias("__rho"),
+        )
+        .groupBy("day", "__j")
+        .agg(F.max("__rho").alias("__r"))
+    )
+    fanned = daily.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(window_days - 1)),
+                lambda k: F.date_add(F.col("day"), k),
+            )
+        ).alias("day_t"),
+        "day",
+        "__j",
+        "__r",
+    )
+    merged = fanned.groupBy("day_t", "__j").agg(F.max("__r").alias("__r"))
+    per = merged.groupBy("day_t").agg(
+        F.sum(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(51 - __r AS INT))")
+        ).alias("__s_present"),
+        F.count(F.lit(1)).alias("n_present_registers"),
+    )
+    s_total = (
+        F.col("__s_present")
+        + (F.lit(m) - F.col("n_present_registers")) * F.lit(1 << 51)
+    )
+    est_raw = F.lit(_hll_numerator(m)) / s_total.cast("double")
+    linear = F.lit(float(m)) * F.log(
+        F.lit(float(m)) / (F.lit(m) - F.col("n_present_registers")).cast("double")
+    )
+    return per.select(
+        F.col("day_t").alias("day"),
+        F.col("n_present_registers"),
+        (F.lit(m) - F.col("n_present_registers")).alias("n_zero_registers"),
+        est_raw.alias("est_raw"),
+        F.round(
+            F.when(
+                (est_raw <= F.lit(2.5 * m))
+                & (F.col("n_present_registers") < m),
+                linear,
+            ).otherwise(est_raw),
+            2,
+        ).alias("est_distinct"),
+    )

@@ -1637,3 +1637,56 @@ def x33_hll_distinct(spark, sf_dir):
 
     ev = table(spark, sf_dir, "events")
     return hll_distinct(ev, "event_type", "user_id", p=10)
+
+
+@register(
+    "x34_hll_sliding",
+    # x33's register CTE per DAY, register-wise MAX merged over the
+    # trailing 3-day window (date + integer-day fanout identical in
+    # both engines) — the sketch-algebra rollup, same exactness rules
+    # as x33.
+    oracle="""
+    WITH h AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
+      FROM events
+    ),
+    r AS (SELECT day, h % 1024 AS j,
+                 51 - length(ltrim(bin(h >> 10), '0')) AS rho FROM h),
+    daily AS (SELECT day, j, max(rho) AS r FROM r GROUP BY day, j),
+    fanned AS (SELECT day + CAST(k AS INTEGER) AS day_t, j, r
+               FROM daily, unnest(range(0, 3)) AS u(k)),
+    merged AS (SELECT day_t, j, max(r) AS r FROM fanned GROUP BY day_t, j),
+    per AS (
+      SELECT day_t,
+             CAST(SUM(CAST(1 AS BIGINT) << CAST(51 - r AS INTEGER)) AS BIGINT)
+               AS sp,
+             CAST(count(*) AS BIGINT) AS np
+      FROM merged GROUP BY day_t
+    ),
+    est AS (
+      SELECT day_t, np, 1024 - np AS nz,
+             CAST(1.7013287633207432e+21 AS DOUBLE)
+               / CAST(sp + (1024 - np) * (CAST(1 AS BIGINT) << 51) AS DOUBLE)
+               AS est_raw
+      FROM per
+    )
+    SELECT day_t AS day, np AS n_present_registers, nz AS n_zero_registers,
+           est_raw,
+           round(CASE WHEN est_raw <= 2560.0 AND nz > 0
+                      THEN CAST(1024 AS DOUBLE)
+                           * ln(CAST(1024 AS DOUBLE) / CAST(nz AS DOUBLE))
+                      ELSE est_raw END, 2) AS est_distinct
+    FROM est
+    """,
+)
+def x34_hll_sliding(spark, sf_dir):
+    """Trailing-3-day distinct users per day from MAX-merged daily HLL
+    sketches (operators/sketch.py::hll_sliding_distinct) — raw events
+    shuffle once at daily-sketch build; every window reuses the
+    registers."""
+    from era_parser_spark.operators.sketch import hll_sliding_distinct
+
+    ev = table(spark, sf_dir, "events")
+    return hll_sliding_distinct(ev, F.to_date("ts"), "user_id", p=10, window_days=3)

@@ -1896,3 +1896,42 @@ def test_c4_rules_semantics(spark):
     assert not out[4].c4_keep and out[4].has_brace
     r5 = out[5]
     assert not r5.c4_keep and r5.n_kept_lines == 0 and r5.clean_text == ""
+
+
+def test_hll_sliding_merge_equals_window_rebuild(spark):
+    """x34: register-wise MAX merge over a window must give EXACTLY the
+    sketch (and estimate) of building one sketch over the window's
+    union of values — the mergeability contract, pinned by equality."""
+    from datetime import date, timedelta
+
+    from era_parser_spark.operators.sketch import hll_distinct, hll_sliding_distinct
+
+    d0 = date(2024, 1, 1)
+    rows = [
+        (d0 + timedelta(days=d), (d * 37 + i) % 90)
+        for d in range(5)
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "day date, val long")
+    slid = {
+        str(r.day): r
+        for r in hll_sliding_distinct(
+            df, F.col("day"), "val", p=10, window_days=3
+        ).collect()
+    }
+    # rebuild day 2024-01-03's trailing window (days 1-3) as ONE group
+    target = d0 + timedelta(days=2)
+    win = df.filter(
+        (F.col("day") >= d0) & (F.col("day") <= target)
+    ).select(F.lit("w").alias("g"), "val")
+    rebuilt = hll_distinct(win, "g", "val", p=10).collect()[0]
+    s = slid[str(target)]
+    assert (s.n_present_registers, s.n_zero_registers) == (
+        rebuilt.n_present_registers, rebuilt.n_zero_registers
+    )
+    assert s.est_raw == rebuilt.est_raw
+    assert s.est_distinct == rebuilt.est_distinct
+    # head-of-range: day 1's "window" is just day 1
+    one = df.filter(F.col("day") == d0).select(F.lit("w").alias("g"), "val")
+    r1 = hll_distinct(one, "g", "val", p=10).collect()[0]
+    assert slid[str(d0)].est_distinct == r1.est_distinct
