@@ -1523,11 +1523,17 @@ def gopher_repetition_flags(
 
     Plan: ONE explode pass emits (id, n, gram) for all four widths
     (gram arrays built per width from a single materialized token array
-    — the HOF lesson; no joins between widths), one map-side-combined
-    count, then per-(id, n) aggregates; top-gram is argmax with the
-    (count DESC, gram ASC) total order, re-derived identically in SQL.
-    Shuffle carries grams+counts, never documents (the t17 shape).
-    Docs with no n-width grams score 0 for that n.
+    — the HOF lesson; no joins between widths), then ONE gram-row
+    exchange total: the count window partitions by (id, n, g) and the
+    argmax window by (id, n) — HashPartitioning(id, n) satisfies both
+    clusterings (subset rule), so the two windows and the final
+    per-(id, n) aggregate share a single hash exchange (two sorts, the
+    trade).  Over occurrence rows, sum(len(g)) where c >= 2 IS
+    sum-over-grams of c*len — dupmass without a distinct-gram
+    pre-aggregate.  Top-gram is argmax with the (count DESC, gram ASC)
+    total order, re-derived identically in SQL.  Shuffle carries
+    grams, never documents (the t17 shape).  Docs with no n-width
+    grams score 0 for that n.
 
     Returns (id, n_chars, top2_frac, top3_frac, top4_frac, dup5_frac,
     rep_keep).
@@ -1563,19 +1569,26 @@ def gopher_repetition_flags(
             F.concat(grams_of(2), grams_of(3), grams_of(4), grams_of(5))
         ).alias("__e"),
     ).select(F.col(id_col), "__nc", F.col("__e.n").alias("__n"), F.col("__e.g").alias("__g"))
-    cnt = ex.groupBy(id_col, "__nc", "__n", "__g").agg(
-        F.count(F.lit(1)).alias("__c")
-    )
-    w = W.partitionBy(id_col, "__n").orderBy(F.col("__c").desc(), F.col("__g"))
+    wc = W.partitionBy(id_col, "__n", "__g")
+    wr = W.partitionBy(id_col, "__n").orderBy(F.col("__c").desc(), F.col("__g"))
     per_n = (
-        cnt.withColumn("__rn", F.row_number().over(w))
+        # explicit (id, n) partitioning BEFORE the windows: hash(id, n)
+        # satisfies BOTH window clusterings ((id,n,g) by the subset rule
+        # and (id,n) exactly) — left implicit, Spark plans the count
+        # window's own (id,n,g) exchange first and then needs a second
+        # for the argmax window (measured: 3 exchanges -> 2)
+        ex.repartition(F.col(id_col), F.col("__n"))
+        .withColumn("__c", F.count(F.lit(1)).over(wc))
+        .withColumn("__rn", F.row_number().over(wr))
         .groupBy(id_col, "__nc", "__n")
         .agg(
             F.max(
                 F.when(F.col("__rn") == 1, F.col("__c") * F.length("__g"))
             ).alias("__topmass"),
+            # occurrence rows: len(g) summed over the c occurrences of a
+            # duplicated gram contributes exactly c*len(g)
             F.sum(
-                F.when(F.col("__c") >= 2, F.col("__c") * F.length("__g")).otherwise(
+                F.when(F.col("__c") >= 2, F.length("__g").cast("long")).otherwise(
                     F.lit(0)
                 )
             ).alias("__dupmass"),

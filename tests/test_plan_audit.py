@@ -665,3 +665,18 @@ def test_retention_cohorts_no_first_seen_join(spark, queries):
     assert exchanges.count("user_id") == 1 and len(exchanges) == 2
     assert len(re.findall(r"FileScan parquet", plan)) == 1
     assert "Join" not in plan
+
+
+def test_gopher_repetition_single_gram_exchange(spark, queries):
+    """t29: the gram rows (the big frame) shuffle exactly ONCE — the
+    explicit (id, n) repartition serves the count window, the argmax
+    window, and the per-(id, n) aggregate; the only other exchange is
+    the tiny per-doc join."""
+    import re
+
+    df = queries["t29_gopher_repetition"](spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    gram_ex = [e for e in exchanges if "__n#" in e and "__g#" not in e]
+    assert len(gram_ex) == 1 and len(exchanges) == 2
+    assert not any("__g#" in e for e in exchanges)  # grams never re-keyed
