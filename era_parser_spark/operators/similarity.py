@@ -1683,27 +1683,6 @@ def sq8_topk(
     )
 
 
-def _rowwise_dot_kernel(out_fields):
-    """mapInPandas kernel: exact int64 row-wise dot of two equal-dim
-    array columns — vectorized einsum instead of a per-pair interpreted
-    zip_with fold (the HOF trap: the 8x rehearsal measured the fold at
-    173 s where this kernel runs the tier in seconds)."""
-    import numpy as np
-
-    def fn(batches):
-        for pdf in batches:
-            out = pdf.drop(columns=["__fa", "__fb"])
-            if len(pdf) == 0:
-                out = out.assign(dot=np.zeros(0, dtype=np.int64))
-            else:
-                A = np.asarray(pdf["__fa"].tolist(), dtype=np.int64)
-                B = np.asarray(pdf["__fb"].tolist(), dtype=np.int64)
-                out = out.assign(dot=np.einsum("ij,ij->i", A, B))
-            yield out[out_fields]
-
-    return fn
-
-
 def hashed_semantic_pairs(
     df: DataFrame,
     id_col: str,
@@ -1728,14 +1707,17 @@ def hashed_semantic_pairs(
     the documented recall cost).  Clone-heavy corpora should run dd1 /
     dd9 first — their true pair set is inherently quadratic.
 
-    Verify: the dot is an Arrow-batched numpy int64 einsum over the
-    candidate pairs (linear in candidates, vectorized — the 8x
-    rehearsal measured the interpreted zip_with fold at 173 s on 40k
-    docs, this kernel at seconds), then cosine >= min_cos is decided
-    JVM-side in exact BIGINT arithmetic — 10^4*dot^2 >=
-    round(10^4*min_cos^2)*n_a*n_b with dot > 0 (squares stay < 2^53
-    for corpora under ~10^6 tokens/doc); the reported ``cosine`` is one
-    IEEE div/sqrt of exact integers.
+    Verify: one Arrow-batched numpy int64 Gram matmul PER CELL
+    (applyInPandas) — each doc's vector ships once per cell, where the
+    earlier pair-join formulations shipped two vectors per candidate
+    pair (the 8x rehearsal measured the interpreted zip_with fold at
+    173 s and the per-pair einsum at 72 s; the per-cell matmul is the
+    shape that scales).  cosine >= min_cos is decided in exact int64
+    arithmetic — 10^4*dot^2 >= round(10^4*min_cos^2)*n_a*n_b with
+    dot > 0 (squares stay < 2^53 for corpora under ~10^6 tokens/doc);
+    the reported ``cosine`` is one IEEE div/sqrt of exact integers,
+    bit-identical to the SQL twin.  Per-task memory is O(cell^2) for
+    the Gram matrix — ``max_cell`` is also the memory bound.
     """
     from pyspark.sql import types as T
 
@@ -1762,50 +1744,48 @@ def hashed_semantic_pairs(
                 )
             ),
         )
-    keys = ["__cell", "__sub"]
-    a = cells.select(
-        F.col(id_col).alias("doc_a"), F.col("feat").alias("__fa"),
-        F.col("norm_sq").alias("__na"), *keys,
-    )
-    b = cells.select(
-        F.col(id_col).alias("doc_b"), F.col("feat").alias("__fb"),
-        F.col("norm_sq").alias("__nb"), *keys,
-    )
-    pairs = (
-        a.join(b, keys)
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        # JVM-side guard before the numpy kernel (null/wrong-dim rows
-        # would flip the batch to object dtype) — hash_embed always
-        # emits dim-length non-null arrays, but the kernel contract is
-        # enforced here, not assumed
-        .filter((F.size("__fa") == dim) & (F.size("__fb") == dim))
-        .select("doc_a", "doc_b", "__fa", "__fb", "__na", "__nb")
-    )
+    # per-cell matmul kernel: each doc ships ONCE per cell (the pair
+    # join shipped both dense vectors per PAIR — 2|pairs| vectors vs
+    # |cell| here; measured 4.8 s -> see PLANS.md).  Within a cell the
+    # full int64 Gram matrix A@A.T decides the exact threshold; output
+    # only the surviving (upper-triangle) pairs.
+    import numpy as np
+    import pandas as pd
+
+    id_field = [f for f in cells.schema.fields if f.name == id_col][0]
     out_schema = T.StructType(
-        [f for f in pairs.schema.fields if f.name not in ("__fa", "__fb")]
-        + [T.StructField("dot", T.LongType())]
+        [
+            T.StructField("doc_a", id_field.dataType),
+            T.StructField("doc_b", id_field.dataType),
+            T.StructField("dot", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
     )
-    dotted = pairs.mapInPandas(
-        _rowwise_dot_kernel([f.name for f in out_schema.fields]), out_schema
-    )
-    return (
-        dotted.filter(
-            (F.col("dot") > 0)
-            & (
-                F.lit(10_000) * F.col("dot") * F.col("dot")
-                >= F.lit(q) * F.col("__na") * F.col("__nb")
-            )
+
+    def cell_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        ids = pdf[id_col].to_numpy()
+        A = np.asarray(pdf["feat"].tolist(), dtype=np.int64)
+        N = pdf["norm_sq"].to_numpy(dtype=np.int64)
+        D = A @ A.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        d = D[ia, ib]
+        keep = (d > 0) & (10_000 * d * d >= q * N[ia] * N[ib])
+        ia, ib, d = ia[keep], ib[keep], d[keep]
+        return pd.DataFrame(
+            {
+                "doc_a": ids[ia],
+                "doc_b": ids[ib],
+                "dot": d,
+                "cosine": d.astype(np.float64)
+                / np.sqrt((N[ia] * N[ib]).astype(np.float64)),
+            }
         )
-        .select(
-            "doc_a",
-            "doc_b",
-            "dot",
-            (
-                F.col("dot").cast("double")
-                / F.sqrt((F.col("__na") * F.col("__nb")).cast("double"))
-            ).alias("cosine"),
-        )
-    )
+
+    guarded = cells.filter(
+        F.col("feat").isNotNull() & (F.size("feat") == dim)
+    ).select(id_col, "feat", "norm_sq", "__cell", "__sub")
+    return guarded.groupBy("__cell", "__sub").applyInPandas(cell_fn, out_schema)
 
 
 def semantic_decontaminate(
