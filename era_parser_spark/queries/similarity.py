@@ -810,7 +810,8 @@ _S15_H = "CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)"
     # max-|v| bucket (abs DESC, b ASC — identical to Spark's dense
     # array_position tie-break since zeros can never win); dot via a
     # shared-bucket join over the SPARSE rows (same integer as the
-    # engine's dense zip_with fold); threshold decided in exact BIGINT.
+    # engine's per-cell int64 Gram matmul); threshold decided in exact
+    # BIGINT.
     oracle=f"""
     WITH ex AS (SELECT doc_id, unnest({_S15_TOK}) AS t FROM documents),
     s AS (
