@@ -534,7 +534,9 @@ def snapshot_diff(
     outer join shuffles (id, 32-hex digest) — never document bodies;
     at 100 TB the diff costs two digest scans + one id-keyed exchange
     per side.  Null text and empty text digest differently on purpose
-    (absence vs emptiness is a real change).
+    (absence vs emptiness is a real change); the null sentinel is the
+    string '\x00null', so a document whose REAL text equals that
+    6-char string aliases null — the accepted-collision class.
 
     Returns (id, status, old_digest, new_digest).
     """

@@ -416,9 +416,12 @@ def triangle_count(
     )
     e1 = oriented.select(F.col("s").alias("a"), F.col("t").alias("b"))
     e2 = oriented.select(F.col("s").alias("a"), F.col("t").alias("c"))
-    # both wedge legs leave the SAME oriented node, ordered by the
-    # closure edge's orientation rank; the closing edge, if present,
-    # is oriented b -> c because ranks are a total order
+    # both wedge legs leave the SAME oriented node; the pair (b, c) is
+    # ordered by NAME, which says nothing about the closing edge's
+    # (degree, node)-rank orientation — it can run b->c OR c->b, which
+    # is exactly why BOTH closure joins below are required (dropping
+    # tri_cb would undercount every triangle whose closing edge is
+    # rank-oriented c->b)
     wedges = e1.join(e2, "a").filter(F.col("b") < F.col("c"))
     bc = oriented.select(F.col("s").alias("b"), F.col("t").alias("c"))
     tri_bc = wedges.join(bc, ["b", "c"])

@@ -325,15 +325,25 @@ def kmv_intersection(
 _HLL_ALPHA_NUM: dict[int, float] = {}
 
 
-def _hll_numerator(m: int) -> float:
-    """alpha_m * m^2 * 2^51 as ONE Python float, embedded verbatim on
-    both engine sides so the raw estimate is a single identical IEEE
-    division (m^2 * 2^51 is a power of two — exactly representable; the
-    product is computed once HERE, not re-derived per engine)."""
-    if m not in _HLL_ALPHA_NUM:
+def _hll_shift(p: int) -> int:
+    """The harmonic-sum scaling exponent: w = h >> p has 60-p bits, so
+    rho ranges 1..(60-p)+1 and 2^(61-p-rho) is integral for every
+    register value — 51 at the default p=10.  EVERY bit constant in
+    the HLL pair derives from this (the p!=10-silently-biased review
+    finding)."""
+    return 61 - p
+
+
+def _hll_numerator(m: int, p: int) -> float:
+    """alpha_m * m^2 * 2^shift as ONE Python float, embedded verbatim
+    on both engine sides so the raw estimate is a single identical IEEE
+    division (m^2 * 2^shift is a power of two — exactly representable;
+    the product is computed once HERE, not re-derived per engine)."""
+    key = (m, p)
+    if key not in _HLL_ALPHA_NUM:
         alpha = 0.7213 / (1 + 1.079 / m)
-        _HLL_ALPHA_NUM[m] = alpha * (m * m) * float(1 << 51)
-    return _HLL_ALPHA_NUM[m]
+        _HLL_ALPHA_NUM[key] = alpha * (m * m) * float(1 << _hll_shift(p))
+    return _HLL_ALPHA_NUM[key]
 
 
 def hll_distinct(
@@ -375,27 +385,32 @@ def hll_distinct(
     from era_parser_spark.operators.dedup import md5_60bit
 
     m = 1 << p
+    sh = _hll_shift(p)
     h = md5_60bit(F.col(value_col).cast("string"))
     w = F.shiftright(h, p)
     bits = F.when(w == 0, F.lit(0)).otherwise(F.length(F.bin(w)))
-    rho = (F.lit(51) - bits).alias("__rho")
+    rho = (F.lit(sh) - bits).alias("__rho")
     regs = (
-        df.select(F.col(group_col), F.pmod(h, F.lit(m)).alias("__j"), rho)
+        # NULL values are excluded, matching count(DISTINCT)'s contract
+        # (a NULL hash would otherwise mint a phantom register counted
+        # present but contributing nothing to the harmonic sum)
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.col(group_col), F.pmod(h, F.lit(m)).alias("__j"), rho)
         .groupBy(group_col, "__j")
         .agg(F.max("__rho").alias("__r"))
     )
     per = regs.groupBy(group_col).agg(
-        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(51 - __r AS INT))")).alias(
-            "__s_present"
-        ),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({sh} - __r AS INT))")
+        ).alias("__s_present"),
         F.count(F.lit(1)).alias("n_present_registers"),
     )
     s_total = (
         F.col("__s_present")
-        + (F.lit(m) - F.col("n_present_registers")) * F.lit(1 << 51)
+        + (F.lit(m) - F.col("n_present_registers")) * F.lit(1 << sh)
     )
     v = (F.lit(m) - F.col("n_present_registers")).alias("n_zero_registers")
-    est_raw = F.lit(_hll_numerator(m)) / s_total.cast("double")
+    est_raw = F.lit(_hll_numerator(m, p)) / s_total.cast("double")
     linear = F.lit(float(m)) * F.log(
         F.lit(float(m)) / F.col("n_zero_registers").cast("double")
     )
@@ -445,14 +460,16 @@ def hll_sliding_distinct(
     from era_parser_spark.operators.dedup import md5_60bit
 
     m = 1 << p
+    sh = _hll_shift(p)
     h = md5_60bit(F.col(value_col).cast("string"))
     w = F.shiftright(h, p)
     bits = F.when(w == 0, F.lit(0)).otherwise(F.length(F.bin(w)))
     daily = (
-        df.select(
+        df.filter(F.col(value_col).isNotNull())
+        .select(
             day_col.alias("day"),
             F.pmod(h, F.lit(m)).alias("__j"),
-            (F.lit(51) - bits).alias("__rho"),
+            (F.lit(sh) - bits).alias("__rho"),
         )
         .groupBy("day", "__j")
         .agg(F.max("__rho").alias("__r"))
@@ -471,15 +488,15 @@ def hll_sliding_distinct(
     merged = fanned.groupBy("day_t", "__j").agg(F.max("__r").alias("__r"))
     per = merged.groupBy("day_t").agg(
         F.sum(
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(51 - __r AS INT))")
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({sh} - __r AS INT))")
         ).alias("__s_present"),
         F.count(F.lit(1)).alias("n_present_registers"),
     )
     s_total = (
         F.col("__s_present")
-        + (F.lit(m) - F.col("n_present_registers")) * F.lit(1 << 51)
+        + (F.lit(m) - F.col("n_present_registers")) * F.lit(1 << sh)
     )
-    est_raw = F.lit(_hll_numerator(m)) / s_total.cast("double")
+    est_raw = F.lit(_hll_numerator(m, p)) / s_total.cast("double")
     linear = F.lit(float(m)) * F.log(
         F.lit(float(m)) / (F.lit(m) - F.col("n_present_registers")).cast("double")
     )

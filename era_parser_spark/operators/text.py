@@ -1430,12 +1430,18 @@ def hash_embed(
     token multiset, bit-identical in SQL (oracle-EXACT, unlike any
     trained embedding).
 
-    Plan: ONE shuffle carrying (id, bucket, signed-count) longs
-    (map-side combined); norm_sq folds JVM-side over the sparse
-    (bucket, v) rows BEFORE densifying, so the per-row HOF fold is
-    only the dim-element densify transform.  Docs with no tokens
-    embed to the zero vector (present, not absent).  Returns
-    (id, feat array<bigint>, norm_sq bigint).
+    Plan: TWO long-only map-side-combined exchanges — (id, bucket)
+    partial sums, then the per-doc densify — and NO join operator:
+    a per-doc null-bucket sentinel row (id-only pruned second scan)
+    rides the same aggregation, so empty docs surface as the zero
+    vector without joining the dense vectors back (at scale that join
+    shuffles a map+array per doc — the first formulation's third
+    exchange; an explode_outer variant avoided the second scan but
+    paid ~30% scan-stage CPU in per-token null branches — both
+    measured, docs/PLANS.md).  norm_sq folds JVM-side over the sparse
+    (bucket, v) rows BEFORE densifying, so the per-row HOF work is
+    only the dim-element densify transform.  Returns (id, feat
+    array<bigint>, norm_sq bigint).
     """
     from era_parser_spark.operators.dedup import md5_60bit
 
@@ -1452,25 +1458,41 @@ def hash_embed(
         .cast("long")
         .alias("__s"),
     )
-    cnt = signed.groupBy(id_col, "__b").agg(F.sum("__s").alias("__v"))
+    # one null-bucket sentinel row per doc rides the SAME aggregation,
+    # so empty docs surface as the zero vector with NO dense-vector
+    # join-back (at scale that join shuffles a map+array per doc; the
+    # sentinel union costs one id-only pruned scan and |docs| tiny
+    # rows) and NO per-token null branches (the explode_outer variant
+    # measured ~30% slower at the scan stage)
+    sentinel = df.select(
+        F.col(id_col),
+        F.lit(None).cast("int").alias("__b"),
+        F.lit(None).cast("long").alias("__s"),
+    )
+    cnt = (
+        signed.unionByName(sentinel)
+        .groupBy(id_col, "__b")
+        .agg(F.sum("__s").alias("__v"))
+    )
     dense = cnt.groupBy(id_col).agg(
+        # collect_list skips the null-bucket row, so empty docs yield an
+        # empty map (every doc still has its dense row)
         F.map_from_entries(
-            F.collect_list(F.struct(F.col("__b"), F.col("__v")))
+            F.collect_list(
+                F.when(
+                    F.col("__b").isNotNull(), F.struct(F.col("__b"), F.col("__v"))
+                )
+            )
         ).alias("__m"),
-        F.sum(F.col("__v") * F.col("__v")).alias("__n2"),
+        F.coalesce(
+            F.sum(F.col("__v") * F.col("__v")), F.lit(0).cast("long")
+        ).alias("norm_sq"),
     )
     feat = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda i: F.coalesce(F.element_at(F.col("__m"), i), F.lit(0).cast("long")),
     )
-    base = df.select(F.col(id_col)).join(dense, id_col, "left")
-    return base.select(
-        id_col,
-        F.coalesce(
-            feat, F.array_repeat(F.lit(0).cast("long"), dim)
-        ).alias("feat"),
-        F.coalesce(F.col("__n2"), F.lit(0).cast("long")).alias("norm_sq"),
-    )
+    return dense.select(F.col(id_col), feat.alias("feat"), "norm_sq")
 
 
 def readability_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -1651,12 +1673,10 @@ def c4_rules(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
     n_sent = F.size(F.regexp_extract_all(text, F.lit("[.!?]+"), 0)).cast("long")
     tok = tokens_col(text)
-    has_bad = F.size(
-        F.filter(
-            F.array(*[F.lit(w) for w in _BAD]),
-            lambda w: F.array_contains(tok, w),
-        )
-    ) > 0
+    # arrays_overlap: ONE codegen'd split — an HOF filter referencing
+    # tok would re-evaluate the whole-page split per blocklist word
+    # (the interpreted-HOF rule)
+    has_bad = F.arrays_overlap(tok, F.array(*[F.lit(w) for w in _BAD]))
     has_lorem = F.contains(F.lower(text), F.lit("lorem ipsum"))
     has_brace = F.contains(text, F.lit("{"))
     return df.select(

@@ -1595,7 +1595,7 @@ def x32_triangle_count(spark, sf_dir):
       SELECT event_type,
              CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
                   AS BIGINT) AS h
-      FROM events
+      FROM events WHERE user_id IS NOT NULL
     ),
     r AS (
       SELECT event_type, h % 1024 AS j,
@@ -1650,7 +1650,7 @@ def x33_hll_distinct(spark, sf_dir):
       SELECT CAST(ts AS DATE) AS day,
              CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
                   AS BIGINT) AS h
-      FROM events
+      FROM events WHERE user_id IS NOT NULL
     ),
     r AS (SELECT day, h % 1024 AS j,
                  51 - length(ltrim(bin(h >> 10), '0')) AS rho FROM h),

@@ -606,13 +606,14 @@ def p13_corpus_report(spark, sf_dir):
     # Digest compare is md5 on both sides.
     oracle="""
     WITH old AS (
-      SELECT doc_id, md5(text) AS old_digest FROM documents
-      WHERE doc_id % 11 <> 3
+      SELECT doc_id, md5(COALESCE(text, chr(0) || 'null')) AS old_digest
+      FROM documents WHERE doc_id % 11 <> 3
     ),
     new AS (
       SELECT doc_id,
-             md5(CASE WHEN doc_id % 13 = 0
-                      THEN text || ' [rev2]' ELSE text END) AS new_digest
+             md5(COALESCE(CASE WHEN doc_id % 13 = 0
+                               THEN text || ' [rev2]' ELSE text END,
+                          chr(0) || 'null')) AS new_digest
       FROM documents WHERE doc_id % 7 <> 0
     )
     SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,

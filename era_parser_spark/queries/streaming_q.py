@@ -627,15 +627,16 @@ def st12_stream_window_funnel(spark, sf_dir):
 
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream_dir = _stream_src_dir("st12", sf_dir)
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .parquet(stream_dir)
-        .select(
-            "user_id",
-            "event_id",
-            "event_type",
-            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
-        )
+    s = spark.readStream.schema(raw_schema).parquet(stream_dir)
+    # the bigint-nanos guard every ts-reading st sibling applies (a raw
+    # nanos column cast straight to timestamp reads as SECONDS)
+    if dict(s.dtypes).get("ts") == "bigint":
+        s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = s.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
     )
     return run_stream_once(
         funnel_monitor(stream), f"st12_{uuid.uuid4().hex[:8]}"

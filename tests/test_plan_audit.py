@@ -680,3 +680,21 @@ def test_gopher_repetition_single_gram_exchange(spark, queries):
     gram_ex = [e for e in exchanges if "__n#" in e and "__g#" not in e]
     assert len(gram_ex) == 1 and len(exchanges) == 2
     assert not any("__g#" in e for e in exchanges)  # grams never re-keyed
+
+
+def test_hash_embed_two_exchanges_no_join(spark, queries):
+    """t26: the per-doc sentinel union means NO join operator and
+    exactly two long-only exchanges ((id,bucket) then (id)); the
+    sentinel's second scan is pruned to the id column alone (the
+    first formulation's join-back shuffled the dense vectors — a
+    third exchange)."""
+    import re
+
+    from era_parser_spark.plans import read_schema_columns
+
+    df = queries["t26_hash_embed"](spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
+    assert "Join" not in plan
+    scans = read_schema_columns(df)
+    assert len(scans) == 2 and {"doc_id"} in scans  # sentinel scan id-only

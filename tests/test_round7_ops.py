@@ -1690,17 +1690,21 @@ def test_hll_distinct_matches_python_twin_and_accuracy(spark):
     import hashlib
     import math
 
-    from era_parser_spark.operators.sketch import _hll_numerator, hll_distinct
+    from era_parser_spark.operators.sketch import (
+        _hll_numerator,
+        _hll_shift,
+        hll_distinct,
+    )
 
     def twin(vals, p=10):
-        m = 1 << p
+        m, sh = 1 << p, _hll_shift(p)
         regs = [0] * m
         for v in set(vals):
             h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
-            regs[h % m] = max(regs[h % m], 51 - (h >> p).bit_length())
-        s = sum(1 << (51 - r) for r in regs)
+            regs[h % m] = max(regs[h % m], sh - (h >> p).bit_length())
+        s = sum(1 << (sh - r) for r in regs)
         v0 = regs.count(0)
-        raw = _hll_numerator(m) / s
+        raw = _hll_numerator(m, p) / s
         n_present = m - v0
         est = m * math.log(m / v0) if (raw <= 2.5 * m and v0 > 0) else raw
         return n_present, v0, raw, est
@@ -1723,6 +1727,16 @@ def test_hll_distinct_matches_python_twin_and_accuracy(spark):
     out2 = {r.grp: r for r in hll_distinct(df2, "grp", "val", p=10).collect()}
     for g in truth:
         assert out2[g].est_distinct == out[g].est_distinct
+    # non-default p must use the matching bit constants (the review
+    # finding: hardcoded 51s silently biased any p != 10), and NULL
+    # values are ignored like count(DISTINCT)
+    rows8 = [("g", i % 150) for i in range(1000)] + [("g", None)]
+    df8 = spark.createDataFrame(rows8, "grp string, val long")
+    r8 = hll_distinct(df8, "grp", "val", p=8).collect()[0]
+    npres8, v08, raw8, est8 = twin({v for _, v in rows8 if v is not None}, p=8)
+    assert (r8.n_present_registers, r8.n_zero_registers) == (npres8, v08)
+    assert r8.est_raw == raw8
+    assert abs(r8.est_distinct - 150) / 150 < 0.15
 
 
 def test_stream_window_funnel_levels_across_microbatches(spark, tmp_path_factory):
