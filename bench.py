@@ -92,6 +92,7 @@ HEADLINE = [
     "t28_c4_rules",
     "t29_gopher_repetition",
     "x34_hll_sliding",
+    "p15_curation_v3",
 ]
 
 

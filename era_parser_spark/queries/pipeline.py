@@ -641,3 +641,180 @@ def p14_snapshot_diff(spark, sf_dir):
         .alias("text"),
     )
     return snapshot_diff(old, new, "doc_id", "text")
+
+
+_P15_H = "CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)"
+
+
+def _p15_oracle() -> str:
+    """Curation v3 as one SQL program: the dd16, t20(p12), dd17, and p9
+    oracle fragments chained — each stage re-tokenizes its predecessor's
+    output exactly as the engine does."""
+    tok_ctext = "regexp_split_to_array(trim(lower(coalesce(ctext, ''))), '\\s+')"
+    tok_text = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+    return f"""
+    WITH tokd AS (SELECT doc_id, {tok_text} AS tok FROM documents),
+    grams AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             array_to_string(tok[CAST(i + 1 AS INTEGER) : CAST(i + 8 AS INTEGER)], ' ') AS gram
+      FROM tokd, unnest(range(0, len(tok) - 7)) AS u(i)
+    ),
+    hot AS (SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) > 100),
+    j AS (SELECT * FROM grams ANTI JOIN hot USING (gram)),
+    mm AS (
+      SELECT a.doc_id doc_a, b.doc_id doc_b, a.pos pa, b.pos pb,
+             a.pos - b.pos AS diag
+      FROM j a JOIN j b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    ),
+    isl AS (
+      SELECT doc_a, doc_b, pa, pb, diag,
+             pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa)
+               AS grp
+      FROM mm
+    ),
+    spans AS (
+      SELECT doc_a, doc_b, min(pb) AS start_b,
+             CAST(max(pa) - min(pa) + 8 AS BIGINT) AS span_tokens
+      FROM isl GROUP BY doc_a, doc_b, diag, grp
+      HAVING span_tokens >= 12
+    ),
+    masked AS (
+      SELECT DISTINCT doc_b AS doc_id, CAST(u.p AS BIGINT) AS pos
+      FROM spans, unnest(range(start_b, start_b + span_tokens)) AS u(p)
+    ),
+    toks AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos, tok[CAST(i + 1 AS INTEGER)] AS tk
+      FROM tokd, unnest(range(0, len(tok))) AS u(i)
+    ),
+    kept AS (SELECT tx.* FROM toks tx ANTI JOIN masked USING (doc_id, pos)),
+    aggk AS (
+      SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS clean_text,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    ),
+    cleaned AS (
+      SELECT tokd.doc_id,
+             CAST(len(tok) - COALESCE(n_kept, 0) AS BIGINT) AS n_removed,
+             COALESCE(clean_text, '') AS ctext
+      FROM tokd LEFT JOIN aggk USING (doc_id)
+    ),
+    m AS (
+      SELECT doc_id, n_removed, ctext, coalesce(ctext, '') AS t,
+             {tok_ctext} AS tok,
+             string_split(coalesce(ctext, ''), chr(10)) AS ln
+      FROM cleaned WHERE doc_id % 17 <> 0
+    ),
+    g AS (
+      SELECT doc_id, n_removed, ctext,
+        CAST(len(tok) AS BIGINT) AS n_words,
+        CAST(list_sum(list_transform(tok, x -> length(x))) AS DOUBLE)
+          / len(tok) AS mean_word_len,
+        CAST((length(t) - length(replace(t, '#', '')))
+             + (length(t) - length(replace(t, '...', ''))) // 3
+             + (length(t) - length(replace(t, '…', ''))) AS DOUBLE)
+          / len(tok) AS symbol_word_ratio,
+        CAST(len(list_filter(ln,
+               l -> substr(ltrim(l), 1, 1) IN ('-', '*', '•'))) AS DOUBLE)
+          / len(ln) AS bullet_line_frac,
+        CAST(len(list_filter(ln,
+               l -> ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…')))
+             AS DOUBLE) / len(ln) AS ellipsis_line_frac,
+        CAST(len(list_filter(tok, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+          / len(tok) AS alpha_word_frac,
+        CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+               w -> list_contains(tok, w))) AS BIGINT) AS n_req
+      FROM m
+    ),
+    surv AS (
+      SELECT doc_id, n_removed, ctext FROM g
+      WHERE n_words >= 40 AND n_words <= 100000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND symbol_word_ratio <= 0.1
+        AND bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3
+        AND alpha_word_frac >= 0.8 AND n_req >= 1
+    ),
+    exs AS (SELECT doc_id, unnest({tok_ctext}) AS t FROM surv),
+    exb AS (SELECT doc_id, unnest({tok_text}) AS t FROM documents
+            WHERE doc_id % 17 = 0),
+    cs AS (SELECT doc_id, CAST({_P15_H} % 64 AS INTEGER) AS b,
+                  CAST(SUM(CASE WHEN (({_P15_H} >> 30) % 2) = 0
+                                THEN 1 ELSE -1 END) AS BIGINT) AS v
+           FROM exs WHERE t <> '' GROUP BY doc_id, b),
+    cb AS (SELECT doc_id, CAST({_P15_H} % 64 AS INTEGER) AS b,
+                  CAST(SUM(CASE WHEN (({_P15_H} >> 30) % 2) = 0
+                                THEN 1 ELSE -1 END) AS BIGINT) AS v
+           FROM exb WHERE t <> '' GROUP BY doc_id, b),
+    sts AS (SELECT doc_id, CAST(SUM(v * v) AS BIGINT) AS n2
+            FROM cs GROUP BY doc_id),
+    stb AS (SELECT doc_id, CAST(SUM(v * v) AS BIGINT) AS n2
+            FROM cb GROUP BY doc_id),
+    dots AS (
+      SELECT x.doc_id AS t_id, y.doc_id AS b_id,
+             CAST(SUM(x.v * y.v) AS BIGINT) AS dot
+      FROM cs x JOIN cb y ON x.b = y.b GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT d.t_id, (10000 * d.dot * d.dot) // (st.n2 * sb.n2) AS cq
+      FROM dots d JOIN sts st ON st.doc_id = d.t_id
+                  JOIN stb sb ON sb.doc_id = d.b_id
+      WHERE d.dot > 0 AND st.n2 > 0 AND sb.n2 > 0
+    ),
+    hits AS (SELECT t_id, count(*) AS n_hits FROM scored
+             WHERE cq >= 8100 GROUP BY t_id),
+    clean2 AS (
+      SELECT s.doc_id, s.n_removed
+      FROM surv s LEFT JOIN hits ON hits.t_id = s.doc_id
+      WHERE COALESCE(n_hits, 0) = 0
+    )
+    SELECT doc_id, n_removed,
+           CASE
+             WHEN (((doc_id % 4294967296 + 4294967296) % 4294967296)
+                   * CAST(2654435761 AS HUGEINT)) % 4294967296
+                  < CAST(floor(0.8 * 4294967296) AS BIGINT) THEN 'train'
+             WHEN (((doc_id % 4294967296 + 4294967296) % 4294967296)
+                   * CAST(2654435761 AS HUGEINT)) % 4294967296
+                  < CAST(floor(0.9 * 4294967296) AS BIGINT) THEN 'val'
+             ELSE 'test'
+           END AS split
+    FROM clean2
+    """
+
+
+@register("p15_curation_v3", oracle=_p15_oracle())
+def p15_curation_v3(spark, sf_dir):
+    """Curation pipeline v3 — the session-3 stages composed end to end,
+    each stage consuming its predecessor's REWRITTEN text: ExactSubstr
+    cut (dd16: keep the min-id copy of every shared >= 12-token run) ->
+    Gopher A1.1 gate over the cleaned text (t20, p12's thresholds) ->
+    embedding-space decontamination of survivors against the untouched
+    %17=0 bench slice (dd17: broadcast bench matrix, join-free screen)
+    -> leakage-free Knuth split (p9).  Output: (doc_id, n_removed,
+    split) for the surviving corpus — the whole program oracle-exact,
+    including the cut text feeding downstream tokenizers."""
+    from era_parser_spark.operators.curation import split_assign
+    from era_parser_spark.operators.dedup import remove_shared_spans
+    from era_parser_spark.operators.similarity import semantic_decontaminate
+    from era_parser_spark.operators.text import gopher_quality_flags
+
+    docs = table(spark, sf_dir, "documents")
+    cut = remove_shared_spans(docs, "doc_id", "text", l=8, min_span_tokens=12)
+    train0 = cut.filter(F.col("doc_id") % 17 != 0).select(
+        "doc_id", "n_removed", F.col("clean_text").alias("text")
+    )
+    flags = gopher_quality_flags(
+        train0,
+        "doc_id",
+        "text",
+        min_words=40,
+        min_required_stopwords=1,
+        keep_cols=("text", "n_removed"),
+    )
+    surv = flags.filter(F.col("gopher_keep")).select("doc_id", "n_removed", "text")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    dec = semantic_decontaminate(surv, bench, "doc_id", "text", dim=64, min_cos=0.9)
+    clean = surv.join(
+        dec.filter(~F.col("contaminated")).select("doc_id"), "doc_id"
+    )
+    return split_assign(
+        clean, "doc_id", [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    ).select("doc_id", "n_removed", "split")

@@ -1949,3 +1949,42 @@ def test_hll_sliding_merge_equals_window_rebuild(spark):
     one = df.filter(F.col("day") == d0).select(F.lit("w").alias("g"), "val")
     r1 = hll_distinct(one, "g", "val", p=10).collect()[0]
     assert slid[str(d0)].est_distinct == r1.est_distinct
+
+
+def test_curation_v3_stage_composition(spark):
+    """p15: a verbatim bench clone dies at the semantic screen, a short
+    doc dies at the Gopher gate, a doc sharing a long run with a
+    lower-id doc loses exactly that run, and clean docs survive with a
+    split label."""
+    import era_parser_spark.queries.pipeline as P
+    from era_parser_spark.queries.registry import QUERIES
+
+    def words(prefix, n, stop=("the", "of")):
+        ws = [f"{prefix}{i:02d}" for i in range(n - len(stop))]
+        return " ".join(list(stop) + ws)
+
+    bench_text = words("bench", 45)
+    run = " ".join(f"shared{i:02d}" for i in range(14))
+    rows = [
+        (17, bench_text),                          # bench slice (17 % 17 == 0)
+        (1, bench_text),                           # clone -> semantic screen
+        (2, "the of xx"),                          # too short -> Gopher gate
+        (3, words("clean", 45)),                   # survives untouched
+        (4, words("fill", 30) + " " + run),        # keeps its copy (min id)
+        (5, words("other", 46) + " " + run),       # loses the run (14 tokens)
+    ]
+    ev = spark.createDataFrame(rows, "doc_id long, text string")
+    orig = P.table
+    try:
+        P.table = lambda spark, sf_dir, name: ev
+        out = {
+            r.doc_id: r for r in QUERIES["p15_curation_v3"](spark, "x").collect()
+        }
+    finally:
+        P.table = orig
+    assert 17 not in out                           # bench never in output
+    assert 1 not in out                            # clone screened out
+    assert 2 not in out                            # Gopher-gated
+    assert out[3].n_removed == 0 and out[3].split in ("train", "val", "test")
+    assert out[4].n_removed == 0
+    assert out[5].n_removed == 14
