@@ -93,6 +93,9 @@ HEADLINE = [
     "t29_gopher_repetition",
     "x34_hll_sliding",
     "p15_curation_v3",
+    # round-7 session-4 additions
+    "s16_kmeans_lloyd",
+    "dd18_semdedup_kmeans",
 ]
 
 

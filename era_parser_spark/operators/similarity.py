@@ -1892,3 +1892,282 @@ def semantic_decontaminate(
         F.col("feat").isNotNull() & (F.size("feat") == dim)
     )
     return guarded.mapInPandas(fn, out_schema)
+
+
+def _quantized_vectors(
+    df: DataFrame, id_col: str, vec_col: str, quant: int, dim: int
+) -> DataFrame:
+    """(id, q array<bigint>) with q[d] = floor(v[d] * quant) — the
+    label_centroids quantization, applied element-wise so every
+    downstream distance/dot is exact int64.  Malformed rows (null
+    vector, wrong size, null elements) are filtered JVM-SIDE before any
+    numpy kernel sees them (an object-dtype matrix kills the task — the
+    srp_signatures lesson)."""
+    q = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.floor(x * quant).cast("long"),
+    )
+    return (
+        df.filter(
+            F.col(vec_col).isNotNull()
+            & (F.size(vec_col) == dim)
+            & ~F.exists(vec_col, lambda x: x.isNull())
+        )
+        .select(F.col(id_col), q.alias("__q"))
+    )
+
+
+def _lloyd_assign(Q: np.ndarray, C: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Exact int64 argmin assignment: d2[i,j] = ||Q[i]-C[j]||^2 via the
+    expansion |q|^2 - 2qC + |c|^2 (every term int64; overflow bounds are
+    the caller's documented quant contract).  np.argmin returns the FIRST
+    minimum — centroid rows are kept sorted by cluster id, so ties break
+    to the smallest cid exactly like the SQL twin's ORDER BY (d2, cid)."""
+    qq = np.einsum("ij,ij->i", Q, Q)
+    cc = np.einsum("ij,ij->i", C, C)
+    d2 = qq[:, None] - 2 * (Q @ C.T) + cc[None, :]
+    j = np.argmin(d2, axis=1)
+    return j, d2[np.arange(len(j)), j]
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 2,
+    quant: int = 1_000_000,
+    dim: int | None = None,
+    keep_vec: bool = False,
+) -> DataFrame:
+    """Distributed Lloyd's k-means over the FULL corpus with exact
+    integer arithmetic — bit-identical assignments in plain SQL.
+
+    This is the missing third shape next to centroid_table's trainers:
+    "stride" is deterministic but untrained, "kmeans" (Spark ML) is
+    trained but on a bounded driver-side sample with float math nobody
+    can oracle.  Here every vector is quantized (q = floor(v*quant),
+    the label_centroids rule), the init is the k smallest ids'
+    vectors, each of ``iters`` Lloyd updates recomputes centroids as
+    exact integer floor-division means, and the final assignment
+    reports exact int64 squared distances — so the whole TRAINED model
+    is reproducible in DuckDB CTEs and the operator carries a full
+    value oracle (no other engine's k-means can say that).
+
+    Scale shape (the reason Lloyd's fits Spark so well):
+      * assignment is an Arrow-batched numpy int64 matmul per batch
+        against a BROADCAST (k x dim) centroid array — the corpus
+        never shuffles;
+      * the update is the canonical map-side-combined partial-sum
+        aggregation: each task emits k x dim (cluster, dim, psum,
+        pcnt) partials, the shuffle carries k x dim rows per task, and
+        only the k x dim totals reach the driver (the tiny-artifact
+        collect precedent of pq_codebook);
+      * per iteration: one corpus scan + one k*dim-row shuffle.  At
+        100 TB the caller should persist the quantized projection
+        (id + ints) to pay the parquet decode once across iterations.
+
+    Exactness contract: |v| * quant must stay below sqrt(2^62 / dim)
+    so the d2 expansion cannot overflow int64 (quant=1e6, dim=4096,
+    unit vectors -> 2e15 max term: fine).  Centroid update is
+    floor(sum/n) — numpy's floor division; the SQL twin uses the
+    positive-mod identity (s - ((s%n + n)%n)) // n because DuckDB's
+    `//` truncates toward zero.  Empty clusters drop out (standard
+    Lloyd hazard); surviving clusters KEEP their original index, and
+    argmin ties break to the smallest cluster id on both sides.
+
+    Returns (id, cluster int, dist_sq bigint [, __q array<bigint> when
+    keep_vec]) — dist_sq is vs the FINAL (post-update) centroids.
+    """
+    from pyspark.sql import types as T
+
+    if iters < 0:
+        raise ValueError(f"iters must be >= 0, got {iters}")
+    if dim is None:
+        dim = _mode_dim(df, vec_col)
+    if dim is None:
+        raise ValueError("kmeans_lloyd: no non-null vectors to infer dim from")
+    base = _quantized_vectors(df, id_col, vec_col, quant, dim)
+
+    init = base.orderBy(id_col).limit(k).collect()
+    if not init:
+        raise ValueError("kmeans_lloyd: empty input")
+    cids = np.arange(len(init), dtype=np.int64)
+    C = np.asarray([r["__q"] for r in init], dtype=np.int64)
+
+    part_schema = T.StructType(
+        [
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("dim", T.IntegerType()),
+            T.StructField("psum", T.LongType()),
+            T.StructField("pcnt", T.LongType()),
+        ]
+    )
+
+    def _partials_fn(C_arr: np.ndarray, cid_arr: np.ndarray):
+        def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            kk, d = C_arr.shape
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                Q = np.asarray(pdf["__q"].tolist(), dtype=np.int64)
+                j, _ = _lloyd_assign(Q, C_arr)
+                S = np.zeros((kk, d), dtype=np.int64)
+                np.add.at(S, j, Q)
+                n = np.bincount(j, minlength=kk).astype(np.int64)
+                live = np.flatnonzero(n)
+                if len(live) == 0:
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "cluster": np.repeat(cid_arr[live], d).astype(np.int32),
+                        "dim": np.tile(np.arange(d, dtype=np.int32), len(live)),
+                        "psum": S[live].ravel(),
+                        "pcnt": np.repeat(n[live], d),
+                    }
+                )
+
+        return fn
+
+    for _ in range(iters):
+        rows = (
+            base.mapInPandas(_partials_fn(C, cids), part_schema)
+            .groupBy("cluster", "dim")
+            .agg(F.sum("psum").alias("s"), F.sum("pcnt").alias("n"))
+            .collect()
+        )
+        sums: dict[int, np.ndarray] = {}
+        counts: dict[int, int] = {}
+        for r in rows:
+            v = sums.setdefault(int(r["cluster"]), np.zeros(dim, dtype=np.int64))
+            v[int(r["dim"])] = int(r["s"])
+            counts[int(r["cluster"])] = int(r["n"])
+        live_cids = sorted(sums)
+        cids = np.asarray(live_cids, dtype=np.int64)
+        C = np.stack(
+            [sums[c] // counts[c] for c in live_cids]
+        )  # numpy int64 // is floor division — the SQL twin's identity
+
+    id_field = [f for f in df.schema.fields if f.name == id_col][0]
+    out_fields = [
+        T.StructField(id_col, id_field.dataType),
+        T.StructField("cluster", T.IntegerType()),
+        T.StructField("dist_sq", T.LongType()),
+    ]
+    if keep_vec:
+        out_fields.append(T.StructField("__q", T.ArrayType(T.LongType())))
+    out_schema = T.StructType(out_fields)
+
+    def _final_fn(C_arr: np.ndarray, cid_arr: np.ndarray):
+        def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                Q = np.asarray(pdf["__q"].tolist(), dtype=np.int64)
+                j, d2 = _lloyd_assign(Q, C_arr)
+                out = {
+                    id_col: pdf[id_col].to_numpy(),
+                    "cluster": cid_arr[j].astype(np.int32),
+                    "dist_sq": d2,
+                }
+                if keep_vec:
+                    # positional, never index-aligned (a non-default batch
+                    # index would silently misalign against numpy columns)
+                    out["__q"] = pdf["__q"].reset_index(drop=True)
+                yield pd.DataFrame(out)
+
+        return fn
+
+    return base.mapInPandas(_final_fn(C, cids), out_schema)
+
+
+def semdedup_kmeans(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 2,
+    quant: int = 512,
+    min_cos: float = 0.9,
+    dim: int | None = None,
+) -> DataFrame:
+    """SemDeDup with LEARNED clusters — the paper's actual recipe
+    (Abbas et al. 2023, arXiv:2303.09540: k-means the embeddings, then
+    deduplicate within each cluster, keeping the example farthest from
+    the centroid).  dd8's semantic_dedup approximates the clustering
+    with hash cells; this operator runs the real Lloyd's step
+    (kmeans_lloyd — exact integer model) and applies the paper's
+    keeper rule with exact arithmetic end to end.
+
+    Within-cluster dedup is ONE Arrow-batched applyInPandas kernel per
+    cluster (the s15 per-cell Gram-matmul shape: each vector ships
+    once per cluster, never per pair): the int64 Gram matrix decides
+    cos >= min_cos exactly (1e4*dot^2 >= round(1e4*min_cos^2)*|a|^2*|b|^2
+    with dot > 0), and a row is removed iff some eps-neighbor is
+    STRICTLY farther from the final centroid (tie: smaller id wins the
+    keep) — so in a duplicate clique exactly the farthest survives,
+    the paper's "lowest similarity to centroid" rule, extended to
+    non-clique neighborhoods as local-maxima-survive (deterministic,
+    SQL-expressible: no greedy scan order to replicate).
+
+    Exactness bound: 1e4 * dot^2 must fit int64, so for |v| <= 1 keep
+    dim * quant^2 <= 3.0e7 (quant=512 at dim=64 -> 1.7e7: fine; the
+    coarser 9-bit quantization is the price of exact squared-dot
+    arithmetic — it is a DEDUP surface, not a retrieval one).
+    Per-cluster memory is O(|cluster|^2) for the Gram matrix; clone-
+    heavy corpora should run dd1/dd9 first (the dd8/s15 contract).
+
+    Returns (id, cluster, dist_sq, kept boolean) for every well-formed
+    input row; zero vectors have no defined cosine and are always kept.
+    """
+    from pyspark.sql import types as T
+
+    if dim is None:
+        dim = _mode_dim(df, vec_col)
+    if dim is None:
+        raise ValueError("semdedup_kmeans: no non-null vectors to infer dim from")
+    if dim * quant * quant > 30_000_000:
+        raise ValueError(
+            "semdedup_kmeans: dim * quant^2 must stay <= 3.0e7 so "
+            "1e4*dot^2 cannot overflow int64 for unit-bounded vectors; "
+            f"got dim={dim}, quant={quant}"
+        )
+    qthr = int(round(10_000 * min_cos * min_cos))
+    assigned = kmeans_lloyd(
+        df, id_col, vec_col, k=k, iters=iters, quant=quant, dim=dim, keep_vec=True
+    )
+
+    id_field = [f for f in df.schema.fields if f.name == id_col][0]
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_field.dataType),
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("dist_sq", T.LongType()),
+            T.StructField("kept", T.BooleanType()),
+        ]
+    )
+
+    def cluster_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        ids = pdf[id_col].to_numpy()
+        Q = np.asarray(pdf["__q"].tolist(), dtype=np.int64)
+        ds = pdf["dist_sq"].to_numpy(dtype=np.int64)
+        G = Q @ Q.T
+        N = np.diagonal(G).copy()
+        adj = (G > 0) & (10_000 * G * G >= qthr * np.outer(N, N))
+        np.fill_diagonal(adj, False)
+        # dominated[i] <=> exists eps-neighbor j with (ds_j, -id_j) > (ds_i, -id_i)
+        farther = (ds[None, :] > ds[:, None]) | (
+            (ds[None, :] == ds[:, None]) & (ids[None, :] < ids[:, None])
+        )
+        removed = (adj & farther).any(axis=1)
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "cluster": pdf["cluster"].to_numpy(),
+                "dist_sq": ds,
+                "kept": ~removed,
+            }
+        )
+
+    return assigned.groupBy("cluster").applyInPandas(cluster_fn, out_schema)

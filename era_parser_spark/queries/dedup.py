@@ -1293,3 +1293,58 @@ def dd17_semantic_decontaminate(spark, sf_dir):
     return semantic_decontaminate(
         train, bench, "doc_id", "text", dim=64, min_cos=0.9
     )
+
+
+def _dd18_oracle() -> str:
+    from era_parser_spark.queries.similarity import kmeans_lloyd_ctes
+
+    qthr = int(round(10_000 * 0.35 * 0.35))
+    return f"""
+    WITH {kmeans_lloyd_ctes(k=8, iters=2, quant=512)},
+    nrm AS (SELECT vec_id, sum(v * v) AS n2 FROM ex GROUP BY 1),
+    pr AS (
+      SELECT x.vec_id AS ia, y.vec_id AS ib, sum(ea.v * eb.v) AS dot
+      FROM a_fin x
+      JOIN a_fin y ON y.cid = x.cid AND y.vec_id > x.vec_id
+      JOIN ex ea ON ea.vec_id = x.vec_id
+      JOIN ex eb ON eb.vec_id = y.vec_id AND eb.dim = ea.dim
+      GROUP BY 1, 2
+    ),
+    dup AS (
+      SELECT ia, ib FROM pr
+      JOIN nrm na ON na.vec_id = ia
+      JOIN nrm nb ON nb.vec_id = ib
+      WHERE dot > 0 AND 10000 * dot * dot >= {qthr} * na.n2 * nb.n2
+    ),
+    edges AS (SELECT ia AS a, ib AS b FROM dup
+              UNION ALL SELECT ib, ia FROM dup),
+    rm AS (
+      SELECT DISTINCT e.a AS vec_id
+      FROM edges e
+      JOIN a_fin x ON x.vec_id = e.a
+      JOIN a_fin y ON y.vec_id = e.b
+      WHERE y.d2 > x.d2 OR (y.d2 = x.d2 AND y.vec_id < x.vec_id)
+    )
+    SELECT f.vec_id, f.cid AS cluster, CAST(f.d2 AS BIGINT) AS dist_sq,
+           rm.vec_id IS NULL AS kept
+    FROM a_fin f LEFT JOIN rm USING (vec_id)
+    """
+
+
+@register("dd18_semdedup_kmeans", oracle=_dd18_oracle())
+def dd18_semdedup_kmeans(spark, sf_dir):
+    """SemDeDup with LEARNED k-means clusters (Abbas et al. 2023) — the
+    paper's recipe where dd8 approximates with hash cells: exact-integer
+    Lloyd's (s16's model, quant=512 so 1e4*dot^2 stays in int64), then
+    one per-cluster Gram-matmul kernel marks every row whose eps-
+    neighborhood holds a strictly-farther-from-centroid member (the
+    0.35 threshold is the dd8 convention: this synthetic corpus has no
+    true near-dups, max pair cosine ~0.51); in a
+    duplicate clique exactly the farthest-from-centroid row survives
+    (the paper's lowest-similarity-to-centroid keeper)."""
+    from era_parser_spark.operators.similarity import semdedup_kmeans
+
+    emb = table(spark, sf_dir, "embeddings")
+    return semdedup_kmeans(
+        emb, "vec_id", "embedding", k=8, iters=2, quant=512, min_cos=0.35, dim=64
+    )

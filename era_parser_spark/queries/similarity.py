@@ -860,3 +860,103 @@ def s15_hashed_semantic_pairs(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     return hashed_semantic_pairs(docs, "doc_id", "text", dim=64, min_cos=0.9)
+
+
+def kmeans_lloyd_ctes(k: int, iters: int, quant: int, dim: int = 64) -> str:
+    """CTE chain replaying kmeans_lloyd's exact integer model in DuckDB:
+    quantize -> init on the k smallest ids -> ``iters`` Lloyd updates
+    (floor-division means via the positive-mod identity, because DuckDB
+    ``//`` truncates toward zero while the engine floors) -> final
+    assignment ``a_fin(vec_id, cid, d2)`` vs the post-update centroids.
+    Ties in the argmin break to the smallest cid (ORDER BY d2, cid) on
+    both sides; empty clusters drop out of the GROUP BY on both sides.
+    Also defines ``ex`` (long-format quantized values) and ``qv`` for
+    downstream CTEs (dd18 reuses them for the pair check)."""
+    parts = [
+        f"""qv AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * {quant}) AS BIGINT)) AS q
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = {dim}
+    )""",
+        """ex AS (
+      SELECT vec_id, CAST(i AS INTEGER) AS dim, q[CAST(i + 1 AS INTEGER)] AS v
+      FROM qv, unnest(range(0, len(q))) AS u(i)
+    )""",
+        f"""init AS (
+      SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+               AS cid
+      FROM (SELECT vec_id FROM qv ORDER BY vec_id LIMIT {k})
+    )""",
+        """cent_0 AS (
+      SELECT init.cid, ex.dim, CAST(ex.v AS BIGINT) AS c
+      FROM init JOIN ex USING (vec_id)
+    )""",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""d_{i} AS (
+      SELECT ex.vec_id, c.cid, sum((ex.v - c.c) * (ex.v - c.c)) AS d2
+      FROM ex JOIN cent_{i} c USING (dim) GROUP BY 1, 2
+    )"""
+        )
+        parts.append(
+            f"""a_{i} AS (
+      SELECT vec_id, cid FROM (
+        SELECT d_{i}.*, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY d2, cid) AS rn
+        FROM d_{i}
+      ) WHERE rn = 1
+    )"""
+        )
+        parts.append(
+            f"""cent_{i + 1} AS (
+      SELECT a.cid, ex.dim,
+             CAST((sum(ex.v) - (((sum(ex.v) % count(*)) + count(*)) % count(*)))
+                  // count(*) AS BIGINT) AS c
+      FROM a_{i} a JOIN ex USING (vec_id) GROUP BY 1, 2
+    )"""
+        )
+    parts.append(
+        f"""d_fin AS (
+      SELECT ex.vec_id, c.cid, sum((ex.v - c.c) * (ex.v - c.c)) AS d2
+      FROM ex JOIN cent_{iters} c USING (dim) GROUP BY 1, 2
+    )"""
+    )
+    parts.append(
+        """a_fin AS (
+      SELECT vec_id, cid, d2 FROM (
+        SELECT d_fin.*, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY d2, cid) AS rn
+        FROM d_fin
+      ) WHERE rn = 1
+    )"""
+    )
+    return ",\n    ".join(parts)
+
+
+@register(
+    "s16_kmeans_lloyd",
+    # The WHOLE TRAINED MODEL is oracle-exact: init on the 8 smallest ids,
+    # two Lloyd updates with integer floor-division centroid means, final
+    # assignment with exact int64 squared distances.  No float ever enters
+    # the model, so DuckDB replays training bit-for-bit.
+    oracle=f"""
+    WITH {kmeans_lloyd_ctes(k=8, iters=2, quant=1_000_000)}
+    SELECT vec_id, cid AS cluster, CAST(d2 AS BIGINT) AS dist_sq
+    FROM a_fin
+    """,
+)
+def s16_kmeans_lloyd(spark, sf_dir):
+    # Distributed exact Lloyd's k-means over the full embeddings corpus
+    # (operators/similarity.py::kmeans_lloyd): broadcast centroids +
+    # Arrow-batched int64 argmin for assignment, one map-side-combined
+    # (cluster, dim) partial-sum shuffle per update — the corpus never
+    # shuffles, only k*dim-row partials do.
+    from era_parser_spark.operators.similarity import kmeans_lloyd
+
+    emb = table(spark, sf_dir, "embeddings")
+    return kmeans_lloyd(
+        emb, "vec_id", "embedding", k=8, iters=2, quant=1_000_000, dim=64
+    )

@@ -12,6 +12,8 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from tests.conftest import SF_SMALL
+
 
 def _clone_corpus(spark):
     """Near-dups + exact-clone groups + short docs (the divergence traps)."""
@@ -1988,3 +1990,113 @@ def test_curation_v3_stage_composition(spark):
     assert out[3].n_removed == 0 and out[3].split in ("train", "val", "test")
     assert out[4].n_removed == 0
     assert out[5].n_removed == 14
+
+
+# ------------------------------------------------------- s16/dd18: k-means
+
+
+def test_kmeans_lloyd_separates_blobs(spark):
+    """Two well-separated blobs, one init seed in each (ids 0/1 alternate
+    blobs): Lloyd's must recover the blob structure exactly; malformed
+    rows (null vector, wrong dim) are filtered JVM-side, never reaching
+    the numpy kernel."""
+    from era_parser_spark.operators.similarity import kmeans_lloyd
+
+    rows = []
+    for i in range(20):
+        if i % 2 == 0:
+            rows.append((i, [1.0 + 0.001 * i, 0.0, 0.0, 0.0]))
+        else:
+            rows.append((i, [0.0, 0.0, 1.0 + 0.001 * i, 0.0]))
+    rows.append((98, None))
+    rows.append((99, [1.0, 2.0]))
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    out = kmeans_lloyd(df, "id", "v", k=2, iters=2, quant=1000, dim=4).collect()
+    by = {r.id: r.cluster for r in out}
+    assert set(by) == set(range(20))  # malformed rows dropped
+    assert {by[i] for i in range(0, 20, 2)} == {0}
+    assert {by[i] for i in range(1, 20, 2)} == {1}
+    assert all(r.dist_sq >= 0 for r in out)
+
+
+def test_kmeans_lloyd_tie_breaks_to_smallest_cid(spark):
+    """iters=0 assigns against the init centroids; a point equidistant
+    from both lands in the smaller cluster id, matching the SQL twin's
+    ORDER BY (d2, cid)."""
+    from era_parser_spark.operators.similarity import kmeans_lloyd
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [2.0, 0.0]), (2, [1.0, 0.0])],
+        "id long, v array<double>",
+    )
+    out = {r.id: r for r in kmeans_lloyd(df, "id", "v", k=2, iters=0, quant=1000, dim=2).collect()}
+    assert out[2].cluster == 0
+    assert out[2].dist_sq == 1000 * 1000
+
+
+def test_kmeans_lloyd_drops_empty_clusters(spark):
+    """Identical init vectors: every point ties to cluster 0, cluster 1
+    empties after the first update and must drop out (not resurface as
+    NaN centroids), leaving a single surviving cluster."""
+    from era_parser_spark.operators.similarity import kmeans_lloyd
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 1.0]), (1, [1.0, 1.0]), (2, [1.0, 1.0])],
+        "id long, v array<double>",
+    )
+    out = kmeans_lloyd(df, "id", "v", k=2, iters=1, quant=1000, dim=2).collect()
+    assert {r.cluster for r in out} == {0}
+    assert all(r.dist_sq == 0 for r in out)
+
+
+def test_semdedup_kmeans_keeps_farthest_from_centroid(spark):
+    """A cos=1 clique of three magnitudes plus one orthogonal vector in a
+    single cluster: only the clique member farthest from the centroid
+    survives (the SemDeDup paper's keeper), and the non-duplicate plus
+    any zero vector are always kept."""
+    from era_parser_spark.operators.similarity import semdedup_kmeans
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [2.0, 0.0]),
+            (3, [3.0, 0.0]),
+            (4, [0.0, 5.0]),
+            (5, [0.0, 0.0]),
+        ],
+        "id long, v array<double>",
+    )
+    out = {
+        r.id: r
+        for r in semdedup_kmeans(
+            df, "id", "v", k=1, iters=1, quant=512, min_cos=0.9, dim=2
+        ).collect()
+    }
+    assert {i for i, r in out.items() if r.kept} == {3, 4, 5}
+    assert out[3].dist_sq > out[2].dist_sq
+
+
+def test_semdedup_kmeans_overflow_guard():
+    from era_parser_spark.operators.similarity import semdedup_kmeans
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="dim \\* quant\\^2"):
+        semdedup_kmeans(None, "id", "v", quant=1024, dim=64)
+
+
+def test_kmeans_assignment_plan_never_shuffles_corpus(spark):
+    """s16's final frame is scan -> project/filter -> mapInPandas: zero
+    Exchange (the corpus never shuffles; only k*dim partials did, in the
+    already-executed update jobs).  dd18 adds exactly the one cluster
+    exchange for the per-cluster kernel."""
+    from era_parser_spark.plans import formatted_plan
+    from era_parser_spark.queries import load_all
+
+    q, _ = load_all()
+    import re
+
+    plan = formatted_plan(q["s16_kmeans_lloyd"](spark, SF_SMALL))
+    assert "Exchange" not in plan
+    plan18 = q["dd18_semdedup_kmeans"](spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan18)) == 1
