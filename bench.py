@@ -96,6 +96,7 @@ HEADLINE = [
     # round-7 session-4 additions
     "s16_kmeans_lloyd",
     "dd18_semdedup_kmeans",
+    "p16_dsir_importance",
 ]
 
 

@@ -556,3 +556,104 @@ def snapshot_diff(
         .otherwise(F.lit("changed"))
     )
     return j.select(F.col(id_col), status.alias("status"), "old_digest", "new_digest")
+
+
+def dsir_importance(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    m: int = 256,
+    scale: int = 10_000,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", arXiv:2302.03169): score
+    every raw-corpus document by how much more likely its hashed-unigram
+    features are under the TARGET distribution than under the raw one —
+    the published recipe for steering a CommonCrawl-scale corpus toward
+    a quality/domain target before training.
+
+    Model: tokens hash into ``m`` buckets (the shared 60-bit md5 — the
+    whole model is reproducible in SQL); bucket unigram distributions
+    are Laplace-smoothed, p(b) = (c_b + 1) / (C + m).  Per-token score
+    is the EXACT scaled probability ratio
+        r(b) = (scale * (ct_b+1) * (Cr+m)) // ((cr_b+1) * (Ct+m))
+    computed with arbitrary-precision Python integers on the tiny m-row
+    bucket table (exact at ANY corpus size — no int64 product of two
+    corpus-sized counts ever happens engine-side; the SQL twin uses
+    HUGEINT).  A document's weight is the sum of its tokens' ratios —
+    the t17 convention: summed exact rationals instead of summed float
+    logs, so the surface is bit-checkable; the ordering differs from
+    the paper's log-sum only where arithmetic-vs-geometric mean ratios
+    disagree.  w_mean = w_sum / (scale * n_tokens) is ~1.0 for
+    target-neutral text.
+
+    Scale shape: two corpus scans (raw tokens, and raw+target once for
+    the bucket counts); the per-doc pass shuffles only (id, bucket, tf)
+    longs with map-side combine; the m-entry ratio table rides the plan
+    as a literal array (task-closure broadcast, the dd14 Bloom-words
+    assumption); the id join-back joins bare ids.  Selection composes
+    downstream: feed w_mean to p11 weighted_sample / p4-style top-k.
+
+    Returns one row per raw doc: (id, n_tokens, w_sum, w_mean).
+    """
+    from era_parser_spark.operators.dedup import md5_60bit, tokens_col
+
+    def bucketize(df: DataFrame) -> DataFrame:
+        ex = df.select(
+            F.col(id_col), F.explode(tokens_col(text_col)).alias("__t")
+        ).filter(F.col("__t") != "")
+        return ex.select(
+            F.col(id_col), F.pmod(md5_60bit(F.col("__t")), F.lit(m)).alias("__b")
+        )
+
+    rawb = bucketize(raw)
+    rc = {
+        int(r["__b"]): int(r["n"])
+        for r in rawb.groupBy("__b").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    tc = {
+        int(r["__b"]): int(r["n"])
+        for r in bucketize(target)
+        .groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    cr, ct = sum(rc.values()), sum(tc.values())
+    ratio = [
+        (scale * (tc.get(b, 0) + 1) * (cr + m)) // ((rc.get(b, 0) + 1) * (ct + m))
+        for b in range(m)
+    ]
+    if max(ratio, default=0) >= (1 << 62):
+        raise ValueError(
+            "dsir_importance: a bucket ratio overflows int64 — the target "
+            "slice is pathologically concentrated; raise m or rescale"
+        )
+    ratio_arr = F.array(*[F.lit(r).cast("long") for r in ratio])
+
+    per = (
+        rawb.groupBy(id_col, "__b")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+        .withColumn("__r", F.element_at(ratio_arr, F.col("__b").cast("int") + 1))
+        .groupBy(id_col)
+        .agg(
+            F.sum("__tf").alias("__nt"),
+            F.sum(F.col("__tf") * F.col("__r")).alias("__ws"),
+        )
+    )
+    ids = raw.select(id_col)
+    return (
+        ids.join(per, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("__nt", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("__ws", F.lit(0)).cast("long").alias("w_sum"),
+        )
+        .withColumn(
+            "w_mean",
+            F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
+                F.col("w_sum").cast("double")
+                / (F.lit(float(scale)) * F.col("n_tokens"))
+            ),
+        )
+    )

@@ -818,3 +818,70 @@ def p15_curation_v3(spark, sf_dir):
     return split_assign(
         clean, "doc_id", [("train", 0.8), ("val", 0.1), ("test", 0.1)]
     ).select("doc_id", "n_removed", "split")
+
+
+_P16_H = "CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)"
+
+
+@register(
+    "p16_dsir_importance",
+    # DSIR with the whole model exact: Laplace-smoothed hashed-unigram
+    # bucket distributions, per-token scaled probability ratios as
+    # arbitrary-precision integers (HUGEINT here, Python bigints in the
+    # engine's tiny m-row driver artifact), per-doc sums bit-identical.
+    oracle=f"""
+    WITH rawd AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tok
+      FROM documents WHERE doc_id % 17 <> 0
+    ),
+    tgtd AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tok
+      FROM documents WHERE doc_id % 17 = 0
+    ),
+    rex AS (
+      SELECT doc_id, {_P16_H} % 256 AS b
+      FROM (SELECT doc_id, unnest(tok) AS t FROM rawd) WHERE t <> ''
+    ),
+    tex AS (
+      SELECT {_P16_H} % 256 AS b
+      FROM (SELECT unnest(tok) AS t FROM tgtd) WHERE t <> ''
+    ),
+    rc AS (SELECT b, count(*) AS n FROM rex GROUP BY b),
+    tc AS (SELECT b, count(*) AS n FROM tex GROUP BY b),
+    ratio AS (
+      SELECT g.b,
+             (CAST(10000 AS HUGEINT) * (COALESCE(tc.n, 0) + 1)
+              * ((SELECT count(*) FROM rex) + 256))
+             // ((COALESCE(rc.n, 0) + 1)
+                 * ((SELECT count(*) FROM tex) + 256)) AS r
+      FROM (SELECT CAST(unnest(range(0, 256)) AS BIGINT) AS b) g
+      LEFT JOIN rc ON rc.b = g.b
+      LEFT JOIN tc ON tc.b = g.b
+    ),
+    pf AS (SELECT doc_id, b, count(*) AS tf FROM rex GROUP BY 1, 2),
+    agg AS (
+      SELECT pf.doc_id, sum(pf.tf) AS n_tokens, sum(pf.tf * ratio.r) AS w_sum
+      FROM pf JOIN ratio USING (b) GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(w_sum, 0) AS BIGINT) AS w_sum,
+           CASE WHEN COALESCE(n_tokens, 0) > 0
+                THEN CAST(w_sum AS DOUBLE) / (10000.0 * n_tokens)
+                ELSE CAST(0.0 AS DOUBLE) END AS w_mean
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0) d
+    LEFT JOIN agg USING (doc_id)
+    """,
+)
+def p16_dsir_importance(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023) of the raw slice
+    against the %17=0 target slice (the dd7/dd17 bench convention) —
+    the importance-resampling stage a production pretraining pipeline
+    runs between dedup and selection; composes with p11
+    weighted_sample for the actual draw."""
+    from era_parser_spark.operators.curation import dsir_importance
+
+    docs = table(spark, sf_dir, "documents")
+    raw = docs.filter(F.col("doc_id") % 17 != 0)
+    tgt = docs.filter(F.col("doc_id") % 17 == 0)
+    return dsir_importance(raw, tgt, "doc_id", "text", m=256, scale=10_000)

@@ -2100,3 +2100,51 @@ def test_kmeans_assignment_plan_never_shuffles_corpus(spark):
     assert "Exchange" not in plan
     plan18 = q["dd18_semdedup_kmeans"](spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
     assert len(re.findall(r"Exchange hashpartitioning", plan18)) == 1
+
+
+# ------------------------------------------------------------- p16: DSIR
+
+
+def test_dsir_importance_separable(spark):
+    """Target-like raw docs must outscore off-target ones; exact clones
+    score identically; an empty doc surfaces with zero weight (the
+    every-key-appears contract)."""
+    from era_parser_spark.operators.curation import dsir_importance
+
+    fruit = "apple banana cherry mango papaya lychee guava " * 4
+    tech = "kernel compiler pointer segfault mutex thread socket " * 4
+    target = spark.createDataFrame(
+        [(100, fruit), (101, "apple mango banana lychee " * 6)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [(1, fruit), (2, fruit), (3, tech), (4, "")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dsir_importance(raw, target, "doc_id", "text").collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    # on-target beats off-target (absolute scale sits below 1.0 on tiny
+    # fixtures: Laplace smoothing with m=256 dominates single-digit counts)
+    assert out[1].w_mean > out[3].w_mean
+    assert (out[1].w_sum, out[1].n_tokens) == (out[2].w_sum, out[2].n_tokens)
+    assert out[4].n_tokens == 0 and out[4].w_sum == 0 and out[4].w_mean == 0.0
+
+
+def test_dsir_plan_shuffles_longs_only(spark):
+    """p16's corpus shuffles carry (id, bucket, tf) longs — the text
+    column never enters an Exchange; the id join-back's second scan is
+    pruned to doc_id."""
+    from era_parser_spark.plans import read_schema_columns
+    from era_parser_spark.queries import load_all
+
+    q, _ = load_all()
+    df = q["p16_dsir_importance"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for ex in re.findall(r"Exchange hashpartitioning\([^\n]*", plan):
+        assert "text" not in ex
+    assert {"doc_id"} in read_schema_columns(df)
