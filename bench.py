@@ -97,6 +97,7 @@ HEADLINE = [
     "s16_kmeans_lloyd",
     "dd18_semdedup_kmeans",
     "p16_dsir_importance",
+    "s17_kcenter_greedy",
 ]
 
 

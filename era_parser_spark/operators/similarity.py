@@ -2171,3 +2171,130 @@ def semdedup_kmeans(
         )
 
     return assigned.groupBy("cluster").applyInPandas(cluster_fn, out_schema)
+
+
+def kcenter_greedy(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    quant: int = 1_000_000,
+    dim: int | None = None,
+) -> DataFrame:
+    """Greedy k-center / farthest-point coreset selection (Gonzalez 1985,
+    the 2-approximation; the selection rule behind coreset-based training-
+    data pruning a la Sener & Savarese 2018): start from the smallest id,
+    then k-1 times pick the point FARTHEST from the chosen set (max over
+    points of min over centers of squared L2; ties to the smallest id).
+
+    All distances are exact int64 over floor(v*quant) vectors, so the
+    entire sequential selection — normally hopeless to verify — replays
+    bit-for-bit as k chained SQL CTEs.
+
+    Scale shape: the quantized projection is persisted once; each of the
+    k-1 rounds is one Arrow-batched numpy pass against the BROADCAST
+    center list (closure capture) emitting ONE candidate row per batch
+    (the batch argmax under (min_dist DESC, id ASC)), reduced by a tiny
+    driver-side top-1 — no shuffle of the corpus, ever; total work
+    O(n * k^2 * dim / 2) integer ops, k tiny jobs.  Degenerate corpora
+    (fewer distinct vectors than k) re-select an existing center
+    identically on both sides; the final center set is DISTINCT ids.
+
+    Returns every well-formed row as (id, center_id, d2, selected):
+    nearest chosen center (ties to the smaller center id), exact squared
+    distance, and membership in the coreset.
+    """
+    from pyspark.sql import types as T
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if dim is None:
+        dim = _mode_dim(df, vec_col)
+    if dim is None:
+        raise ValueError("kcenter_greedy: no non-null vectors to infer dim from")
+    base = _quantized_vectors(df, id_col, vec_col, quant, dim).persist()
+    try:
+        first = base.orderBy(id_col).limit(1).collect()
+        if not first:
+            raise ValueError("kcenter_greedy: empty input")
+        centers: list[tuple[int, np.ndarray]] = [
+            (first[0][id_col], np.asarray(first[0]["__q"], dtype=np.int64))
+        ]
+
+        id_field = [f for f in df.schema.fields if f.name == id_col][0]
+        cand_schema = T.StructType(
+            [
+                T.StructField(id_col, id_field.dataType),
+                T.StructField("mind", T.LongType()),
+            ]
+        )
+
+        def _cand_fn(C_arr: np.ndarray):
+            def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                for pdf in batches:
+                    if pdf.empty:
+                        continue
+                    Q = np.asarray(pdf["__q"].tolist(), dtype=np.int64)
+                    qq = np.einsum("ij,ij->i", Q, Q)
+                    cc = np.einsum("ij,ij->i", C_arr, C_arr)
+                    d2 = qq[:, None] - 2 * (Q @ C_arr.T) + cc[None, :]
+                    mind = d2.min(axis=1)
+                    ids = pdf[id_col].to_numpy()
+                    # batch argmax under (mind DESC, id ASC)
+                    best = np.lexsort((ids, -mind))[0]
+                    yield pd.DataFrame(
+                        {id_col: ids[best : best + 1], "mind": mind[best : best + 1]}
+                    )
+
+            return fn
+
+        for _ in range(k - 1):
+            C = np.stack([c for _, c in centers])
+            top = (
+                base.mapInPandas(_cand_fn(C), cand_schema)
+                .orderBy(F.desc("mind"), id_col)
+                .limit(1)
+                .collect()
+            )[0]
+            sel = base.filter(F.col(id_col) == top[id_col]).collect()[0]
+            centers.append((sel[id_col], np.asarray(sel["__q"], dtype=np.int64)))
+
+        # final assignment vs the DISTINCT center set, sorted by center id so
+        # numpy's first-occurrence argmin matches ORDER BY (d2, center_id)
+        uniq = sorted({cid: vec for cid, vec in centers}.items())
+        cid_arr = np.asarray([c for c, _ in uniq], dtype=np.int64)
+        C = np.stack([v for _, v in uniq])
+        sel_ids = frozenset(int(c) for c in cid_arr)
+
+        out_schema = T.StructType(
+            [
+                T.StructField(id_col, id_field.dataType),
+                T.StructField("center_id", id_field.dataType),
+                T.StructField("d2", T.LongType()),
+                T.StructField("selected", T.BooleanType()),
+            ]
+        )
+
+        def _assign_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                Q = np.asarray(pdf["__q"].tolist(), dtype=np.int64)
+                j, d2 = _lloyd_assign(Q, C)
+                ids = pdf[id_col].to_numpy()
+                yield pd.DataFrame(
+                    {
+                        id_col: ids,
+                        "center_id": cid_arr[j],
+                        "d2": d2,
+                        "selected": np.isin(ids, list(sel_ids)),
+                    }
+                )
+
+        # the cached quantized projection stays persisted for the returned
+        # (lazy) assignment plan; it is tiny (id + dim longs per row) and
+        # Spark evicts LRU — callers doing many selections can unpersist.
+        return base.mapInPandas(_assign_fn, out_schema)
+    except Exception:
+        base.unpersist()
+        raise

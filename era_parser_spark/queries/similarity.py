@@ -960,3 +960,74 @@ def s16_kmeans_lloyd(spark, sf_dir):
     return kmeans_lloyd(
         emb, "vec_id", "embedding", k=8, iters=2, quant=1_000_000, dim=64
     )
+
+
+def _s17_oracle(k: int = 8, quant: int = 1_000_000) -> str:
+    """Replays kcenter_greedy's sequential selection as k chained CTEs:
+    cen_0 = smallest id; round r computes every point's min distance to
+    cen_{r-1} and appends the argmax under (mind DESC, vec_id ASC); the
+    final assignment ties on (d2, center_id).  Reuses kmeans_lloyd_ctes'
+    qv/ex quantization fragments (iters=0 keeps the chain unused beyond
+    them — DuckDB prunes unreferenced CTEs)."""
+    parts = [
+        """cen_0 AS (
+      SELECT vec_id FROM qv ORDER BY vec_id LIMIT 1
+    )"""
+    ]
+    for r in range(1, k):
+        parts.append(
+            f"""md_{r} AS (
+      SELECT vec_id, min(d2) AS mind FROM (
+        SELECT a.vec_id, sum((a.v - b.v) * (a.v - b.v)) AS d2
+        FROM ex a
+        JOIN cen_{r - 1} c ON true
+        JOIN ex b ON b.vec_id = c.vec_id AND b.dim = a.dim
+        GROUP BY a.vec_id, c.vec_id
+      ) GROUP BY vec_id
+    )"""
+        )
+        parts.append(
+            f"""cen_{r} AS (
+      SELECT vec_id FROM cen_{r - 1}
+      UNION ALL
+      SELECT vec_id FROM (SELECT vec_id FROM md_{r}
+                          ORDER BY mind DESC, vec_id LIMIT 1)
+    )"""
+        )
+    parts.append(
+        f"""cen_fin AS (SELECT DISTINCT vec_id FROM cen_{k - 1})"""
+    )
+    parts.append(
+        """ad AS (
+      SELECT a.vec_id, c.vec_id AS center_id,
+             sum((a.v - b.v) * (a.v - b.v)) AS d2
+      FROM ex a
+      JOIN cen_fin c ON true
+      JOIN ex b ON b.vec_id = c.vec_id AND b.dim = a.dim
+      GROUP BY a.vec_id, c.vec_id
+    )"""
+    )
+    chain = ",\n    ".join(parts)
+    return f"""
+    WITH {kmeans_lloyd_ctes(k=1, iters=0, quant=quant)},
+    {chain}
+    SELECT vec_id, center_id, CAST(d2 AS BIGINT) AS d2,
+           vec_id IN (SELECT vec_id FROM cen_fin) AS selected
+    FROM (
+      SELECT ad.*, row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, center_id) AS rn
+      FROM ad
+    ) WHERE rn = 1
+    """
+
+
+@register("s17_kcenter_greedy", oracle=_s17_oracle())
+def s17_kcenter_greedy(spark, sf_dir):
+    # Gonzalez farthest-point coreset selection with the whole sequential
+    # greedy replayed exactly in SQL (operators/similarity.py::
+    # kcenter_greedy): k-1 broadcast-center numpy rounds, one candidate
+    # row per batch, corpus never shuffles.
+    from era_parser_spark.operators.similarity import kcenter_greedy
+
+    emb = table(spark, sf_dir, "embeddings")
+    return kcenter_greedy(emb, "vec_id", "embedding", k=8, quant=1_000_000, dim=64)

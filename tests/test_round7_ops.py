@@ -2148,3 +2148,46 @@ def test_dsir_plan_shuffles_longs_only(spark):
     for ex in re.findall(r"Exchange hashpartitioning\([^\n]*", plan):
         assert "text" not in ex
     assert {"doc_id"} in read_schema_columns(df)
+
+
+# ---------------------------------------------------- s17: k-center greedy
+
+
+def test_kcenter_greedy_farthest_point_sequence(spark):
+    """Points on a line at 0,1,10,11,100 with k=3: greedy starts at the
+    smallest id (position 0), picks the farthest point (100), then the
+    max-min point (11: min(121, 7921) beats 10's min(100, 8100));
+    assignment goes to the nearest chosen center."""
+    from era_parser_spark.operators.similarity import kcenter_greedy
+
+    pos = {0: 0.0, 1: 1.0, 2: 10.0, 3: 11.0, 4: 100.0}
+    df = spark.createDataFrame(
+        [(i, [p, 0.0]) for i, p in pos.items()], "id long, v array<double>"
+    )
+    out = {r.id: r for r in kcenter_greedy(df, "id", "v", k=3, quant=1000, dim=2).collect()}
+    assert {i for i, r in out.items() if r.selected} == {0, 3, 4}
+    assert out[1].center_id == 0 and out[2].center_id == 3
+    assert out[2].d2 == 1000 * 1000  # |10-11|^2 at quant 1000
+    assert all(out[i].d2 == 0 for i in (0, 3, 4))
+
+
+def test_kcenter_greedy_tie_and_degenerate(spark):
+    """Equidistant farthest candidates tie to the smaller id; an all-
+    identical corpus keeps re-selecting the first center, so the final
+    coreset is a single id on both engines."""
+    from era_parser_spark.operators.similarity import kcenter_greedy
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [5.0, 0.0]), (2, [-5.0, 0.0])],
+        "id long, v array<double>",
+    )
+    out = {r.id: r for r in kcenter_greedy(df, "id", "v", k=2, quant=1000, dim=2).collect()}
+    assert {i for i, r in out.items() if r.selected} == {0, 1}  # tie -> id 1 < id 2
+
+    same = spark.createDataFrame(
+        [(7, [1.0, 1.0]), (8, [1.0, 1.0]), (9, [1.0, 1.0])],
+        "id long, v array<double>",
+    )
+    out2 = {r.id: r for r in kcenter_greedy(same, "id", "v", k=3, quant=1000, dim=2).collect()}
+    assert {i for i, r in out2.items() if r.selected} == {7}
+    assert all(r.d2 == 0 for r in out2.values())
