@@ -98,6 +98,7 @@ HEADLINE = [
     "dd18_semdedup_kmeans",
     "p16_dsir_importance",
     "s17_kcenter_greedy",
+    "t30_rake_keywords",
 ]
 
 

@@ -1696,3 +1696,92 @@ def c4_rules(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         ).alias("c4_keep"),
         F.array_join(kept, "\n").alias("clean_text"),
     )
+
+
+#: RAKE's stopword/delimiter list — deliberately small and FROZEN (it is
+#: part of the oracle contract; the SQL twin embeds the same literal).
+RAKE_STOPWORDS: tuple[str, ...] = (
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for",
+    "from", "had", "has", "have", "in", "is", "it", "its", "of", "on",
+    "or", "that", "the", "this", "to", "was", "were", "will", "with",
+)
+
+
+def rake_keywords(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_n: int = 3,
+    scale: int = 1000,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010, "Automatic Keyword
+    Extraction from Individual Documents") with exact integer scores.
+
+    Candidate phrases are maximal runs of content tokens — lowercase
+    whitespace tokens that are purely [a-z0-9]+ and not in
+    RAKE_STOPWORDS (non-alphanumeric tokens act as phrase delimiters,
+    like the paper's punctuation breaks).  Per document: freq(w) =
+    content occurrences of w, deg(w) = sum over w's occurrences of the
+    containing phrase's length (co-occurrence degree, self included);
+    word score = (scale * deg) // freq (the t17 scaled-rational
+    convention — RAKE's deg/freq stays exact instead of a float);
+    phrase score = sum of member word scores WITH multiplicity.  Output
+    is the top ``top_n`` distinct phrases per document under
+    (score DESC, phrase ASC).
+
+    Plan: one posexplode pass; phrase islands via the pos - row_number()
+    trick, then plen/freq/deg as WINDOWS over finer partitions of ONE
+    explicit doc_id repartition (the t29 subset-rule lesson) — a
+    groupBy + self-join formulation of the word stats recomputed the
+    explode subtree per branch (4 doc_id exchanges measured; the
+    all-window chain plans one for the token rows, plus the tiny
+    ranked-phrase exchange).  Shuffle rows are tokens + small ints —
+    documents never move after the explode.
+    """
+    from pyspark.sql import Window as W
+
+    stop = F.array(*[F.lit(s) for s in RAKE_STOPWORDS])
+    ex = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")).alias(
+            "__pos", "__tk"
+        ),
+    )
+    con = ex.filter(
+        F.col("__tk").rlike("^[a-z0-9]+$") & ~F.array_contains(stop, F.col("__tk"))
+    ).repartition(id_col)
+    w_doc = W.partitionBy(id_col).orderBy("__pos")
+    con = con.withColumn("__grp", F.col("__pos") - F.row_number().over(w_doc))
+    # phrase length, word freq and word degree are ALL windows over finer
+    # partitions of the one doc_id exchange (subset rule) — the groupBy +
+    # self-join formulation recomputed the explode subtree per branch
+    # (4 exchanges measured; this chain plans ONE for the token rows)
+    con = con.withColumn(
+        "__plen", F.count(F.lit(1)).over(W.partitionBy(id_col, "__grp"))
+    )
+    w_word = W.partitionBy(id_col, "__tk")
+    con = con.withColumn("__freq", F.count(F.lit(1)).over(w_word)).withColumn(
+        "__deg", F.sum("__plen").over(w_word)
+    )
+    con = con.withColumn("__wscore", F.expr(f"({scale} * __deg) div __freq"))
+    scored = (
+        con.groupBy(id_col, "__grp")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__tk"))),
+                    lambda x: x.getField("__tk"),
+                ),
+                " ",
+            ).alias("phrase"),
+            F.sum("__wscore").alias("score_q"),
+        )
+        .groupBy(id_col, "phrase")
+        .agg(F.max("score_q").alias("score_q"))
+    )
+    w_rank = W.partitionBy(id_col).orderBy(F.desc("score_q"), F.asc("phrase"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= top_n)
+        .select(id_col, "phrase", F.col("score_q").cast("long"), F.col("rank").cast("int"))
+    )

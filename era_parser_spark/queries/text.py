@@ -1411,3 +1411,62 @@ def t28_c4_rules(spark, sf_dir):
     )
     pages = docs.select("doc_id", page.alias("text"))
     return c4_rules(pages, "doc_id", "text")
+
+
+def _t30_oracle() -> str:
+    from era_parser_spark.operators.text import RAKE_STOPWORDS
+
+    stop = ", ".join(f"'{s}'" for s in RAKE_STOPWORDS)
+    return f"""
+    WITH tokd AS (
+      SELECT doc_id, {_TOK} AS tok FROM documents
+    ),
+    ex AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos, tok[CAST(i + 1 AS INTEGER)] AS tk
+      FROM tokd, unnest(range(0, len(tok))) AS u(i)
+    ),
+    con AS (
+      SELECT doc_id, pos, tk FROM ex
+      WHERE regexp_matches(tk, '^[a-z0-9]+$') AND tk NOT IN ({stop})
+    ),
+    g AS (
+      SELECT con.*, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS grp
+      FROM con
+    ),
+    pl AS (
+      SELECT g.*, count(*) OVER (PARTITION BY doc_id, grp) AS plen FROM g
+    ),
+    wsc AS (
+      SELECT doc_id, tk, (1000 * sum(plen)) // count(*) AS wscore
+      FROM pl GROUP BY 1, 2
+    ),
+    phr AS (
+      SELECT pl.doc_id, pl.grp,
+             string_agg(pl.tk, ' ' ORDER BY pl.pos) AS phrase,
+             sum(w.wscore) AS score_q
+      FROM pl JOIN wsc w ON w.doc_id = pl.doc_id AND w.tk = pl.tk
+      GROUP BY 1, 2
+    ),
+    dphr AS (SELECT doc_id, phrase, max(score_q) AS score_q FROM phr
+             GROUP BY 1, 2),
+    rk AS (
+      SELECT dphr.*, row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score_q DESC, phrase) AS rank
+      FROM dphr
+    )
+    SELECT doc_id, phrase, CAST(score_q AS BIGINT) AS score_q,
+           CAST(rank AS INTEGER) AS rank
+    FROM rk WHERE rank <= 3
+    """
+
+
+@register("t30_rake_keywords", oracle=_t30_oracle())
+def t30_rake_keywords(spark, sf_dir):
+    """RAKE per-document keywords (Rose et al. 2010) with exact
+    scaled-integer deg/freq scores — the classic unsupervised keyword
+    extractor, top-3 phrases per doc under (score DESC, phrase ASC)."""
+    from era_parser_spark.operators.text import rake_keywords
+
+    docs = table(spark, sf_dir, "documents")
+    return rake_keywords(docs, "doc_id", "text", top_n=3)

@@ -2191,3 +2191,55 @@ def test_kcenter_greedy_tie_and_degenerate(spark):
     out2 = {r.id: r for r in kcenter_greedy(same, "id", "v", k=3, quant=1000, dim=2).collect()}
     assert {i for i, r in out2.items() if r.selected} == {7}
     assert all(r.d2 == 0 for r in out2.values())
+
+
+# ------------------------------------------------------------- t30: RAKE
+
+
+def test_rake_keywords_hand_scores(spark):
+    """'red apple and red fruit, green apple': 'and' is a stopword,
+    'fruit,' a punctuation delimiter, so the candidates are [red apple],
+    [red], [green apple].  freq: red 2, apple 2, green 1; deg: red 3,
+    apple 4, green 2; wscore(x1000): red 1500, apple 2000, green 2000;
+    phrase scores 3500 / 1500 / 4000 — ranks follow."""
+    from era_parser_spark.operators.text import rake_keywords
+
+    df = spark.createDataFrame(
+        [(1, "red apple and red fruit, green apple")],
+        "doc_id long, text string",
+    )
+    out = {r.phrase: r for r in rake_keywords(df, "doc_id", "text").collect()}
+    assert out["green apple"].score_q == 4000 and out["green apple"].rank == 1
+    assert out["red apple"].score_q == 3500 and out["red apple"].rank == 2
+    assert out["red"].score_q == 1500 and out["red"].rank == 3
+
+
+def test_rake_keywords_top_n_and_empty(spark):
+    """Ties rank alphabetically; docs with no content tokens emit no
+    rows; top_n truncates."""
+    from era_parser_spark.operators.text import rake_keywords
+
+    df = spark.createDataFrame(
+        [(1, "zz yy xx ww"), (2, "and the of !!!"), (3, None)],
+        "doc_id long, text string",
+    )
+    rows = rake_keywords(df, "doc_id", "text", top_n=2).collect()
+    assert {r.doc_id for r in rows} == {1}
+    # one 4-token phrase (no delimiters) -> a single candidate
+    assert rows[0].phrase == "zz yy xx ww" and rows[0].rank == 1
+
+
+def test_rake_single_token_exchange(spark):
+    """t30's token rows shuffle exactly once (all word/phrase stats are
+    windows over finer partitions of the one doc_id repartition); the
+    only other exchange carries ranked phrases, and there is no Join."""
+    import re
+
+    from era_parser_spark.queries import load_all
+
+    q, _ = load_all()
+    df = q["t30_rake_keywords"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert 1 <= n_ex <= 2  # the groupBy+self-join formulation planned 4
+    assert "Join" not in plan
