@@ -99,6 +99,7 @@ HEADLINE = [
     "p16_dsir_importance",
     "s17_kcenter_greedy",
     "t30_rake_keywords",
+    "p17_source_drift_chi2",
 ]
 
 

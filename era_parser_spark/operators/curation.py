@@ -657,3 +657,75 @@ def dsir_importance(
             ),
         )
     )
+
+
+def token_drift_chi2(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    m: int = 256,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-group token-distribution drift audit: a two-sample chi-square
+    of each group's hashed-unigram distribution against the REST of the
+    corpus — the data-validation stage that flags a source/domain whose
+    text shifted between crawls (the operational companion to p13's
+    volume report and p14's digest diff, which see WHAT changed but not
+    HOW MUCH the language moved).
+
+    Statistic (exact rational, the p16 driver-bigint pattern): over m
+    md5 buckets, chi2 = sum_b (a_b*R - r_b*A)^2 / (A*R*(a_b+r_b)) with
+    a = group counts, r = rest counts, A/R their totals — each bucket
+    term floor-scaled to ``scale`` then summed, so both engines agree
+    bit-for-bit (the SQL twin sums the same floored HUGEINT terms).
+    Groups with an empty complement (single-source corpora) or no
+    tokens emit chi2_q = 0.
+
+    Scale shape: ONE map-side-combined (group, bucket) count shuffle —
+    the only corpus-sized work; the groups x m count table is tiny and
+    collects to the driver where Python bigints compute the statistic
+    at any corpus size (no int64/HUGEINT overflow engine-side; the
+    ORACLE's HUGEINT bounds it at ~3e9 tokens, documented there).
+
+    Returns (group, n_tokens, chi2_q, chi2) — chi2 = chi2_q / scale.
+    """
+    from era_parser_spark.operators.dedup import md5_60bit, tokens_col
+
+    spark = df.sparkSession
+    ex = df.select(
+        F.col(group_col).alias("__g"), F.explode(tokens_col(text_col)).alias("__t")
+    ).filter(F.col("__t") != "")
+    counts = (
+        ex.select("__g", F.pmod(md5_60bit(F.col("__t")), F.lit(m)).alias("__b"))
+        .groupBy("__g", "__b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    per: dict = {}
+    bucket_tot: dict[int, int] = {}
+    for r in counts:
+        g, b, c = r["__g"], int(r["__b"]), int(r["c"])
+        per.setdefault(g, {})[b] = c
+        bucket_tot[b] = bucket_tot.get(b, 0) + c
+    grand = sum(bucket_tot.values())
+
+    out = []
+    groups = df.select(F.col(group_col).alias("__g")).distinct().collect()
+    for row in groups:
+        g = row["__g"]
+        a = per.get(g, {})
+        A = sum(a.values())
+        R = grand - A
+        chi2_q = 0
+        if A > 0 and R > 0:
+            for b, cb in bucket_tot.items():
+                ab = a.get(b, 0)
+                rb = cb - ab
+                num = (ab * R - rb * A) ** 2
+                chi2_q += (scale * num) // (A * R * cb)
+        # float(chi2_q) FIRST (the SQL twin CASTs to DOUBLE before the
+        # divide) — a direct int/int true division rounds differently
+        # once chi2_q passes 2^53
+        out.append((g, A, chi2_q, float(chi2_q) / scale))
+    schema = f"{group_col} string, n_tokens long, chi2_q long, chi2 double"
+    return spark.createDataFrame(out, schema)

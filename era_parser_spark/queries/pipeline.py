@@ -885,3 +885,62 @@ def p16_dsir_importance(spark, sf_dir):
     raw = docs.filter(F.col("doc_id") % 17 != 0)
     tgt = docs.filter(F.col("doc_id") % 17 == 0)
     return dsir_importance(raw, tgt, "doc_id", "text", m=256, scale=10_000)
+
+
+@register(
+    "p17_source_drift_chi2",
+    # Two-sample chi-square per source vs the rest over m=256 hashed
+    # buckets, every bucket term floor-scaled to 1e6 then summed — the
+    # engine computes the identical rationals with Python bigints; this
+    # HUGEINT twin is exact up to ~3e9 corpus tokens ((a*R - r*A)^2 must
+    # fit 128 bits), far past any test scale.
+    oracle=f"""
+    WITH tokd AS (
+      SELECT source, regexp_split_to_array(trim(lower(text)), '\\s+') AS tok
+      FROM documents
+    ),
+    ex AS (
+      SELECT source, {_P16_H} % 256 AS b
+      FROM (SELECT source, unnest(tok) AS t FROM tokd) WHERE t <> ''
+    ),
+    cnt AS (SELECT source, b, count(*) AS c FROM ex GROUP BY 1, 2),
+    tot AS (SELECT source, sum(c) AS n FROM cnt GROUP BY 1),
+    tb AS (SELECT b, sum(c) AS cb FROM cnt GROUP BY 1),
+    grand AS (SELECT sum(c) AS g FROM cnt),
+    nums AS (
+      -- num stays HUGEINT and is squared by explicit multiplication:
+      -- DuckDB's ** operator computes in DOUBLE and loses exactness
+      SELECT t.source, t.n, grand.g, tb.cb,
+             CAST(COALESCE(cnt.c, 0) * (grand.g - t.n)
+                  - (tb.cb - COALESCE(cnt.c, 0)) * t.n AS HUGEINT) AS num
+      FROM tot t
+      CROSS JOIN tb
+      CROSS JOIN grand
+      LEFT JOIN cnt ON cnt.source = t.source AND cnt.b = tb.b
+      WHERE t.n > 0 AND (grand.g - t.n) > 0
+    ),
+    terms AS (
+      SELECT source,
+             (CAST(1000000 AS HUGEINT) * num * num)
+             // (n * (g - n) * cb) AS term
+      FROM nums
+    ),
+    agg AS (SELECT source, sum(term) AS chi2_q FROM terms GROUP BY 1)
+    SELECT s.source,
+           CAST(COALESCE(t.n, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(a.chi2_q, 0) AS BIGINT) AS chi2_q,
+           CAST(COALESCE(a.chi2_q, 0) AS DOUBLE) / 1000000.0 AS chi2
+    FROM (SELECT DISTINCT source FROM documents) s
+    LEFT JOIN tot t USING (source)
+    LEFT JOIN agg a USING (source)
+    """,
+)
+def p17_source_drift_chi2(spark, sf_dir):
+    """Token-distribution drift per source vs the rest of the corpus
+    (exact two-sample chi-square over hashed buckets) — flags the
+    source whose language actually MOVED, where p13 sees volumes and
+    p14 sees digests."""
+    from era_parser_spark.operators.curation import token_drift_chi2
+
+    docs = table(spark, sf_dir, "documents")
+    return token_drift_chi2(docs, "source", "text", m=256, scale=1_000_000)

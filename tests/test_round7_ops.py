@@ -2243,3 +2243,29 @@ def test_rake_single_token_exchange(spark):
     n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
     assert 1 <= n_ex <= 2  # the groupBy+self-join formulation planned 4
     assert "Join" not in plan
+
+
+# ----------------------------------------------------- p17: drift chi2
+
+
+def test_token_drift_chi2_detects_shift(spark):
+    """A source speaking a disjoint vocabulary scores far above sources
+    drawn from the same distribution; a single-source corpus (empty
+    complement) emits chi2 0; empty-text groups appear with zeros."""
+    from era_parser_spark.operators.curation import token_drift_chi2
+
+    same = "alpha beta gamma delta epsilon " * 10
+    rows = [("a", same), ("b", same), ("c", "zulu yankee xray whiskey " * 10), ("d", "")]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {r.source: r for r in token_drift_chi2(df, "source", "text").collect()}
+    assert set(out) == {"a", "b", "c", "d"}
+    # c is the strict argmax (a/b also score: with 3 speaking sources a's
+    # complement contains c's alien vocabulary — the statistic is
+    # two-sample, not one-vs-truth)
+    assert out["c"].chi2 > 4 * max(out["a"].chi2, out["b"].chi2)
+    assert out["a"].chi2_q == out["b"].chi2_q  # identical slices tie exactly
+    assert out["d"].n_tokens == 0 and out["d"].chi2_q == 0
+
+    solo = spark.createDataFrame([("only", same)], "source string, text string")
+    o = token_drift_chi2(solo, "source", "text").collect()[0]
+    assert o.chi2_q == 0 and o.n_tokens == 50
