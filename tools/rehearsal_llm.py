@@ -114,6 +114,12 @@ def main() -> int:
         "propagation) at 8x instead of the text phases",
     )
     ap.add_argument(
+        "--select", action="store_true",
+        help="run the session-4 data-selection tier (s16 exact k-means, "
+        "dd18 SemDeDup-kmeans, s17 k-center, p16 DSIR, p17 drift, t30 "
+        "RAKE) at 8x instead of the text phases",
+    )
+    ap.add_argument(
         "--cut", action="store_true",
         help="run the session-3 tier (dd16 span cut, t26 hash embed, s15 "
         "hashed pairs, x32 triangles) at 8x instead of the text phases",
@@ -296,6 +302,80 @@ def main() -> int:
         phase(
             "x32_triangle_count",
             lambda: triangle_count(e1.unionByName(e2)).count(),
+        )
+        print(json.dumps(out))
+        return 0
+
+    if args.select:
+        # -- session-4 data-selection tier at 8x: exact k-means (and the
+        # SemDeDup built on it), k-center coreset, DSIR weights, drift
+        # audit, RAKE.  The kmeans family's per-iteration cost is the
+        # number to watch (corpus scans + k*dim partial shuffles) --
+        from era_parser_spark.operators.curation import (
+            dsir_importance,
+            token_drift_chi2,
+        )
+        from era_parser_spark.operators.similarity import (
+            kcenter_greedy,
+            kmeans_lloyd,
+            semdedup_kmeans,
+        )
+        from era_parser_spark.operators.text import rake_keywords
+
+        emb8 = build_emb_corpus()
+        # k sized to the corpus (the registry's 8 fits 500-2000 vectors;
+        # 64 cells over 16k keeps ~250/cell for dd18's Gram kernel)
+        phase(
+            "s16_kmeans_k64_it2",
+            lambda: kmeans_lloyd(
+                emb8, "vec_id", "embedding", k=64, iters=2, quant=1_000_000, dim=64
+            ).count(),
+        )
+        phase(
+            "dd18_semdedup_kmeans_k64",
+            lambda: semdedup_kmeans(
+                emb8, "vec_id", "embedding", k=64, iters=2, quant=512,
+                min_cos=0.9, dim=64,
+            ).count(),
+        )
+        phase(
+            "s17_kcenter_k16",
+            lambda: kcenter_greedy(
+                emb8, "vec_id", "embedding", k=16, quant=1_000_000, dim=64
+            ).count(),
+        )
+        tgt = docs.filter(F.col("doc_id") % 17 == 0)
+        raw = docs.filter(F.col("doc_id") % 17 != 0)
+
+        def _noop_w(d):
+            # count() lets Catalyst ELIMINATE the final left join (the
+            # weight side is unique-keyed) — same pruning trap as the
+            # cut tier; a noop write drives every column
+            d.write.format("noop").mode("overwrite").save()
+            return -1
+
+        r = phase(
+            "p16_dsir_importance",
+            lambda: _noop_w(dsir_importance(raw, tgt, "doc_id", "text", m=256)),
+        )
+        r["shuffle_bytes_per_token"] = round(
+            r["shuffle_write_mb"] * 1e6 / n_tokens, 1
+        )
+        # replica index as the drift group: tail replicas carry their
+        # appended marker tokens, so groups 1..7 genuinely drifted
+        grouped = docs.withColumn(
+            "source", (F.col("doc_id") / 1_000_000).cast("long").cast("string")
+        )
+        phase(
+            "p17_drift_chi2_8groups",
+            lambda: token_drift_chi2(grouped, "source", "text", m=256).count(),
+        )
+        r = phase(
+            "t30_rake_top3",
+            lambda: rake_keywords(docs, "doc_id", "text", top_n=3).count(),
+        )
+        r["shuffle_bytes_per_token"] = round(
+            r["shuffle_write_mb"] * 1e6 / n_tokens, 1
         )
         print(json.dumps(out))
         return 0
