@@ -2090,6 +2090,7 @@ def semdedup_kmeans(
     quant: int = 512,
     min_cos: float = 0.9,
     dim: int | None = None,
+    max_cell: int | None = None,
 ) -> DataFrame:
     """SemDeDup with LEARNED clusters — the paper's actual recipe
     (Abbas et al. 2023, arXiv:2303.09540: k-means the embeddings, then
@@ -2114,8 +2115,15 @@ def semdedup_kmeans(
     dim * quant^2 <= 3.0e7 (quant=512 at dim=64 -> 1.7e7: fine; the
     coarser 9-bit quantization is the price of exact squared-dot
     arithmetic — it is a DEDUP surface, not a retrieval one).
-    Per-cluster memory is O(|cluster|^2) for the Gram matrix; clone-
-    heavy corpora should run dd1/dd9 first (the dd8/s15 contract).
+    Per-cluster memory is O(|cluster|^2) for the Gram matrix;
+    ``max_cell`` is the dd8/s15 skew+memory guard: oversized clusters
+    hash sub-split on xxhash64 of the quantized vector into
+    ceil(n/max_cell) sub-cells, bounding every task — cross-sub-cell
+    duplicate pairs of a capped cluster go unseen (kept=true), the
+    documented recall cost, and bit-identical vectors land in the SAME
+    sub-cell so exact clones always dedup.  Clone-heavy corpora should
+    still run dd1/dd9 first (their true pair set is quadratic).  The
+    default (None) is the exact oracle path.
 
     Returns (id, cluster, dist_sq, kept boolean) for every well-formed
     input row; zero vectors have no defined cosine and are always kept.
@@ -2136,6 +2144,21 @@ def semdedup_kmeans(
     assigned = kmeans_lloyd(
         df, id_col, vec_col, k=k, iters=iters, quant=quant, dim=dim, keep_vec=True
     )
+    if max_cell is None:
+        assigned = assigned.withColumn("__sub", F.lit(0).cast("long"))
+    else:
+        if max_cell < 1:
+            raise ValueError(f"max_cell must be >= 1, got {max_cell}")
+        sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("__n"))
+        assigned = assigned.join(F.broadcast(sizes), "cluster").withColumn(
+            "__sub",
+            F.when(F.col("__n") <= max_cell, F.lit(0).cast("long")).otherwise(
+                F.pmod(
+                    F.xxhash64("__q"),
+                    F.ceil(F.col("__n") / F.lit(max_cell)).cast("long"),
+                )
+            ),
+        )
 
     id_field = [f for f in df.schema.fields if f.name == id_col][0]
     out_schema = T.StructType(
@@ -2170,7 +2193,7 @@ def semdedup_kmeans(
             }
         )
 
-    return assigned.groupBy("cluster").applyInPandas(cluster_fn, out_schema)
+    return assigned.groupBy("cluster", "__sub").applyInPandas(cluster_fn, out_schema)
 
 
 def kcenter_greedy(

@@ -2269,3 +2269,27 @@ def test_token_drift_chi2_detects_shift(spark):
     solo = spark.createDataFrame([("only", same)], "source string, text string")
     o = token_drift_chi2(solo, "source", "text").collect()[0]
     assert o.chi2_q == 0 and o.n_tokens == 50
+
+
+def test_semdedup_kmeans_max_cell_bounds_pathological_cluster(spark):
+    """300 bit-identical vectors in one cluster with max_cell=50: every
+    sub-cell is bounded (Gram memory O(max_cell^2)), exact clones land
+    in the SAME sub-cell (xxhash64 of the quantized vector), so each
+    sub-cell keeps exactly one row — the capped-cluster contract."""
+    from era_parser_spark.operators.similarity import semdedup_kmeans
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.5]) for i in range(300)], "id long, v array<double>"
+    )
+    out = semdedup_kmeans(
+        df, "id", "v", k=1, iters=1, quant=512, min_cos=0.9, dim=2, max_cell=50
+    ).collect()
+    assert len(out) == 300
+    kept = [r.id for r in out if r.kept]
+    # identical vectors -> one sub-cell (same hash): exactly one keeper
+    assert len(kept) == 1
+    # and unguarded gives the same single keeper
+    out2 = semdedup_kmeans(
+        df, "id", "v", k=1, iters=1, quant=512, min_cos=0.9, dim=2
+    ).collect()
+    assert [r.id for r in out2 if r.kept] == kept
