@@ -100,6 +100,7 @@ HEADLINE = [
     "s17_kcenter_greedy",
     "t30_rake_keywords",
     "p17_source_drift_chi2",
+    "st13_stream_cluster_counts",
 ]
 
 

@@ -1981,17 +1981,71 @@ def kmeans_lloyd(
     """
     from pyspark.sql import types as T
 
+    cids, C, dim = kmeans_fit(df, id_col, vec_col, k, iters, quant, dim)
+    base = _quantized_vectors(df, id_col, vec_col, quant, dim)
+
+    id_field = [f for f in df.schema.fields if f.name == id_col][0]
+    out_fields = [
+        T.StructField(id_col, id_field.dataType),
+        T.StructField("cluster", T.IntegerType()),
+        T.StructField("dist_sq", T.LongType()),
+    ]
+    if keep_vec:
+        out_fields.append(T.StructField("__q", T.ArrayType(T.LongType())))
+    out_schema = T.StructType(out_fields)
+
+    def _final_fn(C_arr: np.ndarray, cid_arr: np.ndarray):
+        def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                Q = np.asarray(pdf["__q"].tolist(), dtype=np.int64)
+                j, d2 = _lloyd_assign(Q, C_arr)
+                out = {
+                    id_col: pdf[id_col].to_numpy(),
+                    "cluster": cid_arr[j].astype(np.int32),
+                    "dist_sq": d2,
+                }
+                if keep_vec:
+                    # positional, never index-aligned (a non-default batch
+                    # index would silently misalign against numpy columns)
+                    out["__q"] = pdf["__q"].reset_index(drop=True)
+                yield pd.DataFrame(out)
+
+        return fn
+
+    return base.mapInPandas(_final_fn(C, cids), out_schema)
+
+
+def kmeans_fit(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 2,
+    quant: int = 1_000_000,
+    dim: int | None = None,
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Train kmeans_lloyd's exact integer model and return it as the tiny
+    driver artifact (cids, C, dim): surviving cluster ids (sorted), the
+    (len(cids) x dim) int64 centroid matrix, and the resolved dim.  The
+    model is servable anywhere — kmeans_lloyd maps it over the batch,
+    st13 broadcasts it into a stream as literal columns — and trains
+    identically regardless of consumer (see kmeans_lloyd for the
+    exactness contract and the per-iteration scale shape)."""
+    from pyspark.sql import types as T
+
     if iters < 0:
         raise ValueError(f"iters must be >= 0, got {iters}")
     if dim is None:
         dim = _mode_dim(df, vec_col)
     if dim is None:
-        raise ValueError("kmeans_lloyd: no non-null vectors to infer dim from")
+        raise ValueError("kmeans_fit: no non-null vectors to infer dim from")
     base = _quantized_vectors(df, id_col, vec_col, quant, dim)
 
     init = base.orderBy(id_col).limit(k).collect()
     if not init:
-        raise ValueError("kmeans_lloyd: empty input")
+        raise ValueError("kmeans_fit: empty input")
     cids = np.arange(len(init), dtype=np.int64)
     C = np.asarray([r["__q"] for r in init], dtype=np.int64)
 
@@ -2048,37 +2102,7 @@ def kmeans_lloyd(
             [sums[c] // counts[c] for c in live_cids]
         )  # numpy int64 // is floor division — the SQL twin's identity
 
-    id_field = [f for f in df.schema.fields if f.name == id_col][0]
-    out_fields = [
-        T.StructField(id_col, id_field.dataType),
-        T.StructField("cluster", T.IntegerType()),
-        T.StructField("dist_sq", T.LongType()),
-    ]
-    if keep_vec:
-        out_fields.append(T.StructField("__q", T.ArrayType(T.LongType())))
-    out_schema = T.StructType(out_fields)
-
-    def _final_fn(C_arr: np.ndarray, cid_arr: np.ndarray):
-        def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                if pdf.empty:
-                    continue
-                Q = np.asarray(pdf["__q"].tolist(), dtype=np.int64)
-                j, d2 = _lloyd_assign(Q, C_arr)
-                out = {
-                    id_col: pdf[id_col].to_numpy(),
-                    "cluster": cid_arr[j].astype(np.int32),
-                    "dist_sq": d2,
-                }
-                if keep_vec:
-                    # positional, never index-aligned (a non-default batch
-                    # index would silently misalign against numpy columns)
-                    out["__q"] = pdf["__q"].reset_index(drop=True)
-                yield pd.DataFrame(out)
-
-        return fn
-
-    return base.mapInPandas(_final_fn(C, cids), out_schema)
+    return cids, C, dim
 
 
 def semdedup_kmeans(

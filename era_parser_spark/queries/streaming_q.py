@@ -641,3 +641,96 @@ def st12_stream_window_funnel(spark, sf_dir):
     return run_stream_once(
         funnel_monitor(stream), f"st12_{uuid.uuid4().hex[:8]}"
     )
+
+
+def _st13_oracle() -> str:
+    from era_parser_spark.queries.similarity import kmeans_lloyd_ctes
+
+    # ts(vec_id) = vec_id * 60 s, so the epoch-aligned hour window start
+    # is (vec_id // 60) * 3600 s — positive ids, truncation == floor
+    return f"""
+    WITH {kmeans_lloyd_ctes(k=8, iters=2, quant=1_000_000)}
+    SELECT TIMESTAMP '1970-01-01 00:00:00'
+             + to_seconds(CAST((vec_id // 60) * 3600 AS BIGINT))
+             AS window_start,
+           cid AS cluster, count(*) AS cnt
+    FROM a_fin GROUP BY 1, 2
+    """
+
+
+@register("st13_stream_cluster_counts", oracle=_st13_oracle())
+def st13_stream_cluster_counts(spark, sf_dir):
+    """Model-serving in a stream: s16's exact-integer k-means model is
+    TRAINED on the batch table (kmeans_fit — the tiny driver artifact),
+    then broadcast into a Structured Streaming pipeline as literal
+    centroid columns; every streamed vector is quantized and assigned
+    JVM-side (integer zip_with fold per centroid, argmin via array_min
+    on (d2, cid) structs — ties to the smallest cid, the s16 rule) and
+    counted per tumbling hour window of a deterministic event time
+    (ts = vec_id minutes).  Because the model and the assignment are
+    both exact integers, the STREAMING result carries a full value
+    oracle — the s16 CTE chain grouped by hour window — something no
+    float-centroid streaming k-means can offer.  Windowed complete-mode
+    agg, Trigger.AvailableNow (the st1 execution shape); at scale the
+    same query runs unbounded with a watermark + append sink."""
+    from era_parser_spark.operators.similarity import kmeans_fit
+
+    batch = table(spark, sf_dir, "embeddings")
+    cids, C, dim = kmeans_fit(
+        batch, "vec_id", "embedding", k=8, iters=2, quant=1_000_000, dim=64
+    )
+    cents = F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).cast("int").alias("cid"),
+                F.array(*[F.lit(int(x)) for x in vec]).alias("cvec"),
+            )
+            for cid, vec in zip(cids, C)
+        ]
+    )
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    stream_dir = _stream_src_dir("st13", sf_dir, table_file="embeddings.parquet")
+    stream = spark.readStream.schema(raw_schema).parquet(stream_dir)
+    q = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.floor(x * 1_000_000).cast("long"),
+    )
+    guarded = stream.filter(
+        F.col("embedding").isNotNull()
+        & (F.size("embedding") == 64)
+        & ~F.exists("embedding", lambda x: x.isNull())
+    ).select(
+        F.col("vec_id"),
+        q.alias("__q"),
+        F.timestamp_micros(F.col("vec_id") * 60_000_000).alias("__ts"),
+    )
+    best = F.array_min(
+        F.transform(
+            cents,
+            lambda c: F.struct(
+                F.aggregate(
+                    F.zip_with("__q", c.getField("cvec"), lambda a, b: (a - b) * (a - b)),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("d2"),
+                c.getField("cid").alias("cid"),
+            ),
+        )
+    )
+    assigned = guarded.withColumn("cluster", best.getField("cid"))
+    agg = (
+        assigned.groupBy(F.window("__ts", "1 hour"), "cluster")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("window.start").alias("window_start"), "cluster", "cnt")
+    )
+    name = f"st13_out_{uuid.uuid4().hex[:8]}"
+    qy = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    qy.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}")

@@ -2293,3 +2293,39 @@ def test_semdedup_kmeans_max_cell_bounds_pathological_cluster(spark):
         df, "id", "v", k=1, iters=1, quant=512, min_cos=0.9, dim=2
     ).collect()
     assert [r.id for r in out2 if r.kept] == kept
+
+
+# ------------------------------------------- st13: streaming model serving
+
+
+def test_st13_stream_serves_batch_model_exactly(spark):
+    """The streamed cluster counts equal the batch k-means assignment
+    grouped by the same hour windows — the trained integer model is
+    engine-location-independent (JVM zip_with fold in the stream vs the
+    numpy kernel in batch)."""
+    from era_parser_spark.operators.similarity import kmeans_lloyd
+    from era_parser_spark.queries import load_all
+
+    q, _ = load_all()
+    sf = "/root/testdata/sf0.001"
+    stream_rows = {
+        (r.window_start, r.cluster): r.cnt
+        for r in q["st13_stream_cluster_counts"](spark, sf).collect()
+    }
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    batch = kmeans_lloyd(
+        emb, "vec_id", "embedding", k=8, iters=2, quant=1_000_000, dim=64
+    )
+    batch_rows = {
+        (r.window_start, r.cluster): r.cnt
+        for r in batch.groupBy(
+            F.window(
+                F.timestamp_micros(F.col("vec_id") * 60_000_000), "1 hour"
+            ).alias("w"),
+            "cluster",
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "cluster", "cnt")
+        .collect()
+    }
+    assert stream_rows == batch_rows and len(stream_rows) > 0
