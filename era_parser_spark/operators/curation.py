@@ -727,5 +727,15 @@ def token_drift_chi2(
         # divide) — a direct int/int true division rounds differently
         # once chi2_q passes 2^53
         out.append((g, A, chi2_q, float(chi2_q) / scale))
-    schema = f"{group_col} string, n_tokens long, chi2_q long, chi2 double"
+    from pyspark.sql import types as T
+
+    gtype = [f for f in df.schema.fields if f.name == group_col][0].dataType
+    schema = T.StructType(
+        [
+            T.StructField(group_col, gtype),
+            T.StructField("n_tokens", T.LongType()),
+            T.StructField("chi2_q", T.LongType()),
+            T.StructField("chi2", T.DoubleType()),
+        ]
+    )
     return spark.createDataFrame(out, schema)

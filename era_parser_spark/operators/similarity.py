@@ -2173,6 +2173,11 @@ def semdedup_kmeans(
     else:
         if max_cell < 1:
             raise ValueError(f"max_cell must be >= 1, got {max_cell}")
+        # cache before branching: sizes + the join both consume `assigned`,
+        # and an un-cached branch re-runs the whole assignment kernel per
+        # consumer (the semantic_dedup_with_stats precedent / CLAUDE.md
+        # multi-branch trap)
+        assigned = assigned.persist()
         sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("__n"))
         assigned = assigned.join(F.broadcast(sizes), "cluster").withColumn(
             "__sub",
@@ -2255,6 +2260,13 @@ def kcenter_greedy(
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    id_dt = [f for f in df.schema.fields if f.name == id_col][0].dataType
+    if id_dt.typeName() not in ("byte", "short", "integer", "long"):
+        # the candidate kernel lexsorts and np.isin's the id column as
+        # int64 — a string/decimal id would die inside a task; fail loudly
+        raise ValueError(
+            f"kcenter_greedy needs an integral id column, got {id_dt.simpleString()}"
+        )
     if dim is None:
         dim = _mode_dim(df, vec_col)
     if dim is None:
@@ -2273,6 +2285,9 @@ def kcenter_greedy(
             [
                 T.StructField(id_col, id_field.dataType),
                 T.StructField("mind", T.LongType()),
+                # the winning row carries its own vector, so picking the
+                # next center costs NO second corpus pass per round
+                T.StructField("__q", T.ArrayType(T.LongType())),
             ]
         )
 
@@ -2290,7 +2305,11 @@ def kcenter_greedy(
                     # batch argmax under (mind DESC, id ASC)
                     best = np.lexsort((ids, -mind))[0]
                     yield pd.DataFrame(
-                        {id_col: ids[best : best + 1], "mind": mind[best : best + 1]}
+                        {
+                            id_col: ids[best : best + 1],
+                            "mind": mind[best : best + 1],
+                            "__q": [list(Q[best])],
+                        }
                     )
 
             return fn
@@ -2303,8 +2322,7 @@ def kcenter_greedy(
                 .limit(1)
                 .collect()
             )[0]
-            sel = base.filter(F.col(id_col) == top[id_col]).collect()[0]
-            centers.append((sel[id_col], np.asarray(sel["__q"], dtype=np.int64)))
+            centers.append((top[id_col], np.asarray(top["__q"], dtype=np.int64)))
 
         # final assignment vs the DISTINCT center set, sorted by center id so
         # numpy's first-occurrence argmin matches ORDER BY (d2, center_id)

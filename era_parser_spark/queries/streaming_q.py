@@ -689,20 +689,17 @@ def st13_stream_cluster_counts(spark, sf_dir):
         ]
     )
 
+    from era_parser_spark.operators.similarity import _quantized_vectors
+
     raw_schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
     stream_dir = _stream_src_dir("st13", sf_dir, table_file="embeddings.parquet")
     stream = spark.readStream.schema(raw_schema).parquet(stream_dir)
-    q = F.transform(
-        F.col("embedding").cast("array<double>"),
-        lambda x: F.floor(x * 1_000_000).cast("long"),
-    )
-    guarded = stream.filter(
-        F.col("embedding").isNotNull()
-        & (F.size("embedding") == 64)
-        & ~F.exists("embedding", lambda x: x.isNull())
-    ).select(
+    # the SAME quantize+guard the trainer used (pure filter+select, so it
+    # composes with a streaming frame) — one definition, no drift between
+    # the model and what it serves
+    guarded = _quantized_vectors(stream, "vec_id", "embedding", 1_000_000, 64).select(
         F.col("vec_id"),
-        q.alias("__q"),
+        F.col("__q"),
         F.timestamp_micros(F.col("vec_id") * 60_000_000).alias("__ts"),
     )
     best = F.array_min(
