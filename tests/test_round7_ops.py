@@ -2329,3 +2329,41 @@ def test_st13_stream_serves_batch_model_exactly(spark):
         .collect()
     }
     assert stream_rows == batch_rows and len(stream_rows) > 0
+
+
+def test_kmeans_model_is_partitioning_invariant(spark):
+    """The trained model (integer partial sums + floor-division means)
+    must be bit-identical under any row order / partitioning — the
+    property that makes the SQL oracle possible at all.  Train on the
+    natural layout and on a reversed, repartitioned layout: same
+    centroids, same assignments."""
+    import numpy as np
+
+    from era_parser_spark.operators.similarity import kmeans_fit, kmeans_lloyd
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    shuffled = emb.orderBy(F.desc("vec_id")).repartition(7)
+    cids_a, C_a, _ = kmeans_fit(emb, "vec_id", "embedding", k=8, iters=2, dim=64)
+    cids_b, C_b, _ = kmeans_fit(shuffled, "vec_id", "embedding", k=8, iters=2, dim=64)
+    assert list(cids_a) == list(cids_b)
+    assert np.array_equal(C_a, C_b)
+    a = {r.vec_id: (r.cluster, r.dist_sq) for r in kmeans_lloyd(
+        emb, "vec_id", "embedding", k=8, iters=2, dim=64).collect()}
+    b = {r.vec_id: (r.cluster, r.dist_sq) for r in kmeans_lloyd(
+        shuffled, "vec_id", "embedding", k=8, iters=2, dim=64).collect()}
+    assert a == b
+
+
+def test_dsir_weights_are_partitioning_invariant(spark):
+    """p16's weights are pure functions of the token multisets — row
+    order and partitioning must not move a single integer."""
+    from era_parser_spark.operators.curation import dsir_importance
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    raw, tgt = docs.filter("doc_id % 17 != 0"), docs.filter("doc_id % 17 = 0")
+    a = {r.doc_id: (r.w_sum, r.n_tokens) for r in dsir_importance(
+        raw, tgt, "doc_id", "text").collect()}
+    raw2 = raw.orderBy(F.desc("doc_id")).repartition(5)
+    b = {r.doc_id: (r.w_sum, r.n_tokens) for r in dsir_importance(
+        raw2, tgt, "doc_id", "text").collect()}
+    assert a == b and len(a) > 0
