@@ -101,6 +101,7 @@ HEADLINE = [
     "t30_rake_keywords",
     "p17_source_drift_chi2",
     "st13_stream_cluster_counts",
+    "s18_kmeans_kcenter_init",
 ]
 
 

@@ -1939,6 +1939,7 @@ def kmeans_lloyd(
     quant: int = 1_000_000,
     dim: int | None = None,
     keep_vec: bool = False,
+    init: str = "first_k",
 ) -> DataFrame:
     """Distributed Lloyd's k-means over the FULL corpus with exact
     integer arithmetic — bit-identical assignments in plain SQL.
@@ -1981,7 +1982,7 @@ def kmeans_lloyd(
     """
     from pyspark.sql import types as T
 
-    cids, C, dim = kmeans_fit(df, id_col, vec_col, k, iters, quant, dim)
+    cids, C, dim = kmeans_fit(df, id_col, vec_col, k, iters, quant, dim, init=init)
     base = _quantized_vectors(df, id_col, vec_col, quant, dim)
 
     id_field = [f for f in df.schema.fields if f.name == id_col][0]
@@ -2025,6 +2026,7 @@ def kmeans_fit(
     iters: int = 2,
     quant: int = 1_000_000,
     dim: int | None = None,
+    init: str = "first_k",
 ) -> tuple[np.ndarray, np.ndarray, int]:
     """Train kmeans_lloyd's exact integer model and return it as the tiny
     driver artifact (cids, C, dim): surviving cluster ids (sorted), the
@@ -2032,7 +2034,16 @@ def kmeans_fit(
     model is servable anywhere — kmeans_lloyd maps it over the batch,
     st13 broadcasts it into a stream as literal columns — and trains
     identically regardless of consumer (see kmeans_lloyd for the
-    exactness contract and the per-iteration scale shape)."""
+    exactness contract and the per-iteration scale shape).
+
+    init="first_k" (default): the k smallest ids' vectors.
+    init="kcenter": Gonzalez farthest-point seeding (_kcenter_select) —
+    the deterministic k-means++ stand-in (D^2 sampling's RNG replaced by
+    the exact argmax rule), still fully oracle-replayable; cluster index
+    = rank of the seed's id among the DISTINCT selected seeds, so the
+    tie-break convention is identical to first_k's id order.  Seeding
+    costs k-1 extra corpus passes (the s17 scale note); requires an
+    integral id column."""
     from pyspark.sql import types as T
 
     if iters < 0:
@@ -2043,11 +2054,27 @@ def kmeans_fit(
         raise ValueError("kmeans_fit: no non-null vectors to infer dim from")
     base = _quantized_vectors(df, id_col, vec_col, quant, dim)
 
-    init = base.orderBy(id_col).limit(k).collect()
-    if not init:
-        raise ValueError("kmeans_fit: empty input")
-    cids = np.arange(len(init), dtype=np.int64)
-    C = np.asarray([r["__q"] for r in init], dtype=np.int64)
+    if init == "kcenter":
+        id_field = [f for f in df.schema.fields if f.name == id_col][0]
+        if id_field.dataType.typeName() not in ("byte", "short", "integer", "long"):
+            raise ValueError(
+                "kmeans_fit(init='kcenter') needs an integral id column, "
+                f"got {id_field.dataType.simpleString()}"
+            )
+        base = base.persist()
+        seeds = sorted(
+            {cid: vec for cid, vec in _kcenter_select(base, id_col, id_field.dataType, k)}.items()
+        )
+        cids = np.arange(len(seeds), dtype=np.int64)
+        C = np.stack([v for _, v in seeds])
+    elif init == "first_k":
+        rows = base.orderBy(id_col).limit(k).collect()
+        if not rows:
+            raise ValueError("kmeans_fit: empty input")
+        cids = np.arange(len(rows), dtype=np.int64)
+        C = np.asarray([r["__q"] for r in rows], dtype=np.int64)
+    else:
+        raise ValueError(f"unknown kmeans init: {init!r}")
 
     part_schema = T.StructType(
         [
@@ -2225,6 +2252,68 @@ def semdedup_kmeans(
     return assigned.groupBy("cluster", "__sub").applyInPandas(cluster_fn, out_schema)
 
 
+def _kcenter_select(
+    base: DataFrame, id_col: str, id_dtype, k: int
+) -> list[tuple[int, np.ndarray]]:
+    """The Gonzalez selection loop over a (persisted) quantized projection:
+    start at the smallest id, then k-1 argmax-min-distance rounds — each
+    one Arrow-batched pass against the broadcast center list emitting ONE
+    candidate row per batch (which carries its own vector, so the winner
+    needs no second corpus pass), reduced by a tiny driver top-1 under
+    (mind DESC, id ASC).  Returns the centers in SELECTION order (may
+    contain re-selections on degenerate corpora).  Shared by
+    kcenter_greedy and kmeans_fit(init='kcenter')."""
+    from pyspark.sql import types as T
+
+    first = base.orderBy(id_col).limit(1).collect()
+    if not first:
+        raise ValueError("kcenter selection: empty input")
+    centers: list[tuple[int, np.ndarray]] = [
+        (first[0][id_col], np.asarray(first[0]["__q"], dtype=np.int64))
+    ]
+    cand_schema = T.StructType(
+        [
+            T.StructField(id_col, id_dtype),
+            T.StructField("mind", T.LongType()),
+            T.StructField("__q", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def _cand_fn(C_arr: np.ndarray):
+        def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                Q = np.asarray(pdf["__q"].tolist(), dtype=np.int64)
+                qq = np.einsum("ij,ij->i", Q, Q)
+                cc = np.einsum("ij,ij->i", C_arr, C_arr)
+                d2 = qq[:, None] - 2 * (Q @ C_arr.T) + cc[None, :]
+                mind = d2.min(axis=1)
+                ids = pdf[id_col].to_numpy()
+                # batch argmax under (mind DESC, id ASC)
+                best = np.lexsort((ids, -mind))[0]
+                yield pd.DataFrame(
+                    {
+                        id_col: ids[best : best + 1],
+                        "mind": mind[best : best + 1],
+                        "__q": [list(Q[best])],
+                    }
+                )
+
+        return fn
+
+    for _ in range(k - 1):
+        C = np.stack([c for _, c in centers])
+        top = (
+            base.mapInPandas(_cand_fn(C), cand_schema)
+            .orderBy(F.desc("mind"), id_col)
+            .limit(1)
+            .collect()
+        )[0]
+        centers.append((top[id_col], np.asarray(top["__q"], dtype=np.int64)))
+    return centers
+
+
 def kcenter_greedy(
     df: DataFrame,
     id_col: str,
@@ -2273,56 +2362,8 @@ def kcenter_greedy(
         raise ValueError("kcenter_greedy: no non-null vectors to infer dim from")
     base = _quantized_vectors(df, id_col, vec_col, quant, dim).persist()
     try:
-        first = base.orderBy(id_col).limit(1).collect()
-        if not first:
-            raise ValueError("kcenter_greedy: empty input")
-        centers: list[tuple[int, np.ndarray]] = [
-            (first[0][id_col], np.asarray(first[0]["__q"], dtype=np.int64))
-        ]
-
         id_field = [f for f in df.schema.fields if f.name == id_col][0]
-        cand_schema = T.StructType(
-            [
-                T.StructField(id_col, id_field.dataType),
-                T.StructField("mind", T.LongType()),
-                # the winning row carries its own vector, so picking the
-                # next center costs NO second corpus pass per round
-                T.StructField("__q", T.ArrayType(T.LongType())),
-            ]
-        )
-
-        def _cand_fn(C_arr: np.ndarray):
-            def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-                for pdf in batches:
-                    if pdf.empty:
-                        continue
-                    Q = np.asarray(pdf["__q"].tolist(), dtype=np.int64)
-                    qq = np.einsum("ij,ij->i", Q, Q)
-                    cc = np.einsum("ij,ij->i", C_arr, C_arr)
-                    d2 = qq[:, None] - 2 * (Q @ C_arr.T) + cc[None, :]
-                    mind = d2.min(axis=1)
-                    ids = pdf[id_col].to_numpy()
-                    # batch argmax under (mind DESC, id ASC)
-                    best = np.lexsort((ids, -mind))[0]
-                    yield pd.DataFrame(
-                        {
-                            id_col: ids[best : best + 1],
-                            "mind": mind[best : best + 1],
-                            "__q": [list(Q[best])],
-                        }
-                    )
-
-            return fn
-
-        for _ in range(k - 1):
-            C = np.stack([c for _, c in centers])
-            top = (
-                base.mapInPandas(_cand_fn(C), cand_schema)
-                .orderBy(F.desc("mind"), id_col)
-                .limit(1)
-                .collect()
-            )[0]
-            centers.append((top[id_col], np.asarray(top["__q"], dtype=np.int64)))
+        centers = _kcenter_select(base, id_col, id_field.dataType, k)
 
         # final assignment vs the DISTINCT center set, sorted by center id so
         # numpy's first-occurrence argmin matches ORDER BY (d2, center_id)

@@ -862,7 +862,14 @@ def s15_hashed_semantic_pairs(spark, sf_dir):
     return hashed_semantic_pairs(docs, "doc_id", "text", dim=64, min_cos=0.9)
 
 
-def kmeans_lloyd_ctes(k: int, iters: int, quant: int, dim: int = 64) -> str:
+def kmeans_lloyd_ctes(
+    k: int,
+    iters: int,
+    quant: int,
+    dim: int = 64,
+    cent0_sql: str | None = None,
+    extra_ctes: list[str] | None = None,
+) -> str:
     """CTE chain replaying kmeans_lloyd's exact integer model in DuckDB:
     quantize -> init on the k smallest ids -> ``iters`` Lloyd updates
     (floor-division means via the positive-mod identity, because DuckDB
@@ -871,7 +878,9 @@ def kmeans_lloyd_ctes(k: int, iters: int, quant: int, dim: int = 64) -> str:
     Ties in the argmin break to the smallest cid (ORDER BY d2, cid) on
     both sides; empty clusters drop out of the GROUP BY on both sides.
     Also defines ``ex`` (long-format quantized values) and ``qv`` for
-    downstream CTEs (dd18 reuses them for the pair check)."""
+    downstream CTEs (dd18 reuses them for the pair check).  ``cent0_sql``
+    overrides the init: a SELECT producing (cid, dim, c) — s18 feeds the
+    k-center seeds through it (the engine's init='kcenter')."""
     parts = [
         f"""qv AS (
       SELECT vec_id,
@@ -884,16 +893,25 @@ def kmeans_lloyd_ctes(k: int, iters: int, quant: int, dim: int = 64) -> str:
       SELECT vec_id, CAST(i AS INTEGER) AS dim, q[CAST(i + 1 AS INTEGER)] AS v
       FROM qv, unnest(range(0, len(q))) AS u(i)
     )""",
-        f"""init AS (
+    ]
+    if extra_ctes:
+        parts.extend(extra_ctes)
+    if cent0_sql is None:
+        parts.append(
+            f"""init AS (
       SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
                AS cid
       FROM (SELECT vec_id FROM qv ORDER BY vec_id LIMIT {k})
-    )""",
-        """cent_0 AS (
+    )"""
+        )
+        parts.append(
+            """cent_0 AS (
       SELECT init.cid, ex.dim, CAST(ex.v AS BIGINT) AS c
       FROM init JOIN ex USING (vec_id)
-    )""",
-    ]
+    )"""
+        )
+    else:
+        parts.append(f"cent_0 AS ({cent0_sql})")
     for i in range(iters):
         parts.append(
             f"""d_{i} AS (
@@ -962,13 +980,12 @@ def s16_kmeans_lloyd(spark, sf_dir):
     )
 
 
-def _s17_oracle(k: int = 8, quant: int = 1_000_000) -> str:
-    """Replays kcenter_greedy's sequential selection as k chained CTEs:
-    cen_0 = smallest id; round r computes every point's min distance to
-    cen_{r-1} and appends the argmax under (mind DESC, vec_id ASC); the
-    final assignment ties on (d2, center_id).  Reuses kmeans_lloyd_ctes'
-    qv/ex quantization fragments (iters=0 keeps the chain unused beyond
-    them — DuckDB prunes unreferenced CTEs)."""
+def kcenter_select_ctes(k: int) -> list[str]:
+    """The Gonzalez selection replayed as chained CTEs over qv/ex
+    (kmeans_lloyd_ctes' quantization fragments): cen_0 = smallest id;
+    round r computes every point's min distance to cen_{r-1} and appends
+    the argmax under (mind DESC, vec_id ASC); ``cen_fin`` is the DISTINCT
+    selected set.  Shared by s17 and s18's init."""
     parts = [
         """cen_0 AS (
       SELECT vec_id FROM qv ORDER BY vec_id LIMIT 1
@@ -994,9 +1011,16 @@ def _s17_oracle(k: int = 8, quant: int = 1_000_000) -> str:
                           ORDER BY mind DESC, vec_id LIMIT 1)
     )"""
         )
-    parts.append(
-        f"""cen_fin AS (SELECT DISTINCT vec_id FROM cen_{k - 1})"""
-    )
+    parts.append(f"""cen_fin AS (SELECT DISTINCT vec_id FROM cen_{k - 1})""")
+    return parts
+
+
+def _s17_oracle(k: int = 8, quant: int = 1_000_000) -> str:
+    """kcenter_select_ctes + the final nearest-center assignment (ties on
+    (d2, center_id)).  Reuses kmeans_lloyd_ctes' qv/ex quantization
+    fragments (iters=0 keeps the Lloyd chain unused beyond them — DuckDB
+    prunes unreferenced CTEs)."""
+    parts = kcenter_select_ctes(k)
     parts.append(
         """ad AS (
       SELECT a.vec_id, c.vec_id AS center_id,
@@ -1031,3 +1055,39 @@ def s17_kcenter_greedy(spark, sf_dir):
 
     emb = table(spark, sf_dir, "embeddings")
     return kcenter_greedy(emb, "vec_id", "embedding", k=8, quant=1_000_000, dim=64)
+
+
+def _s18_oracle(k: int = 8, iters: int = 2, quant: int = 1_000_000) -> str:
+    """kcenter seeds -> Lloyd: the s17 selection chain feeds cent_0
+    (cluster index = dense_rank of the seed's vec_id over cen_fin — the
+    engine's sorted-distinct-seed convention), then the standard Lloyd
+    chain runs unchanged."""
+    cent0 = """
+      SELECT CAST(dense_rank() OVER (ORDER BY c.vec_id) - 1 AS INTEGER)
+               AS cid,
+             ex.dim, CAST(ex.v AS BIGINT) AS c
+      FROM cen_fin c JOIN ex USING (vec_id)
+    """
+    return f"""
+    WITH {kmeans_lloyd_ctes(k=k, iters=iters, quant=quant,
+                            cent0_sql=cent0,
+                            extra_ctes=kcenter_select_ctes(k))}
+    SELECT vec_id, cid AS cluster, CAST(d2 AS BIGINT) AS dist_sq
+    FROM a_fin
+    """
+
+
+@register("s18_kmeans_kcenter_init", oracle=_s18_oracle())
+def s18_kmeans_kcenter_init(spark, sf_dir):
+    """Lloyd's k-means seeded by Gonzalez farthest-point selection — the
+    deterministic k-means++ stand-in (D^2 sampling's RNG replaced by
+    s17's exact argmax rule), so the composed TRAINED pipeline
+    seed-selection -> 2 Lloyd updates -> assignment stays bit-checkable
+    end to end.  Same engine machinery as s16 with init='kcenter'."""
+    from era_parser_spark.operators.similarity import kmeans_lloyd
+
+    emb = table(spark, sf_dir, "embeddings")
+    return kmeans_lloyd(
+        emb, "vec_id", "embedding", k=8, iters=2, quant=1_000_000, dim=64,
+        init="kcenter",
+    )

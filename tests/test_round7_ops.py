@@ -2367,3 +2367,22 @@ def test_dsir_weights_are_partitioning_invariant(spark):
     b = {r.doc_id: (r.w_sum, r.n_tokens) for r in dsir_importance(
         raw2, tgt, "doc_id", "text").collect()}
     assert a == b and len(a) > 0
+
+
+def test_kmeans_kcenter_init_uses_farthest_seeds(spark):
+    """init='kcenter' seeds Lloyd's with the farthest-point set: on two
+    tight blobs whose first TWO ids sit in the same blob, first_k init
+    (iters=0) lumps blob B with one A-seed, while kcenter init separates
+    the blobs immediately — and cluster indexes follow seed-id rank."""
+    from era_parser_spark.operators.similarity import kmeans_lloyd
+
+    rows = [(i, [1.0 + 0.001 * i, 0.0]) for i in range(10)]
+    rows += [(i, [0.0, 1.0 + 0.001 * i]) for i in range(10, 20)]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    kc = {r.id: r.cluster for r in kmeans_lloyd(
+        df, "id", "v", k=2, iters=0, quant=1000, dim=2, init="kcenter").collect()}
+    assert {kc[i] for i in range(10)} == {0}        # seed id 0 -> cluster 0
+    assert {kc[i] for i in range(10, 20)} == {1}    # farthest seed in blob B
+    fk = {r.id: r.cluster for r in kmeans_lloyd(
+        df, "id", "v", k=2, iters=0, quant=1000, dim=2).collect()}
+    assert {fk[i] for i in range(10, 20)} == {0}    # first_k: both seeds in A
