@@ -102,6 +102,7 @@ HEADLINE = [
     "p17_source_drift_chi2",
     "st13_stream_cluster_counts",
     "s18_kmeans_kcenter_init",
+    "p18_budget_waterfill",
 ]
 
 

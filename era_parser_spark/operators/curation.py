@@ -739,3 +739,88 @@ def token_drift_chi2(
         ]
     )
     return spark.createDataFrame(out, schema)
+
+
+def budget_waterfill(
+    df: DataFrame,
+    group_col: str,
+    n_tokens_col: str,
+    budget: int,
+) -> DataFrame:
+    """Water-filling token-budget allocation: split a GLOBAL budget
+    equally across groups, capped by each group's availability, with
+    capped groups' surplus redistributed — the allocation solver a
+    training-mix spec needs between p5's proportional temperature mix
+    and p10's fixed per-group cap ("we have B tokens of compute; no
+    source can give more than it has").
+
+    Exact integer solver, no division until the final equal share: sort
+    groups by (availability, group) ascending with rank i of m and
+    prefix sums; group i is CAPPED iff cap_i * (m - i + 1) <=
+    budget - prefix_{i-1} (the cross-multiplied share test, monotone
+    along the sort); uncapped groups split the remainder R as
+    q = R // n_uncapped each, the first R % n_uncapped of them (in the
+    same sort order) getting one extra token.  Every allocation is
+    provably <= availability (the first uncapped group's cap strictly
+    exceeds its share), sum(allocated) == min(budget, total) exactly.
+
+    The heavy work is ONE map-side-combined (group) token-count shuffle;
+    the solver runs as window functions over the tiny m-row group frame
+    (a single-partition exchange of m rows — never the corpus).
+
+    Returns (group, available_tokens, allocated_tokens, capped).
+    """
+    from pyspark.sql import Window as W
+
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    caps = df.groupBy(group_col).agg(
+        F.sum(F.col(n_tokens_col)).cast("long").alias("available_tokens")
+    )
+    w_rank = W.orderBy("available_tokens", group_col)
+    srt = (
+        caps.withColumn("__i", F.row_number().over(w_rank))
+        .withColumn("__m", F.count(F.lit(1)).over(W.partitionBy()))
+        .withColumn(
+            "__prefix",
+            F.coalesce(
+                F.sum("available_tokens").over(
+                    w_rank.rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+    )
+    cond = F.col("available_tokens") * (F.col("__m") - F.col("__i") + 1) <= (
+        F.lit(budget) - F.col("__prefix")
+    )
+    srt = srt.withColumn("__ok", cond)
+    # capped = the maximal all-ok PREFIX of the sort (min failing rank wins)
+    first_bad = F.min(F.when(~F.col("__ok"), F.col("__i"))).over(W.partitionBy())
+    srt = srt.withColumn("__fb", F.coalesce(first_bad, F.col("__m") + 1))
+    j = F.col("__fb") - 1  # number of capped groups
+    cap_prefix_at_j = F.max(
+        F.when(F.col("__i") == j, F.col("__prefix") + F.col("available_tokens"))
+    ).over(W.partitionBy())
+    remaining = F.lit(budget) - F.coalesce(cap_prefix_at_j, F.lit(0))
+    n_unc = F.col("__m") - j
+    # greatest(,1): the all-capped case makes n_unc 0 and ANSI mode would
+    # raise on the (unused) division; the n_unc > 0 guard below discards it
+    n_safe = F.greatest(n_unc, F.lit(1))
+    rem = F.pmod(remaining, n_safe)
+    # (remaining - rem) is exactly divisible, so the double division is
+    # exact while the share stays below 2^53 tokens per group
+    share = (remaining - rem) / n_safe
+    capped = F.col("__i") < F.col("__fb")
+    alloc = F.when(capped, F.col("available_tokens")).otherwise(
+        F.when(n_unc > 0,
+               share.cast("long")
+               + F.when(F.col("__i") - j <= rem, F.lit(1)).otherwise(F.lit(0)))
+        .otherwise(F.lit(0))
+    )
+    return srt.select(
+        F.col(group_col),
+        F.col("available_tokens"),
+        alloc.cast("long").alias("allocated_tokens"),
+        capped.alias("capped"),
+    )

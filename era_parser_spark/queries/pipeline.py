@@ -944,3 +944,71 @@ def p17_source_drift_chi2(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     return token_drift_chi2(docs, "source", "text", m=256, scale=1_000_000)
+
+
+@register(
+    "p18_budget_waterfill",
+    # Water-filling over the tiny per-source cap table, replayed with the
+    # same window logic: rank by (cap, source), cross-multiplied share
+    # test (no division), equal split of the remainder with the first
+    # R % n_uncapped groups (same order) getting one extra token.
+    oracle="""
+    WITH caps AS (
+      SELECT source,
+             CAST(sum(len(regexp_split_to_array(trim(lower(text)), '\\s+')))
+                  AS BIGINT) AS available_tokens
+      FROM documents GROUP BY 1
+    ),
+    srt AS (
+      SELECT caps.*,
+             row_number() OVER (ORDER BY available_tokens, source) AS i,
+             count(*) OVER () AS m,
+             COALESCE(sum(available_tokens) OVER (
+               ORDER BY available_tokens, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+      FROM caps
+    ),
+    flagged AS (
+      SELECT srt.*,
+             available_tokens * (m - i + 1) <= 26000 - prefix AS ok
+      FROM srt
+    ),
+    cut AS (
+      SELECT flagged.*,
+             COALESCE(min(CASE WHEN NOT ok THEN i END) OVER (), m + 1) AS fb
+      FROM flagged
+    ),
+    solved AS (
+      SELECT cut.*,
+             COALESCE(max(CASE WHEN i = fb - 1
+                               THEN prefix + available_tokens END) OVER (), 0)
+               AS cap_prefix,
+             m - (fb - 1) AS n_unc
+      FROM cut
+    )
+    SELECT source, available_tokens,
+           CAST(CASE WHEN i < fb THEN available_tokens
+                ELSE ((26000 - cap_prefix)
+                      - ((((26000 - cap_prefix) % greatest(n_unc, 1))
+                          + greatest(n_unc, 1)) % greatest(n_unc, 1)))
+                     // greatest(n_unc, 1)
+                     + (CASE WHEN i - (fb - 1)
+                               <= ((((26000 - cap_prefix) % greatest(n_unc, 1))
+                                    + greatest(n_unc, 1)) % greatest(n_unc, 1))
+                             THEN 1 ELSE 0 END)
+                END AS BIGINT) AS allocated_tokens,
+           i < fb AS capped
+    FROM solved
+    """,
+)
+def p18_budget_waterfill(spark, sf_dir):
+    """Global 26k-token budget water-filled across sources under
+    availability caps — the allocation solver between p5's proportional
+    mix and p10's fixed per-group cap; exact integers throughout,
+    sum(allocated) == min(budget, total)."""
+    from era_parser_spark.operators.curation import budget_waterfill
+    from era_parser_spark.operators.text import token_count_col
+
+    docs = table(spark, sf_dir, "documents")
+    counted = docs.select("source", token_count_col("text").alias("n_tokens"))
+    return budget_waterfill(counted, "source", "n_tokens", budget=26_000)

@@ -2386,3 +2386,39 @@ def test_kmeans_kcenter_init_uses_farthest_seeds(spark):
     fk = {r.id: r.cluster for r in kmeans_lloyd(
         df, "id", "v", k=2, iters=0, quant=1000, dim=2).collect()}
     assert {fk[i] for i in range(10, 20)} == {0}    # first_k: both seeds in A
+
+
+# ------------------------------------------------- p18: budget waterfill
+
+
+def test_budget_waterfill_hand_allocation(spark):
+    """caps a=10, b=100, c=100, budget=110: a is capped (10*3 <= 110),
+    b/c split the remaining 100 as 50/50; with budget=109 the odd token
+    goes to the first uncapped group in (cap, name) order."""
+    from era_parser_spark.operators.curation import budget_waterfill
+
+    df = spark.createDataFrame(
+        [("a", 10), ("b", 100), ("c", 100)], "src string, nt long"
+    )
+    out = {r.src: r for r in budget_waterfill(df, "src", "nt", budget=110).collect()}
+    assert (out["a"].allocated_tokens, out["a"].capped) == (10, True)
+    assert out["b"].allocated_tokens == 50 and not out["b"].capped
+    assert out["c"].allocated_tokens == 50
+    out = {r.src: r for r in budget_waterfill(df, "src", "nt", budget=109).collect()}
+    assert (out["b"].allocated_tokens, out["c"].allocated_tokens) == (50, 49)
+    assert sum(r.allocated_tokens for r in out.values()) == 109
+
+
+def test_budget_waterfill_edges(spark):
+    """budget >= total -> every group capped at availability; budget 0 ->
+    zero allocations; allocations never exceed availability."""
+    from era_parser_spark.operators.curation import budget_waterfill
+
+    df = spark.createDataFrame(
+        [("a", 7), ("b", 3), ("c", 0)], "src string, nt long"
+    )
+    out = {r.src: r for r in budget_waterfill(df, "src", "nt", budget=100).collect()}
+    assert all(out[s].capped for s in "abc")
+    assert [out[s].allocated_tokens for s in "abc"] == [7, 3, 0]
+    out0 = budget_waterfill(df, "src", "nt", budget=0).collect()
+    assert all(r.allocated_tokens == 0 for r in out0)
