@@ -103,6 +103,7 @@ HEADLINE = [
     "st13_stream_cluster_counts",
     "s18_kmeans_kcenter_init",
     "p18_budget_waterfill",
+    "mm9_image_phash_pairs",
 ]
 
 

@@ -598,3 +598,130 @@ def speech_segments(
             F.col("seg_energy").cast("long").alias("seg_energy"),
         )
     )
+
+
+_PHASH_N = 32       # resample grid (NxN)
+_PHASH_LOW = 8      # low-frequency block kept (8x8 minus DC -> 63 bits)
+_DCT_SCALE = 1 << 14
+
+
+def phash_dct_rows() -> list[list[int]]:
+    """The first 8 rows of the NxN DCT-II basis as FIXED-POINT integers:
+    T[k][j] = round(cos(pi*(2j+1)*k/(2N)) * 2^14).  Rounded ONCE here in
+    Python and embedded as literals in both the numpy kernel and the SQL
+    twin (the srp_plane_signs constant-sharing trick), so no engine ever
+    evaluates a transcendental — the whole DCT is exact int64."""
+    import math
+
+    n = _PHASH_N
+    return [
+        [
+            int(round(math.cos(math.pi * (2 * j + 1) * k / (2 * n)) * _DCT_SCALE))
+            for j in range(n)
+        ]
+        for k in range(_PHASH_LOW)
+    ]
+
+
+PHASH_SCHEMA = "media_id long, phash long"
+
+
+def phash_signatures(df: DataFrame) -> DataFrame:
+    """Perceptual DCT hash (pHash) signatures over binary payloads — the
+    frequency-domain sibling of mm5's aHash, robust to the global
+    brightness/contrast shifts that flip aHash bits.
+
+    The stand-in "resample" tiles the payload bytes to a 32x32 grid
+    (cell i = byte[i % n], the mm5 convention; a codec's grayscale
+    thumbnail slots in via `_real_decode`), then D = T8 @ P @ T8^T with
+    the fixed-point integer DCT rows (phash_dct_rows) — max |entry|
+    32*16384*255*16384*32 fits int64 — keeps the low 8x8 block minus the
+    DC term, and sets bit pos (pos = k1*8+k2-1) iff the coefficient
+    exceeds the exact MEDIAN (the 32nd order statistic of the 63 ints).
+    Every step is integer math, so the hash is SQL-rederivable.
+
+    Payload bytes never shuffle; only (id, 8-byte hash) leaves the scan.
+    """
+    import numpy as np
+
+    n, low = _PHASH_N, _PHASH_LOW
+    T8 = np.asarray(phash_dct_rows(), dtype=np.int64)
+    cells = n * n
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids: list[int] = []
+            hs: list[int] = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                if not data:
+                    continue
+                reps = -(-cells // len(data))
+                tiled = (data * reps)[:cells]
+                P = (
+                    np.frombuffer(tiled, np.uint8)
+                    .astype(np.int64)
+                    .reshape(n, n)
+                )
+                D = T8 @ P @ T8.T
+                vals = D.ravel()[1:]  # row-major = (k1*8 + k2), drop DC
+                med = int(np.sort(vals, kind="stable")[31])
+                bits = (vals > med).astype(np.int64)
+                ids.append(int(mid))
+                hs.append(int((bits << np.arange(low * low - 1, dtype=np.int64)).sum()))
+            yield pd.DataFrame({"media_id": ids, "phash": hs}, dtype="int64")
+
+    return df.select("media_id", "payload").mapInPandas(fn, PHASH_SCHEMA)
+
+
+def phash_near_pairs(
+    df: DataFrame,
+    max_hamming: int = 8,
+    bands: int = 9,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """pHash near-duplicate pairs — mm5's banding machinery over the
+    63-bit DCT hash: 9 bands of 7 bits, pigeonhole-exact recall for
+    hamming <= 8 (max_hamming < bands, the mm5/dd4 inequality);
+    `max_bucket` is the viral-thumbnail guard."""
+    band_bits = 63 // bands
+    mask = (1 << band_bits) - 1
+    sig = phash_signatures(df).cache()  # feeds both join sides once
+    bucket_arr = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("k"),
+                F.shiftright(F.col("phash"), k * band_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("bv"),
+            )
+            for k in range(bands)
+        ]
+    )
+    bk = sig.select("media_id", "phash", F.explode(bucket_arr).alias("b")).select(
+        "media_id", "phash", "b.k", "b.bv"
+    )
+    if max_bucket is not None:
+        hot = (
+            bk.groupBy("k", "bv")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_bucket)
+            .select("k", "bv")
+        )
+        bk = bk.join(F.broadcast(hot), ["k", "bv"], "left_anti")
+    a, b = bk.alias("a"), bk.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+            F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1348,3 +1348,102 @@ def dd18_semdedup_kmeans(spark, sf_dir):
     return semdedup_kmeans(
         emb, "vec_id", "embedding", k=8, iters=2, quant=512, min_cos=0.35, dim=64
     )
+
+
+def _mm9_oracle() -> str:
+    from era_parser_spark.operators.multimodal import phash_dct_rows
+
+    tt = ", ".join(
+        f"({k}, {j}, {t})"
+        for k, row in enumerate(phash_dct_rows())
+        for j, t in enumerate(row)
+    )
+    return f"""
+    WITH aug AS (
+      -- every 10th doc gets a one-char-substituted twin (the t16
+      -- augmentation convention): a single tiled-grid cell moves, so the
+      -- DCT hash lands within a couple of bits — real near-dup pairs on
+      -- a corpus whose distinct docs sit at hamming >= 14
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000,
+             substr(text, 1, 50) || 'x' || substr(text, 52)
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    m AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n
+      FROM aug WHERE octet_length(encode(text)) > 0
+    ),
+    b AS (
+      SELECT media_id, CAST(i AS BIGINT) AS i,
+             CAST(concat('0x',
+                  substr(hx, CAST((i % n) * 2 + 1 AS INTEGER), 2)) AS BIGINT) AS bv
+      FROM m, unnest(range(0, 1024)) AS u(i)
+    ),
+    tt(k, j, t) AS (VALUES {tt}),
+    tp AS (
+      SELECT b.media_id, tt.k AS k1, CAST(b.i % 32 AS BIGINT) AS c,
+             sum(CAST(tt.t AS BIGINT) * b.bv) AS v
+      FROM b JOIN tt ON tt.j = b.i // 32
+      GROUP BY 1, 2, 3
+    ),
+    d AS (
+      SELECT tp.media_id, tp.k1, tt.k AS k2, sum(tp.v * CAST(tt.t AS BIGINT)) AS v
+      FROM tp JOIN tt ON tt.j = tp.c
+      GROUP BY 1, 2, 3
+    ),
+    cf AS (
+      SELECT media_id, CAST(k1 * 8 + k2 - 1 AS INTEGER) AS pos, v
+      FROM d WHERE NOT (k1 = 0 AND k2 = 0)
+    ),
+    med AS (
+      SELECT media_id, v AS mv FROM (
+        SELECT cf.*, row_number() OVER (PARTITION BY media_id
+                                        ORDER BY v, pos) AS rn
+        FROM cf
+      ) WHERE rn = 32
+    ),
+    h AS (
+      SELECT cf.media_id,
+             CAST(sum(CASE WHEN cf.v > med.mv
+                           THEN (CAST(1 AS BIGINT) << pos) ELSE 0 END)
+                  AS BIGINT) AS phash
+      FROM cf JOIN med USING (media_id) GROUP BY 1
+    ),
+    bk AS (
+      SELECT media_id, phash, CAST(k AS INTEGER) AS k,
+             (phash >> CAST(k * 7 AS INTEGER)) & 127 AS bv
+      FROM h, unnest(range(0, 9)) AS u(k)
+    ),
+    pr AS (
+      SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+             bit_count(CAST(xor(a.phash, b.phash) AS BIGINT)) AS hamming
+      FROM bk a JOIN bk b
+        ON a.k = b.k AND a.bv = b.bv AND a.media_id < b.media_id
+    )
+    SELECT media_a, media_b, CAST(hamming AS INTEGER) AS hamming
+    FROM pr WHERE hamming <= 8
+    """
+
+
+@register("mm9_image_phash_pairs", oracle=_mm9_oracle())
+def mm9_image_phash_pairs(spark, sf_dir):
+    """Image near-dup via pHash (DCT perceptual hash) banding — the
+    frequency-domain sibling of mm5's aHash: fixed-point integer 2D DCT
+    (cos table rounded once in Python, shared verbatim with the SQL
+    twin), exact-median bit threshold, 9x7-bit pigeonhole-exact bands
+    for hamming <= 8.  Every 10th doc gets a one-char-substituted twin
+    so the corpus contains true near-dup payloads (distinct docs sit at
+    hamming >= 14)."""
+    from era_parser_spark.operators.multimodal import documents_as_media, phash_near_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    twins = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 50), F.lit("x"), F.expr("substr(text, 52)")
+        ).alias("text"),
+    )
+    aug = docs.select("doc_id", "text").unionByName(twins)
+    return phash_near_pairs(documents_as_media(aug), max_hamming=8)

@@ -2422,3 +2422,45 @@ def test_budget_waterfill_edges(spark):
     assert [out[s].allocated_tokens for s in "abc"] == [7, 3, 0]
     out0 = budget_waterfill(df, "src", "nt", budget=0).collect()
     assert all(r.allocated_tokens == 0 for r in out0)
+
+
+# ---------------------------------------------------------- mm9: pHash
+
+
+def test_phash_brightness_invariance_vs_ahash(spark):
+    """pHash's reason to exist: a uniform brightness shift moves every
+    cell, flipping aHash-style mean-threshold bits, but only scales the
+    DC term — the 63 AC-coefficient comparisons against their median are
+    unchanged, so the pHash is IDENTICAL; a real content change is not."""
+    from era_parser_spark.operators.multimodal import phash_signatures
+
+    base = bytes(range(40, 160))
+    brighter = bytes(b + 40 for b in base)
+    changed = bytes(base[:60] + bytes([255, 0, 255, 0]) + base[64:])
+    df = spark.createDataFrame(
+        [(1, bytearray(base)), (2, bytearray(brighter)), (3, bytearray(changed)),
+         (4, None), (5, bytearray(b""))],
+        "media_id long, payload binary",
+    )
+    out = {r.media_id: r.phash for r in phash_signatures(df).collect()}
+    assert set(out) == {1, 2, 3}          # null/empty payloads emit no row
+    assert out[1] == out[2]               # brightness-invariant
+    assert out[1] != out[3]               # content-sensitive
+
+
+def test_phash_near_pairs_finds_perturbed_twin(spark):
+    """A few flipped bytes = small hamming; unrelated payloads sit far
+    apart; the banding finds the twin pair pigeonhole-exactly."""
+    from era_parser_spark.operators.multimodal import phash_near_pairs
+
+    a = bytes((i * 7) % 256 for i in range(300))
+    twin = bytearray(a); twin[13] ^= 0xFF
+    other = bytes((i * 131 + 17) % 256 for i in range(300))
+    df = spark.createDataFrame(
+        [(1, bytearray(a)), (2, twin), (3, bytearray(other))],
+        "media_id long, payload binary",
+    )
+    pairs = {(r.media_a, r.media_b): r.hamming
+             for r in phash_near_pairs(df, max_hamming=8).collect()}
+    assert (1, 2) in pairs
+    assert all(p == (1, 2) for p in pairs)
