@@ -104,6 +104,7 @@ HEADLINE = [
     "s18_kmeans_kcenter_init",
     "p18_budget_waterfill",
     "mm9_image_phash_pairs",
+    "p19_curation_v4",
 ]
 
 

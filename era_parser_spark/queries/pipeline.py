@@ -1012,3 +1012,162 @@ def p18_budget_waterfill(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     counted = docs.select("source", token_count_col("text").alias("n_tokens"))
     return budget_waterfill(counted, "source", "n_tokens", budget=26_000)
+
+
+def _p19_oracle() -> str:
+    from era_parser_spark.queries.similarity import kmeans_lloyd_ctes
+
+    tok = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+    ex_sql = f"""
+      SELECT s.doc_id AS vec_id, g.b AS dim, COALESCE(cs.v, 0) AS v
+      FROM surv s
+      CROSS JOIN (SELECT CAST(unnest(range(0, 64)) AS INTEGER) AS b) g
+      LEFT JOIN cs ON cs.doc_id = s.doc_id AND cs.b = g.b
+    """
+    pre = f"""rawd AS (
+      SELECT doc_id, {tok} AS tok FROM documents WHERE doc_id % 17 <> 0
+    ),
+    tgtd AS (
+      SELECT doc_id, {tok} AS tok FROM documents WHERE doc_id % 17 = 0
+    ),
+    rex AS (
+      SELECT doc_id, {_P16_H} % 256 AS b
+      FROM (SELECT doc_id, unnest(tok) AS t FROM rawd) WHERE t <> ''
+    ),
+    tex AS (
+      SELECT {_P16_H} % 256 AS b
+      FROM (SELECT unnest(tok) AS t FROM tgtd) WHERE t <> ''
+    ),
+    rc AS (SELECT b, count(*) AS n FROM rex GROUP BY b),
+    tc AS (SELECT b, count(*) AS n FROM tex GROUP BY b),
+    ratio AS (
+      SELECT g.b,
+             (CAST(10000 AS HUGEINT) * (COALESCE(tc.n, 0) + 1)
+              * ((SELECT count(*) FROM rex) + 256))
+             // ((COALESCE(rc.n, 0) + 1)
+                 * ((SELECT count(*) FROM tex) + 256)) AS r
+      FROM (SELECT CAST(unnest(range(0, 256)) AS BIGINT) AS b) g
+      LEFT JOIN rc ON rc.b = g.b
+      LEFT JOIN tc ON tc.b = g.b
+    ),
+    pf AS (SELECT doc_id, b, count(*) AS tf FROM rex GROUP BY 1, 2),
+    agg AS (
+      SELECT pf.doc_id, sum(pf.tf) AS n_tokens, sum(pf.tf * ratio.r) AS w_sum
+      FROM pf JOIN ratio USING (b) GROUP BY 1
+    ),
+    w AS (
+      SELECT d.doc_id,
+             CASE WHEN COALESCE(n_tokens, 0) > 0
+                  THEN CAST(w_sum AS DOUBLE) / (10000.0 * n_tokens)
+                  ELSE CAST(0.0 AS DOUBLE) END AS w_mean
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0) d
+      LEFT JOIN agg USING (doc_id)
+    ),
+    medv AS (
+      SELECT w_mean AS mv FROM (
+        SELECT w.*, row_number() OVER (ORDER BY w_mean, doc_id) AS rn,
+               count(*) OVER () AS n
+        FROM w
+      ) WHERE rn = (n + 1) // 2
+    ),
+    surv AS (SELECT w.doc_id FROM w, medv WHERE w.w_mean > medv.mv),
+    sex AS (
+      SELECT doc_id, t
+      FROM (SELECT d.doc_id, unnest({tok}) AS t
+            FROM documents d JOIN surv USING (doc_id))
+      WHERE t <> ''
+    ),
+    cs AS (
+      SELECT doc_id, CAST({_P16_H} % 64 AS INTEGER) AS b,
+             CAST(SUM(CASE WHEN (({_P16_H} >> 30) % 2) = 0
+                           THEN 1 ELSE -1 END) AS BIGINT) AS v
+      FROM sex GROUP BY doc_id, b
+    )"""
+    post = f""",
+    nrm AS (SELECT vec_id, sum(v * v) AS n2 FROM ex GROUP BY 1),
+    pr AS (
+      SELECT x.vec_id AS ia, y.vec_id AS ib, sum(ea.v * eb.v) AS dot
+      FROM a_fin x
+      JOIN a_fin y ON y.cid = x.cid AND y.vec_id > x.vec_id
+      JOIN ex ea ON ea.vec_id = x.vec_id
+      JOIN ex eb ON eb.vec_id = y.vec_id AND eb.dim = ea.dim
+      GROUP BY 1, 2
+    ),
+    dup AS (
+      SELECT ia, ib FROM pr
+      JOIN nrm na ON na.vec_id = ia
+      JOIN nrm nb ON nb.vec_id = ib
+      WHERE dot > 0 AND 10000 * dot * dot >= 8100 * na.n2 * nb.n2
+    ),
+    edges AS (SELECT ia AS a, ib AS b FROM dup
+              UNION ALL SELECT ib, ia FROM dup),
+    rm AS (
+      SELECT DISTINCT e.a AS vec_id
+      FROM edges e
+      JOIN a_fin x ON x.vec_id = e.a
+      JOIN a_fin y ON y.vec_id = e.b
+      WHERE y.d2 > x.d2 OR (y.d2 = x.d2 AND y.vec_id < x.vec_id)
+    )
+    SELECT f.vec_id AS doc_id, f.cid AS cluster,
+           CASE
+             WHEN (((f.vec_id % 4294967296 + 4294967296) % 4294967296)
+                   * CAST(2654435761 AS HUGEINT)) % 4294967296
+                  < CAST(floor(0.8 * 4294967296) AS BIGINT) THEN 'train'
+             WHEN (((f.vec_id % 4294967296 + 4294967296) % 4294967296)
+                   * CAST(2654435761 AS HUGEINT)) % 4294967296
+                  < CAST(floor(0.9 * 4294967296) AS BIGINT) THEN 'val'
+             ELSE 'test'
+           END AS split
+    FROM a_fin f LEFT JOIN rm USING (vec_id)
+    WHERE rm.vec_id IS NULL
+    """
+    chain = kmeans_lloyd_ctes(k=8, iters=1, quant=1, ex_sql=ex_sql)
+    return f"""
+    WITH {pre},
+    {chain}{post}"""
+
+
+@register("p19_curation_v4", oracle=_p19_oracle())
+def p19_curation_v4(spark, sf_dir):
+    """Curation pipeline v4 — the session-4 data-selection tier composed
+    end to end, every stage's trained artifact oracle-exact: DSIR
+    importance gate (p16: keep docs strictly above the exact median
+    weight) -> SemDeDup over LEARNED k-means clusters of the survivors'
+    hashed text embeddings (t26 vectors feeding dd18's machinery,
+    quant=1 since the features are already integers) -> leakage-free
+    Knuth split (p9).  Output: (doc_id, cluster, split) for the curated
+    corpus.  The exact-median gate is the one global sort in the plan
+    (the p7 global-order precedent); everything else shuffles longs."""
+    from pyspark.sql import Window as W
+
+    from era_parser_spark.operators.curation import dsir_importance, split_assign
+    from era_parser_spark.operators.similarity import semdedup_kmeans
+    from era_parser_spark.operators.text import hash_embed
+
+    docs = table(spark, sf_dir, "documents")
+    raw = docs.filter(F.col("doc_id") % 17 != 0)
+    tgt = docs.filter(F.col("doc_id") % 17 == 0)
+    w = dsir_importance(raw, tgt, "doc_id", "text", m=256, scale=10_000)
+    win = W.orderBy("w_mean", "doc_id")
+    wm = (
+        w.withColumn("__rn", F.row_number().over(win))
+        .withColumn("__n", F.count(F.lit(1)).over(W.partitionBy()))
+        .withColumn(
+            "__med",
+            F.max(
+                F.when(F.col("__rn") == F.expr("(__n + 1) div 2"), F.col("w_mean"))
+            ).over(W.partitionBy()),
+        )
+    )
+    surv = wm.filter(F.col("w_mean") > F.col("__med")).select("doc_id")
+    surv_docs = docs.join(surv, "doc_id")
+    emb = hash_embed(surv_docs, "doc_id", "text", dim=64).select(
+        "doc_id", F.col("feat").cast("array<double>").alias("__v")
+    )
+    dd = semdedup_kmeans(
+        emb, "doc_id", "__v", k=8, iters=1, quant=1, min_cos=0.9, dim=64
+    )
+    kept = dd.filter(F.col("kept")).select("doc_id", "cluster")
+    return split_assign(
+        kept, "doc_id", [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    ).select("doc_id", "cluster", "split")

@@ -869,6 +869,7 @@ def kmeans_lloyd_ctes(
     dim: int = 64,
     cent0_sql: str | None = None,
     extra_ctes: list[str] | None = None,
+    ex_sql: str | None = None,
 ) -> str:
     """CTE chain replaying kmeans_lloyd's exact integer model in DuckDB:
     quantize -> init on the k smallest ids -> ``iters`` Lloyd updates
@@ -880,20 +881,26 @@ def kmeans_lloyd_ctes(
     Also defines ``ex`` (long-format quantized values) and ``qv`` for
     downstream CTEs (dd18 reuses them for the pair check).  ``cent0_sql``
     overrides the init: a SELECT producing (cid, dim, c) — s18 feeds the
-    k-center seeds through it (the engine's init='kcenter')."""
-    parts = [
-        f"""qv AS (
+    k-center seeds through it (the engine's init='kcenter').  ``ex_sql``
+    replaces the embeddings-table quantization entirely: a SELECT
+    producing the DENSE long format (vec_id, dim, v) — p19 feeds hashed
+    text embeddings through it."""
+    if ex_sql is None:
+        parts = [
+            f"""qv AS (
       SELECT vec_id,
              list_transform(CAST(embedding AS DOUBLE[]),
                             x -> CAST(floor(x * {quant}) AS BIGINT)) AS q
       FROM embeddings
       WHERE embedding IS NOT NULL AND len(embedding) = {dim}
     )""",
-        """ex AS (
+            """ex AS (
       SELECT vec_id, CAST(i AS INTEGER) AS dim, q[CAST(i + 1 AS INTEGER)] AS v
       FROM qv, unnest(range(0, len(q))) AS u(i)
     )""",
-    ]
+        ]
+    else:
+        parts = [f"ex AS ({ex_sql})"]
     if extra_ctes:
         parts.extend(extra_ctes)
     if cent0_sql is None:
@@ -901,7 +908,7 @@ def kmeans_lloyd_ctes(
             f"""init AS (
       SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
                AS cid
-      FROM (SELECT vec_id FROM qv ORDER BY vec_id LIMIT {k})
+      FROM (SELECT DISTINCT vec_id FROM ex ORDER BY vec_id LIMIT {k})
     )"""
         )
         parts.append(

@@ -2464,3 +2464,35 @@ def test_phash_near_pairs_finds_perturbed_twin(spark):
              for r in phash_near_pairs(df, max_hamming=8).collect()}
     assert (1, 2) in pairs
     assert all(p == (1, 2) for p in pairs)
+
+
+def test_p19_curation_v4_composition(spark):
+    """Fixture traces every v4 stage: off-target docs fall to the DSIR
+    median gate, semantic clones of a kept doc lose all but the
+    farthest-from-centroid copy, the bench slice never appears, and
+    survivors carry a split."""
+    import era_parser_spark.queries.pipeline as P
+    from era_parser_spark.queries import load_all
+
+    q, _ = load_all()
+    fruit = "apple banana cherry mango papaya lychee guava durian " * 5
+    tech = "kernel mutex pointer segfault compiler linker symbol stack " * 5
+    rows = [
+        (17, fruit),            # bench slice (17 % 17 == 0) — never output
+        (1, fruit),             # on-target, survives the gate
+        (2, fruit + "x "),      # near-clone of 1 -> same cluster, one keeper
+        (3, tech),              # off-target -> below the median gate
+        (4, tech + "y "),       # off-target
+        (5, fruit[: len(fruit) // 2]),  # on-target, shorter
+    ]
+    ev = spark.createDataFrame(rows, "doc_id long, text string")
+    orig = P.table
+    try:
+        P.table = lambda spark, sf_dir, name: ev
+        out = {r.doc_id: r for r in q["p19_curation_v4"](spark, "x").collect()}
+    finally:
+        P.table = orig
+    assert 17 not in out and 3 not in out and 4 not in out
+    # the fruit clones: exactly one of {1, 2} survives the semantic dedup
+    assert len({1, 2} & set(out)) == 1
+    assert all(r.split in ("train", "val", "test") for r in out.values())
