@@ -105,6 +105,7 @@ HEADLINE = [
     "p18_budget_waterfill",
     "mm9_image_phash_pairs",
     "p19_curation_v4",
+    "x35_sequence_match",
 ]
 
 

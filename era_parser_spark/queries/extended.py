@@ -1690,3 +1690,73 @@ def x34_hll_sliding(spark, sf_dir):
 
     ev = table(spark, sf_dir, "events")
     return hll_sliding_distinct(ev, F.to_date("ts"), "user_id", p=10, window_days=3)
+
+
+@register(
+    "x35_sequence_match",
+    # ClickHouse sequenceMatch('(?1).*(?2).*(?3)') with the chain's
+    # first-match timestamps: t1 = first view, t2 = first click AFTER t1,
+    # t3 = first purchase AFTER t2 — the earliest-chain rule, exact by
+    # chained conditional minima (x30's cousin with NO time window: any
+    # horizon matches, and the output is the chain itself, not a level).
+    oracle="""
+    WITH t1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    t2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN t1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY 1
+    ),
+    t3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN t2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY 1
+    )
+    SELECT u.user_id, t1.t1, t2.t2, t3.t3,
+           t3.t3 IS NOT NULL AS matched
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN t1 USING (user_id)
+    LEFT JOIN t2 USING (user_id)
+    LEFT JOIN t3 USING (user_id)
+    """,
+)
+def x35_sequence_match(spark, sf_dir):
+    """sequenceMatch over view -> click -> purchase: three chained
+    conditional window-minima over ONE user_id exchange (each stage's
+    threshold is the previous stage's window column — the subset rule
+    keeps every window and the final per-user collapse on the same
+    partitioning), where the SQL twin spells the same chain as three
+    self-joins.  No join operator and no second scan engine-side."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id")
+    df = (
+        ev.withColumn(
+            "t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    return df.groupBy("user_id").agg(
+        F.max("t1").alias("t1"),
+        F.max("t2").alias("t2"),
+        F.max("t3").alias("t3"),
+        F.max(F.col("t3").isNotNull()).alias("matched"),
+    )

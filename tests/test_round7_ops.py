@@ -2496,3 +2496,52 @@ def test_p19_curation_v4_composition(spark):
     # the fruit clones: exactly one of {1, 2} survives the semantic dedup
     assert len({1, 2} & set(out)) == 1
     assert all(r.split in ("train", "val", "test") for r in out.values())
+
+
+# ------------------------------------------------- x35: sequenceMatch
+
+
+def test_sequence_match_chain_semantics(spark):
+    """Earliest-chain rule: a click BEFORE the first view doesn't count;
+    the chain's t2 is the first click AFTER t1; matched iff the full
+    chain completes in order at any horizon."""
+    from era_parser_spark.queries import load_all
+    import era_parser_spark.queries.extended as X
+
+    q, _ = load_all()
+    rows = [
+        # u1: click(1) precedes view(2) -> t2 is the later click(5); buys(7)
+        (1, 1, "click"), (1, 2, "view"), (1, 5, "click"), (1, 7, "purchase"),
+        # u2: right order but purchase precedes click -> unmatched
+        (2, 1, "view"), (2, 5, "purchase"), (2, 6, "click"),
+        # u3: no view at all
+        (3, 2, "click"), (3, 3, "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        [(u, __import__("datetime").datetime(2024, 1, 1, 0, 0, s), e)
+         for u, s, e in rows],
+        "user_id long, ts timestamp, event_type string",
+    )
+    orig = X.table
+    try:
+        X.table = lambda spark, sf_dir, name: ev
+        out = {r.user_id: r for r in q["x35_sequence_match"](spark, "x").collect()}
+    finally:
+        X.table = orig
+    assert out[1].matched and out[1].t2.second == 5 and out[1].t3.second == 7
+    assert not out[2].matched and out[2].t2.second == 6 and out[2].t3 is None
+    assert not out[3].matched and out[3].t1 is None
+
+
+def test_sequence_match_single_exchange(spark):
+    """All three chained windows and the per-user collapse share ONE
+    user_id exchange; no Join operator."""
+    import re
+
+    from era_parser_spark.queries import load_all
+
+    q, _ = load_all()
+    df = q["x35_sequence_match"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "Join" not in plan
