@@ -106,6 +106,7 @@ HEADLINE = [
     "mm9_image_phash_pairs",
     "p19_curation_v4",
     "x35_sequence_match",
+    "x36_sequence_count",
 ]
 
 

@@ -1760,3 +1760,55 @@ def x35_sequence_match(spark, sf_dir):
         F.max("t3").alias("t3"),
         F.max(F.col("t3").isNotNull()).alias("matched"),
     )
+
+
+@register(
+    "x36_sequence_count",
+    # ClickHouse sequenceCount('(?1).*(?2).*(?3)'): NON-OVERLAPPING chain
+    # counting (complete a chain, restart after it) — a genuinely stateful
+    # scan made exact by reduction to leftmost-shortest regex matching:
+    # the per-user event stream collapses to an ordered initial-letter
+    # string and lazy 'v.*?c.*?p' global matching IS the greedy
+    # restart-after-match rule, identical in Java (engine) and RE2 (twin).
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS seq
+      FROM events GROUP BY 1
+    )
+    SELECT user_id,
+           CAST(len(regexp_extract_all(seq, 'v.*?c.*?p')) AS INTEGER)
+             AS n_chains
+    FROM s
+    """,
+)
+def x36_sequence_count(spark, sf_dir):
+    """sequenceCount for view -> click -> purchase: one user_id exchange
+    building the ordered event string (shuffle carries one char per
+    event), then a codegen regexp_count — the chain-counting state
+    machine with zero iterative logic."""
+    ev = table(spark, sf_dir, "events")
+    seq = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "ts", "event_id",
+                                F.substring("event_type", 1, 1).alias("ch"),
+                            )
+                        )
+                    ),
+                    lambda x: x.getField("ch"),
+                ),
+                "",
+            ).alias("seq")
+        )
+    )
+    return seq.select(
+        "user_id",
+        F.regexp_count(F.col("seq"), F.lit(r"v.*?c.*?p")).cast("int").alias("n_chains"),
+    )

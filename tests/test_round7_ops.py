@@ -2545,3 +2545,32 @@ def test_sequence_match_single_exchange(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
     assert "Join" not in plan
+
+
+def test_sequence_count_non_overlapping(spark):
+    """CH restart-after-match semantics: vcp|vcp counts 2; interleaved
+    vvccpp counts 1 (the chain consumes through the first p); a chain
+    missing its click counts 0."""
+    from era_parser_spark.queries import load_all
+    import era_parser_spark.queries.extended as X
+    import datetime as dt
+
+    q, _ = load_all()
+    seqs = {1: "vcpvcp", 2: "vvccpp", 3: "vpvp", 4: "cvpcp"}
+    rows = []
+    eid = 0
+    for u, s in seqs.items():
+        for i, ch in enumerate(s):
+            ev = {"v": "view", "c": "click", "p": "purchase"}[ch]
+            rows.append((eid, u, dt.datetime(2024, 1, 1, 0, 0, i), ev))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    orig = X.table
+    try:
+        X.table = lambda spark, sf_dir, name: ev
+        out = {r.user_id: r.n_chains for r in q["x36_sequence_count"](spark, "x").collect()}
+    finally:
+        X.table = orig
+    assert out == {1: 2, 2: 1, 3: 0, 4: 1}
