@@ -107,6 +107,7 @@ HEADLINE = [
     "p19_curation_v4",
     "x35_sequence_match",
     "x36_sequence_count",
+    "st14_stream_sequence_count",
 ]
 
 

@@ -731,3 +731,48 @@ def st13_stream_cluster_counts(spark, sf_dir):
     )
     qy.awaitTermination()
     return spark.sql(f"SELECT * FROM {name}")
+
+
+@register(
+    "st14_stream_sequence_count",
+    # x36's regex-reduction oracle verbatim: one AvailableNow batch makes
+    # every user "new" so each emits its count — the streaming automaton
+    # must reproduce the lazy-regex chain count exactly, zero-chain users
+    # included.
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS seq
+      FROM events GROUP BY 1
+    )
+    SELECT user_id,
+           CAST(len(regexp_extract_all(seq, 'v.*?c.*?p')) AS INTEGER)
+             AS n_chains
+    FROM s
+    """,
+)
+def st14_stream_sequence_count(spark, sf_dir):
+    """Streaming sequenceCount driven to completion: the eighth custom
+    stateful operator — per-user state is TWO ints (automaton stage +
+    chain count), the O(1) collapse of x36's restart-after-match scan
+    (streaming/incremental.py::sequence_count_monitor)."""
+    from era_parser_spark.streaming.incremental import (
+        run_stream_once,
+        sequence_count_monitor,
+    )
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream_dir = _stream_src_dir("st14", sf_dir)
+    s = spark.readStream.schema(raw_schema).parquet(stream_dir)
+    if dict(s.dtypes).get("ts") == "bigint":
+        s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = s.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    return run_stream_once(
+        sequence_count_monitor(stream), f"st14_{uuid.uuid4().hex[:8]}"
+    )

@@ -703,3 +703,65 @@ def funnel_monitor(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+_SEQCNT_OUT_SCHEMA = "user_id long, n_chains int"
+_SEQCNT_STATE_SCHEMA = "stage int, n_chains int"
+
+
+def _seqcount_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user,) = key
+    if state.exists:
+        stage, n_chains = state.get
+        is_new = False
+    else:
+        stage, n_chains = 0, 0
+        is_new = True
+    prev = n_chains
+    evs: list[tuple[int, int, str]] = []
+    for pdf in pdfs:
+        evs.extend(
+            (int(u), int(e), str(t))
+            for u, e, t in zip(pdf["us"], pdf["event_id"], pdf["event_type"])
+        )
+    # the leftmost-shortest state machine (== lazy 'v.*?c.*?p' global
+    # matching, x36's reduction), replayed in the (us, event_id) total
+    # order so the scan is identical within and across micro-batches
+    for _us, _eid, et in sorted(evs):
+        if stage == 0 and et == "view":
+            stage = 1
+        elif stage == 1 and et == "click":
+            stage = 2
+        elif stage == 2 and et == "purchase":
+            stage = 0
+            n_chains += 1
+    state.update((stage, n_chains))
+    if evs and (is_new or n_chains != prev):
+        yield pd.DataFrame([(user, n_chains)], columns=["user_id", "n_chains"])
+    else:
+        yield pd.DataFrame([], columns=["user_id", "n_chains"])
+
+
+def sequence_count_monitor(stream: DataFrame) -> DataFrame:
+    """Streaming sequenceCount (the live twin of x36): per-user state is
+    TWO ints — the current stage of the view->click->purchase machine
+    and the completed-chain count — because the greedy restart-after-
+    match rule is a finite automaton, the stream needs no history at
+    all.  Re-emits a user only when their chain count grows (monotone:
+    MAX-mergeable downstream).  One AvailableNow batch reproduces x36's
+    batch output exactly (its regex-reduction oracle).  State is O(1)
+    per user forever (the st4/st12 keep-forever class; production
+    bounds it with a GroupStateTimeout TTL)."""
+    return (
+        stream.select("user_id", "event_id", "event_type", "us")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _seqcount_fn,
+            outputStructType=_SEQCNT_OUT_SCHEMA,
+            stateStructType=_SEQCNT_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

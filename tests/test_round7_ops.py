@@ -2574,3 +2574,50 @@ def test_sequence_count_non_overlapping(spark):
     finally:
         X.table = orig
     assert out == {1: 2, 2: 1, 3: 0, 4: 1}
+
+
+def test_stream_sequence_count_across_microbatches(spark, tmp_path_factory):
+    """st14: the 2-int automaton state carries a half-open chain across
+    micro-batches — a chain completing in a later batch bumps the count
+    and emits; a batch that advances the stage without completing a
+    chain emits nothing."""
+    import uuid as _uuid
+
+    from era_parser_spark.streaming.incremental import (
+        run_stream_once,
+        sequence_count_monitor,
+    )
+
+    def rows_df(rows):
+        return spark.createDataFrame(
+            rows, "user_id long, event_id long, event_type string, us long"
+        )
+
+    src = tmp_path_factory.mktemp("st14_src")
+    # batch1: u1 completes one chain AND starts another (v c p v);
+    # u2 reaches stage 2 (v c) — no chain yet
+    rows_df([
+        (1, 1, "view", 10), (1, 2, "click", 20), (1, 3, "purchase", 30),
+        (1, 4, "view", 40),
+        (2, 5, "view", 10), (2, 6, "click", 20),
+    ]).coalesce(1).write.parquet(str(src / "a_b1"))
+    # batch2: u1's open chain completes (c p) -> count 2 and emits;
+    # u2 sees another click (still stage 2) -> NO emission
+    rows_df([
+        (1, 7, "click", 50), (1, 8, "purchase", 60),
+        (2, 9, "click", 55),
+    ]).coalesce(1).write.parquet(str(src / "b_b2"))
+    # batch3: u2's purchase completes the cross-batch chain -> count 1
+    rows_df([
+        (2, 10, "purchase", 70),
+    ]).coalesce(1).write.parquet(str(src / "c_b3"))
+    stream = (
+        spark.readStream.schema("user_id long, event_id long, event_type string, us long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    out = run_stream_once(
+        sequence_count_monitor(stream), f"st14t_{_uuid.uuid4().hex[:8]}"
+    )
+    emitted = [(r.user_id, r.n_chains) for r in out.collect()]
+    assert sorted(emitted) == [(1, 1), (1, 2), (2, 0), (2, 1)]
