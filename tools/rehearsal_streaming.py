@@ -202,6 +202,20 @@ def main() -> int:
         rows_in=len(rows),
     )
 
+    # st14 shape: streaming sequenceCount — same keep-forever class as
+    # st12 but the state is even smaller (2 ints: automaton stage +
+    # chain count); growth must be exactly one row per distinct user.
+    from era_parser_spark.streaming.incremental import sequence_count_monitor
+
+    run_to_end(
+        sequence_count_monitor(ev),
+        f"sr_seqcnt_{uuid.uuid4().hex[:8]}",
+        out,
+        "st14_sequence_count",
+        distinct_keys=B * K,
+        rows_in=len(rows),
+    )
+
     print(json.dumps(out))
     return 0
 
