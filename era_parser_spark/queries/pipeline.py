@@ -1163,8 +1163,9 @@ def p19_curation_v4(spark, sf_dir):
     surv_docs = docs.join(surv, "doc_id")
     # persisted: the k-means trainer materializes this frame 3x (init,
     # update, final assignment) and each un-cached pass re-runs the whole
-    # DSIR gate + join + hash_embed upstream (measured 15.6 s -> 5.6 s at
-    # sf0.1).  The cache holds id + 64 doubles per survivor — never text.
+    # DSIR gate + join + hash_embed upstream (WARM sf0.1 run 5.5 -> 2.7 s;
+    # cold first runs stay ~15 s — that is session/codegen overhead, not
+    # recompute).  The cache holds id + 64 doubles per survivor — never text.
     emb = (
         hash_embed(surv_docs, "doc_id", "text", dim=64)
         .select("doc_id", F.col("feat").cast("array<double>").alias("__v"))

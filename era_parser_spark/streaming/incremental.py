@@ -727,14 +727,21 @@ def _seqcount_fn(
             for u, e, t in zip(pdf["us"], pdf["event_id"], pdf["event_type"])
         )
     # the leftmost-shortest state machine (== lazy 'v.*?c.*?p' global
-    # matching, x36's reduction), replayed in the (us, event_id) total
-    # order so the scan is identical within and across micro-batches
+    # matching) over INITIAL LETTERS — exactly x36's reduction, so the
+    # two stay in lockstep even if a new event-type vocabulary collides
+    # on initials (both would change together).  Events are replayed in
+    # (us, event_id) order WITHIN each micro-batch; cross-batch equality
+    # with the batch oracle holds for event-time-ordered ingest (the
+    # AvailableNow single-batch contract always holds) — a live deployment
+    # with out-of-order arrival needs a watermarked reorder buffer in
+    # front, which an automaton state cannot retro-correct.
     for _us, _eid, et in sorted(evs):
-        if stage == 0 and et == "view":
+        ch = et[:1]
+        if stage == 0 and ch == "v":
             stage = 1
-        elif stage == 1 and et == "click":
+        elif stage == 1 and ch == "c":
             stage = 2
-        elif stage == 2 and et == "purchase":
+        elif stage == 2 and ch == "p":
             stage = 0
             n_chains += 1
     state.update((stage, n_chains))
