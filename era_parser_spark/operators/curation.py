@@ -824,3 +824,67 @@ def budget_waterfill(
         alloc.cast("long").alias("allocated_tokens"),
         capped.alias("capped"),
     )
+
+
+def curation_v4(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    iters: int = 1,
+    min_cos: float = 0.9,
+    max_cell: int | None = None,
+    splits: list[tuple[str, float]] | None = None,
+) -> DataFrame:
+    """The v4 curation composition: DSIR importance gate (keep docs
+    strictly above the EXACT median weight vs the %17=0 target slice) ->
+    SemDeDup over learned k-means clusters of the survivors' hashed text
+    embeddings (quant=1: the features are already integers) ->
+    leakage-free Knuth split.  Returns (id, cluster, split).
+
+    SIZE ``k`` TO THE CORPUS.  Cluster populations scale as n/k, and the
+    per-cluster Gram kernel is O((n/k)^2) — the 32x rehearsal measured
+    the registry's k=8 at 129 s where k=64 took 16.6 s on the same 74k
+    survivors (docs/PLANS.md).  ``max_cell`` is the hard memory guard
+    when k can't be known in advance.  Fewer, larger clusters find more
+    cross-cluster duplicates (k is SemDeDup's recall/cost knob).
+
+    The exact-median gate is the one global sort in the plan (the p7
+    global-order precedent); everything else shuffles longs.
+    """
+    from era_parser_spark.operators.similarity import semdedup_kmeans
+    from era_parser_spark.operators.text import hash_embed
+
+    raw = docs.filter(F.col(id_col) % 17 != 0)
+    tgt = docs.filter(F.col(id_col) % 17 == 0)
+    w = dsir_importance(raw, tgt, id_col, text_col, m=256, scale=10_000)
+    win = W.orderBy("w_mean", id_col)
+    wm = (
+        w.withColumn("__rn", F.row_number().over(win))
+        .withColumn("__n", F.count(F.lit(1)).over(W.partitionBy()))
+        .withColumn(
+            "__med",
+            F.max(
+                F.when(F.col("__rn") == F.expr("(__n + 1) div 2"), F.col("w_mean"))
+            ).over(W.partitionBy()),
+        )
+    )
+    surv = wm.filter(F.col("w_mean") > F.col("__med")).select(id_col)
+    surv_docs = docs.join(surv, id_col)
+    # persisted: the k-means trainer materializes this frame 3x and each
+    # un-cached pass re-runs the whole DSIR gate + join + hash_embed
+    # upstream (WARM sf0.1 run 5.5 -> 2.7 s; cold first runs are session/
+    # codegen overhead).  Holds id + 64 doubles per survivor — never text.
+    emb = (
+        hash_embed(surv_docs, id_col, text_col, dim=64)
+        .select(id_col, F.col("feat").cast("array<double>").alias("__v"))
+        .persist()
+    )
+    dd = semdedup_kmeans(
+        emb, id_col, "__v", k=k, iters=iters, quant=1, min_cos=min_cos,
+        dim=64, max_cell=max_cell,
+    )
+    kept = dd.filter(F.col("kept")).select(id_col, "cluster")
+    return split_assign(
+        kept, id_col, splits or [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    ).select(id_col, "cluster", "split")

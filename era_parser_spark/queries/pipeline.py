@@ -1129,52 +1129,14 @@ def _p19_oracle() -> str:
 
 @register("p19_curation_v4", oracle=_p19_oracle())
 def p19_curation_v4(spark, sf_dir):
-    """Curation pipeline v4 — the session-4 data-selection tier composed
-    end to end, every stage's trained artifact oracle-exact: DSIR
-    importance gate (p16: keep docs strictly above the exact median
-    weight) -> SemDeDup over LEARNED k-means clusters of the survivors'
-    hashed text embeddings (t26 vectors feeding dd18's machinery,
-    quant=1 since the features are already integers) -> leakage-free
-    Knuth split (p9).  Output: (doc_id, cluster, split) for the curated
-    corpus.  The exact-median gate is the one global sort in the plan
-    (the p7 global-order precedent); everything else shuffles longs."""
-    from pyspark.sql import Window as W
-
-    from era_parser_spark.operators.curation import dsir_importance, split_assign
-    from era_parser_spark.operators.similarity import semdedup_kmeans
-    from era_parser_spark.operators.text import hash_embed
+    """Curation pipeline v4 (operators/curation.py::curation_v4): DSIR
+    importance gate -> SemDeDup over learned k-means clusters of hashed
+    text embeddings -> leakage-free Knuth split.  k=8 matches this
+    oracle at sf0.01 — PRODUCTION CALLERS MUST SIZE k TO THE CORPUS (the
+    32x rehearsal measured k=8 at 129 s vs k=64 at 16.6 s on the same
+    74k survivors: cluster populations scale as n/k and the Gram kernel
+    is quadratic in them; docs/PLANS.md)."""
+    from era_parser_spark.operators.curation import curation_v4
 
     docs = table(spark, sf_dir, "documents")
-    raw = docs.filter(F.col("doc_id") % 17 != 0)
-    tgt = docs.filter(F.col("doc_id") % 17 == 0)
-    w = dsir_importance(raw, tgt, "doc_id", "text", m=256, scale=10_000)
-    win = W.orderBy("w_mean", "doc_id")
-    wm = (
-        w.withColumn("__rn", F.row_number().over(win))
-        .withColumn("__n", F.count(F.lit(1)).over(W.partitionBy()))
-        .withColumn(
-            "__med",
-            F.max(
-                F.when(F.col("__rn") == F.expr("(__n + 1) div 2"), F.col("w_mean"))
-            ).over(W.partitionBy()),
-        )
-    )
-    surv = wm.filter(F.col("w_mean") > F.col("__med")).select("doc_id")
-    surv_docs = docs.join(surv, "doc_id")
-    # persisted: the k-means trainer materializes this frame 3x (init,
-    # update, final assignment) and each un-cached pass re-runs the whole
-    # DSIR gate + join + hash_embed upstream (WARM sf0.1 run 5.5 -> 2.7 s;
-    # cold first runs stay ~15 s — that is session/codegen overhead, not
-    # recompute).  The cache holds id + 64 doubles per survivor — never text.
-    emb = (
-        hash_embed(surv_docs, "doc_id", "text", dim=64)
-        .select("doc_id", F.col("feat").cast("array<double>").alias("__v"))
-        .persist()
-    )
-    dd = semdedup_kmeans(
-        emb, "doc_id", "__v", k=8, iters=1, quant=1, min_cos=0.9, dim=64
-    )
-    kept = dd.filter(F.col("kept")).select("doc_id", "cluster")
-    return split_assign(
-        kept, "doc_id", [("train", 0.8), ("val", 0.1), ("test", 0.1)]
-    ).select("doc_id", "cluster", "split")
+    return curation_v4(docs, "doc_id", "text", k=8, iters=1, min_cos=0.9)

@@ -377,6 +377,22 @@ def main() -> int:
         r["shuffle_bytes_per_token"] = round(
             r["shuffle_write_mb"] * 1e6 / n_tokens, 1
         )
+        # p19: the composed v4 pipeline (DSIR median gate -> learned-
+        # cluster SemDeDup over hashed embeddings -> split) at the
+        # registry's k=8 AND at corpus-sized k — cluster populations
+        # scale as n/k and the Gram kernel is quadratic in them, so the
+        # FIXED k is the pipeline's scale hazard (measured 129 s vs
+        # 16.6 s at 32x; the operator docstring carries the rule)
+        from era_parser_spark.operators.curation import curation_v4
+
+        phase(
+            "p19_curation_v4_k8",
+            lambda: curation_v4(docs, "doc_id", "text", k=8).count(),
+        )
+        phase(
+            "p19_curation_v4_k64",
+            lambda: curation_v4(docs, "doc_id", "text", k=64).count(),
+        )
         print(json.dumps(out))
         return 0
 
