@@ -344,6 +344,13 @@ def main() -> int:
                 emb8, "vec_id", "embedding", k=16, quant=1_000_000, dim=64
             ).count(),
         )
+        phase(
+            "s18_kmeans_kcenter_init_k16",
+            lambda: kmeans_lloyd(
+                emb8, "vec_id", "embedding", k=16, iters=2,
+                quant=1_000_000, dim=64, init="kcenter",
+            ).count(),
+        )
         tgt = docs.filter(F.col("doc_id") % 17 == 0)
         raw = docs.filter(F.col("doc_id") % 17 != 0)
 
