@@ -108,6 +108,7 @@ HEADLINE = [
     "x35_sequence_match",
     "x36_sequence_count",
     "st14_stream_sequence_count",
+    "x37_sequence_count_strict",
 ]
 
 

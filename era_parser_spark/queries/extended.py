@@ -1812,3 +1812,55 @@ def x36_sequence_count(spark, sf_dir):
         "user_id",
         F.regexp_count(F.col("seq"), F.lit(r"v.*?c.*?p")).cast("int").alias("n_chains"),
     )
+
+
+@register(
+    "x37_sequence_count_strict",
+    # ClickHouse sequenceCount strict_order mode: a chain only counts if
+    # NO other tracked funnel event intervenes between its stages —
+    # x36's reduction with '[^vcp]*' gaps instead of lazy '.*?' (untracked
+    # events still pass).  A failed start retries from the next position
+    # (vvcp counts 1 via the second v), identically in Java and RE2.
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS seq
+      FROM events GROUP BY 1
+    )
+    SELECT user_id,
+           CAST(len(regexp_extract_all(seq, 'v[^vcp]*c[^vcp]*p')) AS INTEGER)
+             AS n_chains
+    FROM s
+    """,
+)
+def x37_sequence_count_strict(spark, sf_dir):
+    """sequenceCount(strict_order) for view -> click -> purchase: same
+    one-exchange letter-string plan as x36, with the chain broken by any
+    intervening tracked event (the '[^vcp]*' gap classes)."""
+    ev = table(spark, sf_dir, "events")
+    seq = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "ts", "event_id",
+                                F.substring("event_type", 1, 1).alias("ch"),
+                            )
+                        )
+                    ),
+                    lambda x: x.getField("ch"),
+                ),
+                "",
+            ).alias("seq")
+        )
+    )
+    return seq.select(
+        "user_id",
+        F.regexp_count(F.col("seq"), F.lit(r"v[^vcp]*c[^vcp]*p"))
+        .cast("int")
+        .alias("n_chains"),
+    )

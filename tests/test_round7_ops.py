@@ -2621,3 +2621,33 @@ def test_stream_sequence_count_across_microbatches(spark, tmp_path_factory):
     )
     emitted = [(r.user_id, r.n_chains) for r in out.collect()]
     assert sorted(emitted) == [(1, 1), (1, 2), (2, 0), (2, 1)]
+
+
+def test_sequence_count_strict_order(spark):
+    """strict_order: an intervening tracked event (the stray v in vcvp)
+    breaks the chain; untracked events (signup/error) pass through; a
+    failed start retries from the next tracked event (vvcp counts 1)."""
+    from era_parser_spark.queries import load_all
+    import era_parser_spark.queries.extended as X
+    import datetime as dt
+
+    q, _ = load_all()
+    seqs = {1: "vcp", 2: "vsecp", 3: "vcvp", 4: "vvcp", 5: "vcpvcp"}
+    names = {"v": "view", "c": "click", "p": "purchase", "s": "signup", "e": "error"}
+    rows = []
+    eid = 0
+    for u, s in seqs.items():
+        for i, ch in enumerate(s):
+            rows.append((eid, u, dt.datetime(2024, 1, 1, 0, 0, i), names[ch]))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    orig = X.table
+    try:
+        X.table = lambda spark, sf_dir, name: ev
+        out = {r.user_id: r.n_chains
+               for r in q["x37_sequence_count_strict"](spark, "x").collect()}
+    finally:
+        X.table = orig
+    assert out == {1: 1, 2: 1, 3: 0, 4: 1, 5: 2}
