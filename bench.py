@@ -278,6 +278,40 @@ def bench_scaling(spark) -> dict:
     }
 
 
+def _quiesce_and_stop(spark) -> None:
+    """Make sure NOTHING gets emitted after the caller prints the JSON line.
+
+    The streaming entries (st13/st14) leave a StateStore maintenance thread
+    behind; after ``spark.stop()`` its next tick logs an async
+    ``WARN StateStore: ... SparkEnv not active`` stack trace, which trailed
+    the round-7 JSON line and made BENCH_r07 unparseable for the driver.
+    Order matters: silence the state package's logger first (belt), stop the
+    maintenance task itself (braces), then stop the session — only after all
+    of that does the caller print.
+    """
+    for q in spark.streams.active:
+        try:
+            q.stop()
+        except Exception:
+            pass
+    try:
+        jvm = spark.sparkContext._jvm
+        configurator = jvm.org.apache.logging.log4j.core.config.Configurator
+        off = jvm.org.apache.logging.log4j.Level.OFF
+        configurator.setLevel("org.apache.spark.sql.execution.streaming.state", off)
+    except Exception:
+        pass
+    try:
+        state_pkg = spark.sparkContext._jvm.org.apache.spark.sql.execution.streaming.state
+        getattr(getattr(state_pkg, "StateStore$"), "MODULE$").stop()
+    except Exception:
+        pass
+    try:
+        spark.stop()
+    except Exception:
+        pass
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -293,7 +327,12 @@ def main() -> None:
     headline = (
         [n for n in sorted(queries) if not n.startswith("st")] if run_all else HEADLINE
     )
-    spark = get_spark(app_name="era_parser_spark_bench")
+    # No console progress bar: its \r-rewritten fragments can end up on the
+    # same physical line as the final JSON in combined captured output.
+    spark = get_spark(
+        app_name="era_parser_spark_bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
 
     # Warm the JVM/codegen paths and the Python worker pool once, so
     # per-query times measure the engine, not first-call class loading or
@@ -323,20 +362,22 @@ def main() -> None:
     era = bench_era_parse(spark, times)
     scaling = bench_scaling(spark)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_runtime",
-                "value": round(sum(times.values()), 3),
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                "era_parse": era,
-                "scaling": scaling,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_suite_runtime",
+            "value": round(sum(times.values()), 3),
+            "unit": "sec",
+            "queries": times,
+            "sf": sf,
+            "era_parse": era,
+            "scaling": scaling,
+        }
     )
-    spark.stop()
+    # The JSON line must be the LAST bytes this process emits (the driver
+    # tail-parses combined output): quiesce + stop Spark BEFORE printing.
+    _quiesce_and_stop(spark)
+    print(line)
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":
