@@ -1291,18 +1291,22 @@ def x29_grid_interpolate(spark, sf_dir):
     point linearly interpolated between its bracketing samples (exact
     sample value when the grid lands on one; locf at the right edge).
 
-    Plan shape: samples collapse to one row per (user, µs); the grid
-    points are emitted from the FIRST row of each user's partition via
-    window min/max (a span-aggregate-and-union formulation makes
-    Catalyst recompute the collapsed-samples subtree once per branch —
-    the multi-branch trap, docs/PLANS.md — and was measured at 6
-    exchanges vs this plan's 2); then BOTH bracket lookups are window
-    functions over the SAME user partitioning — no joins, no
-    per-grid-point probing.  TWO exchanges total (the (user,µs)
-    collapse, the user-keyed window sort — the second and third windows
-    reuse it), each carrying (user, µs, qv) longs only, plan-pinned in
-    tests/test_round7_ops.py.  All-integer math (slope via one
-    truncating division) => oracle-exact."""
+    Plan shape (round-8 re-plan): every grid point's brackets are its
+    generating sample-interval row — per sample, one ``lead(us)/lead(qv)``
+    window pass attaches the next sample, and the hour-aligned grid
+    points in ``[us, next_us)`` explode with both brackets already as
+    columns (the last sample emits its own µs when hour-aligned: the
+    locf right edge).  The previous plan unioned samples+grid and ran
+    two unbounded-frame ignore-nulls window passes over the full ~2×
+    exploded frame — the sort over that frame cost 14 s solo at sf0.1
+    (round-7 verdict).  Here only the N sample rows ever sort.  ONE
+    exchange total: an explicit ``repartition(user_id)`` BEFORE the
+    (user, µs) collapse — HashPartitioning on a key subset satisfies
+    the aggregate's ClusteredDistribution, so the collapse and the
+    lead() window share it (plan-pinned, tests/test_round7_ops.py).
+    Grid sequences are guarded ascending (sequence(1,0) DESCENDS).
+    All-integer math (slope via one truncating division) =>
+    oracle-exact, bit-identical to the round-7 formulation."""
     from pyspark.sql import Window as W
 
     hour = 3_600_000_000
@@ -1313,79 +1317,52 @@ def x29_grid_interpolate(spark, sf_dir):
             F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
             F.floor(F.col("value") * 1000000).cast("long").alias("qv"),
         )
+        .repartition("user_id")
         .groupBy("user_id", "us")
         .agg(F.min("qv").alias("qv"))
     )
-    wu = W.partitionBy("user_id")
+    w = W.partitionBy("user_id").orderBy("us")
     ann = s.select(
         "user_id",
         "us",
         "qv",
-        F.row_number().over(wu.orderBy("us")).alias("__rn"),
-        F.expr(f"((min(us) OVER (PARTITION BY user_id) + {hour - 1})"
-               f" div {hour}) * {hour}").alias("__g0"),
-        F.max("us").over(wu).alias("__mx"),
+        F.lead("us").over(w).alias("nus"),
+        F.lead("qv").over(w).alias("nqv"),
     )
-    # each sample row re-emits itself; the first row per user also emits
-    # every grid point — one subtree, no span branch
-    grid_pts = F.when(
-        (F.col("__rn") == 1) & (F.col("__g0") <= F.col("__mx")),
-        F.transform(
-            F.sequence("__g0", "__mx", F.lit(hour).cast("long")),
-            lambda g: F.struct(
-                g.alias("us"),
-                F.lit(None).cast("long").alias("qv"),
-                F.lit(1).alias("is_grid"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<us:long,qv:long,is_grid:int>>"))
-    merged = ann.select(
-        "user_id",
-        F.explode(
-            F.concat(
-                F.array(
-                    F.struct(
-                        F.col("us").alias("us"),
-                        F.col("qv").alias("qv"),
-                        F.lit(0).alias("is_grid"),
-                    )
-                ),
-                grid_pts,
-            )
-        ).alias("__r"),
-    ).select("user_id", "__r.us", "__r.qv", "__r.is_grid")
-    w = W.partitionBy("user_id").orderBy("us", "is_grid")
-    wp = w.rowsBetween(W.unboundedPreceding, 0)
-    wf = w.rowsBetween(0, W.unboundedFollowing)
-    sample_us = F.when(F.col("qv").isNotNull(), F.col("us"))
-    ctx = merged.select(
+    # hour-multiples owned by this interval: [ceil_hour(us), nus) for
+    # interior samples, {us if aligned} for the last (locf edge); empty
+    # array when the interval contains none (explode drops the row)
+    first_g = f"((us + {hour - 1}) div {hour}) * {hour}"
+    last_g = f"CASE WHEN nus IS NULL THEN us ELSE ((nus - 1) div {hour}) * {hour} END"
+    gridded = ann.select(
         "user_id",
         "us",
-        "is_grid",
-        F.last("qv", ignorenulls=True).over(wp).alias("pqv"),
-        F.last(sample_us, ignorenulls=True).over(wp).alias("pus"),
-        F.first("qv", ignorenulls=True).over(wf).alias("nqv"),
-        F.first(sample_us, ignorenulls=True).over(wf).alias("nus"),
+        "qv",
+        "nus",
+        "nqv",
+        F.explode(
+            F.expr(
+                f"CASE WHEN {first_g} <= {last_g}"
+                f" THEN sequence({first_g}, {last_g}, {hour})"
+                f" ELSE array() END"
+            )
+        ).alias("grid_us"),
     )
     v_micro = (
-        F.when(F.col("nus").isNull(), F.col("pqv"))
-        .when(F.col("pus").isNull(), F.col("nqv"))
-        .when(F.expr("(nus - pus) div 1000000") == 0, F.col("pqv"))
+        F.when(F.col("nus").isNull(), F.col("qv"))
+        .when(F.expr("(nus - us) div 1000000") == 0, F.col("qv"))
         .otherwise(
             F.expr(
-                "pqv + ((nqv - pqv) * ((us - pus) div 1000000))"
-                " div ((nus - pus) div 1000000)"
+                "qv + ((nqv - qv) * ((grid_us - us) div 1000000))"
+                " div ((nus - us) div 1000000)"
             )
         )
     )
-    return (
-        ctx.filter(F.col("is_grid") == 1)
-        .select(
-            "user_id",
-            F.col("us").alias("grid_us"),
-            v_micro.cast("long").alias("v_micro"),
-            (v_micro.cast("long") / F.lit(1000000.0)).alias("v"),
-        )
+    return gridded.select(
+        "user_id",
+        "grid_us",
+        v_micro.cast("long").alias("v_micro"),
+        (v_micro.cast("long") / F.lit(1000000.0)).alias("v"),
     )
 
 

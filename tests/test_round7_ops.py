@@ -1390,10 +1390,12 @@ def test_grid_interpolate_semantics(spark):
 
 
 def test_grid_interpolate_plan_budget(spark):
-    """x29 plan: no joins, exactly TWO exchanges — the (user,µs)
-    collapse and one user-keyed window sort that all three windows
-    reuse (the span-aggregate formulation recomputed the collapse per
-    branch: 6 exchanges, caught by this pin)."""
+    """x29 plan: no joins, exactly ONE exchange — the explicit
+    repartition(user_id) that both the (user,µs) collapse and the
+    lead() window reuse (round-7's union+two-unbounded-window plan
+    sorted the full samples+grid frame behind TWO exchanges and cost
+    14 s solo at sf0.1; the span-aggregate formulation before that
+    recomputed the collapse per branch: 6 exchanges)."""
     import __spark_entry__ as m
 
     df = m.queries()["x29_grid_interpolate"](spark, "/root/testdata/sf0.001")
@@ -1408,7 +1410,10 @@ def test_grid_interpolate_plan_budget(spark):
     import re
 
     n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
-    assert n_ex == 2, f"{n_ex} exchanges\n{plan}"
+    assert n_ex == 1, f"{n_ex} exchanges\n{plan}"
+    # the one sort is the user-window's — over sample rows only, never
+    # the exploded grid frame (the round-7 regression's root cause)
+    assert plan.count("Sort ") <= 1 or plan.count("Sort [") <= 1, plan
 
 
 def test_kmv_sketch_mergeability(spark):
