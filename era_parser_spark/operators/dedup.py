@@ -136,13 +136,19 @@ def row_band_buckets(
     ).otherwise(F.array().cast("array<struct<band:int,bucket:bigint>>"))
 
 
-def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+def doc_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, id_type: str = "long"
+) -> DataFrame:
     """(id, shingle) exploded inverted index — distinct n-gram shingles.
 
     Arrow-batched Python (measured ~5x faster than the JVM slice/array_join
     higher-order expression, which Catalyst interprets rather than
     codegens); semantics identical to explode(shingles_col(tokens_col())):
     lowercase, whitespace-split, distinct space-joined n-grams.
+
+    `id_type` parameterizes the key's Spark type (fuzzy_dedup's clone
+    collapse keys shingles by the md5 digest STRING so text never rides a
+    shuffle).
     """
     from era_parser_spark.shipping import ensure_package_shipped
 
@@ -159,7 +165,9 @@ def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataF
                 shs.extend(uniq)
             yield pd.DataFrame({id_col: ids, "shingle": shs})
 
-    return df.select(id_col, text_col).mapInPandas(gen, f"{id_col} long, shingle string")
+    return df.select(id_col, text_col).mapInPandas(
+        gen, f"{id_col} {id_type}, shingle string"
+    )
 
 
 def hot_shingles(ex: DataFrame, max_doc_freq: int) -> DataFrame:
@@ -631,6 +639,21 @@ def lsh_estimate_pairs(
     """
     sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_n).cache()
     cands = lsh_candidate_pairs(sigs, id_col, bands, num_perm // bands)
+    return estimate_pairs_from_sigs(sigs, cands, id_col, num_perm, threshold)
+
+
+def estimate_pairs_from_sigs(
+    sigs: DataFrame,
+    cands: DataFrame,
+    id_col: str,
+    num_perm: int,
+    threshold: float,
+) -> DataFrame:
+    """The O(candidates) signature-agreement scorer behind
+    `lsh_estimate_pairs`, factored so any candidate source with matching
+    signatures (fuzzy_dedup's digest-keyed collapse, an external blocker)
+    reuses it.  `sigs`: (id, h0..h{num_perm-1}); `cands`: (doc_a, doc_b).
+    Output: (doc_a, doc_b, jaccard_est) with jaccard_est >= threshold."""
     sa = sigs.select(
         F.col(id_col).alias("doc_a"),
         *[F.col(f"h{i}").alias(f"__a{i}") for i in range(num_perm)],
@@ -713,6 +736,14 @@ def verify_candidate_pairs(
     shingle).  `cands`: (doc_a, doc_b).  Output: (doc_a, doc_b, inter,
     union_sz, jaccard) for pairs with inter >= 1, jaccard >= threshold.
     """
+    # the pair frame feeds FOUR plan branches below (two cand_docs union
+    # arms + the sa/sb join chain); uncached, Catalyst recomputes its
+    # whole upstream (banding self-join + signature aggregate) per branch
+    # — measured 150 MB shuffle for 241 pairs on the 8x exact-clone
+    # rehearsal corpus.  The frame is one row per candidate pair, the
+    # quantity this design already budgets, so caching it is safe at any
+    # scale.
+    cands = cands.cache()
     # collect arrays only for candidate docs (same semi-join the index
     # plan uses), so non-candidate docs never aggregate an array
     cand_docs = (
@@ -777,13 +808,15 @@ def fuzzy_dedup(
     ``collapse_exact=False``).  Clones never reach shingling, the
     signature aggregate, or the pair index, in EITHER verify mode (a
     clone group of size k would otherwise contribute k(k-1)/2 candidate
-    pairs even under "estimate").  Cost: the collapse aggregate's partial
-    (map-side) combine means the text shuffle carries at most one copy of
-    each distinct text per input partition — bounded by corpus bytes,
-    and far below under the clone-heavy structure that needs it; the
-    id->rep mapping and expansion joins carry ids + 16-byte digests only.
-    ``collapse_exact=False`` forces the uncollapsed plan (differential /
-    debug path).
+    pairs even under "estimate").  Cost (round-8 digest-keyed plan): text
+    NEVER rides a shuffle — shingles are keyed by the md5 digest itself,
+    so clone copies collapse in the signature aggregate's map-side
+    combine, and every shuffle carries digests, 8-byte shingle hashes, or
+    ids only.  Clones are re-shingled in the scan stage (linear CPU — the
+    deliberate trade; round 7's text-collapse variant shuffled one copy
+    of every distinct text and measured ~45% over the uncollapsed plan on
+    a clone-FREE corpus).  ``collapse_exact=False`` forces the
+    uncollapsed plan (differential / debug path).
 
     Scale shape: every stage is the sub-quadratic path proven by its
     standalone operator — candidates via band equi-join (never all
@@ -874,19 +907,66 @@ def fuzzy_dedup(
             passthrough.select(F.col(id_col), F.col(id_col).alias("__rep"))
         )
     )
-    # one (id, text) row per distinct shingleable text: min/first aggregate
-    # with map-side combine, so the shuffle carries <= one copy of each
-    # distinct text per input partition (texts within a digest group are
-    # identical, so first() is deterministic)
-    rep_docs = (
-        collapsible.groupBy("__dig")
-        .agg(F.min(id_col).alias(id_col), F.first(text_col).alias(text_col))
-        .select(id_col, text_col)
-        .unionByName(passthrough)
+    nodes = reps.select(F.col("__rep").alias(id_col)).unionByName(
+        passthrough.select(id_col)
     )
+    if verify == "exact_index":
+        # the index verifier needs a per-doc (id, text) frame; collapse
+        # texts the round-7 way — one copy of each distinct text per input
+        # partition through the aggregate's map-side combine.  Differential
+        # / debug path only; the default paths below never shuffle text.
+        rep_docs = (
+            collapsible.groupBy("__dig")
+            .agg(F.min(id_col).alias(id_col), F.first(text_col).alias(text_col))
+            .select(id_col, text_col)
+            .unionByName(passthrough)
+        )
+        dedges = _edges(rep_docs)
+    else:
+        # digest-keyed LSH (round-8): shingles are keyed by the md5 digest
+        # — computable narrowly per row — so clone copies collapse in the
+        # map-side combine of the signature aggregate and raw text NEVER
+        # rides a shuffle (the round-7 text collapse cost ~45% extra on a
+        # clone-FREE corpus because every distinct text shuffled once for
+        # nothing; verdict r7).  Clones are re-shingled (linear CPU, the
+        # scan stage) — the deliberate trade: shuffle is the scarce
+        # resource at scale, not per-row hashing.  Signatures / candidate
+        # pairs / verification are digest-keyed and identical in value to
+        # the doc-keyed ones (xxhash64 permutations depend only on the
+        # shingle hash); the verified pairs — pairs only, never corpus —
+        # map back to representative ids at the end.
+        hashed_d = doc_shingles(
+            collapsible, "__dig", text_col, shingle_n, id_type="string"
+        ).select(F.col("__dig"), F.xxhash64("shingle").alias("__sh"))
+        if verify == "exact":
+            hashed_d = hashed_d.cache()
+        aggs = [
+            F.min(F.xxhash64(F.lit(i), F.col("__sh"))).alias(f"h{i}")
+            for i in range(num_perm)
+        ]
+        sigs_d = hashed_d.groupBy("__dig").agg(*aggs)
+        if verify == "estimate":
+            sigs_d = sigs_d.cache()
+        cands_d = lsh_candidate_pairs(sigs_d, "__dig", bands, num_perm // bands)
+        if verify == "exact":
+            pairs_d = verify_candidate_pairs(hashed_d, cands_d, "__dig", threshold)
+        else:
+            pairs_d = estimate_pairs_from_sigs(
+                sigs_d, cands_d, "__dig", num_perm, threshold
+            )
+        ra = reps.select(F.col("__dig").alias("doc_a"), F.col("__rep").alias("__ra"))
+        rb = reps.select(F.col("__dig").alias("doc_b"), F.col("__rep").alias("__rb"))
+        dedges = (
+            pairs_d.select("doc_a", "doc_b")
+            .join(ra, "doc_a")
+            .join(rb, "doc_b")
+            .select(
+                F.least("__ra", "__rb").alias("doc_a"),
+                F.greatest("__ra", "__rb").alias("doc_b"),
+            )
+        )
     comps = connected_components_alternating(
-        rep_docs.select(id_col), _edges(rep_docs), id_col=id_col,
-        src_col="doc_a", dst_col="doc_b",
+        nodes, dedges, id_col=id_col, src_col="doc_a", dst_col="doc_b",
     )
     # re-attach clones: every doc takes its representative's cluster.  The
     # expanded cluster's min id equals the min of its reps' ids (each rep
