@@ -109,6 +109,8 @@ HEADLINE = [
     "x36_sequence_count",
     "st14_stream_sequence_count",
     "x37_sequence_count_strict",
+    # round-8 additions
+    "dd9c_fuzzy_dedup_quality_keeper",
 ]
 
 

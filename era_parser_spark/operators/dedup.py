@@ -780,6 +780,7 @@ def fuzzy_dedup(
     shingle_n: int = 3,
     verify: str = "exact",
     collapse_exact: bool = True,
+    keeper: str | tuple = "min_id",
 ) -> DataFrame:
     """End-to-end fuzzy deduplication — the composition a production
     curation run actually executes (the SlimPajama/RefinedWeb shape):
@@ -791,9 +792,14 @@ def fuzzy_dedup(
         to their representative's cluster.
 
     Output: one row per input document — (id, cluster_id, cluster_sz,
-    kept).  ``kept`` marks the cluster survivor (min id); filtering on it
-    yields the deduplicated corpus, while the full frame doubles as the
-    audit trail (who was dropped, and with whom it clustered).
+    kept).  ``kept`` marks the cluster survivor; filtering on it yields
+    the deduplicated corpus, while the full frame doubles as the audit
+    trail (who was dropped, and with whom it clustered).  The survivor
+    policy is ``keeper``: "min_id" (default — the cluster representative
+    itself) or ``(score_col, "max"|"min")`` — keep the member with the
+    best score under the deterministic total order (score, id ASC); a
+    higher-scored bit-identical clone displaces the min-id keeper, since
+    the policy is applied AFTER clone re-attachment.
 
     Clone safety (the round-6 rehearsal finding): exact verification
     expands the shingle index into one row per (pair, shared shingle) —
@@ -846,6 +852,47 @@ def fuzzy_dedup(
         raise ValueError(
             f"verify must be 'exact', 'exact_index' or 'estimate', got {verify!r}"
         )
+    if keeper != "min_id" and not (
+        isinstance(keeper, tuple)
+        and len(keeper) == 2
+        and keeper[1] in ("max", "min")
+    ):
+        raise ValueError(
+            f"keeper must be 'min_id' or (score_col, 'max'|'min'), got {keeper!r}"
+        )
+
+    def _finish(members: DataFrame) -> DataFrame:
+        """(id, cluster_id) -> the output frame, applying the keeper
+        policy.  "min_id" keeps the cluster representative itself;
+        (score_col, "max"/"min") keeps the best-scored member under the
+        deterministic total order (score DESC|ASC, id ASC) — production
+        pipelines keep the highest-quality cluster member (longest text,
+        best t19/t2 score), not the smallest id.  The score rides a
+        (id, score)-only join; cluster_id stays the component min id
+        either way, so the audit-trail identity is keeper-independent."""
+        out = cluster_sizes(members, id_col=id_col)
+        if keeper == "min_id":
+            return out.select(
+                F.col(id_col),
+                "cluster_id",
+                "cluster_sz",
+                (F.col(id_col) == F.col("cluster_id")).alias("kept"),
+            )
+        from pyspark.sql import Window as W
+
+        score_col, direction = keeper
+        order = (
+            F.col(score_col).desc() if direction == "max" else F.col(score_col).asc()
+        )
+        rn = F.row_number().over(
+            W.partitionBy("cluster_id").orderBy(order, F.col(id_col).asc())
+        )
+        return out.join(df.select(id_col, score_col), id_col).select(
+            F.col(id_col),
+            "cluster_id",
+            "cluster_sz",
+            (rn == 1).alias("kept"),
+        )
 
     def _edges(docs: DataFrame) -> DataFrame:
         if verify == "exact":
@@ -871,12 +918,7 @@ def fuzzy_dedup(
             df.select(id_col), _edges(df), id_col=id_col,
             src_col="doc_a", dst_col="doc_b",
         )
-        return cluster_sizes(comps, id_col=id_col).select(
-            F.col(id_col),
-            "cluster_id",
-            "cluster_sz",
-            (F.col(id_col) == F.col("cluster_id")).alias("kept"),
-        )
+        return _finish(comps)
 
     # -- collapse bit-identical texts to their min id (exact: J(t,t)=1) --
     # Only texts that produce >= 1 shingle collapse; shorter texts have no
@@ -975,12 +1017,7 @@ def fuzzy_dedup(
     expanded = mapping.join(
         comps.withColumnRenamed(id_col, "__rep"), "__rep"
     ).select(F.col(id_col), "cluster_id")
-    return cluster_sizes(expanded, id_col=id_col).select(
-        F.col(id_col),
-        "cluster_id",
-        "cluster_sz",
-        (F.col(id_col) == F.col("cluster_id")).alias("kept"),
-    )
+    return _finish(expanded)
 
 
 def shared_token_spans(

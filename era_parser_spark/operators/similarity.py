@@ -149,7 +149,11 @@ def centroid_table(
 
 
 def ivf_assign(
-    df: DataFrame, vec_col: str, id_col: str, centroids: DataFrame
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: DataFrame,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (squared-L2 argmin).
 
@@ -157,6 +161,8 @@ def ivf_assign(
     broadcast-joins onto the corpus — the argmin is an array_min over a
     transform, fully codegen'd, with no shuffle of the big side and no
     driver-side centroid literals; ties break on centroid id.
+    ``extra_cols`` passes additional df columns through (still
+    zero-shuffle) — semantic_dedup's quality-keeper score rides here.
     """
     cents = centroids.agg(
         F.collect_list(F.struct("centroid_id", "cvec")).alias("cents")
@@ -176,6 +182,7 @@ def ivf_assign(
         F.col(vec_col),
         best.getField("centroid_id").alias("centroid_id"),
         best.getField("dist").alias("centroid_dist"),
+        *[F.col(c) for c in extra_cols],
     )
 
 
@@ -365,12 +372,18 @@ def semantic_dedup(
     threshold: float = 0.95,
     max_cell: int | None = None,
     _assigned: DataFrame | None = None,
+    keeper: str | tuple = "min_id",
 ) -> DataFrame:
     """SemDeDup-style embedding-space dedup (Abbas et al. 2023,
     arXiv:2303.09540): cluster vectors, then within each cluster drop
-    every vector that has a smaller-id neighbor with cosine >= threshold
-    (keep-min-id survivor, the same convention as exact dedup).  Returns
-    the survivors as (id, centroid_id).
+    every vector that has a BETTER neighbor with cosine >= threshold.
+    "Better" is the ``keeper`` policy: "min_id" (default — the exact-
+    dedup convention: a smaller-id neighbor wins) or ``(score_col,
+    "max"|"min")`` — the neighbor with the better NUMERIC score wins,
+    ties broken by smaller id (production pipelines keep the highest-
+    quality near-duplicate, not the smallest id; the deterministic total
+    order keeps it oracle-able).  Returns the survivors as
+    (id, centroid_id).
 
     Scale shape: the corpus never self-joins globally — candidate pairs
     come from an EQUI-join on centroid_id, so the quadratic term is
@@ -411,20 +424,43 @@ def semantic_dedup(
     # (same sequential fold as cosine_expr's sumsq, so dot/sqrt(ssa*ssb)
     # stays bit-identical to list_cosine_similarity) — per candidate pair
     # only the dot product remains, ~3x fewer fold ops in the quadratic part
+    if keeper != "min_id" and not (
+        isinstance(keeper, tuple)
+        and len(keeper) == 2
+        and keeper[1] in ("max", "min")
+    ):
+        raise ValueError(
+            f"keeper must be 'min_id' or (score_col, 'max'|'min'), got {keeper!r}"
+        )
     if _assigned is not None:
         assigned = _assigned
+        if keeper != "min_id" and "__sc" not in assigned.columns:
+            raise ValueError(
+                "a pre-built _assigned frame must carry the keeper score as '__sc'"
+            )
     else:
         v = F.col(vec_col).cast("array<double>")
+        extra = () if keeper == "min_id" else (keeper[0],)
         assigned = (
-            ivf_assign(df, vec_col, id_col, centroids)
+            ivf_assign(df, vec_col, id_col, centroids, extra_cols=extra)
             .select(
                 F.col(id_col),
                 v.alias("__v"),
                 sumsq_expr(v).alias("__ss"),
                 "centroid_id",
+                *([] if keeper == "min_id" else [F.col(keeper[0]).alias("__sc")]),
             )
             .cache()
         )
+
+    def _rank(idc: Column, scc: Column | None) -> Column:
+        """Orderable badness: the MINIMUM rank wins the keep.  min_id ->
+        (id); (score, max) -> (-score, id); (score, min) -> (score, id) —
+        numeric scores only, ties always fall to the smaller id."""
+        if keeper == "min_id":
+            return F.struct(idc)
+        sc = scc.cast("double")
+        return F.struct(-sc if keeper[1] == "max" else sc, idc)
     pre_dropped = None
     if max_cell is None:
         pair_src = assigned
@@ -440,11 +476,14 @@ def semantic_dedup(
             *assigned.columns, F.lit(0).cast("long").alias("__sub")
         )
         over = work.filter(F.col("__n") > max_cell)
-        # step 1: collapse bit-identical vectors to their min id.  Zero
-        # vectors are exempt (their cosine is undefined, so the exact path
-        # never drops them either), as is a nonsensical threshold > 1.
+        # step 1: collapse bit-identical vectors to their keeper (min id,
+        # or best score under a quality keeper — min_by over the same rank
+        # the pair path uses).  Zero vectors are exempt (their cosine is
+        # undefined, so the exact path never drops them either), as is a
+        # nonsensical threshold > 1.
+        sc = None if keeper == "min_id" else F.col("__sc")
         dmin = over.groupBy("centroid_id", "__v").agg(
-            F.min(id_col).alias("__minid")
+            F.min_by(F.col(id_col), _rank(F.col(id_col), sc)).alias("__minid")
         )
         over = over.join(dmin, ["centroid_id", "__v"])
         collapse = (
@@ -466,14 +505,22 @@ def semantic_dedup(
     # mode the 0/0 divide would otherwise abort the job; they still
     # survive via the anti-join)
     pair_src = pair_src.filter(F.col("__ss") > 0)
+    sc_a = [F.col("__sc").alias("__sca")] if keeper != "min_id" else []
+    sc_b = [F.col("__sc").alias("__scb")] if keeper != "min_id" else []
     a = pair_src.select(
         F.col(id_col).alias("__ida"), F.col("__v").alias("__va"),
-        F.col("__ss").alias("__ssa"), *join_keys,
+        F.col("__ss").alias("__ssa"), *join_keys, *sc_a,
     )
     b = pair_src.select(
         F.col(id_col).alias("__idb"), F.col("__v").alias("__vb"),
-        F.col("__ss").alias("__ssb"), *join_keys,
+        F.col("__ss").alias("__ssb"), *join_keys, *sc_b,
     )
+    # each unordered pair is generated once (id order); the LOSER under
+    # the keeper rank is dropped — for min_id that is always __ida (the
+    # larger id), the original convention
+    rank_a = _rank(F.col("__ida"), F.col("__sca") if keeper != "min_id" else None)
+    rank_b = _rank(F.col("__idb"), F.col("__scb") if keeper != "min_id" else None)
+    loser = F.when(rank_b < rank_a, F.col("__ida")).otherwise(F.col("__idb"))
     dropped = (
         a.join(b, join_keys)
         .where(F.col("__ida") > F.col("__idb"))
@@ -484,7 +531,7 @@ def semantic_dedup(
             )
             >= threshold
         )
-        .select(F.col("__ida").alias(id_col))
+        .select(loser.alias(id_col))
         .distinct()
     )
     if pre_dropped is not None:

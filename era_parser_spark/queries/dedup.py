@@ -468,7 +468,7 @@ def dd4b_simhash_md5(spark, sf_dir):
     return simhash_md5_fingerprints(docs, "doc_id", "text")
 
 
-_DD9_ORACLE = f"""
+_DD9_CTES = f"""
     WITH RECURSIVE
     sh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents),
     sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
@@ -494,9 +494,25 @@ _DD9_ORACLE = f"""
     ),
     labels AS (SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node),
     csz AS (SELECT cluster_id, count(*) AS cluster_sz FROM labels GROUP BY cluster_id)
+    """
+
+_DD9_ORACLE = _DD9_CTES + """
     SELECT doc_id, labels.cluster_id, cluster_sz,
            doc_id = labels.cluster_id AS kept
     FROM labels JOIN csz ON labels.cluster_id = csz.cluster_id
+    """
+
+# same clusters, quality keeper: the kept member is the LONGEST text in
+# the cluster (ties -> min doc_id) — the deterministic total order the
+# Spark side's row_number mirrors exactly
+_DD9C_ORACLE = _DD9_CTES + """
+    SELECT l.doc_id, l.cluster_id, cluster_sz,
+           row_number() OVER (PARTITION BY l.cluster_id
+                              ORDER BY length(d.text) DESC, l.doc_id ASC) = 1
+             AS kept
+    FROM labels l
+    JOIN csz ON l.cluster_id = csz.cluster_id
+    JOIN documents d ON d.doc_id = l.doc_id
     """
 
 
@@ -538,6 +554,27 @@ def dd9b_fuzzy_dedup_estimate(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     return fuzzy_dedup(docs, "doc_id", "text", threshold=0.5, verify="estimate")
+
+
+@register(
+    "dd9c_fuzzy_dedup_quality_keeper",
+    # dd9's clusters with the production keeper policy: per cluster, keep
+    # the highest-quality member (longest text here; any numeric score
+    # column works) instead of the min id — the SlimPajama/RefinedWeb
+    # convention.  Oracle-exact because the keeper is a deterministic
+    # total order (score DESC, id ASC) over the same brute-force clusters
+    # the recursive CTE rebuilds; a higher-scored bit-identical clone
+    # displaces the min-id keeper (policy applies AFTER clone
+    # re-attachment), pinned in tests/test_round8_ops.py.
+    oracle=_DD9C_ORACLE,
+)
+def dd9c_fuzzy_dedup_quality_keeper(spark, sf_dir):
+    from era_parser_spark.operators.dedup import fuzzy_dedup
+
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "__q", F.length("text").cast("long")
+    )
+    return fuzzy_dedup(docs, "doc_id", "text", threshold=0.5, keeper=("__q", "max"))
 
 
 @register(

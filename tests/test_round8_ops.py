@@ -1,0 +1,175 @@
+"""Round-8 operator pins.
+
+Keeper-quality policy (round-7 verdict item 5): production dedup keeps the
+best-quality cluster member, not the min id.  fuzzy_dedup and
+semantic_dedup take keeper=(score_col, "max"|"min") with the deterministic
+total order (score, id ASC); these tests pin that a higher-scored clone
+DISPLACES the min-id keeper — including through fuzzy_dedup's exact-clone
+collapse (the policy must apply after re-attachment, on the full
+membership) and through semantic_dedup's max_cell clone-collapse branch.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _keeper_corpus(spark):
+    # group A: ids 1,2 BIT-IDENTICAL texts (collapses to rep=1), scores
+    # favor id 2; group B: ids 3,4 near-dup (jaccard >= 0.5), tied scores
+    # -> id ASC tiebreak; id 5 singleton.
+    a = "the quick brown fox jumps over the lazy dog tonight"
+    b = "alpha beta gamma delta epsilon zeta eta theta"
+    b2 = "alpha beta gamma delta epsilon zeta eta iota"
+    rows = [
+        (1, a, 1.0),
+        (2, a, 5.0),
+        (3, b, 2.0),
+        (4, b2, 2.0),
+        (5, "completely unrelated content about spark plans", 9.0),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, q double")
+
+
+def test_fuzzy_dedup_quality_keeper_displaces_min_id(spark):
+    from era_parser_spark.operators.dedup import fuzzy_dedup
+
+    docs = _keeper_corpus(spark)
+    out = {
+        r.doc_id: (r.cluster_id, r.cluster_sz, r.kept)
+        for r in fuzzy_dedup(
+            docs, "doc_id", "text", threshold=0.5, keeper=("q", "max")
+        ).collect()
+    }
+    # cluster identity stays the component min id regardless of keeper
+    assert out[1][:2] == (1, 2) and out[2][:2] == (1, 2)
+    assert out[3][:2] == (3, 2) and out[4][:2] == (3, 2)
+    assert out[5][:2] == (5, 1)
+    # group A: the higher-scored CLONE (id 2) displaces the min-id keeper
+    # — the collapse rep is id 1, so this pins post-expansion application
+    assert not out[1][2] and out[2][2]
+    # group B: tied scores fall to the smaller id
+    assert out[3][2] and not out[4][2]
+    assert out[5][2]
+
+
+def test_fuzzy_dedup_keeper_min_direction_and_default(spark):
+    from era_parser_spark.operators.dedup import fuzzy_dedup
+
+    docs = _keeper_corpus(spark)
+    kept_min = {
+        r.doc_id
+        for r in fuzzy_dedup(
+            docs, "doc_id", "text", threshold=0.5, keeper=("q", "min")
+        ).collect()
+        if r.kept
+    }
+    assert kept_min == {1, 3, 5}
+    kept_default = {
+        r.doc_id
+        for r in fuzzy_dedup(docs, "doc_id", "text", threshold=0.5).collect()
+        if r.kept
+    }
+    assert kept_default == {1, 3, 5}
+    # keeper applies identically on the uncollapsed differential plan
+    kept_uncollapsed = {
+        r.doc_id
+        for r in fuzzy_dedup(
+            docs, "doc_id", "text", threshold=0.5, keeper=("q", "max"),
+            collapse_exact=False,
+        ).collect()
+        if r.kept
+    }
+    assert kept_uncollapsed == {2, 3, 5}
+
+
+def test_fuzzy_dedup_keeper_validation(spark):
+    from era_parser_spark.operators.dedup import fuzzy_dedup
+
+    docs = _keeper_corpus(spark)
+    with pytest.raises(ValueError, match="keeper"):
+        fuzzy_dedup(docs, "doc_id", "text", keeper="best")
+    with pytest.raises(ValueError, match="keeper"):
+        fuzzy_dedup(docs, "doc_id", "text", keeper=("q", "biggest"))
+
+
+def _keeper_vectors(spark):
+    # one centroid -> one cell.  ids 1,2: identical vectors (cos = 1),
+    # scores favor id 2; ids 3,4: near-identical (cos ~ 0.9996 >= 0.95),
+    # scores favor id 4; id 5: orthogonal singleton.
+    rows = [
+        (1, [1.0, 0.0, 0.0], 1.0),
+        (2, [1.0, 0.0, 0.0], 5.0),
+        (3, [0.0, 1.0, 0.02], 2.0),
+        (4, [0.0, 1.0, 0.0], 7.0),
+        (5, [0.0, 0.0, 1.0], 0.5),
+    ]
+    df = spark.createDataFrame(rows, "id long, vec array<double>, q double")
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0])], "centroid_id int, cvec array<double>"
+    )
+    return df, cents
+
+
+def test_semantic_dedup_quality_keeper(spark):
+    from era_parser_spark.operators.similarity import semantic_dedup
+
+    df, cents = _keeper_vectors(spark)
+    kept = {
+        r.id
+        for r in semantic_dedup(
+            df, "vec", "id", cents, threshold=0.95, keeper=("q", "max")
+        ).collect()
+    }
+    assert kept == {2, 4, 5}
+    # default stays keep-min-id
+    kept_min = {
+        r.id for r in semantic_dedup(df, "vec", "id", cents, threshold=0.95).collect()
+    }
+    assert kept_min == {1, 3, 5}
+
+
+def test_semantic_dedup_quality_keeper_max_cell_collapse(spark):
+    """The max_cell clone-collapse branch must keep the best-SCORED clone,
+    not the min id: max_cell=1 forces every cell through the collapse +
+    hash-sub-split path, where bit-identical vectors dedup exactly."""
+    from era_parser_spark.operators.similarity import semantic_dedup
+
+    df, cents = _keeper_vectors(spark)
+    kept = {
+        r.id
+        for r in semantic_dedup(
+            df, "vec", "id", cents, threshold=0.95, keeper=("q", "max"), max_cell=1
+        ).collect()
+    }
+    # clones 1/2 collapse -> id 2 survives (higher q); 3/4 are distinct
+    # vectors so the sub-split may or may not pair them — but the clone
+    # guarantee is exact: id 1 is dropped, id 2 kept
+    assert 2 in kept and 1 not in kept
+    assert 5 in kept
+
+
+def test_semantic_dedup_keeper_validation(spark):
+    from era_parser_spark.operators.similarity import semantic_dedup
+
+    df, cents = _keeper_vectors(spark)
+    with pytest.raises(ValueError, match="keeper"):
+        semantic_dedup(df, "vec", "id", cents, keeper=("q",))
+
+
+def test_fuzzy_keeper_registry_entry_matches_oracle_shape(spark):
+    """dd9c returns the dd9 frame with kept = longest-text member; spot
+    semantics on sf0.001 (full value parity is the sweep's job)."""
+    import __spark_entry__ as m
+
+    q = m.queries()["dd9c_fuzzy_dedup_quality_keeper"]
+    rows = q(spark, "/root/testdata/sf0.001").collect()
+    assert {c for c in rows[0].asDict()} == {
+        "doc_id", "cluster_id", "cluster_sz", "kept"
+    }
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for members in by_cluster.values():
+        assert sum(1 for r in members if r.kept) == 1
