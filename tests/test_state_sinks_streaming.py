@@ -617,3 +617,117 @@ def test_attribution_join_state_across_microbatches(spark, tmp_path_factory):
         for r in out.collect()
     )
     assert got == [(100, 200, 1, 30 * 60 * 1_000_000, 9.5)]
+
+
+@pytest.fixture(scope="module")
+def chaos_era_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("eras_chaos")
+    for era in (1400, 1401):
+        write_synthetic_era(str(d / era_filename("gnosis", era)), era, "gnosis", blocks=12)
+    return str(d)
+
+
+def test_mid_write_kill_recovery_per_era(spark, chaos_era_dir, tmp_path_factory, monkeypatch):
+    """Chaos pin (round-7 verdict item 6): a hard kill mid-era-write — the
+    sink lands a PARTIAL partition and the process dies before any
+    failed-status record can be written (BaseException, so
+    process_era_atomic's except-Exception never runs) — leaves the era
+    'processing'.  The restarted run must re-process exactly that era,
+    dynamic partition overwrite must replace the partial partition (no
+    duplicate and no missing rows), and log compaction must preserve the
+    recovered state."""
+    import era_parser_spark.sinks.writers as writers
+    from era_parser_spark.state.era_state import EraStateStore
+    from era_parser_spark.streaming.incremental import run_incremental
+
+    out = str(tmp_path_factory.mktemp("warehouse_chaos"))
+    state_path = os.path.join(out, "_era_state")
+    real_write = writers.write_parquet
+    calls = {"n": 0}
+
+    def killing_write(df, path, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            real_write(df.limit(3), path, **kw)  # partial data really lands
+            raise KeyboardInterrupt("simulated mid-write kill")
+        return real_write(df, path, **kw)
+
+    monkeypatch.setattr(writers, "write_parquet", killing_write)
+    with pytest.raises(KeyboardInterrupt):
+        run_incremental(spark, chaos_era_dir, out, state_path, "gnosis",
+                        tables=["blocks"], per_era=True)
+
+    store = EraStateStore(spark, state_path)
+    latest = store.latest_state().filter(F.col("era_number") == 1400).first()
+    assert latest.status == "processing"  # kill == no failed record
+    assert spark.read.parquet(f"{out}/blocks").count() == 3  # the partial
+
+    # restart: both eras pend (processing is not completed), each processed
+    # exactly once, and the partial partition is REPLACED, not appended to
+    second = run_incremental(spark, chaos_era_dir, out, state_path, "gnosis",
+                             tables=["blocks"], per_era=True)
+    assert sorted(second) == [1400, 1401]
+    blocks = spark.read.parquet(f"{out}/blocks")
+    per_era = {r.era_number: r.cnt for r in blocks.groupBy("era_number")
+               .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert per_era == {1400: second[1400]["blocks"], 1401: second[1401]["blocks"]}
+    # the partial (3-row) partition was REPLACED by the full era
+    assert per_era[1400] > 3
+    assert blocks.select("slot").distinct().count() == blocks.count()
+    assert store.max_retry("gnosis", 1400) == 2  # killed attempt counted
+
+    # third run: a no-op; then the log compacts without changing state
+    assert run_incremental(spark, chaos_era_dir, out, state_path, "gnosis",
+                           tables=["blocks"], per_era=True) == {}
+    before = sorted(
+        (r.era_number, r.status) for r in store.latest_state().collect()
+    )
+    store.compact_log()
+    after_store = EraStateStore(spark, state_path)
+    assert sorted(
+        (r.era_number, r.status) for r in after_store.latest_state().collect()
+    ) == before == [(1400, "completed"), (1401, "completed")]
+
+
+def test_mid_write_kill_recovery_batched(spark, chaos_era_dir, tmp_path_factory, monkeypatch):
+    """Same chaos on the batched (100 TB-shaped) path: the kill lands a
+    partial multi-era partition set; the whole batch stays 'processing'
+    and the restarted batch rewrites every touched partition exactly."""
+    import era_parser_spark.sinks.writers as writers
+
+    from era_parser_spark.state.era_state import EraStateStore
+    from era_parser_spark.streaming.incremental import run_incremental
+
+    out = str(tmp_path_factory.mktemp("warehouse_chaos_b"))
+    state_path = os.path.join(out, "_era_state")
+    real_write = writers.write_parquet
+    calls = {"n": 0}
+
+    def killing_write(df, path, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            real_write(df.limit(5), path, **kw)
+            raise KeyboardInterrupt("simulated mid-write kill")
+        return real_write(df, path, **kw)
+
+    monkeypatch.setattr(writers, "write_parquet", killing_write)
+    with pytest.raises(KeyboardInterrupt):
+        run_incremental(spark, chaos_era_dir, out, state_path, "gnosis",
+                        tables=["blocks"])
+
+    store = EraStateStore(spark, state_path)
+    statuses = {r.era_number: r.status for r in store.latest_state().collect()}
+    assert statuses == {1400: "processing", 1401: "processing"}
+    # staging scratch must not leak past the failed batch (finally-cleanup)
+    assert not os.path.exists(f"{out}/_staging_blocks")
+
+    second = run_incremental(spark, chaos_era_dir, out, state_path, "gnosis",
+                             tables=["blocks"])
+    assert sorted(second) == [1400, 1401]
+    blocks = spark.read.parquet(f"{out}/blocks")
+    total = second[1400]["blocks"] + second[1401]["blocks"]
+    assert blocks.count() == total > 5  # partial partitions replaced
+    assert blocks.select("slot").distinct().count() == total
+    assert {r.era_number: r.status for r in store.latest_state().collect()} == {
+        1400: "completed", 1401: "completed"
+    }
