@@ -111,6 +111,7 @@ HEADLINE = [
     "x37_sequence_count_strict",
     # round-8 additions
     "dd9c_fuzzy_dedup_quality_keeper",
+    "t31_bpe_merges",
 ]
 
 

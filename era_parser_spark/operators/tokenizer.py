@@ -203,3 +203,108 @@ def save_merges(merges: list[tuple[str, str]], path: str) -> None:
         f.write("#version: learned\n")
         for a, b in merges:
             f.write(f"{a} {b}\n")
+
+
+def _apply_merge_kernel(a: str, b: str):
+    """Arrow-batched greedy left-to-right merge pass for (a, b) — the
+    exact `_merge_word` semantics applied to a syms array column."""
+
+    def fn(it):
+        for pdf in it:
+            merged = []
+            for syms in pdf["syms"]:
+                out, i, n = [], 0, len(syms)
+                while i < n:
+                    if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                merged.append(out)
+            pdf = pdf.copy()
+            pdf["syms"] = merged
+            yield pdf
+
+    return fn
+
+
+def bpe_merges_distributed(df, text_col: str, n_merges: int = 8):
+    """BPE merge training with the merge LOOP distributed — the exact
+    upgrade of `learn_bpe_merges` for corpora whose pre-token vocabulary
+    does not fit a driver (byte-noise multilingual web text at 100 TB can
+    reach 1e8-1e9 distinct words; Heaps' law only bounds CLEAN corpora).
+
+    One corpus-size pass builds the distinct-word frequency table
+    (explode + map-side-combined groupBy — the only stage that sees
+    corpus volume); each of the n_merges rounds then runs ON the word
+    table: an adjacent-pair count (integer sum of word freqs), a
+    deterministic argmax (max count, then lexicographically smallest
+    (left, right) — UTF-8 binary order, identical in Spark / DuckDB /
+    Python), and an Arrow-batched greedy left-to-right rewrite.  Only the
+    single winning pair is ever collected per round (the s16
+    tiny-artifact convention); the word table is localCheckpoint'ed per
+    round so round r+1 does not recompute rounds 1..r (the CC-edges
+    precedent).
+
+    Tokenization is the suite's whitespace/lowercase convention
+    (`tokens_col`); symbols are the word's characters with NO end-of-word
+    marker — the same convention as `bpe_encode_word`/`load_merges`, so
+    the output feeds `save_merges` + `real_bpe_token_count_col` directly.
+
+    Greedy-overlap semantics ("aaa" under (a,a) -> ["aa","a"]) are pinned
+    against a pure-python reference; the DuckDB oracle re-derives every
+    round exactly (island/parity rewrite, unrolled per round — the x25
+    unrolled-PageRank pattern).
+
+    Returns (rank, left, right, merged, pair_count) — one row per learned
+    merge, fewer than n_merges only if the vocabulary fully merges first.
+    """
+    from pyspark.sql import functions as F
+
+    from era_parser_spark.operators.dedup import tokens_col
+
+    spark = df.sparkSession
+    words = (
+        df.filter(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
+        .select(F.explode(tokens_col(F.col(text_col))).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            "w",
+            "freq",
+            F.expr(
+                "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+            ).alias("syms"),
+        )
+    )
+    cur = words.localCheckpoint(eager=True)
+    out_rows: list[tuple] = []
+    for rank in range(1, n_merges + 1):
+        best = (
+            cur.filter(F.size("syms") >= 2)
+            .select(
+                "freq",
+                F.expr(
+                    "explode(transform(sequence(0, size(syms)-2),"
+                    " i -> struct(syms[i] AS l, syms[i+1] AS r)))"
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, c = best[0]["l"], best[0]["r"], int(best[0]["c"])
+        out_rows.append((rank, a, b, a + b, c))
+        cur = cur.mapInPandas(
+            _apply_merge_kernel(a, b), cur.schema
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        out_rows,
+        "rank int, left string, right string, merged string, pair_count long",
+    )

@@ -1470,3 +1470,85 @@ def t30_rake_keywords(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     return rake_keywords(docs, "doc_id", "text", top_n=3)
+
+
+def _t31_oracle(k: int) -> str:
+    """Unrolled-per-round BPE oracle (the x25 unrolled-PageRank pattern):
+    round r = exact adjacent-pair count over the word-frequency table,
+    deterministic argmax (count DESC, pair ASC), then the greedy
+    left-to-right merge rewritten relationally — candidate positions form
+    islands of consecutive indexes; greedy keeps every SECOND member of
+    each island starting at its minimum (the only overlap case is a
+    run of the same symbol), and a position is consumed when its
+    predecessor was kept.  Matches operators/tokenizer.py's python
+    kernel bit-for-bit (pinned differentially in tests/test_round8_ops)."""
+    parts = [f"""
+    WITH
+    tk31 AS MATERIALIZED (
+      SELECT unnest({_TOK}) AS w FROM documents
+      WHERE text IS NOT NULL AND trim(text) != ''
+    ),
+    bw0 AS MATERIALIZED (
+      SELECT w, count(*) AS freq,
+             [substr(w, CAST(i AS INTEGER), 1)
+              FOR i IN generate_series(1, length(w))] AS syms
+      FROM tk31 WHERE length(w) > 0 GROUP BY w
+    )"""]
+    for r in range(k):
+        cur, nxt = f"bw{r}", f"bw{r + 1}"
+        parts.append(f"""
+    pc{r} AS MATERIALIZED (
+      SELECT syms[CAST(i AS INTEGER)] AS l, syms[CAST(i AS INTEGER)+1] AS r,
+             sum(freq) AS c
+      FROM {cur}, unnest(generate_series(1, len(syms) - 1)) AS t(i)
+      GROUP BY 1, 2
+    ),
+    best{r} AS MATERIALIZED (SELECT l, r, c FROM pc{r} ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+    pos{r} AS MATERIALIZED (
+      SELECT w, freq, CAST(i AS BIGINT) AS i, syms[CAST(i AS INTEGER)] AS s,
+             syms[CAST(i AS INTEGER)+1] AS s2
+      FROM {cur}, unnest(generate_series(1, len(syms))) AS t(i)
+    ),
+    cand{r} AS MATERIALIZED (
+      SELECT p.w, p.i,
+             p.i - row_number() OVER (PARTITION BY p.w ORDER BY p.i) AS isl
+      FROM pos{r} p, best{r} b
+      WHERE p.s = b.l AND p.s2 = b.r
+    ),
+    keep{r} AS MATERIALIZED (
+      SELECT w, i FROM (
+        SELECT w, i, i - min(i) OVER (PARTITION BY w, isl) AS off
+        FROM cand{r})
+      WHERE off % 2 = 0
+    ),
+    {nxt} AS MATERIALIZED (
+      SELECT p.w, any_value(p.freq) AS freq,
+             list(
+               CASE WHEN k1.i IS NOT NULL THEN b.l || b.r ELSE p.s END
+               ORDER BY p.i) AS syms
+      FROM pos{r} p
+      CROSS JOIN best{r} b
+      LEFT JOIN keep{r} k1 ON k1.w = p.w AND k1.i = p.i
+      LEFT JOIN keep{r} k2 ON k2.w = p.w AND k2.i = p.i - 1
+      WHERE k2.i IS NULL
+      GROUP BY p.w
+    )""")
+    finals = "\n      UNION ALL ".join(
+        f"SELECT {r + 1} AS rank, l AS left, r AS right, l || r AS merged,"
+        f" CAST(c AS BIGINT) AS pair_count FROM best{r}"
+        for r in range(k)
+    )
+    return ",".join(parts) + f"\n    {finals}\n    ORDER BY rank"
+
+
+@register("t31_bpe_merges", oracle=_t31_oracle(8))
+def t31_bpe_merges(spark, sf_dir):
+    """Distributed BPE merge training (Sennrich et al. 2016, the in-repo
+    no-end-marker convention): 8 exact-integer merge rounds over the
+    word-frequency table, the merge loop itself distributed — the word
+    table never collects to the driver (operators/tokenizer.py's
+    `learn_bpe_merges` is the driver-loop twin for driver-sized vocabs)."""
+    from era_parser_spark.operators.tokenizer import bpe_merges_distributed
+
+    docs = table(spark, sf_dir, "documents")
+    return bpe_merges_distributed(docs, "text", n_merges=8)

@@ -173,3 +173,99 @@ def test_fuzzy_keeper_registry_entry_matches_oracle_shape(spark):
         by_cluster.setdefault(r.cluster_id, []).append(r)
     for members in by_cluster.values():
         assert sum(1 for r in members if r.kept) == 1
+
+
+# ---------------------------------------------------------------- t31 BPE
+
+
+def _ref_bpe(words_freq: dict, k: int):
+    """Pure-python BPE reference: greedy left-to-right merges, argmax by
+    (count DESC, pair ASC), no end-of-word marker (the repo convention)."""
+    vocab = {w: (list(w), f) for w, f in words_freq.items()}
+    merges = []
+    for _ in range(k):
+        counts: dict = {}
+        for syms, f in vocab.values():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        bc = max(counts.values())
+        a, b = sorted(p for p, c in counts.items() if c == bc)[0]
+        merges.append((a, b, bc))
+        for w, (syms, f) in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = (out, f)
+    return merges
+
+
+def test_bpe_merges_distributed_matches_reference(spark):
+    """Differential pin incl. the greedy-overlap cases (aaa/aaaa under
+    merge (a,a)), a unicode word, and tie-breaking."""
+    from era_parser_spark.operators.tokenizer import bpe_merges_distributed
+
+    corpus = [
+        "aaa abab low lower lowest low low",
+        "newer new news aaa ab",
+        "aaaa bb héllo héllo",
+    ]
+    df = spark.createDataFrame([(t,) for t in corpus], "text string")
+    wf: dict = {}
+    for doc in corpus:
+        for w in doc.lower().split():
+            wf[w] = wf.get(w, 0) + 1
+    want = _ref_bpe(wf, 6)
+    got = [
+        (r["left"], r["right"], r.pair_count)
+        for r in bpe_merges_distributed(df, "text", n_merges=6)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == want
+    # overlap semantics really exercised: round 1 must be (a,a) with
+    # count 2*2 (two 'aaa') + 3 (one 'aaaa') = 7
+    assert got[0] == ("a", "a", 7)
+
+
+def test_bpe_merges_vocab_exhaustion_stops_early(spark):
+    from era_parser_spark.operators.tokenizer import bpe_merges_distributed
+
+    df = spark.createDataFrame([("ab ab",)], "text string")
+    rows = bpe_merges_distributed(df, "text", n_merges=10).collect()
+    # 'ab' fully merges in one round; no pairs remain
+    assert [(r["left"], r["right"]) for r in rows] == [("a", "b")]
+
+
+def test_bpe_merges_feed_existing_encoder(spark, tmp_path):
+    """The distributed trainer's output drives the repo's encoder stack
+    (save_merges -> load_merges -> bpe_encode_word) unchanged."""
+    from era_parser_spark.operators.tokenizer import (
+        bpe_encode_word,
+        bpe_merges_distributed,
+        load_merges,
+        save_merges,
+    )
+
+    df = spark.createDataFrame(
+        [("low lower lowest low low",)], "text string"
+    )
+    rows = bpe_merges_distributed(df, "text", n_merges=3).orderBy("rank").collect()
+    merges = [(r["left"], r["right"]) for r in rows]
+    p = str(tmp_path / "merges.txt")
+    save_merges(merges, p)
+    ranks = load_merges(p)
+    assert len(ranks) == 3
+    enc = bpe_encode_word("lowest", ranks)
+    # merges on this corpus: (l,o), (lo,w), (low,e) -> 'lowe' + 's' + 't'
+    assert [(r["left"], r["right"]) for r in rows] == [
+        ("l", "o"), ("lo", "w"), ("low", "e")
+    ]
+    assert enc == ["lowe", "s", "t"]
