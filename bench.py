@@ -112,6 +112,7 @@ HEADLINE = [
     # round-8 additions
     "dd9c_fuzzy_dedup_quality_keeper",
     "t31_bpe_merges",
+    "t32_bpe_token_counts",
 ]
 
 

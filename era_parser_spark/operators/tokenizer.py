@@ -229,7 +229,9 @@ def _apply_merge_kernel(a: str, b: str):
     return fn
 
 
-def bpe_merges_distributed(df, text_col: str, n_merges: int = 8):
+def bpe_merges_distributed(
+    df, text_col: str, n_merges: int = 8, return_vocab: bool = False
+):
     """BPE merge training with the merge LOOP distributed — the exact
     upgrade of `learn_bpe_merges` for corpora whose pre-token vocabulary
     does not fit a driver (byte-noise multilingual web text at 100 TB can
@@ -259,6 +261,13 @@ def bpe_merges_distributed(df, text_col: str, n_merges: int = 8):
 
     Returns (rank, left, right, merged, pair_count) — one row per learned
     merge, fewer than n_merges only if the vocabulary fully merges first.
+    With ``return_vocab=True``, returns (merges_df, vocab_df) where
+    vocab_df = (w, freq, syms) is the word table AFTER all merges — the
+    per-word subword segmentation, which equals what the encoder produces
+    under the learned ranks (applying merges in rank order can never
+    create an instance of an earlier-rank pair, since every pair created
+    by merge r involves the symbol merge r minted; pinned differentially
+    against bpe_encode_word in tests/test_round8_ops.py).
     """
     from pyspark.sql import functions as F
 
@@ -304,7 +313,10 @@ def bpe_merges_distributed(df, text_col: str, n_merges: int = 8):
         cur = cur.mapInPandas(
             _apply_merge_kernel(a, b), cur.schema
         ).localCheckpoint(eager=True)
-    return spark.createDataFrame(
+    merges_df = spark.createDataFrame(
         out_rows,
         "rank int, left string, right string, merged string, pair_count long",
     )
+    if return_vocab:
+        return merges_df, cur
+    return merges_df

@@ -1472,8 +1472,13 @@ def t30_rake_keywords(spark, sf_dir):
     return rake_keywords(docs, "doc_id", "text", top_n=3)
 
 
-def _t31_oracle(k: int) -> str:
-    """Unrolled-per-round BPE oracle (the x25 unrolled-PageRank pattern):
+def _bpe_ctes(k: int) -> str:
+    """Unrolled-per-round BPE training CTEs (the x25 unrolled-PageRank
+    pattern), shared by the t31 (merge table) and t32 (token count)
+    oracles.  Every CTE is AS MATERIALIZED: DuckDB inlines plain CTE
+    references and the round-over-round fan-out re-expands the scan
+    subtree exponentially (8 plain rounds exceeded ulimit -n on parquet
+    opens).
     round r = exact adjacent-pair count over the word-frequency table,
     deterministic argmax (count DESC, pair ASC), then the greedy
     left-to-right merge rewritten relationally — candidate positions form
@@ -1533,12 +1538,33 @@ def _t31_oracle(k: int) -> str:
       WHERE k2.i IS NULL
       GROUP BY p.w
     )""")
+    return ",".join(parts)
+
+
+def _t31_oracle(k: int) -> str:
     finals = "\n      UNION ALL ".join(
         f"SELECT {r + 1} AS rank, l AS left, r AS right, l || r AS merged,"
         f" CAST(c AS BIGINT) AS pair_count FROM best{r}"
         for r in range(k)
     )
-    return ",".join(parts) + f"\n    {finals}\n    ORDER BY rank"
+    return _bpe_ctes(k) + f"\n    {finals}\n    ORDER BY rank"
+
+
+def _t32_oracle(k: int) -> str:
+    """Token counts under the learned table: bw{k} is the word table
+    AFTER all k merges — exactly the encoder's per-word segmentation
+    (rank-order application never creates an earlier-rank pair), so the
+    per-doc count is a word-level join, no re-encode."""
+    return _bpe_ctes(k) + f""",
+    docw AS MATERIALIZED (
+      SELECT doc_id, unnest({_TOK}) AS w FROM documents
+      WHERE text IS NOT NULL AND trim(text) != ''
+    )
+    SELECT d.doc_id, CAST(sum(len(b.syms)) AS BIGINT) AS bpe_tokens
+    FROM docw d JOIN bw{k} b ON b.w = d.w
+    WHERE length(d.w) > 0
+    GROUP BY d.doc_id
+    """
 
 
 @register("t31_bpe_merges", oracle=_t31_oracle(8))
@@ -1552,3 +1578,29 @@ def t31_bpe_merges(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     return bpe_merges_distributed(docs, "text", n_merges=8)
+
+
+@register("t32_bpe_token_counts", oracle=_t32_oracle(8))
+def t32_bpe_token_counts(spark, sf_dir):
+    """Per-document token counts under the corpus's OWN learned BPE table
+    — the end-to-end budget number a data pipeline actually reports
+    (train t31's 8 merges, then count).  Relational encode: the trainer's
+    final word table IS the per-word segmentation (rank-order merge
+    application can never create an earlier-rank pair), so counting is a
+    word-level join + per-doc sum — the corpus is never re-encoded in
+    Python."""
+    from era_parser_spark.operators.dedup import tokens_col
+    from era_parser_spark.operators.tokenizer import bpe_merges_distributed
+
+    docs = table(spark, sf_dir, "documents")
+    _, vocab = bpe_merges_distributed(docs, "text", n_merges=8, return_vocab=True)
+    words = (
+        docs.filter(F.col("text").isNotNull() & (F.trim("text") != ""))
+        .select("doc_id", F.explode(tokens_col(F.col("text"))).alias("w"))
+        .filter(F.length("w") > 0)
+    )
+    return (
+        words.join(vocab.select("w", F.size("syms").alias("__n")), "w")
+        .groupBy("doc_id")
+        .agg(F.sum("__n").cast("long").alias("bpe_tokens"))
+    )

@@ -269,3 +269,29 @@ def test_bpe_merges_feed_existing_encoder(spark, tmp_path):
         ("l", "o"), ("lo", "w"), ("low", "e")
     ]
     assert enc == ["lowe", "s", "t"]
+
+
+def test_bpe_vocab_segmentation_equals_encoder(spark):
+    """The equivalence t32 rests on: the trainer's final word table (all
+    merges applied greedily in rank order) equals bpe_encode_word's
+    lowest-rank-first one-at-a-time encode, for EVERY corpus word —
+    including same-symbol chains where greedy overlap matters."""
+    from era_parser_spark.operators.tokenizer import (
+        bpe_encode_word,
+        bpe_merges_distributed,
+    )
+
+    corpus = [
+        "aaaaa aaaa aaa aa abab low lower lowest low low",
+        "newer new news aaa ab héé banana bananas",
+    ]
+    df = spark.createDataFrame([(t,) for t in corpus], "text string")
+    merges_df, vocab = bpe_merges_distributed(
+        df, "text", n_merges=6, return_vocab=True
+    )
+    ranks = {
+        (r["left"], r["right"]): r["rank"] - 1 for r in merges_df.collect()
+    }
+    assert len(ranks) == 6
+    for row in vocab.collect():
+        assert list(row.syms) == bpe_encode_word(row.w, ranks), row.w
