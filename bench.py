@@ -113,6 +113,7 @@ HEADLINE = [
     "dd9c_fuzzy_dedup_quality_keeper",
     "t31_bpe_merges",
     "t32_bpe_token_counts",
+    "p20_curation_v5",
 ]
 
 

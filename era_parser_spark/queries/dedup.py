@@ -468,9 +468,13 @@ def dd4b_simhash_md5(spark, sf_dir):
     return simhash_md5_fingerprints(docs, "doc_id", "text")
 
 
-_DD9_CTES = f"""
-    WITH RECURSIVE
-    sh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents),
+def _dd9_ctes(src: str = "documents") -> str:
+    """The brute-force fuzzy-dedup cluster CTEs (shingle pairs -> exact
+    Jaccard edges -> recursive reachability -> min-label clusters),
+    parameterized on the source relation so pipeline oracles can run the
+    same clustering over a FILTERED corpus CTE (p20)."""
+    return f"""
+    sh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM {src}),
     sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
     raw_pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
@@ -488,13 +492,15 @@ _DD9_CTES = f"""
       UNION ALL SELECT doc_b, doc_a FROM dup_edges
     ),
     reach(node, label) AS (
-      SELECT doc_id, doc_id FROM documents
+      SELECT doc_id, doc_id FROM {src}
       UNION
       SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
     ),
     labels AS (SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node),
     csz AS (SELECT cluster_id, count(*) AS cluster_sz FROM labels GROUP BY cluster_id)
     """
+
+_DD9_CTES = "\n    WITH RECURSIVE" + _dd9_ctes("documents")
 
 _DD9_ORACLE = _DD9_CTES + """
     SELECT doc_id, labels.cluster_id, cluster_sz,

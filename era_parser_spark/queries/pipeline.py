@@ -1140,3 +1140,79 @@ def p19_curation_v4(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     return curation_v4(docs, "doc_id", "text", k=8, iters=1, min_cos=0.9)
+
+
+def _p20_oracle() -> str:
+    # Gopher relaxed-rules gate (t20/p12's proven SQL block, applied to the
+    # WHOLE corpus) -> dd9's brute-force near-dup clusters over the
+    # survivors (queries/dedup.py::_dd9_ctes parameterized on the filtered
+    # CTE) -> dd9c's quality keeper (longest text, ties -> min doc_id).
+    from era_parser_spark.queries.dedup import _dd9_ctes
+
+    return f"""
+    WITH RECURSIVE
+    m20 AS (
+      SELECT doc_id, text, coalesce(text, '') AS t,
+             regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+') AS tok,
+             string_split(coalesce(text, ''), chr(10)) AS ln
+      FROM documents
+    ),
+    g20 AS (
+      SELECT doc_id, text,
+        CAST(len(tok) AS BIGINT) AS n_words,
+        CAST(list_sum(list_transform(tok, x -> length(x))) AS DOUBLE)
+          / len(tok) AS mean_word_len,
+        CAST((length(t) - length(replace(t, '#', '')))
+             + (length(t) - length(replace(t, '...', ''))) // 3
+             + (length(t) - length(replace(t, '…', ''))) AS DOUBLE)
+          / len(tok) AS symbol_word_ratio,
+        CAST(len(list_filter(ln,
+               l -> substr(ltrim(l), 1, 1) IN ('-', '*', '•'))) AS DOUBLE)
+          / len(ln) AS bullet_line_frac,
+        CAST(len(list_filter(ln,
+               l -> ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…')))
+             AS DOUBLE) / len(ln) AS ellipsis_line_frac,
+        CAST(len(list_filter(tok, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+          / len(tok) AS alpha_word_frac,
+        CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+               w -> list_contains(tok, w))) AS BIGINT) AS n_req
+      FROM m20
+    ),
+    gsurv AS (
+      SELECT doc_id, text FROM g20
+      WHERE n_words >= 40 AND n_words <= 100000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND symbol_word_ratio <= 0.1
+        AND bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3
+        AND alpha_word_frac >= 0.8 AND n_req >= 1
+    ),{_dd9_ctes("gsurv")}
+    SELECT l.doc_id, l.cluster_id, cluster_sz,
+           row_number() OVER (PARTITION BY l.cluster_id
+                              ORDER BY length(d.text) DESC, l.doc_id ASC) = 1
+             AS kept
+    FROM labels l
+    JOIN csz ON l.cluster_id = csz.cluster_id
+    JOIN gsurv d ON d.doc_id = l.doc_id
+    """
+
+
+@register("p20_curation_v5", oracle=_p20_oracle())
+def p20_curation_v5(spark, sf_dir):
+    """Curation v5 — the round-8 production shape: Gopher relaxed-rules
+    gate (zero-shuffle codegen) -> clone-safe fuzzy dedup with the
+    QUALITY keeper (keep the longest member of every near-dup cluster,
+    not the min id — the SlimPajama/RefinedWeb survivor policy).  Output
+    is the survivors' audit frame (doc_id, cluster_id, cluster_sz, kept);
+    filtering kept gives the curated corpus."""
+    from era_parser_spark.operators.dedup import fuzzy_dedup
+    from era_parser_spark.operators.text import gopher_quality_flags
+
+    docs = table(spark, sf_dir, "documents")
+    flags = gopher_quality_flags(
+        docs, "doc_id", "text",
+        min_words=40, min_required_stopwords=1, keep_cols=("text",),
+    )
+    surv = flags.filter(F.col("gopher_keep")).select(
+        "doc_id", "text", F.length("text").cast("long").alias("__q")
+    )
+    return fuzzy_dedup(surv, "doc_id", "text", threshold=0.5, keeper=("__q", "max"))
