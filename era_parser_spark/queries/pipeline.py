@@ -1203,7 +1203,15 @@ def p20_curation_v5(spark, sf_dir):
     QUALITY keeper (keep the longest member of every near-dup cluster,
     not the min id — the SlimPajama/RefinedWeb survivor policy).  Output
     is the survivors' audit frame (doc_id, cluster_id, cluster_sz, kept);
-    filtering kept gives the curated corpus."""
+    filtering kept gives the curated corpus.
+
+    Cost note: fuzzy_dedup consumes its input from several plan branches
+    (digest mapping, shingles, passthrough, keeper score), so the gopher
+    codegen scan re-runs per branch (~6x at sf0.1; all-JVM, no shuffle).
+    A production run at batch scale stages the filtered corpus to parquet
+    between the gate and the dedup (the process_eras_batch staging
+    pattern, docs/PLANS.md) — deliberately NOT done here so the registry
+    entry stays a pure two-operator composition."""
     from era_parser_spark.operators.dedup import fuzzy_dedup
     from era_parser_spark.operators.text import gopher_quality_flags
 
