@@ -295,3 +295,32 @@ def test_bpe_vocab_segmentation_equals_encoder(spark):
     assert len(ranks) == 6
     for row in vocab.collect():
         assert list(row.syms) == bpe_encode_word(row.w, ranks), row.w
+
+
+@pytest.mark.parametrize("seed", [7, 1234, 987654])
+def test_bpe_merges_random_corpora_match_reference(spark, seed):
+    """Seeded random corpora over a tiny alphabet — maximal tie and
+    overlap pressure on the argmax order and the greedy rewrite."""
+    import random
+
+    from era_parser_spark.operators.tokenizer import bpe_merges_distributed
+
+    rng = random.Random(seed)
+    words = [
+        "".join(rng.choice("abc") for _ in range(rng.randint(1, 7)))
+        for _ in range(60)
+    ]
+    docs = [" ".join(rng.sample(words, rng.randint(3, 12))) for _ in range(12)]
+    df = spark.createDataFrame([(t,) for t in docs], "text string")
+    wf: dict = {}
+    for doc in docs:
+        for w in doc.lower().split():
+            wf[w] = wf.get(w, 0) + 1
+    want = _ref_bpe(wf, 5)
+    got = [
+        (r["left"], r["right"], r.pair_count)
+        for r in bpe_merges_distributed(df, "text", n_merges=5)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == want
