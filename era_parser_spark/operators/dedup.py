@@ -939,8 +939,12 @@ def fuzzy_dedup(
     )
     collapsible = keyed.filter(F.col("__dig").isNotNull())
     passthrough = keyed.filter(F.col("__dig").isNull()).select(id_col, text_col)
-    # digest -> representative id; ids + digests only (text never rides it)
-    reps = collapsible.groupBy("__dig").agg(F.min(id_col).alias("__rep"))
+    # digest -> representative id; ids + digests only (text never rides it).
+    # Cached: it feeds FOUR plan branches (mapping, nodes, and the two
+    # pair-rekeying joins) and each uncached branch re-runs the corpus
+    # scan + the (digest, id) aggregate shuffle; one row per distinct
+    # text, 48B ids+digests — cacheable at any scale, spills if not.
+    reps = collapsible.groupBy("__dig").agg(F.min(id_col).alias("__rep")).cache()
     mapping = (
         collapsible.select(id_col, "__dig")
         .join(reps, "__dig")
