@@ -698,3 +698,17 @@ def test_hash_embed_two_exchanges_no_join(spark, queries):
     assert "Join" not in plan
     scans = read_schema_columns(df)
     assert len(scans) == 2 and {"doc_id"} in scans  # sentinel scan id-only
+
+
+def test_registry_plan_lint(spark):
+    """Whole-registry join lint (tools/plan_lint.py): no entry may plan a
+    CartesianProduct, and BroadcastNestedLoopJoin only where the
+    broadcast side is a provably tiny collected artifact (allowlisted
+    with justification).  This is the automatic gate for the non-equi
+    join trap class (CLAUDE.md): `a <= b` conditions silently plan as a
+    whole-side broadcast and melt at scale."""
+    import __spark_entry__ as m
+    from tools.plan_lint import lint
+
+    problems = lint(spark, m.queries(), "/root/testdata/sf0.001")
+    assert problems == [], "\n".join(problems)
