@@ -103,6 +103,12 @@ def lint(spark, queries: dict, sf_dir: str) -> list[str]:
                 "(non-equi join condition? add to BNLJ_ALLOWLIST only if the "
                 "broadcast side is a provably tiny collected artifact)"
             )
+        if "BatchEvalPython" in plan:
+            # row-at-a-time python UDF — the 10-100x-slower non-Arrow
+            # path; every python kernel here must be pandas_udf /
+            # mapInPandas / applyInPandas (ArrowEvalPython, MapInPandas,
+            # FlatMapGroupsInPandas nodes).  No allowlist on purpose.
+            problems.append(f"{name}: row-at-a-time BatchEvalPython in plan")
         spark.catalog.clearCache()
     return problems
 
