@@ -114,6 +114,7 @@ HEADLINE = [
     "t31_bpe_merges",
     "t32_bpe_token_counts",
     "p20_curation_v5",
+    "t33_suffix_ranks",
 ]
 
 

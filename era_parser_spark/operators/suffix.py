@@ -1,0 +1,83 @@
+"""Distributed suffix-array construction — prefix doubling (Manber-Myers
+1990, the standard O(n log n) construction; public algorithm re-derived
+for DataFrames).
+
+Why it exists: dd10/dd16 approximate substring dedup with fixed-l grams;
+a suffix array is the EXACT substring index those methods approximate
+(Lee et al.'s deduplication pipeline builds one).  Prefix doubling is
+the construction that survives distribution: every round is one
+position-arithmetic EQUI-join plus one per-document window rank — no
+suffix strings are ever materialized or compared, only integer rank
+pairs, so a round's shuffle carries (doc, pos, rank) longs regardless of
+token sizes.
+
+Round k upgrades ranks from 2^k-token prefixes to 2^(k+1): each
+position pairs its rank with the rank 2^k ahead — `lead(r, 2^k)` over
+the document's position order, NOT a self-join: the lead shares the
+dense_rank window's partitioning, so a round is two in-partition sorts
+and zero extra exchanges (the join formulation re-shuffled on (doc,
+pos) every round).  A missing lead (suffix end) becomes -1, which
+orders a shorter suffix before any extension — exactly lexicographic
+suffix order.  ceil(log2(max doc tokens)) rounds make every rank
+distinct; the result is the suffix array as (doc, pos, suffix_rank)
+with suffix_rank = 1..n_tokens per doc.
+
+The per-round frame is localCheckpoint'ed (the CC-edges precedent) so
+round k+1 does not recompute rounds 1..k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from era_parser_spark.operators.dedup import tokens_col
+
+
+def suffix_ranks(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, pos, suffix_rank): rank of the token-level suffix starting at
+    1-based position pos within its document, 1 = lexicographically
+    smallest.  Whitespace/lowercase tokenization (`tokens_col`); suffix
+    order compares TOKEN SEQUENCES element-wise (shorter prefix first) —
+    the DuckDB oracle's list-slice ordering, ties impossible (suffixes
+    of one document have distinct lengths)."""
+    toks = (
+        df.filter(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
+        .select(F.col(id_col), tokens_col(F.col(text_col)).alias("__t"))
+        .filter(F.size("__t") >= 1)
+    )
+    pos = toks.select(
+        id_col,
+        F.posexplode("__t").alias("__i0", "__tok"),
+    ).select(id_col, (F.col("__i0") + 1).alias("pos"), "__tok")
+    w = Window.partitionBy(id_col)
+    cur = pos.select(
+        id_col,
+        "pos",
+        F.dense_rank().over(w.orderBy("__tok")).alias("r"),
+        F.max("pos").over(w).alias("__n"),
+    ).localCheckpoint(eager=True)
+    max_len = cur.agg(F.max("__n")).first()[0] or 1
+    off = 1
+    while off < max_len:
+        paired = cur.select(
+            id_col,
+            "pos",
+            "r",
+            F.coalesce(
+                F.lead("r", off).over(w.orderBy("pos")), F.lit(-1)
+            ).alias("r2"),
+            "__n",
+        )
+        cur = paired.select(
+            id_col,
+            "pos",
+            F.dense_rank().over(w.orderBy("r", "r2")).alias("r"),
+            "__n",
+        ).localCheckpoint(eager=True)
+        off *= 2
+    return cur.select(
+        F.col(id_col),
+        F.col("pos").cast("long").alias("pos"),
+        F.col("r").cast("long").alias("suffix_rank"),
+    )

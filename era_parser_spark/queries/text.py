@@ -1604,3 +1604,38 @@ def t32_bpe_token_counts(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.sum("__n").cast("long").alias("bpe_tokens"))
     )
+
+
+@register(
+    "t33_suffix_ranks",
+    # Token-level per-document suffix array.  The oracle sorts actual
+    # suffix SLICES (DuckDB list ordering is element-wise lexicographic,
+    # shorter-prefix-first — exactly the -1-padding semantics of the
+    # prefix-doubling ranks); ties are impossible (one document's
+    # suffixes have distinct lengths), so row_number is deterministic.
+    oracle=f"""
+    WITH d33 AS (
+      SELECT doc_id, {_TOK} AS tok FROM documents
+      WHERE text IS NOT NULL AND trim(text) != ''
+    ),
+    p33 AS (
+      SELECT doc_id, tok, CAST(i AS BIGINT) AS pos
+      FROM d33, unnest(generate_series(1, len(tok))) AS t(i)
+      WHERE len(tok) >= 1
+    )
+    SELECT doc_id, pos,
+           CAST(row_number() OVER (PARTITION BY doc_id
+                ORDER BY tok[CAST(pos AS INTEGER):]) AS BIGINT) AS suffix_rank
+    FROM p33
+    """,
+)
+def t33_suffix_ranks(spark, sf_dir):
+    """Distributed suffix-array construction (Manber-Myers prefix
+    doubling): the EXACT substring index dd10/dd16's l-gram methods
+    approximate.  log2(max doc tokens) rounds, each two in-partition
+    window sorts over (doc, pos, rank) longs — no suffix text ever
+    materializes or shuffles."""
+    from era_parser_spark.operators.suffix import suffix_ranks
+
+    docs = table(spark, sf_dir, "documents")
+    return suffix_ranks(docs, "doc_id", "text")

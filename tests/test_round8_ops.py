@@ -324,3 +324,33 @@ def test_bpe_merges_random_corpora_match_reference(spark, seed):
         .collect()
     ]
     assert got == want
+
+
+# ------------------------------------------------------------- t33 suffix
+
+
+def test_suffix_ranks_matches_bruteforce(spark):
+    """Prefix doubling vs sorted-suffixes brute force on repeat-heavy
+    docs (banana-style token repetition is the classic rank-collision
+    stress) plus a unicode token and a single-token doc."""
+    from era_parser_spark.operators.suffix import suffix_ranks
+
+    docs = [
+        (1, "b a n a n a"),
+        (2, "na na na batman na na"),
+        (3, "a a a a a a a a"),
+        (4, "solo"),
+        (5, "héé zeta héé alpha héé"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.pos): r.suffix_rank
+        for r in suffix_ranks(df, "doc_id", "text").collect()
+    }
+    for did, text in docs:
+        toks = text.lower().split()
+        order = sorted(range(1, len(toks) + 1), key=lambda i: toks[i - 1:])
+        want = {pos: rank for rank, pos in enumerate(order, start=1)}
+        for pos, rank in want.items():
+            assert got[(did, pos)] == rank, (did, pos)
+    assert len(got) == sum(len(t.split()) for _, t in docs)
