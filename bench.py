@@ -115,6 +115,9 @@ HEADLINE = [
     "t32_bpe_token_counts",
     "p20_curation_v5",
     "t33_suffix_ranks",
+    # exact SA+LCP walk: 9 levels x 2 pair joins — the priciest entry by
+    # design (exact longest-repeat); volume-justified in docs/PLANS.md
+    "t34_longest_repeat",
 ]
 
 

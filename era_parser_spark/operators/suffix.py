@@ -34,7 +34,9 @@ from pyspark.sql import functions as F
 from era_parser_spark.operators.dedup import tokens_col
 
 
-def suffix_ranks(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def suffix_ranks(
+    df: DataFrame, id_col: str, text_col: str, return_history: bool = False
+):
     """(id, pos, suffix_rank): rank of the token-level suffix starting at
     1-based position pos within its document, 1 = lexicographically
     smallest.  Whitespace/lowercase tokenization (`tokens_col`); suffix
@@ -58,6 +60,7 @@ def suffix_ranks(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.max("pos").over(w).alias("__n"),
     ).localCheckpoint(eager=True)
     max_len = cur.agg(F.max("__n")).first()[0] or 1
+    history = [(1, cur)]
     off = 1
     while off < max_len:
         paired = cur.select(
@@ -75,9 +78,89 @@ def suffix_ranks(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.dense_rank().over(w.orderBy("r", "r2")).alias("r"),
             "__n",
         ).localCheckpoint(eager=True)
+        history.append((off * 2, cur))
         off *= 2
-    return cur.select(
+    out = cur.select(
         F.col(id_col),
         F.col("pos").cast("long").alias("pos"),
         F.col("r").cast("long").alias("suffix_rank"),
+    )
+    if return_history:
+        # [(L, (id, pos, r))]: ranks reflecting exactly L-token prefixes,
+        # L = 1, 2, 4, ... >= max_len — the binary-decomposition tables
+        # the LCP walk consumes.
+        return out, history
+    return out
+
+
+def longest_repeated_span(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """EXACT longest repeated token span per document — the quantity
+    t29's Gopher repetition ratios and dd10's fixed-l spans approximate.
+
+    Suffix-array theory: the longest repeated substring is the maximum
+    LCP over RANK-ADJACENT suffix pairs (any repeated span is a common
+    prefix of two suffixes, and the closest pair in suffix order
+    maximizes it).  The LCP of each adjacent pair is computed by the
+    classic binary decomposition over the prefix-doubling rank tables:
+    for L = 2^k descending, if the L-prefix ranks at the pair's current
+    offsets are equal, add L and advance both offsets — O(log n) rounds,
+    each ONE equi-join per side against the L-rank table on (doc,
+    pos = start + lcp), shuffling (doc, pos, rank) longs only.  Token
+    text never rides any shuffle, same as the construction.
+
+    Output: (id, longest_repeat) for every tokenizable document, 0 when
+    nothing repeats (incl. single-token docs).
+    """
+    ranks, history = suffix_ranks(df, id_col, text_col, return_history=True)
+    w = Window.partitionBy(id_col)
+    # rank-adjacent pairs: (start_i, start_j) of consecutive suffixes
+    pairs = ranks.select(
+        id_col,
+        F.col("pos").alias("i"),
+        F.lead("pos").over(w.orderBy("suffix_rank")).alias("j"),
+        F.lit(0).cast("long").alias("lcp"),
+    ).filter(F.col("j").isNotNull())
+    for L, rk in sorted(history, key=lambda t: -t[0]):
+        ra = rk.select(
+            F.col(id_col).alias("__ida"),
+            F.col("pos").alias("__pa"),
+            F.col("r").alias("__ra"),
+        )
+        rb = rk.select(
+            F.col(id_col).alias("__idb"),
+            F.col("pos").alias("__pb"),
+            F.col("r").alias("__rb"),
+        )
+        pairs = (
+            pairs.join(
+                ra,
+                (F.col(id_col) == F.col("__ida"))
+                & (F.col("__pa") == F.col("i") + F.col("lcp")),
+                "left",
+            )
+            .join(
+                rb,
+                (F.col(id_col) == F.col("__idb"))
+                & (F.col("__pb") == F.col("j") + F.col("lcp")),
+                "left",
+            )
+            .select(
+                id_col,
+                "i",
+                "j",
+                F.when(
+                    F.col("__ra").isNotNull() & (F.col("__ra") == F.col("__rb")),
+                    F.col("lcp") + L,
+                )
+                .otherwise(F.col("lcp"))
+                .alias("lcp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    per_doc = pairs.groupBy(id_col).agg(F.max("lcp").alias("longest_repeat"))
+    # single-token docs have no adjacent pair; they still report 0
+    all_docs = ranks.select(id_col).distinct()
+    return all_docs.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("longest_repeat", F.lit(0)).cast("long").alias("longest_repeat"),
     )

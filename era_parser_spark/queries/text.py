@@ -1639,3 +1639,53 @@ def t33_suffix_ranks(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     return suffix_ranks(docs, "doc_id", "text")
+
+
+@register(
+    "t34_longest_repeat",
+    # EXACT longest repeated token span per doc: max LCP over
+    # rank-adjacent suffixes (suffix-array theory).  The oracle sorts real
+    # suffix slices and counts matching prefixes of the lag-adjacent pair
+    # (suf[1:k] = prev[1:k] holds exactly for k <= LCP, so the filter
+    # count IS the LCP); the Spark side walks the prefix-doubling rank
+    # tables instead — binary decomposition, token text never shuffles.
+    oracle=f"""
+    WITH d34 AS (
+      SELECT doc_id, {_TOK} AS tok FROM documents
+      WHERE text IS NOT NULL AND trim(text) != ''
+    ),
+    p34 AS (
+      SELECT doc_id, tok, CAST(i AS BIGINT) AS pos
+      FROM d34, unnest(generate_series(1, len(tok))) AS t(i)
+    ),
+    s34 AS (
+      SELECT doc_id, tok[CAST(pos AS INTEGER):] AS suf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tok[CAST(pos AS INTEGER):]) AS rk
+      FROM p34
+    ),
+    a34 AS (
+      SELECT doc_id, suf, lag(suf) OVER (PARTITION BY doc_id ORDER BY rk) AS prev
+      FROM s34
+    ),
+    l34 AS (
+      SELECT doc_id,
+             CASE WHEN prev IS NULL THEN 0
+                  ELSE len(list_filter(
+                         generate_series(1, least(len(suf), len(prev))),
+                         k -> suf[1:CAST(k AS INTEGER)] = prev[1:CAST(k AS INTEGER)]))
+             END AS lcp
+      FROM a34
+    )
+    SELECT doc_id, CAST(max(lcp) AS BIGINT) AS longest_repeat
+    FROM l34 GROUP BY doc_id
+    """,
+)
+def t34_longest_repeat(spark, sf_dir):
+    """Exact longest repeated token span per document (suffix array + LCP
+    binary-decomposition walk) — the exact quantity t29's repetition
+    ratios and dd10's fixed-l spans approximate."""
+    from era_parser_spark.operators.suffix import longest_repeated_span
+
+    docs = table(spark, sf_dir, "documents")
+    return longest_repeated_span(docs, "doc_id", "text")

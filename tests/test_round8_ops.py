@@ -354,3 +354,36 @@ def test_suffix_ranks_matches_bruteforce(spark):
         for pos, rank in want.items():
             assert got[(did, pos)] == rank, (did, pos)
     assert len(got) == sum(len(t.split()) for _, t in docs)
+
+
+def test_longest_repeated_span_matches_bruteforce(spark):
+    """SA + LCP walk vs O(n^2) brute force, incl. the all-same-token doc
+    (lcp = n-1, every power contributes) and a periodic doc."""
+    from era_parser_spark.operators.suffix import longest_repeated_span
+
+    docs = [
+        (1, "b a n a n a"),
+        (2, "na na na batman na na"),
+        (3, "a a a a a a a a"),
+        (4, "solo"),
+        (5, "x y z w"),
+        (6, "p q r p q r p q r"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: r.longest_repeat
+        for r in longest_repeated_span(df, "doc_id", "text").collect()
+    }
+
+    def brute(text):
+        t = text.lower().split()
+        n, best = len(t), 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                k = 0
+                while j + k < n and t[i + k] == t[j + k]:
+                    k += 1
+                best = max(best, k)
+        return best
+
+    assert got == {d: brute(t) for d, t in docs}
