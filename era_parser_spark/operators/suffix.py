@@ -63,6 +63,21 @@ def suffix_ranks(
     history = [(1, cur)]
     off = 1
     while off < max_len:
+        # early stop: when every document's ranks are already distinct
+        # (dense-rank max == n), the suffix order is fully determined and
+        # no later level could separate anything — in real text this
+        # triggers once 2^k exceeds the longest repeated span (typically
+        # k ~ 3-4), not at log2(max doc length).  Sound for the LCP walk
+        # too: all-distinct at prefix length `off` means every LCP is
+        # < off, and levels 1..off are already in the history.
+        all_distinct = (
+            cur.groupBy(id_col)
+            .agg((F.max("r") == F.max("pos")).alias("__ok"))
+            .agg(F.min(F.col("__ok").cast("int")))
+            .first()[0]
+        )
+        if all_distinct == 1:
+            break
         paired = cur.select(
             id_col,
             "pos",
