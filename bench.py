@@ -118,6 +118,7 @@ HEADLINE = [
     # exact SA+LCP walk: 9 levels x 2 pair joins — the priciest entry by
     # design (exact longest-repeat); volume-justified in docs/PLANS.md
     "t34_longest_repeat",
+    "x38_peak_concurrency",
 ]
 
 

@@ -1841,3 +1841,76 @@ def x37_sequence_count_strict(spark, sf_dir):
         .cast("int")
         .alias("n_chains"),
     )
+
+
+@register(
+    "x38_peak_concurrency",
+    # ClickHouse maxIntersections: peak number of simultaneously-open
+    # intervals.  Sessions = per-(user, day) [min ts, max ts] inclusive;
+    # the sweep is +1 at start / -1 at end+1µs, deltas SUMMED PER
+    # TIMESTAMP before the running sum so tie order can never matter, all
+    # integer µs.  Sessions never cross their day by construction, so the
+    # running sum partitions by day — fully distributed, no global
+    # window.  peak_at = earliest µs attaining the peak (deterministic).
+    oracle="""
+    WITH s AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             min(epoch_us(ts)) AS s_us, max(epoch_us(ts)) AS e_us
+      FROM events GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT day, us, SUM(delta) AS delta FROM (
+        SELECT day, s_us AS us, 1 AS delta FROM s
+        UNION ALL SELECT day, e_us + 1, -1 FROM s
+      ) GROUP BY day, us
+    ),
+    r AS (
+      SELECT day, us,
+             SUM(delta) OVER (PARTITION BY day ORDER BY us
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS conc
+      FROM d
+    )
+    SELECT day, CAST(max(conc) AS BIGINT) AS peak,
+           CAST(min(us) FILTER (WHERE conc = (SELECT max(conc) FROM r r2
+                                              WHERE r2.day = r.day))
+                AS BIGINT) AS peak_at
+    FROM r GROUP BY day
+    """,
+)
+def x38_peak_concurrency(spark, sf_dir):
+    """Peak concurrent user sessions per day (ClickHouse
+    ``maxIntersections``): the classic interval sweep — +1/-1 deltas,
+    per-timestamp pre-aggregation (tie order can never matter), one
+    day-partitioned running sum.  Day-bounded sessions keep the sweep
+    embarrassingly partition-parallel; all integer µs => oracle-exact."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("__t"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    s = ev.groupBy(
+        "user_id", F.date_trunc("day", "__t").cast("date").alias("day")
+    ).agg(F.min("us").alias("s_us"), F.max("us").alias("e_us"))
+    deltas = (
+        s.select("day", F.col("s_us").alias("us"), F.lit(1).alias("delta"))
+        .unionByName(
+            s.select("day", (F.col("e_us") + 1).alias("us"), F.lit(-1).alias("delta"))
+        )
+        .groupBy("day", "us")
+        .agg(F.sum("delta").alias("delta"))
+    )
+    w = W.partitionBy("day").orderBy("us").rowsBetween(W.unboundedPreceding, 0)
+    r = deltas.select("day", "us", F.sum("delta").over(w).alias("conc"))
+    wd = W.partitionBy("day")
+    return (
+        r.withColumn("__mx", F.max("conc").over(wd))
+        .filter(F.col("conc") == F.col("__mx"))
+        .groupBy("day")
+        .agg(
+            F.max("conc").cast("long").alias("peak"),
+            F.min("us").cast("long").alias("peak_at"),
+        )
+    )

@@ -387,3 +387,33 @@ def test_longest_repeated_span_matches_bruteforce(spark):
         return best
 
     assert got == {d: brute(t) for d, t in docs}
+
+
+def test_peak_concurrency_semantics(spark):
+    """x38: end-inclusive intervals, per-timestamp delta pre-aggregation
+    (three sessions meeting at one instant count 3), earliest peak_at."""
+    import datetime as dt
+
+    import era_parser_spark.queries.extended as X
+    from era_parser_spark.queries.registry import QUERIES
+
+    t0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+    mk = lambda s: t0 + dt.timedelta(seconds=s)  # noqa: E731
+    rows = []
+    for uid, (a, b) in enumerate([(0, 10), (5, 15), (12, 20), (10, 10)], start=1):
+        rows.append((uid, mk(a)))
+        rows.append((uid, mk(b)))
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+
+    orig = X.table
+    try:
+        X.table = lambda spark, sf_dir, name: ev
+        out = QUERIES["x38_peak_concurrency"](spark, "ignored").collect()
+    finally:
+        X.table = orig
+    assert len(out) == 1
+    r = out[0]
+    # at t=10s: [0,10], [5,15], [10,10] are all open -> peak 3, first
+    # attained exactly at t=10s
+    assert r.peak == 3
+    assert r.peak_at == int(mk(10).timestamp() * 1_000_000)
