@@ -68,8 +68,82 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# The driver's external correctness gate samples the FIRST 50 registry
+# entries (dict insertion order).  Rounds 1-8 registered by module, so the
+# gate checked the same e/dd/mm/s1 prefix every round and never externally
+# verified the selection, BPE, suffix, pipeline, sequence-analytics, or
+# streaming tiers (round-8 verdict, "Next round #2").  This list reorders
+# the first 50 to a representative cross-section of every family — e01-e20
+# (SURVEY §2.E), flagship dedup / similarity / text / pipeline / analytics /
+# streaming entries, state ops, and a TPC-H query.  Oracles are untouched;
+# everything not listed keeps its module registration order after these.
+_FIRST_50 = [
+    # §2.E analytical workload (kept: maps SURVEY §2.E one-to-one)
+    "e01_filter_project",
+    "e02_group_agg",
+    "e03_time_bucket",
+    "e04_count_distinct",
+    "e05_topk",
+    "e06_having",
+    "e07_join_left_group",
+    "e08_full_outer",
+    "e09_union_conform",
+    "e10_gap_detect",
+    "e11_window_over_all",
+    "e12_pct_of_total",
+    "e13_case_classify",
+    "e14_json_extract",
+    "e15_collect_list",
+    "e16_stddev",
+    "e17_derived_metric",
+    "e18_string_cast",
+    "e19_empty_guard",
+    "e20_health_union",
+    # dedup flagship: exact, LSH, full pipeline w/ quality keeper,
+    # ExactSubstr cut, learned-cluster SemDeDup
+    "dd1_exact_dedup",
+    "dd3_minhash_lsh",
+    "dd9c_fuzzy_dedup_quality_keeper",
+    "dd16_remove_shared_spans",
+    "dd18_semdedup_kmeans",
+    # similarity / selection: IVF ANN, IVF-PQ rerank, Lloyd's, k-center init
+    "s2_ann_ivf_topk",
+    "s11c_ivf_pq_rerank",
+    "s16_kmeans_lloyd",
+    "s18_kmeans_kcenter_init",
+    # text: token stats, Gopher gates, distributed BPE, suffix family
+    "t1_token_count",
+    "t20_gopher_rules",
+    "t29_gopher_repetition",
+    "t31_bpe_merges",
+    "t32_bpe_token_counts",
+    "t33_suffix_ranks",
+    "t34_longest_repeat",
+    # curation pipelines: packing, v2, v3, v4, v5
+    "p2_sequence_packing",
+    "p12_curation_v2",
+    "p15_curation_v3",
+    "p19_curation_v4",
+    "p20_curation_v5",
+    # sequence / interval analytics
+    "x29_grid_interpolate",
+    "x30_window_funnel",
+    "x35_sequence_match",
+    "x38_peak_concurrency",
+    # streaming: custom stateful, stream-stream join, batch-trained serving
+    "st2_stateful_gap_monitor",
+    "st8_stream_stream_join",
+    "st13_stream_cluster_counts",
+    # state management + TPC-H
+    "d2_latest_state",
+    "q1_pricing_summary",
+]
+
+
 def load_all():
-    """Import every query module so registration side effects run."""
+    """Import every query module so registration side effects run, then
+    reorder so the first 50 entries span every operator family (the
+    driver's correctness gate samples the first 50)."""
     from era_parser_spark.queries import (  # noqa: F401
         analytics,
         dedup,
@@ -81,4 +155,10 @@ def load_all():
         text,
         tpch,
     )
+    first = [n for n in _FIRST_50 if n in QUERIES]
+    ordered = first + [n for n in QUERIES if n not in set(first)]
+    for d in (QUERIES, ORACLES):
+        re_ordered = {n: d[n] for n in ordered if n in d}
+        d.clear()
+        d.update(re_ordered)
     return QUERIES, ORACLES
