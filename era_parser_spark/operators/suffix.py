@@ -30,24 +30,41 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
 
 from era_parser_spark.operators.dedup import tokens_col
 
 
 def suffix_ranks(
-    df: DataFrame, id_col: str, text_col: str, return_history: bool = False
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    return_history: bool = False,
+    max_doc_tokens: int | None = None,
 ):
     """(id, pos, suffix_rank): rank of the token-level suffix starting at
     1-based position pos within its document, 1 = lexicographically
     smallest.  Whitespace/lowercase tokenization (`tokens_col`); suffix
     order compares TOKEN SEQUENCES element-wise (shorter prefix first) —
     the DuckDB oracle's list-slice ordering, ties impossible (suffixes
-    of one document have distinct lengths)."""
+    of one document have distinct lengths).
+
+    Scale guard: `Window.partitionBy(id_col)` serializes each document
+    into ONE task — a pathological 10M-token document stalls the stage
+    and can OOM the per-task sort.  Pass ``max_doc_tokens`` to SKIP (not
+    fail) documents over the cap, the mm3 codec-gate pattern: skipped
+    docs simply emit no rows here, and `longest_repeated_span` flags them
+    with ``longest_repeat = NULL`` so a caller can route them to a
+    chunked / l-gram fallback (dd10, t29) instead.  Web-scale corpora
+    should set this (e.g. 1_000_000); the registry entries leave it off
+    because the testdata is bounded."""
     toks = (
         df.filter(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
         .select(F.col(id_col), tokens_col(F.col(text_col)).alias("__t"))
         .filter(F.size("__t") >= 1)
     )
+    if max_doc_tokens is not None:
+        toks = toks.filter(F.size("__t") <= max_doc_tokens)
     pos = toks.select(
         id_col,
         F.posexplode("__t").alias("__i0", "__tok"),
@@ -108,7 +125,12 @@ def suffix_ranks(
     return out
 
 
-def longest_repeated_span(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def longest_repeated_span(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_doc_tokens: int | None = None,
+) -> DataFrame:
     """EXACT longest repeated token span per document — the quantity
     t29's Gopher repetition ratios and dd10's fixed-l spans approximate.
 
@@ -124,9 +146,13 @@ def longest_repeated_span(df: DataFrame, id_col: str, text_col: str) -> DataFram
     text never rides any shuffle, same as the construction.
 
     Output: (id, longest_repeat) for every tokenizable document, 0 when
-    nothing repeats (incl. single-token docs).
+    nothing repeats (incl. single-token docs); NULL for documents skipped
+    by ``max_doc_tokens`` (see `suffix_ranks` — route those to dd10/t29's
+    l-gram approximations instead).
     """
-    ranks, history = suffix_ranks(df, id_col, text_col, return_history=True)
+    ranks, history = suffix_ranks(
+        df, id_col, text_col, return_history=True, max_doc_tokens=max_doc_tokens
+    )
     w = Window.partitionBy(id_col)
     # rank-adjacent pairs: (start_i, start_j) of consecutive suffixes
     pairs = ranks.select(
@@ -173,9 +199,381 @@ def longest_repeated_span(df: DataFrame, id_col: str, text_col: str) -> DataFram
             .localCheckpoint(eager=True)
         )
     per_doc = pairs.groupBy(id_col).agg(F.max("lcp").alias("longest_repeat"))
-    # single-token docs have no adjacent pair; they still report 0
-    all_docs = ranks.select(id_col).distinct()
+    # single-token docs have no adjacent pair; they still report 0.
+    # Docs skipped by the max_doc_tokens guard aren't in `ranks` at all —
+    # they report NULL (skip + flag, never a silently-wrong 0).
+    all_docs = (
+        df.filter(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
+        .select(id_col, F.size(tokens_col(F.col(text_col))).alias("__sz"))
+        .filter(F.col("__sz") >= 1)
+    )
+    skipped = (
+        F.col("__sz") > max_doc_tokens if max_doc_tokens is not None else F.lit(False)
+    )
     return all_docs.join(per_doc, id_col, "left").select(
         F.col(id_col),
-        F.coalesce("longest_repeat", F.lit(0)).cast("long").alias("longest_repeat"),
+        F.when(skipped, F.lit(None))
+        .otherwise(F.coalesce("longest_repeat", F.lit(0)))
+        .cast("long")
+        .alias("longest_repeat"),
+    )
+
+
+# --- Cross-document (global) suffix machinery --------------------------------
+#
+# The per-doc functions above rank suffixes WITHIN a document — their window
+# partitions by doc id, which is also what bounds their parallelism.  The
+# cross-doc operators below need ONE suffix order over the whole corpus; a
+# naive `Window.orderBy(...)` (no partition key) moves the corpus to a single
+# task, so global ranks are built with a range-partitioned two-phase rank:
+# equal keys co-locate under a RangePartitioner, a vectorized Arrow pass
+# assigns partition-local dense ranks, and a tiny per-partition max-rank
+# artifact (n_parts rows, the s16 tiny-collect convention) turns them global.
+# ONE long-only shuffle per call, any number of executors.
+
+
+def _shuffle_parts(df: DataFrame, n_parts: int | None) -> int:
+    if n_parts is not None:
+        return n_parts
+    return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+
+
+def _local_dense_rank_fn(key_cols: list[str]):
+    """mapInPandas kernel: partition-local dense rank over key_cols.
+
+    Input is sorted by key_cols within the partition (sortWithinPartitions
+    ran before the frozen localCheckpoint); batches stream in partition
+    order, so a (last key, running rank) carry across batches is exact.
+    Vectorized: shift-compare + cumsum, never per-row Python.
+    """
+
+    def fn(it):
+        carry_key: tuple | None = None
+        carry_rank = 0
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            change = None
+            for c in key_cols:
+                ch = pdf[c].ne(pdf[c].shift())
+                change = ch if change is None else (change | ch)
+            first_key = tuple(pdf[c].iloc[0] for c in key_cols)
+            change.iloc[0] = carry_key is None or first_key != carry_key
+            lr = change.cumsum().astype("int64") + carry_rank
+            carry_rank = int(lr.iloc[-1])
+            carry_key = tuple(pdf[c].iloc[-1] for c in key_cols)
+            out = pdf.copy()
+            out["__lr"] = lr
+            yield out
+
+    return fn
+
+
+def global_dense_rank(
+    df: DataFrame, key_cols: list[str], n_parts: int | None = None
+) -> tuple[DataFrame, int]:
+    """(df + '__gr' long, n_classes): global dense_rank over key_cols with
+    NO single-partition stage.  Range-partition by the keys (equal keys
+    land in one partition, so rank classes never straddle partitions),
+    sort within partitions, localCheckpoint (freezes partition identity
+    for spark_partition_id AND feeds the two branches below once), one
+    Arrow pass for local dense ranks, then global = local + cumulative
+    per-partition class-count offset (a collected n_parts-row artifact,
+    applied via a broadcast join)."""
+    n_parts = _shuffle_parts(df, n_parts)
+    part = (
+        df.repartitionByRange(n_parts, *key_cols)
+        .sortWithinPartitions(*key_cols)
+        .localCheckpoint(eager=True)
+    )
+    pidd = part.withColumn("__pid", F.spark_partition_id())
+    out_schema = StructType(
+        pidd.schema.fields + [StructField("__lr", LongType(), False)]
+    )
+    loc = pidd.mapInPandas(
+        _local_dense_rank_fn(key_cols), out_schema
+    ).localCheckpoint(eager=True)
+    offs_rows = sorted(
+        loc.groupBy("__pid").agg(F.max("__lr").alias("__m")).collect(),
+        key=lambda r: r["__pid"],
+    )
+    offsets, acc = [], 0
+    for r in offs_rows:
+        offsets.append((int(r["__pid"]), acc))
+        acc += int(r["__m"])
+    spark = df.sparkSession
+    offs_df = spark.createDataFrame(
+        offsets or [], "__pid int, __off long"
+    )
+    ranked = (
+        loc.join(F.broadcast(offs_df), "__pid")
+        .withColumn("__gr", F.col("__lr") + F.col("__off"))
+        .drop("__pid", "__lr", "__off")
+    )
+    return ranked, acc
+
+
+def _adjacent_pairs(
+    df: DataFrame, key_cols: list[str], n_parts: int | None = None
+) -> DataFrame:
+    """Consecutive-row pairs of df in global key_cols order (keys must be
+    UNIQUE per row), as (a_<col>..., b_<col>...) — WITHOUT global row
+    numbers or a self-join: one range shuffle + sort, an Arrow pass emits
+    within-partition consecutive pairs, and the n_parts-1 cross-partition
+    boundary pairs are stitched from a collected per-partition first/last
+    row artifact (min_by/max_by over the key struct, tiny)."""
+    n_parts = _shuffle_parts(df, n_parts)
+    cols = df.columns
+    part = (
+        df.repartitionByRange(n_parts, *key_cols)
+        .sortWithinPartitions(*key_cols)
+        .localCheckpoint(eager=True)
+    )
+    pidd = part.withColumn("__pid", F.spark_partition_id())
+    pair_schema = StructType(
+        [StructField(f"a_{f.name}", f.dataType, f.nullable) for f in df.schema.fields]
+        + [StructField(f"b_{f.name}", f.dataType, f.nullable) for f in df.schema.fields]
+    )
+
+    def fn(it):
+        import pandas as pd
+
+        carry = None
+        for pdf in it:
+            pdf = pdf.drop(columns=["__pid"])
+            if len(pdf) == 0:
+                continue
+            cur = (
+                pd.concat([carry, pdf], ignore_index=True)
+                if carry is not None
+                else pdf
+            )
+            if len(cur) >= 2:
+                a = cur.iloc[:-1].reset_index(drop=True).add_prefix("a_")
+                b = cur.iloc[1:].reset_index(drop=True).add_prefix("b_")
+                yield pd.concat([a, b], axis=1)
+            carry = cur.iloc[[-1]]
+
+    within = pidd.mapInPandas(fn, pair_schema)
+    fl = sorted(
+        pidd.groupBy("__pid")
+        .agg(
+            F.min_by(F.struct(*cols), F.struct(*key_cols)).alias("__first"),
+            F.max_by(F.struct(*cols), F.struct(*key_cols)).alias("__last"),
+        )
+        .collect(),
+        key=lambda r: r["__pid"],
+    )
+    boundary_rows = [
+        tuple(fl[i]["__last"][c] for c in cols)
+        + tuple(fl[i + 1]["__first"][c] for c in cols)
+        for i in range(len(fl) - 1)
+    ]
+    boundary = df.sparkSession.createDataFrame(boundary_rows or [], pair_schema)
+    return within.unionByName(boundary)
+
+
+def global_suffix_ranks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_parts: int | None = None,
+    max_doc_tokens: int | None = None,
+    return_history: bool = False,
+):
+    """(id, pos, r, __n): GLOBAL suffix ranks over the whole corpus — the
+    rank compares token suffixes ACROSS documents (each document's suffix
+    ends at its own end; a shorter suffix orders before any extension,
+    the -1 sentinel, exactly the per-doc semantics).  Unlike the per-doc
+    `suffix_ranks`, ranks are dense over the corpus and TIE exactly when
+    two (necessarily cross-doc, equal-length) suffixes are identical.
+
+    Same prefix doubling as `suffix_ranks`, with the per-doc dense-rank
+    window replaced by `global_dense_rank` — per round: one doc-window
+    lead (shuffle on doc id) + one range shuffle, both carrying (doc,
+    pos, rank) longs only; token text rides exactly one shuffle total
+    (the initial token ranking).  Early stop at the CLASS FIXED POINT
+    (the class count stops growing): per-doc all-distinct never happens
+    when identical cross-doc suffixes exist, but once no class splits,
+    no later level can split one either (rank refinement is monotone),
+    and at the fixed point rank-equal <=> suffixes identical — which is
+    what `longest_cross_doc_span`'s equal-rank shortcut relies on.
+    """
+    toks = (
+        df.filter(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
+        .select(F.col(id_col), tokens_col(F.col(text_col)).alias("__t"))
+        .filter(F.size("__t") >= 1)
+    )
+    if max_doc_tokens is not None:
+        toks = toks.filter(F.size("__t") <= max_doc_tokens)
+    pos = toks.select(
+        F.col(id_col),
+        F.size("__t").cast("long").alias("__n"),
+        F.posexplode("__t").alias("__i0", "__tok"),
+    ).select(id_col, "__n", (F.col("__i0") + 1).cast("long").alias("pos"), "__tok")
+    ranked, n_classes = global_dense_rank(pos, ["__tok"], n_parts)
+    cur = ranked.select(id_col, "pos", "__n", F.col("__gr").alias("r"))
+    n_rows = cur.count()
+    stats = cur.agg(F.max("__n")).first()
+    max_len = int(stats[0] or 1)
+    history = [(1, cur)]
+    w = Window.partitionBy(id_col).orderBy("pos")
+    off = 1
+    while off < max_len and n_classes < n_rows:
+        paired = cur.select(
+            id_col,
+            "pos",
+            "__n",
+            "r",
+            F.coalesce(F.lead("r", off).over(w), F.lit(-1)).alias("r2"),
+        )
+        ranked, new_classes = global_dense_rank(paired, ["r", "r2"], n_parts)
+        if new_classes == n_classes:
+            # class fixed point: (r, r2) split nothing, so no later level
+            # can split anything — and the new dense ranks equal the old
+            # (classes ordered by r alone); keep the old frame.
+            break
+        cur = ranked.select(id_col, "pos", "__n", F.col("__gr").alias("r"))
+        n_classes = new_classes
+        off *= 2
+        history.append((off, cur))
+    out = cur
+    if return_history:
+        return out, history
+    return out.select(
+        F.col(id_col),
+        F.col("pos"),
+        F.col("r").alias("suffix_rank"),
+        F.col("__n").alias("doc_tokens"),
+    )
+
+
+def longest_cross_doc_span(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_parts: int | None = None,
+    max_doc_tokens: int | None = None,
+) -> DataFrame:
+    """EXACT longest token span each document shares VERBATIM with any
+    OTHER document — the quantity dd10/dd16's fixed-l grams approximate
+    from below (every detected l-gram span is a lower bound; pinned in
+    tests) and the decision quantity for ExactSubstr-style cross-doc
+    deduplication (Lee et al. 2021 build exactly this suffix structure).
+
+    Suffix-array theory: the max cross-doc LCP is achieved at a pair of
+    suffixes ADJACENT in global suffix order with different doc ids —
+    between any cross-doc pair (p, q) there is an adjacent doc-boundary
+    pair inside [p, q] whose LCP is >= LCP(p, q) (LCP(p, q) is the min of
+    the adjacent LCPs between them), and one can always pick a boundary
+    involving p's own document (take the LAST suffix of p's doc before
+    q), so even the PER-DOC max over adjacent cross-doc pairs is exact.
+
+    Adjacent-pair LCPs come from the prefix-doubling rank history, binary
+    decomposition exactly as `longest_repeated_span` — except suffixes
+    from DIFFERENT docs can be fully identical (equal final rank at the
+    class fixed point), where the level walk under-counts (the history
+    stops at the fixed point, below the true common length): those pairs
+    short-circuit to min(remaining lengths), which IS their LCP.  For
+    rank-distinct pairs the walk is exact: every level match is a true
+    L-prefix match (an identical-remainder match would force identical
+    full suffixes, i.e. equal final ranks).
+
+    Output: (id, longest_shared) for every tokenizable document, 0 when
+    nothing is shared (incl. a single-document corpus), NULL for docs
+    skipped by ``max_doc_tokens``.
+    """
+    ranks, history = global_suffix_ranks(
+        df,
+        id_col,
+        text_col,
+        n_parts=n_parts,
+        max_doc_tokens=max_doc_tokens,
+        return_history=True,
+    )
+    a_id, b_id = f"a_{id_col}", f"b_{id_col}"
+    pairs = _adjacent_pairs(ranks, ["r", id_col, "pos"], n_parts)
+    cross = pairs.filter(F.col(a_id) != F.col(b_id)).localCheckpoint(eager=True)
+    rem_a = F.col("a___n") - F.col("a_pos") + 1
+    rem_b = F.col("b___n") - F.col("b_pos") + 1
+    eq = cross.filter(F.col("a_r") == F.col("b_r")).select(
+        F.col(a_id),
+        F.col(b_id),
+        F.least(rem_a, rem_b).cast("long").alias("lcp"),
+    )
+    ne = cross.filter(F.col("a_r") != F.col("b_r")).select(
+        F.col(a_id),
+        F.col("a_pos").alias("i"),
+        F.col(b_id),
+        F.col("b_pos").alias("j"),
+        rem_a.alias("rem_a"),
+        rem_b.alias("rem_b"),
+        F.lit(0).cast("long").alias("lcp"),
+    )
+    for L, rk in sorted(history, key=lambda t: -t[0]):
+        ra = rk.select(
+            F.col(id_col).alias("__ida"),
+            F.col("pos").alias("__pa"),
+            F.col("r").alias("__ra"),
+        )
+        rb = rk.select(
+            F.col(id_col).alias("__idb"),
+            F.col("pos").alias("__pb"),
+            F.col("r").alias("__rb"),
+        )
+        ne = (
+            ne.join(
+                ra,
+                (F.col(a_id) == F.col("__ida"))
+                & (F.col("__pa") == F.col("i") + F.col("lcp")),
+                "left",
+            )
+            .join(
+                rb,
+                (F.col(b_id) == F.col("__idb"))
+                & (F.col("__pb") == F.col("j") + F.col("lcp")),
+                "left",
+            )
+            .select(
+                a_id,
+                "i",
+                b_id,
+                "j",
+                "rem_a",
+                "rem_b",
+                F.when(
+                    F.col("__ra").isNotNull() & (F.col("__ra") == F.col("__rb")),
+                    F.col("lcp") + L,
+                )
+                .otherwise(F.col("lcp"))
+                .alias("lcp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    ne_final = ne.select(
+        a_id,
+        b_id,
+        F.least("lcp", "rem_a", "rem_b").cast("long").alias("lcp"),
+    )
+    contrib = (
+        eq.select(F.col(a_id).alias(id_col), "lcp")
+        .unionByName(eq.select(F.col(b_id).alias(id_col), "lcp"))
+        .unionByName(ne_final.select(F.col(a_id).alias(id_col), "lcp"))
+        .unionByName(ne_final.select(F.col(b_id).alias(id_col), "lcp"))
+    )
+    per_doc = contrib.groupBy(id_col).agg(F.max("lcp").alias("longest_shared"))
+    all_docs = (
+        df.filter(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
+        .select(id_col, F.size(tokens_col(F.col(text_col))).alias("__sz"))
+        .filter(F.col("__sz") >= 1)
+    )
+    skipped = (
+        F.col("__sz") > max_doc_tokens if max_doc_tokens is not None else F.lit(False)
+    )
+    return all_docs.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.when(skipped, F.lit(None))
+        .otherwise(F.coalesce("longest_shared", F.lit(0)))
+        .cast("long")
+        .alias("longest_shared"),
     )

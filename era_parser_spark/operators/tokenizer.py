@@ -95,11 +95,15 @@ def bpe_encode_text(
 
 
 @lru_cache(maxsize=8)
-def bpe_token_count_udf(merges_path: str):
+def bpe_token_count_udf(merges_path: str, pattern: str = BPE_PATTERN):
     """Pandas UDF: text column -> real-BPE token count (int).
 
     The merges file is read lazily inside the task (first batch on each
-    executor), so only the path string ships with the closure.
+    executor), so only the path string ships with the closure.  `pattern`
+    is the pre-tokenizer regex — it must match the one the merges were
+    LEARNED with (pass the same value given to `bpe_merges_distributed`
+    / `learn_bpe_merges`), or "what a word is" differs between train and
+    apply.
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -110,17 +114,22 @@ def bpe_token_count_udf(merges_path: str):
         ranks = load_merges(merges_path)
         memo: dict[str, int] = {}
         return pd.Series(
-            [bpe_encode_text(str(t), ranks, _memo=memo) for t in texts],
+            [
+                bpe_encode_text(str(t), ranks, pattern=pattern, _memo=memo)
+                for t in texts
+            ],
             dtype="int32",
         )
 
     return count
 
 
-def real_bpe_token_count_col(text_col: str | Column, merges_path: str) -> Column:
+def real_bpe_token_count_col(
+    text_col: str | Column, merges_path: str, pattern: str = BPE_PATTERN
+) -> Column:
     """Drop-in for `text.bpe_token_count_col` backed by the real tokenizer."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    return bpe_token_count_udf(merges_path)(c)
+    return bpe_token_count_udf(merges_path, pattern)(c)
 
 
 # --- Learning a merge table from the corpus ---------------------------------
@@ -230,7 +239,11 @@ def _apply_merge_kernel(a: str, b: str):
 
 
 def bpe_merges_distributed(
-    df, text_col: str, n_merges: int = 8, return_vocab: bool = False
+    df,
+    text_col: str,
+    n_merges: int = 8,
+    return_vocab: bool = False,
+    pattern: str | None = None,
 ):
     """BPE merge training with the merge LOOP distributed — the exact
     upgrade of `learn_bpe_merges` for corpora whose pre-token vocabulary
@@ -249,10 +262,15 @@ def bpe_merges_distributed(
     round so round r+1 does not recompute rounds 1..r (the CC-edges
     precedent).
 
-    Tokenization is the suite's whitespace/lowercase convention
-    (`tokens_col`); symbols are the word's characters with NO end-of-word
-    marker — the same convention as `bpe_encode_word`/`load_merges`, so
-    the output feeds `save_merges` + `real_bpe_token_count_col` directly.
+    Tokenization defaults to the suite's whitespace/lowercase convention
+    (`tokens_col`, the oracle path); pass ``pattern=`` (e.g.
+    `text.BPE_PATTERN`, the GPT-2-style byte-level pre-tokenizer) to
+    pre-tokenize with the SAME regex the encoder applies — learned merges
+    then feed `save_merges` + `real_bpe_token_count_col(pattern=...)`
+    with "what a word is" identical between train and apply (pinned
+    differentially in tests/test_round9_ops.py).  Symbols are the word's
+    characters with NO end-of-word marker — the same convention as
+    `bpe_encode_word`/`load_merges` either way.
 
     Greedy-overlap semantics ("aaa" under (a,a) -> ["aa","a"]) are pinned
     against a pure-python reference; the DuckDB oracle re-derives every
@@ -274,9 +292,14 @@ def bpe_merges_distributed(
     from era_parser_spark.operators.dedup import tokens_col
 
     spark = df.sparkSession
+    pre_tok = (
+        tokens_col(F.col(text_col))
+        if pattern is None
+        else F.regexp_extract_all(F.col(text_col), F.lit(pattern), 0)
+    )
     words = (
         df.filter(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
-        .select(F.explode(tokens_col(F.col(text_col))).alias("w"))
+        .select(F.explode(pre_tok).alias("w"))
         .filter(F.length("w") > 0)
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
@@ -290,6 +313,7 @@ def bpe_merges_distributed(
     )
     cur = words.localCheckpoint(eager=True)
     out_rows: list[tuple] = []
+    seen_merged: set[str] = set()
     for rank in range(1, n_merges + 1):
         best = (
             cur.filter(F.size("syms") >= 2)
@@ -302,13 +326,41 @@ def bpe_merges_distributed(
             )
             .groupBy("p.l", "p.r")
             .agg(F.sum("freq").alias("c"))
-            .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
+            # tie-break on the UTF-8 BYTES of (l, r): Spark compares
+            # strings by UTF-16 code units, DuckDB/Python by code point /
+            # UTF-8 binary — these diverge for supplementary-plane
+            # characters (emoji), so the argmax must order on a
+            # binary-stable key to keep trainer / oracle / pure-python
+            # reference identical on any corpus (round-8 advice).  The
+            # oracle's `ORDER BY l ASC, r ASC` IS UTF-8 binary order
+            # (DuckDB's default collation), so only this side changes.
+            .orderBy(
+                F.desc("c"),
+                F.asc(F.encode("l", "utf-8")),
+                F.asc(F.encode("r", "utf-8")),
+            )
             .limit(1)
             .collect()
         )
         if not best:
             break
         a, b, c = best[0]["l"], best[0]["r"], int(best[0]["c"])
+        # The t32 relational-encode equivalence ("rank-order application
+        # never creates an earlier-rank pair") argues by symbol IDENTITY,
+        # but bpe_encode_word keys ranks by symbol STRINGS: if two
+        # different merges mint the same merged string (e.g. 'abc' via
+        # (ab,c) and via (a,bc)), the encoder can see an "earlier-rank"
+        # string pair the trainer's argument excludes and silently
+        # diverge.  Refuse such corpora loudly (round-8 advice).
+        if a + b in seen_merged:
+            raise ValueError(
+                f"BPE merge round {rank} re-mints merged token {a + b!r} "
+                "(two distinct merges produce the same string); the "
+                "trainer's word-table segmentation would diverge from "
+                "bpe_encode_word on this corpus — reduce n_merges or "
+                "encode with the vocab table (return_vocab=True) instead"
+            )
+        seen_merged.add(a + b)
         out_rows.append((rank, a, b, a + b, c))
         cur = cur.mapInPandas(
             _apply_merge_kernel(a, b), cur.schema

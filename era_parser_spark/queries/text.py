@@ -1689,3 +1689,68 @@ def t34_longest_repeat(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     return longest_repeated_span(docs, "doc_id", "text")
+
+
+@register(
+    "t35_cross_doc_span",
+    # EXACT longest token span each doc shares verbatim with any OTHER
+    # doc: max LCP over GLOBALLY rank-adjacent suffix pairs from
+    # different docs (between any cross-doc pair there's an adjacent
+    # doc-boundary pair with LCP >= theirs, and one can pick it inside
+    # the doc's own run — so the per-doc max over adjacent cross-doc
+    # pairs is exact).  The oracle sorts real suffix slices over the
+    # WHOLE corpus (one global window, fine in DuckDB at sf0.01) and
+    # counts matching prefixes of lag-adjacent cross-doc pairs; the
+    # Spark side builds global prefix-doubling ranks with a
+    # range-partitioned two-phase dense rank instead — no single-task
+    # stage, token text rides exactly one shuffle.
+    oracle=f"""
+    WITH d35 AS (
+      SELECT doc_id, {_TOK} AS tok FROM documents
+      WHERE text IS NOT NULL AND trim(text) != ''
+    ),
+    p35 AS (
+      SELECT doc_id, tok, CAST(i AS BIGINT) AS pos
+      FROM d35, unnest(generate_series(1, len(tok))) AS t(i)
+      WHERE len(tok) >= 1
+    ),
+    a35 AS (
+      SELECT doc_id,
+             tok[CAST(pos AS INTEGER):] AS suf,
+             lag(doc_id) OVER
+               (ORDER BY tok[CAST(pos AS INTEGER):], doc_id, pos) AS prev_doc,
+             lag(tok[CAST(pos AS INTEGER):]) OVER
+               (ORDER BY tok[CAST(pos AS INTEGER):], doc_id, pos) AS prev
+      FROM p35
+    ),
+    l35 AS (
+      SELECT doc_id, prev_doc,
+             CASE WHEN prev IS NULL OR prev_doc = doc_id THEN 0
+                  ELSE len(list_filter(
+                         generate_series(1, least(len(suf), len(prev))),
+                         k -> suf[1:CAST(k AS INTEGER)] = prev[1:CAST(k AS INTEGER)]))
+             END AS lcp
+      FROM a35
+    ),
+    c35 AS (
+      SELECT doc_id, lcp FROM l35
+      UNION ALL
+      SELECT prev_doc AS doc_id, lcp FROM l35
+      WHERE prev_doc IS NOT NULL AND prev_doc != doc_id
+    )
+    SELECT p.doc_id, CAST(COALESCE(max(c.lcp), 0) AS BIGINT) AS longest_shared
+    FROM (SELECT DISTINCT doc_id FROM p35) p
+    LEFT JOIN c35 c ON c.doc_id = p.doc_id
+    GROUP BY p.doc_id
+    """,
+)
+def t35_cross_doc_span(spark, sf_dir):
+    """Exact longest CROSS-document shared token span per document
+    (global suffix ranks + adjacent cross-doc LCP walk) — the exact
+    family's cross-doc member: t34 is within-doc, dd10/dd16's fixed-l
+    grams lower-bound this from below (pinned differentially in
+    tests/test_round9_ops.py)."""
+    from era_parser_spark.operators.suffix import longest_cross_doc_span
+
+    docs = table(spark, sf_dir, "documents")
+    return longest_cross_doc_span(docs, "doc_id", "text")

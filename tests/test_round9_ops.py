@@ -1,0 +1,307 @@
+"""Round-9 operator pins.
+
+t35 cross-document exact longest shared span (global suffix ranks built
+with a range-partitioned two-phase dense rank — no single-task stage),
+the suffix family's max_doc_tokens scale guard (skip + NULL flag, the mm3
+codec-gate pattern), the dd10-lower-bounds-t35 differential the round-8
+verdict asked for, and the real-pre-tokenizer `pattern=` passthrough on
+distributed BPE training (train/apply with the SAME byte-level regex).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _tokens(text: str) -> list[str]:
+    return text.strip().lower().split()
+
+
+def _brute_cross_doc(rows: list[tuple[int, str]]) -> dict[int, int]:
+    """Reference: per doc, the longest token span appearing verbatim in
+    any OTHER doc (token-level substring sets, O(n^2 * len^2) — test
+    corpora are tiny)."""
+    toks = {i: _tokens(t) for i, t in rows if t and t.strip()}
+    grams: dict[int, set[tuple[str, ...]]] = {}
+    for i, tk in toks.items():
+        s = set()
+        for a in range(len(tk)):
+            for b in range(a + 1, len(tk) + 1):
+                s.add(tuple(tk[a:b]))
+        grams[i] = s
+    out = {}
+    for i, tk in toks.items():
+        best = 0
+        for j, gj in grams.items():
+            if j == i:
+                continue
+            for g in grams[i] & gj:
+                best = max(best, len(g))
+        out[i] = best
+    return out
+
+
+def _rand_corpus(seed: int, n_docs: int, vocab: int, max_len: int):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(1, n_docs + 1):
+        n = rng.randint(1, max_len)
+        rows.append((i, " ".join(f"w{rng.randrange(vocab)}" for _ in range(n))))
+    return rows
+
+
+# --- t35: exact cross-document longest shared span ---------------------------
+
+
+def test_cross_doc_span_hand_corpus(spark):
+    from era_parser_spark.operators.suffix import longest_cross_doc_span
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "a quick brown fox leaps over walls"),
+        (3, "completely different text here entirely"),
+        (4, "the quick brown fox jumps over the lazy dog"),  # clone of 1
+        (5, "zz"),
+        (6, None),
+        (7, "   "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {
+        r.doc_id: r.longest_shared
+        for r in longest_cross_doc_span(df, "doc_id", "text").collect()
+    }
+    # clones share their full 9 tokens; doc 2 shares "quick brown fox";
+    # untokenizable docs (6, 7) are absent, disjoint docs report 0
+    assert out == {1: 9, 2: 3, 3: 0, 4: 9, 5: 0}
+
+
+@pytest.mark.parametrize("seed", [7, 41, 1009])
+def test_cross_doc_span_matches_brute_force(spark, seed):
+    # small vocab forces rich shared-span structure (incl. identical
+    # cross-doc suffixes, the equal-final-rank shortcut path)
+    from era_parser_spark.operators.suffix import longest_cross_doc_span
+
+    rows = _rand_corpus(seed, n_docs=14, vocab=4, max_len=24)
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r.doc_id: r.longest_shared
+        for r in longest_cross_doc_span(df, "doc_id", "text").collect()
+    }
+    assert got == _brute_cross_doc(rows)
+
+
+def test_cross_doc_span_single_doc_and_identical_pair(spark):
+    from era_parser_spark.operators.suffix import longest_cross_doc_span
+
+    one = spark.createDataFrame([(1, "a b c a b c")], "doc_id int, text string")
+    assert longest_cross_doc_span(one, "doc_id", "text").collect()[0][1] == 0
+    twins = spark.createDataFrame(
+        [(1, "x y x y x"), (2, "x y x y x")], "doc_id int, text string"
+    )
+    got = {
+        r.doc_id: r.longest_shared
+        for r in longest_cross_doc_span(twins, "doc_id", "text").collect()
+    }
+    assert got == {1: 5, 2: 5}
+
+
+def test_global_suffix_ranks_match_corpus_sort(spark):
+    # global ranks = dense rank of suffixes over the WHOLE corpus,
+    # element-wise token comparison, shorter-prefix-first; ties exactly
+    # for identical cross-doc suffixes
+    from era_parser_spark.operators.suffix import global_suffix_ranks
+
+    rows = _rand_corpus(23, n_docs=8, vocab=3, max_len=12)
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        (r["doc_id"], r["pos"]): r["suffix_rank"]
+        for r in global_suffix_ranks(df, "doc_id", "text").collect()
+    }
+    sufs = []
+    for i, t in rows:
+        tk = _tokens(t)
+        for p in range(1, len(tk) + 1):
+            sufs.append(((i, p), tuple(tk[p - 1 :])))
+    order = sorted({s for _, s in sufs})
+    rank = {s: k + 1 for k, s in enumerate(order)}
+    want = {key: rank[s] for key, s in sufs}
+    assert got == want
+
+
+# --- suffix family: max_doc_tokens scale guard --------------------------------
+
+
+def test_suffix_ranks_max_doc_tokens_skips(spark):
+    from era_parser_spark.operators.suffix import suffix_ranks
+
+    rows = [(1, "a b c"), (2, " ".join(f"t{i}" for i in range(50)))]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = suffix_ranks(df, "doc_id", "text", max_doc_tokens=10).collect()
+    assert {r["doc_id"] for r in out} == {1}
+    assert len(out) == 3
+
+
+def test_longest_repeat_guard_flags_null(spark):
+    from era_parser_spark.operators.suffix import longest_repeated_span
+
+    big = " ".join(f"t{i % 5}" for i in range(64))
+    rows = [(1, "a b a b"), (2, big), (3, "x y z")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {
+        r.doc_id: r.longest_repeat
+        for r in longest_repeated_span(
+            df, "doc_id", "text", max_doc_tokens=10
+        ).collect()
+    }
+    # skipped doc is flagged NULL (never a silently-wrong 0); others exact
+    assert out == {1: 2, 2: None, 3: 0}
+
+
+def test_cross_doc_span_guard_flags_null(spark):
+    from era_parser_spark.operators.suffix import longest_cross_doc_span
+
+    rows = [
+        (1, "p q r s"),
+        (2, "p q r s extra"),
+        (3, " ".join(f"p q r s u{i}" for i in range(20))),  # 100 tokens, over cap
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {
+        r.doc_id: r.longest_shared
+        for r in longest_cross_doc_span(
+            df, "doc_id", "text", max_doc_tokens=10
+        ).collect()
+    }
+    # doc 3 skipped -> NULL; docs 1-2 compared WITHOUT it
+    assert out == {1: 4, 2: 4, 3: None}
+
+
+# --- dd10 l-gram spans lower-bound t35 (verdict differential) ----------------
+
+
+def test_dd10_spans_lower_bound_t35(spark):
+    from era_parser_spark.operators.dedup import shared_token_spans
+    from era_parser_spark.operators.suffix import longest_cross_doc_span
+
+    rows = _rand_corpus(99, n_docs=10, vocab=3, max_len=40)
+    # plant one long verbatim overlap so dd10 (l=4, min 6) fires for sure
+    shared = " ".join(f"s{i}" for i in range(12))
+    rows += [(101, f"w0 w1 {shared} w2"), (102, f"{shared} w1 w0 w0")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    spans = shared_token_spans(
+        df, "doc_id", "text", l=4, min_span_tokens=6
+    ).collect()
+    assert spans, "planted overlap must be detected"
+    exact = {
+        r.doc_id: r.longest_shared
+        for r in longest_cross_doc_span(df, "doc_id", "text").collect()
+    }
+    # every approximate span is a TRUE shared span: the exact cross-doc
+    # optimum can only be >= it, for both endpoints
+    for s in spans:
+        assert exact[s.doc_a] >= s.span_tokens
+        assert exact[s.doc_b] >= s.span_tokens
+    assert any({s.doc_a, s.doc_b} == {101, 102} for s in spans)
+    assert exact[101] == 12 and exact[102] == 12
+
+
+# --- global ranking machinery -------------------------------------------------
+
+
+def test_global_dense_rank_matches_local(spark):
+    from era_parser_spark.operators.suffix import global_dense_rank
+
+    rng = random.Random(5)
+    rows = [(rng.randrange(40), rng.randrange(3)) for _ in range(500)]
+    df = spark.createDataFrame(rows, "k1 long, k2 long").repartition(13)
+    ranked, n_classes = global_dense_rank(df, ["k1", "k2"], n_parts=7)
+    got = sorted((r["k1"], r["k2"], r["__gr"]) for r in ranked.collect())
+    keys = sorted(set(rows))
+    want_rank = {k: i + 1 for i, k in enumerate(keys)}
+    want = sorted((k1, k2, want_rank[(k1, k2)]) for k1, k2 in rows)
+    assert got == want
+    assert n_classes == len(keys)
+
+
+def test_adjacent_pairs_match_sorted_zip(spark):
+    from era_parser_spark.operators.suffix import _adjacent_pairs
+
+    rng = random.Random(11)
+    rows = list({(rng.randrange(1000), rng.randrange(1000)) for _ in range(300)})
+    df = spark.createDataFrame(rows, "k long, v long").repartition(9)
+    pairs = _adjacent_pairs(df, ["k", "v"], n_parts=5)
+    got = sorted(
+        ((r["a_k"], r["a_v"]), (r["b_k"], r["b_v"])) for r in pairs.collect()
+    )
+    srt = sorted(rows)
+    want = sorted(zip(srt[:-1], srt[1:]))
+    assert got == want
+
+
+# --- BPE: real pre-tokenizer passthrough --------------------------------------
+
+
+def test_bpe_pattern_passthrough_train_apply_parity(spark, tmp_path):
+    """Train with the byte-level pre-tokenizer, apply with the SAME
+    pattern: the trainer's word-table segmentation must equal the
+    encoder's counts, and the distributed trainer must equal the
+    driver-loop twin (learn_bpe_merges) merge-for-merge."""
+    from era_parser_spark.operators.text import BPE_PATTERN
+    from era_parser_spark.operators.tokenizer import (
+        bpe_merges_distributed,
+        learn_bpe_merges,
+        real_bpe_token_count_col,
+        save_merges,
+    )
+
+    rows = [
+        (1, "Hello, world! The lower-case world says hello."),
+        (2, "hello hello world... the world, lowercased?"),
+        (3, "Punctuation-heavy: (hello); [world] {the} end."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    merges_df, vocab = bpe_merges_distributed(
+        df, "text", n_merges=10, return_vocab=True, pattern=BPE_PATTERN
+    )
+    merges = [(r["left"], r["right"]) for r in merges_df.orderBy("rank").collect()]
+    assert merges == learn_bpe_merges(df, "text", n_merges=10, pattern=BPE_PATTERN)
+
+    path = str(tmp_path / "merges.txt")
+    save_merges(merges, path)
+    got = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", real_bpe_token_count_col("text", path, BPE_PATTERN).alias("n")
+        ).collect()
+    }
+    # vocab-join counts: words pre-tokenized with the SAME pattern
+    joined = (
+        df.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0)
+            ).alias("w"),
+        )
+        .join(vocab.select("w", F.size("syms").alias("n")), "w")
+        .groupBy("doc_id")
+        .agg(F.sum("n").alias("n"))
+    )
+    want = {r["doc_id"]: r["n"] for r in joined.collect()}
+    assert got == want
+
+
+def test_bpe_merged_string_uniqueness_holds(spark):
+    # the t32 equivalence rests on merged-string uniqueness; the trainer
+    # now asserts it (round-8 advice) — pin that real training passes the
+    # guard and emits distinct merged tokens
+    from era_parser_spark.operators.tokenizer import bpe_merges_distributed
+
+    rows = [(i, "aa aab abab the the quick quick brown fox " * 3) for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    merged = [
+        r["merged"] for r in bpe_merges_distributed(df, "text", n_merges=12).collect()
+    ]
+    assert len(merged) == len(set(merged))

@@ -86,9 +86,15 @@ BNLJ_ALLOWLIST = {
 def lint(spark, queries: dict, sf_dir: str) -> list[str]:
     problems: list[str] = []
     for name in sorted(queries):
-        if name.startswith("st"):
-            if name not in BNLJ_ALLOWLIST:
-                continue  # streaming entries build writeStream queries
+        # Streaming entries run a full (bounded) streaming job when built
+        # and return the sink result frame; lint whatever plan they expose
+        # for CartesianProduct / row-at-a-time python the same as batch
+        # entries, but skip the BNLJ check (their batch-training stages
+        # legitimately broadcast tiny collected artifacts, and the result
+        # frame's join shape is not the streaming plan).  Keying the skip
+        # on BNLJ_ALLOWLIST membership silently exempted non-allowlisted
+        # st entries from ALL checks (round-8 advice).
+        streaming = name.startswith("st")
         try:
             df = queries[name](spark, sf_dir)
             plan = df._jdf.queryExecution().executedPlan().toString()
@@ -97,7 +103,11 @@ def lint(spark, queries: dict, sf_dir: str) -> list[str]:
             continue
         if "CartesianProduct" in plan:
             problems.append(f"{name}: CartesianProduct in physical plan")
-        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWLIST:
+        if (
+            "BroadcastNestedLoopJoin" in plan
+            and not streaming
+            and name not in BNLJ_ALLOWLIST
+        ):
             problems.append(
                 f"{name}: BroadcastNestedLoopJoin outside the allowlist "
                 "(non-equi join condition? add to BNLJ_ALLOWLIST only if the "

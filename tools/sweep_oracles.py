@@ -105,6 +105,10 @@ def main() -> int:
             print(f"{name:28s} MISMATCH: " + "; ".join(probs))
         else:
             print(f"{name:28s} ok ({len(srows)} rows)")
+        # entries that cache intermediates (fuzzy_dedup's reps/signature/
+        # candidate frames) must not accumulate blocks across a 186-entry
+        # sweep — same hygiene as tools/plan_lint.py (round-8 advice)
+        spark.catalog.clearCache()
     print(f"\n{len(bad)} problem(s): {bad}" if bad else "\nALL GREEN")
     return 1 if bad else 0
 
