@@ -124,6 +124,14 @@ def main() -> int:
         help="run the session-3 tier (dd16 span cut, t26 hash embed, s15 "
         "hashed pairs, x32 triangles) at 8x instead of the text phases",
     )
+    ap.add_argument(
+        "--suffix", action="store_true",
+        help="run the suffix/BPE tier (t33 per-doc suffix ranks, t34 "
+        "longest repeat, t35 cross-doc span, t31 distributed BPE "
+        "training, t32 BPE token counts) at 8x instead of the text "
+        "phases — round-8 verdict item #5: these had ad-hoc 8x/32x "
+        "sessions only; this makes the measurement repeatable",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -400,6 +408,81 @@ def main() -> int:
             "p19_curation_v4_k64",
             lambda: curation_v4(docs, "doc_id", "text", k=64).count(),
         )
+        print(json.dumps(out))
+        return 0
+
+    if args.suffix:
+        # -- suffix-array / tokenizer tier at 8x: the exact-substring
+        # family (per-doc + global prefix doubling) and distributed BPE.
+        # The numbers to watch: t33/t35 shuffle bytes PER TOKEN (the
+        # construction is O(n log n) longs; 8x->32x must stay linear in
+        # positions) and t31's per-round shuffle (must be
+        # volume-INDEPENDENT — O(distinct words), the property that
+        # makes distributed tokenizer training safe at corpus scale) --
+        from era_parser_spark.operators.dedup import tokens_col
+        from era_parser_spark.operators.suffix import (
+            longest_cross_doc_span,
+            longest_repeated_span,
+            suffix_ranks,
+        )
+        from era_parser_spark.operators.tokenizer import bpe_merges_distributed
+
+        def _noop(d):
+            # noop writes, NOT .count(): count() can prune join/window
+            # branches (the cut/select tiers' lesson) — drive every column
+            d.write.format("noop").mode("overwrite").save()
+            return -1
+
+        r = phase(
+            "t33_suffix_ranks",
+            lambda: _noop(suffix_ranks(docs, "doc_id", "text")),
+        )
+        r["shuffle_bytes_per_token"] = round(
+            r["shuffle_write_mb"] * 1e6 / n_tokens, 1
+        )
+        r = phase(
+            "t34_longest_repeat",
+            lambda: _noop(longest_repeated_span(docs, "doc_id", "text")),
+        )
+        r["shuffle_bytes_per_token"] = round(
+            r["shuffle_write_mb"] * 1e6 / n_tokens, 1
+        )
+        # the 8x corpus is the WORST CASE for t35: every tail-mode
+        # replica shares its entire base text with 7 others, so the
+        # global rank table refines for ~log2(max doc len) rounds with
+        # massive tie classes — exactly the cross-doc duplication
+        # structure ExactSubstr dedup exists for
+        r = phase(
+            "t35_cross_doc_span",
+            lambda: _noop(longest_cross_doc_span(docs, "doc_id", "text")),
+        )
+        r["shuffle_bytes_per_token"] = round(
+            r["shuffle_write_mb"] * 1e6 / n_tokens, 1
+        )
+        r = phase(
+            "t31_bpe_merges_8rounds",
+            lambda: bpe_merges_distributed(docs, "text", n_merges=8).count(),
+        )
+        # per-round shuffle is the volume-independence claim; 8 rounds +
+        # the one corpus-volume word-table build
+        r["shuffle_write_mb_per_round"] = round(r["shuffle_write_mb"] / 8, 2)
+
+        def _t32():
+            _, vocab = bpe_merges_distributed(
+                docs, "text", n_merges=8, return_vocab=True
+            )
+            words = (
+                docs.filter(F.col("text").isNotNull() & (F.trim("text") != ""))
+                .select("doc_id", F.explode(tokens_col(F.col("text"))).alias("w"))
+                .filter(F.length("w") > 0)
+            )
+            return _noop(
+                words.join(vocab.select("w", F.size("syms").alias("__n")), "w")
+                .groupBy("doc_id")
+                .agg(F.sum("__n").cast("long").alias("bpe_tokens"))
+            )
+
+        phase("t32_bpe_token_counts", _t32)
         print(json.dumps(out))
         return 0
 
