@@ -119,6 +119,10 @@ HEADLINE = [
     # design (exact longest-repeat); volume-justified in docs/PLANS.md
     "t34_longest_repeat",
     "x38_peak_concurrency",
+    # round-9 additions
+    "t35_cross_doc_span",
+    "t36_wordpiece_merges",
+    "t37_wordpiece_token_counts",
 ]
 
 

@@ -434,3 +434,88 @@ def triangle_count(
     return corners.groupBy("node").agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    rounds: int | None = None,
+    max_iter: int = 200,
+) -> DataFrame:
+    """k-core of an undirected simple graph — the maximal subgraph where
+    every node keeps degree >= k (Seidman 1983; distributed peeling per
+    Montresor et al. 2011).  The coreness signal ranks crawl hosts by how
+    deeply they sit in densely-linked regions: PageRank (x25) scores
+    endorsement flow, LPA (x26) splits communities, triangles (x32) score
+    local density — k-core cuts the global periphery (doorway pages,
+    link tails) that all three keep.
+
+    Algorithm: synchronous peel waves.  Each wave drops every node whose
+    CURRENT degree is < k, then every edge touching a dropped node; the
+    fixpoint is exactly the k-core (node removal is monotone and
+    order-independent, so synchronous waves and sequential peeling agree
+    — determinism is structural, no tie rule needed).  Per wave the work
+    is one map-side-combined degree count plus two left-semi joins on
+    the node key over the symmetrized edge frame — (node, node) strings
+    only, O(remaining edges) per wave, the dd5/x26 Pregel shape with
+    ``localCheckpoint`` truncating lineage per wave.
+
+    Wave count equals the graph's peel depth: O(1-3) on web-shaped
+    graphs (cores are dense, peripheries shallow) but O(n) adversarially
+    (a path at k=2 sheds only its two endpoints per wave) — ``max_iter``
+    guards the fixpoint loop the way connected_components guards
+    hash-min.  ``rounds`` runs a FIXED number of waves instead (the
+    x25/x26 unrolled-oracle convention; identical to the fixpoint
+    whenever the graph's peel depth <= rounds, which the registry entry
+    pins at sf0.01) — early-stable waves are no-ops, so the loop still
+    exits once stable.
+
+    Returns (node, core_degree) for nodes in the k-core, core_degree =
+    degree within the core (>= k at fixpoint).
+    """
+    e = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+        .distinct()
+    )
+    cur = (
+        e.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionByName(e.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    n_prev = cur.count()
+    limit = max_iter if rounds is None else rounds
+    for _ in range(limit):
+        alive = (
+            cur.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= int(k))
+            .select("src")
+        )
+        nxt = (
+            cur.join(alive, "src", "left_semi")
+            .join(
+                alive.select(F.col("src").alias("dst")), "dst", "left_semi"
+            )
+            .localCheckpoint(eager=True)
+        )
+        n = nxt.count()
+        cur = nxt
+        if n == n_prev:
+            break
+        n_prev = n
+    else:
+        if rounds is None:
+            raise RuntimeError(
+                f"kcore: no fixpoint after max_iter={max_iter} waves — "
+                "pathologically deep peel structure; raise max_iter or "
+                "run bounded rounds= explicitly"
+            )
+    return (
+        cur.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+        .select(F.col("src").alias("node"), "core_degree")
+    )

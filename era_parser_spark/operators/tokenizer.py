@@ -214,6 +214,91 @@ def save_merges(merges: list[tuple[str, str]], path: str) -> None:
             f.write(f"{a} {b}\n")
 
 
+# WordPiece likelihood scores are fixed-point integers at this scale:
+# score_q = (pair_count * WP_SCALE) intdiv (count(left) * count(right)).
+# 10^18 keeps score_q <= WP_SCALE (pair_count <= min of the unigram
+# counts) so it always fits a BIGINT, while the numerator/denominator
+# products run in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) / Python
+# bigints — exact for corpora up to ~10^19 tokens.
+WP_SCALE = 10**18
+
+
+def _wp_best_pair(
+    vocab: dict[tuple[str, ...], int], min_pair_count: int = 1
+) -> tuple[str, str, int, int, int, int] | None:
+    """Exact-bigint WordPiece argmax over a word-frequency dict: the pair
+    maximizing the quantized likelihood score, ties broken by pair count
+    DESC then (left, right) UTF-8 bytes ASC — the same total order the
+    distributed trainer and the DuckDB oracle sort by."""
+    pc: dict[tuple[str, str], int] = {}
+    u: dict[str, int] = {}
+    for syms, fq in vocab.items():
+        for s in syms:
+            u[s] = u.get(s, 0) + fq
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pc[p] = pc.get(p, 0) + fq
+    best = None
+    for (a, b), c in pc.items():
+        if c < min_pair_count:
+            continue
+        q = (c * WP_SCALE) // (u[a] * u[b])
+        key = (-q, -c, a.encode("utf-8"), b.encode("utf-8"))
+        if best is None or key < best[0]:
+            best = (key, (a, b, c, u[a], u[b], q))
+    return None if best is None else best[1]
+
+
+def learn_wordpiece_merges(
+    df,
+    text_col: str,
+    n_merges: int = 8,
+    pattern: str = BPE_PATTERN,
+    max_vocab: int = 1_000_000,
+    min_pair_count: int = 1,
+) -> list[tuple[str, str]]:
+    """WordPiece merge training (Schuster & Nakajima 2012; the BERT
+    tokenizer's rule), driver-loop twin of `wordpiece_merges_distributed`
+    the way `learn_bpe_merges` twins `bpe_merges_distributed`: same
+    distributed word-count pass, then the merge loop on the collected
+    frequency table.  Differs from BPE ONLY in the selection rule — the
+    pair maximizing likelihood gain count(ab)/(count(a)*count(b)) instead
+    of raw count(ab) — computed as the exact fixed-point integer
+    (c*WP_SCALE)//(u_a*u_b) in Python bigints (never floats), ties on
+    count DESC then pair bytes ASC.  No ## continuation markers: symbols
+    are plain characters, the repo's no-marker convention, so merges feed
+    `save_merges`/`bpe_encode_word` directly."""
+    rows = (
+        df.select(
+            F.explode(
+                F.regexp_extract_all(F.col(text_col), F.lit(pattern), 0)
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "w")
+        .limit(max_vocab)
+        .collect()
+    )
+    vocab: dict[tuple[str, ...], int] = {}
+    for r in rows:
+        syms = tuple(str(r.w))
+        vocab[syms] = vocab.get(syms, 0) + int(r.freq)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        info = _wp_best_pair(vocab, min_pair_count)
+        if info is None:
+            break
+        a, b = info[0], info[1]
+        merges.append((a, b))
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, fq in vocab.items():
+            m = _merge_word(syms, (a, b))
+            new_vocab[m] = new_vocab.get(m, 0) + fq
+        vocab = new_vocab
+    return merges
+
+
 def _apply_merge_kernel(a: str, b: str):
     """Arrow-batched greedy left-to-right merge pass for (a, b) — the
     exact `_merge_word` semantics applied to a syms array column."""
@@ -368,6 +453,157 @@ def bpe_merges_distributed(
     merges_df = spark.createDataFrame(
         out_rows,
         "rank int, left string, right string, merged string, pair_count long",
+    )
+    if return_vocab:
+        return merges_df, cur
+    return merges_df
+
+
+def wordpiece_merges_distributed(
+    df,
+    text_col: str,
+    n_merges: int = 8,
+    return_vocab: bool = False,
+    pattern: str | None = None,
+    min_pair_count: int = 1,
+):
+    """WordPiece merge training (Schuster & Nakajima 2012, the BERT rule)
+    with the merge loop distributed — `bpe_merges_distributed` with the
+    likelihood selection rule: each round picks the pair maximizing
+    count(ab) / (count(a) * count(b)), the greedy unigram-LM-likelihood
+    gain, instead of BPE's raw count(ab).  Rare-but-always-together
+    symbol pairs win over frequent-but-independent ones — the property
+    that gives BERT-style vocabularies their morpheme bias.
+
+    The score is the exact fixed-point integer
+    ``(c * 10^18) intdiv (u_left * u_right)``: numerator and denominator
+    products run in DECIMAL(38,0) (Spark's IntegralDivide on decimals is
+    exact and returns BIGINT — verified equal to DuckDB's HUGEINT ``//``
+    and Python's ``//``), and since c <= min(u_left, u_right) the
+    quotient is <= 10^18, always a BIGINT.  No floats anywhere, so
+    trainer / DuckDB oracle / `learn_wordpiece_merges` (the driver-loop
+    twin) agree bit-for-bit on any corpus up to ~10^19 tokens.  Score
+    collisions below the 1e-18 quantum fall to the deterministic
+    tie-break (count DESC, then pair UTF-8 bytes ASC) — the documented
+    house fixed-point convention (t17/p16), not float argmax.
+
+    Per round the work stays O(word table), never O(corpus): one
+    unigram count + one adjacent-pair count over the distinct-word
+    frequency table (both map-side combined), two symbol-keyed joins of
+    those two SMALL frames, a LIMIT-1 argmax, and the same Arrow-batched
+    greedy rewrite as BPE — only the winning row is collected, the word
+    table is localCheckpoint'ed per round, and the 8x rehearsal's
+    volume-independence argument for t31 carries over unchanged.
+
+    ``min_pair_count`` mirrors production WordPiece frequency cutoffs
+    (a pair seen once with singleton symbols would score a perfect
+    10^18); rounds where no pair qualifies stop the loop.  Symbols are
+    plain characters, no ## continuation markers (the repo convention),
+    so merges feed `save_merges` + `real_bpe_token_count_col` directly;
+    `pattern=` selects the byte-level pre-tokenizer exactly as in BPE.
+
+    Returns (rank, left, right, merged, pair_count, left_count,
+    right_count, score_q); with ``return_vocab=True`` also the final
+    word table (w, freq, syms) — the trainer's per-word segmentation,
+    the same relational-counting artifact t32 uses.
+    """
+    from pyspark.sql import functions as F
+
+    from era_parser_spark.operators.dedup import tokens_col
+
+    spark = df.sparkSession
+    pre_tok = (
+        tokens_col(F.col(text_col))
+        if pattern is None
+        else F.regexp_extract_all(F.col(text_col), F.lit(pattern), 0)
+    )
+    words = (
+        df.filter(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
+        .select(F.explode(pre_tok).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            "w",
+            "freq",
+            F.expr(
+                "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+            ).alias("syms"),
+        )
+    )
+    cur = words.localCheckpoint(eager=True)
+    out_rows: list[tuple] = []
+    seen_merged: set[str] = set()
+    for rank in range(1, n_merges + 1):
+        uni = (
+            cur.select("freq", F.explode("syms").alias("s"))
+            .groupBy("s")
+            .agg(F.sum("freq").alias("u"))
+        )
+        pairs = (
+            cur.filter(F.size("syms") >= 2)
+            .select(
+                "freq",
+                F.expr(
+                    "explode(transform(sequence(0, size(syms)-2),"
+                    " i -> struct(syms[i] AS l, syms[i+1] AS r)))"
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("c"))
+        )
+        best = (
+            pairs.filter(F.col("c") >= int(min_pair_count))
+            .join(uni.select(F.col("s").alias("l"), F.col("u").alias("lu")), "l")
+            .join(uni.select(F.col("s").alias("r"), F.col("u").alias("ru")), "r")
+            .select(
+                "l",
+                "r",
+                "c",
+                "lu",
+                "ru",
+                F.expr(
+                    f"CAST(c AS DECIMAL(38,0)) * {WP_SCALE}"
+                    " div (CAST(lu AS DECIMAL(38,0)) * ru)"
+                ).alias("score_q"),
+            )
+            # same binary-stable tie order as BPE (UTF-16 vs UTF-8 trap)
+            .orderBy(
+                F.desc("score_q"),
+                F.desc("c"),
+                F.asc(F.encode("l", "utf-8")),
+                F.asc(F.encode("r", "utf-8")),
+            )
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        row = best[0]
+        a, b = row["l"], row["r"]
+        if a + b in seen_merged:
+            raise ValueError(
+                f"WordPiece merge round {rank} re-mints merged token "
+                f"{a + b!r} (two distinct merges produce the same string); "
+                "the word-table segmentation would diverge from "
+                "bpe_encode_word on this corpus — reduce n_merges or "
+                "encode with the vocab table (return_vocab=True) instead"
+            )
+        seen_merged.add(a + b)
+        out_rows.append(
+            (
+                rank, a, b, a + b,
+                int(row["c"]), int(row["lu"]), int(row["ru"]),
+                int(row["score_q"]),
+            )
+        )
+        cur = cur.mapInPandas(
+            _apply_merge_kernel(a, b), cur.schema
+        ).localCheckpoint(eager=True)
+    merges_df = spark.createDataFrame(
+        out_rows,
+        "rank int, left string, right string, merged string,"
+        " pair_count long, left_count long, right_count long, score_q long",
     )
     if return_vocab:
         return merges_df, cur

@@ -1914,3 +1914,64 @@ def x38_peak_concurrency(spark, sf_dir):
             F.min("us").cast("long").alias("peak_at"),
         )
     )
+
+
+def _x39_oracle(k: int, rounds: int) -> str:
+    """Unrolled synchronous peel waves (the x25/x26 fixed-rounds oracle
+    convention): each wave keeps edges whose BOTH endpoints hold degree
+    >= k in the previous wave's frame.  Waves past the fixpoint are
+    no-ops, so `rounds` only needs to cover the graph's peel depth —
+    pinned at sf0.01 in tests/test_round9_ops.py (depth 3 at k=21)."""
+    parts = ["""
+    WITH rawkc AS (
+      SELECT 'h' || CAST(doc_id % 40 AS VARCHAR) AS src,
+             'h' || CAST((doc_id * 7 + 3) % 53 AS VARCHAR) AS dst
+      FROM documents
+      UNION ALL
+      SELECT 'h' || CAST(doc_id % 40 AS VARCHAR),
+             'h' || CAST((doc_id * 13 + 5) % 53 AS VARCHAR)
+      FROM documents
+    ),
+    undkc AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+              FROM rawkc WHERE src <> dst),
+    rem0 AS MATERIALIZED (
+      SELECT u AS src, v AS dst FROM undkc
+      UNION ALL
+      SELECT v, u FROM undkc
+    )"""]
+    for r in range(rounds):
+        parts.append(f""",
+    alive{r} AS MATERIALIZED (
+      SELECT src FROM rem{r} GROUP BY src HAVING count(*) >= {k}
+    ),
+    rem{r + 1} AS MATERIALIZED (
+      SELECT e.src, e.dst FROM rem{r} e
+      JOIN alive{r} a ON a.src = e.src
+      JOIN alive{r} b ON b.src = e.dst
+    )""")
+    parts.append(f"""
+    SELECT src AS node, CAST(count(*) AS BIGINT) AS core_degree
+    FROM rem{rounds} GROUP BY src
+    """)
+    return "".join(parts)
+
+
+@register("x39_kcore", oracle=_x39_oracle(21, 6))
+def x39_kcore(spark, sf_dir):
+    """21-core of the x25/x26/x32 host link graph (Seidman 1983;
+    distributed peel per Montresor et al. 2011): the global-periphery
+    cut that completes the graph-signal tier — PageRank scores flow,
+    LPA splits communities, triangles score local density, k-core keeps
+    only the densely-embedded region (doorway pages and link tails peel
+    away).  Synchronous waves are order-independent, so the result is
+    structurally deterministic; the sf0.01 graph peels in 3 waves
+    (rounds=6 is pinned >= the fixpoint depth in pytest)."""
+    from era_parser_spark.operators.graph import kcore
+
+    docs = table(spark, sf_dir, "documents")
+    mk = lambda mult, add, mod: F.concat(  # noqa: E731
+        F.lit("h"), ((F.col("doc_id") * mult + add) % mod).cast("string")
+    )
+    e1 = docs.select(mk(1, 0, 40).alias("src"), mk(7, 3, 53).alias("dst"))
+    e2 = docs.select(mk(1, 0, 40).alias("src"), mk(13, 5, 53).alias("dst"))
+    return kcore(e1.unionByName(e2), k=21, rounds=6)

@@ -1754,3 +1754,152 @@ def t35_cross_doc_span(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     return longest_cross_doc_span(docs, "doc_id", "text")
+
+
+def _wp_ctes(k: int, min_count: int) -> str:
+    """Unrolled-per-round WordPiece training CTEs — `_bpe_ctes` with the
+    likelihood selection rule: best pair maximizes the exact fixed-point
+    score (c * 10^18) // (u_left * u_right) in HUGEINT (the Spark twin
+    computes it with DECIMAL(38,0) IntegralDivide — verified equal), ties
+    on count DESC then pair ASC (UTF-8 binary, DuckDB's default order).
+    Unigram counts come from the same per-round position explode that
+    feeds the pair counts.  `min_count` mirrors production WordPiece
+    frequency cutoffs; a round with no qualifying pair leaves the word
+    table unchanged (LEFT JOIN ON TRUE instead of BPE's CROSS JOIN, so
+    an empty best never empties the table) — once empty, every later
+    round is empty too, matching the Spark trainer's loop break."""
+    parts = [f"""
+    WITH
+    tkw AS MATERIALIZED (
+      SELECT unnest({_TOK}) AS w FROM documents
+      WHERE text IS NOT NULL AND trim(text) != ''
+    ),
+    wp0 AS MATERIALIZED (
+      SELECT w, count(*) AS freq,
+             [substr(w, CAST(i AS INTEGER), 1)
+              FOR i IN generate_series(1, length(w))] AS syms
+      FROM tkw WHERE length(w) > 0 GROUP BY w
+    )"""]
+    for r in range(k):
+        cur, nxt = f"wp{r}", f"wp{r + 1}"
+        parts.append(f"""
+    posw{r} AS MATERIALIZED (
+      SELECT w, freq, CAST(i AS BIGINT) AS i, syms[CAST(i AS INTEGER)] AS s,
+             syms[CAST(i AS INTEGER)+1] AS s2
+      FROM {cur}, unnest(generate_series(1, len(syms))) AS t(i)
+    ),
+    uw{r} AS MATERIALIZED (
+      SELECT s, sum(freq) AS u FROM posw{r} GROUP BY s
+    ),
+    pcw{r} AS MATERIALIZED (
+      SELECT s AS l, s2 AS r, sum(freq) AS c
+      FROM posw{r} WHERE s2 IS NOT NULL GROUP BY 1, 2
+    ),
+    bestw{r} AS MATERIALIZED (
+      SELECT p.l, p.r, p.c, ua.u AS lu, ub.u AS ru,
+             (CAST(p.c AS HUGEINT) * 1000000000000000000)
+               // (CAST(ua.u AS HUGEINT) * ub.u) AS sq
+      FROM pcw{r} p
+      JOIN uw{r} ua ON ua.s = p.l
+      JOIN uw{r} ub ON ub.s = p.r
+      WHERE p.c >= {min_count}
+      ORDER BY sq DESC, p.c DESC, p.l ASC, p.r ASC LIMIT 1
+    ),
+    candw{r} AS MATERIALIZED (
+      SELECT p.w, p.i,
+             p.i - row_number() OVER (PARTITION BY p.w ORDER BY p.i) AS isl
+      FROM posw{r} p, bestw{r} b
+      WHERE p.s = b.l AND p.s2 = b.r
+    ),
+    keepw{r} AS MATERIALIZED (
+      SELECT w, i FROM (
+        SELECT w, i, i - min(i) OVER (PARTITION BY w, isl) AS off
+        FROM candw{r})
+      WHERE off % 2 = 0
+    ),
+    {nxt} AS MATERIALIZED (
+      SELECT p.w, any_value(p.freq) AS freq,
+             list(
+               CASE WHEN k1.i IS NOT NULL THEN b.l || b.r ELSE p.s END
+               ORDER BY p.i) AS syms
+      FROM posw{r} p
+      LEFT JOIN bestw{r} b ON TRUE
+      LEFT JOIN keepw{r} k1 ON k1.w = p.w AND k1.i = p.i
+      LEFT JOIN keepw{r} k2 ON k2.w = p.w AND k2.i = p.i - 1
+      WHERE k2.i IS NULL
+      GROUP BY p.w
+    )""")
+    return ",".join(parts)
+
+
+def _t36_oracle(k: int, min_count: int) -> str:
+    finals = "\n      UNION ALL ".join(
+        f"SELECT {r + 1} AS rank, l AS left, r AS right, l || r AS merged,"
+        f" CAST(c AS BIGINT) AS pair_count, CAST(lu AS BIGINT) AS left_count,"
+        f" CAST(ru AS BIGINT) AS right_count, CAST(sq AS BIGINT) AS score_q"
+        f" FROM bestw{r}"
+        for r in range(k)
+    )
+    return _wp_ctes(k, min_count) + f"\n    {finals}\n    ORDER BY rank"
+
+
+def _t37_oracle(k: int, min_count: int) -> str:
+    """Token counts under the learned WordPiece table: wp{k} is the word
+    table AFTER all k merges — the TRAINER's per-word segmentation (the
+    self-contained counting artifact; WordPiece inference proper is
+    greedy longest-match, a different rule — documented, not claimed)."""
+    return _wp_ctes(k, min_count) + f""",
+    docww AS MATERIALIZED (
+      SELECT doc_id, unnest({_TOK}) AS w FROM documents
+      WHERE text IS NOT NULL AND trim(text) != ''
+    )
+    SELECT d.doc_id, CAST(sum(len(b.syms)) AS BIGINT) AS wp_tokens
+    FROM docww d JOIN wp{k} b ON b.w = d.w
+    WHERE length(d.w) > 0
+    GROUP BY d.doc_id
+    """
+
+
+@register("t36_wordpiece_merges", oracle=_t36_oracle(8, 3))
+def t36_wordpiece_merges(spark, sf_dir):
+    """Distributed WordPiece merge training (Schuster & Nakajima 2012,
+    the BERT tokenizer's likelihood rule): 8 rounds over the
+    word-frequency table, each picking the pair maximizing the EXACT
+    fixed-point likelihood score (c*10^18) intdiv (u_l*u_r) — rare-but-
+    cohesive pairs beat frequent-but-independent ones, BPE's (t31)
+    morpheme-blind counterpoint.  min_pair_count=3 is the production
+    frequency cutoff (a singleton pair of singleton symbols would score
+    a perfect 10^18).  The merge loop is distributed exactly like t31:
+    per round two map-side-combined counts + two symbol joins on the
+    word table, one collected row."""
+    from era_parser_spark.operators.tokenizer import wordpiece_merges_distributed
+
+    docs = table(spark, sf_dir, "documents")
+    return wordpiece_merges_distributed(docs, "text", n_merges=8, min_pair_count=3)
+
+
+@register("t37_wordpiece_token_counts", oracle=_t37_oracle(8, 3))
+def t37_wordpiece_token_counts(spark, sf_dir):
+    """Per-document token counts under the corpus's OWN learned WordPiece
+    table — t32's twin for the likelihood-trained vocabulary.  Counts use
+    the TRAINER's final word-table segmentation (the self-contained
+    relational artifact; WordPiece inference proper is greedy
+    longest-match, a different rule — this entry reports the training-
+    corpus statistic, documented in the oracle builder)."""
+    from era_parser_spark.operators.dedup import tokens_col
+    from era_parser_spark.operators.tokenizer import wordpiece_merges_distributed
+
+    docs = table(spark, sf_dir, "documents")
+    _, vocab = wordpiece_merges_distributed(
+        docs, "text", n_merges=8, min_pair_count=3, return_vocab=True
+    )
+    words = (
+        docs.filter(F.col("text").isNotNull() & (F.trim("text") != ""))
+        .select("doc_id", F.explode(tokens_col(F.col("text"))).alias("w"))
+        .filter(F.length("w") > 0)
+    )
+    return (
+        words.join(vocab.select("w", F.size("syms").alias("__n")), "w")
+        .groupBy("doc_id")
+        .agg(F.sum("__n").cast("long").alias("wp_tokens"))
+    )

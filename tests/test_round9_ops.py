@@ -305,3 +305,200 @@ def test_bpe_merged_string_uniqueness_holds(spark):
         r["merged"] for r in bpe_merges_distributed(df, "text", n_merges=12).collect()
     ]
     assert len(merged) == len(set(merged))
+
+
+# --- t36/t37: distributed WordPiece training ---------------------------------
+
+
+def _wp_python_reference(rows, n_merges, min_pair_count=1):
+    """Pure-python WordPiece loop over the whitespace/lowercase word
+    table — the same quantized rule as the trainer.  Returns one tuple
+    per merge: (left, right, pair_count, left_count, right_count,
+    score_q)."""
+    from era_parser_spark.operators.tokenizer import _merge_word, _wp_best_pair
+
+    vocab: dict[tuple[str, ...], int] = {}
+    for _, t in rows:
+        if not t or not t.strip():
+            continue
+        for w in t.strip().lower().split():
+            syms = tuple(w)
+            vocab[syms] = vocab.get(syms, 0) + 1
+    out = []
+    for _ in range(n_merges):
+        info = _wp_best_pair(vocab, min_pair_count)
+        if info is None:
+            break
+        a, b = info[0], info[1]
+        out.append(info)
+        rebuilt: dict[tuple[str, ...], int] = {}
+        for syms, fq in vocab.items():
+            m = _merge_word(syms, (a, b))
+            rebuilt[m] = rebuilt.get(m, 0) + fq
+        vocab = rebuilt
+    return out
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+def test_wordpiece_distributed_matches_python(spark, seed):
+    from era_parser_spark.operators.tokenizer import wordpiece_merges_distributed
+
+    rows = _rand_corpus(seed, n_docs=30, vocab=40, max_len=12)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r["left"], r["right"], r["pair_count"], r["left_count"],
+         r["right_count"], r["score_q"])
+        for r in wordpiece_merges_distributed(df, "text", n_merges=6)
+        .orderBy("rank").collect()
+    ]
+    assert got == _wp_python_reference(rows, 6)
+
+
+def test_wordpiece_prefers_cohesive_over_frequent(spark):
+    """The likelihood rule's defining property: a rare pair whose symbols
+    ONLY occur together beats a frequent pair of independently frequent
+    symbols — the opposite of BPE's choice on the same corpus."""
+    from era_parser_spark.operators.tokenizer import (
+        bpe_merges_distributed,
+        wordpiece_merges_distributed,
+    )
+
+    # "ab" appears 6x but a/b also appear apart (a c / c b lines);
+    # "qz" appears twice and q/z never appear otherwise.
+    rows = [
+        (1, "ab ab ab ab ab ab"),
+        (2, "ac ac ac cb cb cb"),
+        (3, "qz qz"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    wp = wordpiece_merges_distributed(df, "text", n_merges=1).collect()[0]
+    assert (wp["left"], wp["right"]) == ("q", "z")
+    # score = 2*10^18 / (2*2): q/z occur only in qz
+    assert wp["score_q"] == 2 * 10**18 // 4
+    bpe = bpe_merges_distributed(df, "text", n_merges=1).collect()[0]
+    assert (bpe["left"], bpe["right"]) == ("a", "b")  # raw count rule
+
+
+def test_wordpiece_min_pair_count_cutoff(spark):
+    """min_pair_count excludes the perfect-scoring singleton pair; the
+    loop stops cleanly when no pair qualifies."""
+    from era_parser_spark.operators.tokenizer import wordpiece_merges_distributed
+
+    rows = [(1, "xy"), (2, "ab ab ab")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # without a cutoff the singleton xy wins (score 10^18)
+    m1 = wordpiece_merges_distributed(df, "text", n_merges=1).collect()[0]
+    assert (m1["left"], m1["right"]) == ("x", "y")
+    assert m1["score_q"] == 10**18
+    # with the cutoff, (a, b) wins; round 2 has no >= 2 pair left
+    m2 = wordpiece_merges_distributed(
+        df, "text", n_merges=3, min_pair_count=2
+    ).collect()
+    assert [(r["left"], r["right"]) for r in m2] == [("a", "b")]
+
+
+def test_wordpiece_vocab_counts_hand_corpus(spark):
+    """t37's counting artifact: the trainer's final word table yields the
+    per-doc subword counts."""
+    from era_parser_spark.operators.dedup import tokens_col
+    from era_parser_spark.operators.tokenizer import wordpiece_merges_distributed
+
+    rows = [(1, "qz qz abc"), (2, "qz")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges, vocab = wordpiece_merges_distributed(
+        df, "text", n_merges=1, return_vocab=True, min_pair_count=2
+    )
+    assert [(r["left"], r["right"]) for r in merges.collect()] == [("q", "z")]
+    segs = {r["w"]: list(r["syms"]) for r in vocab.collect()}
+    assert segs["qz"] == ["qz"] and segs["abc"] == ["a", "b", "c"]
+    words = (
+        df.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("w"))
+    )
+    counts = {
+        r["doc_id"]: r["n"]
+        for r in words.join(
+            vocab.select("w", F.size("syms").alias("c")), "w"
+        ).groupBy("doc_id").agg(F.sum("c").alias("n")).collect()
+    }
+    assert counts == {1: 1 + 1 + 3, 2: 1}
+
+
+# --- x39: k-core decomposition ------------------------------------------------
+
+
+def _py_kcore(edges, k):
+    """Reference fixpoint peel over an undirected simple graph."""
+    es = set()
+    for a, b in edges:
+        if a != b:
+            es.add((min(a, b), max(a, b)))
+    while True:
+        deg = {}
+        for u, v in es:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        drop = {n for n, c in deg.items() if c < k}
+        if not drop:
+            break
+        es = {(u, v) for u, v in es if u not in drop and v not in drop}
+    deg = {}
+    for u, v in es:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    return deg
+
+
+def test_kcore_hand_graph(spark):
+    """4-clique with a pendant path: the path peels away wave by wave,
+    the clique survives as the 3-core with degree 3 everywhere."""
+    from era_parser_spark.operators.graph import kcore
+
+    clique = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    path = [("d", "p1"), ("p1", "p2"), ("p2", "p3")]
+    df = spark.createDataFrame(clique + path, "src string, dst string")
+    got = {r["node"]: r["core_degree"] for r in kcore(df, k=3).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+@pytest.mark.parametrize("seed,k", [(21, 3), (22, 4)])
+def test_kcore_matches_python_fixpoint(spark, seed, k):
+    from era_parser_spark.operators.graph import kcore
+
+    rng = random.Random(seed)
+    edges = [
+        (f"n{rng.randrange(30)}", f"n{rng.randrange(30)}") for _ in range(120)
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["core_degree"] for r in kcore(df, k=k).collect()}
+    assert got == _py_kcore(edges, k)
+
+
+def test_kcore_bounded_rounds_reach_fixpoint_on_entry_graph(spark):
+    """x39's rounds=6 covers the sf0.01 peel depth (3 waves at k=21):
+    bounded == fixpoint, the oracle-sufficiency pin."""
+    from era_parser_spark.operators.graph import kcore
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    mk = lambda mult, add, mod: F.concat(  # noqa: E731
+        F.lit("h"), ((F.col("doc_id") * mult + add) % mod).cast("string")
+    )
+    e1 = docs.select(mk(1, 0, 40).alias("src"), mk(7, 3, 53).alias("dst"))
+    e2 = docs.select(mk(1, 0, 40).alias("src"), mk(13, 5, 53).alias("dst"))
+    edges = e1.unionByName(e2)
+    bounded = sorted(
+        map(tuple, kcore(edges, k=21, rounds=6).collect())
+    )
+    fixpoint = sorted(map(tuple, kcore(edges, k=21).collect()))
+    assert bounded == fixpoint and len(fixpoint) > 0
+
+
+def test_kcore_max_iter_guard_raises_on_deep_peel(spark):
+    """A path at k=2 sheds two endpoints per wave — max_iter below the
+    peel depth must raise, not silently return a non-core."""
+    from era_parser_spark.operators.graph import kcore
+
+    path = [(f"p{i}", f"p{i + 1}") for i in range(12)]
+    df = spark.createDataFrame(path, "src string, dst string")
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        kcore(df, k=2, max_iter=2)
+    assert kcore(df, k=2).count() == 0  # the true 2-core of a path
