@@ -123,6 +123,8 @@ HEADLINE = [
     "t35_cross_doc_span",
     "t36_wordpiece_merges",
     "t37_wordpiece_token_counts",
+    "x39_kcore",
+    "x40_mad_outliers",
 ]
 
 

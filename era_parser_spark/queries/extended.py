@@ -1975,3 +1975,94 @@ def x39_kcore(spark, sf_dir):
     e1 = docs.select(mk(1, 0, 40).alias("src"), mk(7, 3, 53).alias("dst"))
     e2 = docs.select(mk(1, 0, 40).alias("src"), mk(13, 5, 53).alias("dst"))
     return kcore(e1.unionByName(e2), k=21, rounds=6)
+
+
+@register(
+    "x40_mad_outliers",
+    # Exact robust outlier detection: medians are ENGINE-EXACT order
+    # statistics under the (value, id) total order (the x14 tiebreak
+    # trick — lower median at position (n+1) div 2), values quantized to
+    # integer micro-units first (x17 pattern: one correctly-rounded IEEE
+    # multiply + floor, identical both engines), so median, MAD and the
+    # 3*MAD flag are pure integer comparisons — no percentile_approx,
+    # no float tolerance.  d is referenced by two consumers -> AS
+    # MATERIALIZED (DuckDB inlines plain CTEs).
+    oracle="""
+    WITH e AS (
+      SELECT event_id, event_type,
+             CAST(floor(value * CAST(1000000 AS DOUBLE)) AS BIGINT) AS v_us
+      FROM events WHERE value IS NOT NULL
+    ),
+    r1 AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY v_us, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM e
+    ),
+    med AS (SELECT event_type, v_us AS med FROM r1 WHERE rn = (n + 1) // 2),
+    d AS MATERIALIZED (
+      SELECT e.event_id, e.event_type, e.v_us, m.med,
+             abs(e.v_us - m.med) AS dev
+      FROM e JOIN med m USING (event_type)
+    ),
+    r2 AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY dev, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM d
+    ),
+    mad AS (SELECT event_type, dev AS mad FROM r2 WHERE rn = (n + 1) // 2)
+    SELECT d.event_id, d.event_type, d.v_us, d.med, d.dev, m2.mad
+    FROM d JOIN mad m2 USING (event_type)
+    WHERE d.dev > 3 * m2.mad
+    """,
+)
+def x40_mad_outliers(spark, sf_dir):
+    """Robust per-type anomaly detection — median + MAD (median absolute
+    deviation), the heavy-tail-safe alternative to e16's mean/stddev
+    z-scores (one fat outlier inflates a stddev fence; it cannot move a
+    median).  Flags events with |v - median| > 3 * MAD.
+
+    Exactness: micro-unit integer quantization, then BOTH medians are
+    order statistics under a (value, event_id) total order — bit-equal
+    across engines, unlike any percentile_approx path.  Plan: the
+    quantized projection is scanned per stage (median rank / deviation /
+    MAD rank — each a pruned 3-column scan; production would stage it
+    once to parquet, the p20 trade), the two ranking windows shuffle on
+    event_type only, and the tiny per-type median/MAD frames ride back
+    as broadcasts — corpus rows never hash-exchange twice.  MAD = 0
+    (over half the type identical) flags every deviating row — the
+    documented degenerate case."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    e = ev.filter(F.col("value").isNotNull()).select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * F.lit(1000000.0)).cast("long").alias("v_us"),
+    )
+    w1 = W.partitionBy("event_type").orderBy("v_us", "event_id")
+    wc = W.partitionBy("event_type")
+    r1 = (
+        e.withColumn("rn", F.row_number().over(w1))
+        .withColumn("n", F.count(F.lit(1)).over(wc))
+    )
+    med = r1.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        "event_type", F.col("v_us").alias("med")
+    )
+    d = e.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("v_us") - F.col("med"))
+    )
+    w2 = W.partitionBy("event_type").orderBy("dev", "event_id")
+    r2 = (
+        d.withColumn("rn", F.row_number().over(w2))
+        .withColumn("n", F.count(F.lit(1)).over(wc))
+    )
+    mad = r2.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        "event_type", F.col("dev").alias("mad")
+    )
+    return (
+        d.join(F.broadcast(mad), "event_type")
+        .filter(F.col("dev") > 3 * F.col("mad"))
+        .select("event_id", "event_type", "v_us", "med", "dev", "mad")
+    )

@@ -502,3 +502,38 @@ def test_kcore_max_iter_guard_raises_on_deep_peel(spark):
     with pytest.raises(RuntimeError, match="no fixpoint"):
         kcore(df, k=2, max_iter=2)
     assert kcore(df, k=2).count() == 0  # the true 2-core of a path
+
+
+# --- x40: median + MAD robust outliers ----------------------------------------
+
+
+def test_mad_outliers_semantics(spark):
+    """x40: lower-median order statistic, exact integer MAD fence,
+    MAD=0 degenerate flags every deviating row, negatives exact."""
+    import era_parser_spark.queries.extended as X
+    from era_parser_spark.queries.registry import QUERIES
+
+    rows = [
+        # type a: median 2, MAD 1 -> only the 100 is outside 3*MAD
+        (1, "a", 0.0), (2, "a", 1.0), (3, "a", 2.0), (4, "a", 3.0),
+        (5, "a", 100.0),
+        # type b: even count, lower median 5, MAD 0 -> any deviation flags
+        (6, "b", 5.0), (7, "b", 5.0), (8, "b", 5.0), (9, "b", 9.0),
+        # type c: negatives quantize exactly
+        (10, "c", -10.0), (11, "c", -10.5), (12, "c", 0.0),
+        (13, "a", None),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    orig = X.table
+    try:
+        X.table = lambda spark, sf_dir, name: ev
+        out = {
+            r["event_id"]: (r["med"], r["dev"], r["mad"])
+            for r in QUERIES["x40_mad_outliers"](spark, "ignored").collect()
+        }
+    finally:
+        X.table = orig
+    assert set(out) == {5, 9, 12}
+    assert out[5] == (2_000_000, 98_000_000, 1_000_000)
+    assert out[9] == (5_000_000, 4_000_000, 0)
+    assert out[12] == (-10_000_000, 10_000_000, 500_000)

@@ -466,6 +466,17 @@ def main() -> int:
         # per-round shuffle is the volume-independence claim; 8 rounds +
         # the one corpus-volume word-table build
         r["shuffle_write_mb_per_round"] = round(r["shuffle_write_mb"] / 8, 2)
+        from era_parser_spark.operators.tokenizer import (
+            wordpiece_merges_distributed,
+        )
+
+        r = phase(
+            "t36_wordpiece_merges_8rounds",
+            lambda: wordpiece_merges_distributed(
+                docs, "text", n_merges=8, min_pair_count=3
+            ).count(),
+        )
+        r["shuffle_write_mb_per_round"] = round(r["shuffle_write_mb"] / 8, 2)
 
         def _t32():
             _, vocab = bpe_merges_distributed(
