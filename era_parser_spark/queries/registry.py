@@ -111,14 +111,17 @@ _FIRST_50 = [
     "s11c_ivf_pq_rerank",
     "s16_kmeans_lloyd",
     "s18_kmeans_kcenter_init",
-    # text: token stats, Gopher gates, distributed BPE, suffix family
-    "t1_token_count",
+    # text: Gopher gates, distributed BPE + WordPiece, suffix family
+    # (round 9: t1/t32 swapped out for the newest flagships — t1 is the
+    # simplest text op and t32 shares t31's CTE family; t35/t36 get the
+    # external gate instead)
     "t20_gopher_rules",
     "t29_gopher_repetition",
     "t31_bpe_merges",
-    "t32_bpe_token_counts",
     "t33_suffix_ranks",
     "t34_longest_repeat",
+    "t35_cross_doc_span",
+    "t36_wordpiece_merges",
     # curation pipelines: packing, v2, v3, v4, v5
     "p2_sequence_packing",
     "p12_curation_v2",

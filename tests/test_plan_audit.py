@@ -700,6 +700,35 @@ def test_hash_embed_two_exchanges_no_join(spark, queries):
     assert len(scans) == 2 and {"doc_id"} in scans  # sentinel scan id-only
 
 
+def test_mad_outliers_all_broadcast_type_keyed(spark, queries):
+    """x40: corpus rows exchange ONLY on event_type (three ranking-window
+    exchanges: med's appears under both d consumers, plus mad's), the
+    tiny per-type median/MAD frames ride back as broadcasts (3 BHJ, no
+    SortMergeJoin), and all four scans are pruned to the 3-column
+    quantized projection — the documented multi-scan trade (production
+    stages the projection once)."""
+    import re
+
+    df = queries["x40_mad_outliers"](spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    exchanges = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert exchanges == ["event_type"] * 3
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 3
+    assert len(re.findall(r"FileScan parquet", plan)) == 4
+    for m in re.findall(r"ReadSchema: (\S+)", plan):
+        assert m.startswith("struct<event_id:bigint,event_type:string,value:double>")
+
+
+def test_kcore_per_wave_semi_joins_node_keyed(spark, queries):
+    """x39: every join in the peel is a node-keyed LeftSemi (degree
+    gate), no SortMergeJoin or cartesian anywhere; the returned frame
+    aggregates the final checkpointed wave."""
+    df = queries["x39_kcore"](spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
 def test_registry_plan_lint(spark):
     """Whole-registry join lint (tools/plan_lint.py): no entry may plan a
     CartesianProduct, and BroadcastNestedLoopJoin only where the
