@@ -196,7 +196,14 @@ def longest_repeated_span(
                 .otherwise(F.col("lcp"))
                 .alias("lcp"),
             )
-            .localCheckpoint(eager=True)
+            # NO per-level checkpoint: every rk in the history is already
+            # materialized and the pair chain has a single consumer, so
+            # the whole walk compiles into ONE job (2 joins per level)
+            # instead of one job per level — the per-level eager
+            # checkpoints were pure fixed overhead (t34 at sf0.1:
+            # 5.55 -> 4.29 s; t35, whose walk runs all ~14 levels with
+            # no early stop: 49.6 -> 31.2 s — same host window,
+            # identical results)
         )
     per_doc = pairs.groupBy(id_col).agg(F.max("lcp").alias("longest_repeat"))
     # single-token docs have no adjacent pair; they still report 0.
@@ -548,7 +555,9 @@ def longest_cross_doc_span(
                 .otherwise(F.col("lcp"))
                 .alias("lcp"),
             )
-            .localCheckpoint(eager=True)
+            # lazy chain, same argument as longest_repeated_span's walk:
+            # history frames are materialized, single consumer — one job
+            # for the whole walk instead of one per level
         )
     ne_final = ne.select(
         a_id,
