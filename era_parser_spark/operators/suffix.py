@@ -288,6 +288,11 @@ def global_dense_rank(
     per-partition class-count offset (a collected n_parts-row artifact,
     applied via a broadcast join)."""
     n_parts = _shuffle_parts(df, n_parts)
+    # The eager checkpoint here is deliberate and MEASURED: dropping it
+    # (fusing the range shuffle into the Arrow pass's one action) was
+    # tried in round 9 and t35 regressed 31.2 -> ~39 s at sf0.1 — keep
+    # the materialization boundary.  It also freezes partition identity
+    # for spark_partition_id.
     part = (
         df.repartitionByRange(n_parts, *key_cols)
         .sortWithinPartitions(*key_cols)
