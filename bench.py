@@ -120,6 +120,11 @@ HEADLINE = [
     "t34_longest_repeat",
     "x38_peak_concurrency",
     # round-9 additions
+    # t35 is the new priciest entry BY DESIGN (global suffix ranks +
+    # full 14-level LCP walk, no early stop possible on real corpora
+    # with cross-doc duplication) — ~31 s at sf0.1 in a quiet window;
+    # volume-justified in docs/PLANS.md (per-token shuffle measured
+    # FLAT 8x->32x), dd10/dd16 are its cheap l-gram approximations
     "t35_cross_doc_span",
     "t36_wordpiece_merges",
     "t37_wordpiece_token_counts",
