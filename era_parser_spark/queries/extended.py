@@ -2032,26 +2032,55 @@ def x40_mad_outliers(spark, sf_dir):
     event_type only, and the tiny per-type median/MAD frames ride back
     as broadcasts — corpus rows never hash-exchange twice.  MAD = 0
     (over half the type identical) flags every deviating row — the
-    documented degenerate case."""
-    from pyspark.sql import Window as W
-
+    documented degenerate case.  st15 serves the same fence
+    (mad_quantized/mad_medians — one definition, no drift) on a stream."""
     ev = table(spark, sf_dir, "events")
-    e = ev.filter(F.col("value").isNotNull()).select(
+    e = mad_quantized(ev)
+    med, mad = mad_medians(e)
+    d = e.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("v_us") - F.col("med"))
+    )
+    return (
+        d.join(F.broadcast(mad), "event_type")
+        .filter(F.col("dev") > 3 * F.col("mad"))
+        .select("event_id", "event_type", "v_us", "med", "dev", "mad")
+    )
+
+
+def mad_quantized(ev, keep_cols=()):
+    """The x40/st15 shared quantized projection: micro-unit integer
+    values (one correctly-rounded IEEE multiply + floor — identical in
+    Spark and DuckDB), null values dropped."""
+    return ev.filter(F.col("value").isNotNull()).select(
         "event_id",
         "event_type",
         F.floor(F.col("value") * F.lit(1000000.0)).cast("long").alias("v_us"),
+        *keep_cols,
     )
+
+
+def mad_medians(e):
+    """Per-type (med) and (mad) frames — both medians exact order
+    statistics under the (value, event_id) total order (lower median at
+    (n + 1) div 2, the x14 tiebreak).  Tiny frames (one row per type);
+    callers broadcast them back (x40) or collect them as the trained
+    fence artifact (st15, the st13 batch-train/stream-serve pattern)."""
+    from pyspark.sql import Window as W
+
     w1 = W.partitionBy("event_type").orderBy("v_us", "event_id")
     wc = W.partitionBy("event_type")
     r1 = (
-        e.withColumn("rn", F.row_number().over(w1))
+        e.select("event_id", "event_type", "v_us")
+        .withColumn("rn", F.row_number().over(w1))
         .withColumn("n", F.count(F.lit(1)).over(wc))
     )
     med = r1.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
         "event_type", F.col("v_us").alias("med")
     )
-    d = e.join(F.broadcast(med), "event_type").withColumn(
-        "dev", F.abs(F.col("v_us") - F.col("med"))
+    d = (
+        e.select("event_id", "event_type", "v_us")
+        .join(F.broadcast(med), "event_type")
+        .withColumn("dev", F.abs(F.col("v_us") - F.col("med")))
     )
     w2 = W.partitionBy("event_type").orderBy("dev", "event_id")
     r2 = (
@@ -2061,8 +2090,4 @@ def x40_mad_outliers(spark, sf_dir):
     mad = r2.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
         "event_type", F.col("dev").alias("mad")
     )
-    return (
-        d.join(F.broadcast(mad), "event_type")
-        .filter(F.col("dev") > 3 * F.col("mad"))
-        .select("event_id", "event_type", "v_us", "med", "dev", "mad")
-    )
+    return med, mad

@@ -776,3 +776,115 @@ def st14_stream_sequence_count(spark, sf_dir):
     return run_stream_once(
         sequence_count_monitor(stream), f"st14_{uuid.uuid4().hex[:8]}"
     )
+
+
+@register(
+    "st15_stream_mad_outlier_counts",
+    # x40's exact fence re-derived (same quantization, same lower-median
+    # order statistics), then outliers counted per epoch-aligned hour of
+    # the event time — the full VALUE oracle a float-quantile fence could
+    # never offer.  d carries ts through; referenced twice -> MATERIALIZED.
+    oracle="""
+    WITH e AS (
+      SELECT event_id, event_type, ts,
+             CAST(floor(value * CAST(1000000 AS DOUBLE)) AS BIGINT) AS v_us
+      FROM events WHERE value IS NOT NULL
+    ),
+    r1 AS (
+      SELECT event_id, event_type, v_us,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY v_us, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM e
+    ),
+    med AS (SELECT event_type, v_us AS med FROM r1 WHERE rn = (n + 1) // 2),
+    d AS MATERIALIZED (
+      SELECT e.event_id, e.event_type, e.ts, e.v_us,
+             abs(e.v_us - m.med) AS dev
+      FROM e JOIN med m USING (event_type)
+    ),
+    r2 AS (
+      SELECT event_id, event_type, dev,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY dev, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM d
+    ),
+    mad AS (SELECT event_type, dev AS mad FROM r2 WHERE rn = (n + 1) // 2)
+    SELECT TIMESTAMP '1970-01-01 00:00:00'
+             + to_seconds(CAST(floor(epoch(d.ts) / 3600) * 3600 AS BIGINT))
+             AS window_start,
+           d.event_type, CAST(count(*) AS BIGINT) AS n_outliers
+    FROM d JOIN mad m2 USING (event_type)
+    WHERE d.dev > 3 * m2.mad
+    GROUP BY 1, 2
+    """,
+)
+def st15_stream_mad_outlier_counts(spark, sf_dir):
+    """Robust-fence anomaly monitoring on a stream — the st13
+    batch-train/stream-serve pattern applied to x40's median+MAD fence:
+    the per-type (median, MAD) pair is computed EXACTLY on the batch
+    table (mad_quantized/mad_medians — the same single definition x40
+    uses, so model and serving can never drift), collected as the tiny
+    trained artifact (one row per event type), and broadcast into a
+    Structured Streaming pipeline as a literal CASE; every streamed
+    event is quantized identically and flagged JVM-side, outliers
+    counted per tumbling hour of event time.  Exact integers end to
+    end, so the STREAMING result carries x40's full value oracle.
+    Windowed complete-mode agg, Trigger.AvailableNow (the st1 shape);
+    unbounded it runs with a watermark + append sink, per-key state =
+    open hour windows only — the fence itself is frozen state of size
+    O(types), refreshed by re-training (the st13 deployment note)."""
+    from era_parser_spark.queries.extended import mad_medians, mad_quantized
+
+    batch = table(spark, sf_dir, "events")
+    med, mad = mad_medians(mad_quantized(batch))
+    fence = {
+        r["event_type"]: (int(r["med"]), int(r["mad"]))
+        for r in med.join(mad, "event_type").collect()
+    }
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream_dir = _stream_src_dir("st15", sf_dir)
+    s = spark.readStream.schema(raw_schema).parquet(stream_dir)
+    if dict(s.dtypes).get("ts") == "bigint":
+        s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    s = s.withColumn("ts", F.col("ts").cast("timestamp")).filter(
+        F.col("value").isNotNull()
+    )
+    med_c = F.lit(None).cast("long")
+    mad_c = F.lit(None).cast("long")
+    for t, (m_, d_) in sorted(fence.items()):
+        med_c = F.when(F.col("event_type") == t, F.lit(m_)).otherwise(med_c)
+        mad_c = F.when(F.col("event_type") == t, F.lit(d_)).otherwise(mad_c)
+    flagged = (
+        s.select(
+            "ts",
+            "event_type",
+            F.floor(F.col("value") * F.lit(1000000.0)).cast("long").alias("v_us"),
+        )
+        .withColumn("med", med_c)
+        .withColumn("mad", mad_c)
+        # types unseen at train time have no fence: pass-through, never
+        # flagged (med/mad NULL -> predicate NULL -> filtered)
+        .filter(F.abs(F.col("v_us") - F.col("med")) > 3 * F.col("mad"))
+    )
+    agg = (
+        flagged.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_outliers"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_outliers",
+        )
+    )
+    name = f"st15_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}")

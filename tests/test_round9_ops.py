@@ -537,3 +537,35 @@ def test_mad_outliers_semantics(spark):
     assert out[5] == (2_000_000, 98_000_000, 1_000_000)
     assert out[9] == (5_000_000, 4_000_000, 0)
     assert out[12] == (-10_000_000, 10_000_000, 500_000)
+
+
+# --- st15: streaming MAD outlier counts ---------------------------------------
+
+
+def test_st15_stream_equals_batch_fence(spark):
+    """Stream-serve == batch: st15's windowed outlier counts over one
+    AvailableNow batch equal the batch x40 fence grouped by hour — the
+    in-Spark twin of its DuckDB oracle."""
+    from era_parser_spark.queries import load_all
+    from era_parser_spark.queries.extended import mad_medians, mad_quantized
+    from era_parser_spark.queries.registry import table
+
+    QUERIES, _ = load_all()
+    sf = "/root/testdata/sf0.01"
+    got = {
+        (r["window_start"], r["event_type"]): r["n_outliers"]
+        for r in QUERIES["st15_stream_mad_outlier_counts"](spark, sf).collect()
+    }
+    ev = table(spark, sf, "events")
+    e = mad_quantized(ev, keep_cols=("ts",))
+    med, mad = mad_medians(e)
+    batch = (
+        e.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .filter(F.abs(F.col("v_us") - F.col("med")) > 3 * F.col("mad"))
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(F.col("window.start").alias("w"), "event_type", "n")
+    )
+    want = {(r["w"], r["event_type"]): r["n"] for r in batch.collect()}
+    assert got == want and len(got) > 0
