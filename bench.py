@@ -130,6 +130,7 @@ HEADLINE = [
     "t37_wordpiece_token_counts",
     "x39_kcore",
     "x40_mad_outliers",
+    "st15_stream_mad_outlier_counts",
 ]
 
 
