@@ -131,6 +131,7 @@ HEADLINE = [
     "x39_kcore",
     "x40_mad_outliers",
     "st15_stream_mad_outlier_counts",
+    "x41_state_durations",
 ]
 
 

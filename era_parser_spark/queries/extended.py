@@ -2091,3 +2091,53 @@ def mad_medians(e):
         "event_type", F.col("dev").alias("mad")
     )
     return med, mad
+
+
+@register(
+    "x41_state_durations",
+    # Exact state-duration accounting: each event holds its state until
+    # the user's next event (the x17 locf convention); held time in
+    # integer epoch-microseconds, (ts, event_id) total order so
+    # simultaneous events attribute deterministically; a user's last
+    # event is open-ended and excluded (documented).
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts), event_id) AS nxt
+      FROM events
+    )
+    SELECT event_type AS state,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(sum(nxt - us) AS BIGINT) AS total_us
+    FROM o WHERE nxt IS NOT NULL GROUP BY 1
+    """,
+)
+def x41_state_durations(spark, sf_dir):
+    """TimescaleDB `state_agg` shape: total time each state (event_type)
+    was held, where a user's event holds its state until that user's
+    next event — the session-time-in-state accounting behind "how long
+    do users spend in checkout".  All integer µs (epoch_us == Spark
+    unix_micros, the x17/x30 convention), lead under the (ts, event_id)
+    total order, open final intervals excluded; one user_id window
+    exchange then a tiny per-state aggregate."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    o = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    ).withColumn(
+        "nxt",
+        F.lead("us").over(W.partitionBy("user_id").orderBy("us", "event_id")),
+    )
+    return (
+        o.filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("event_type").alias("state"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_intervals"),
+            F.sum(F.col("nxt") - F.col("us")).cast("long").alias("total_us"),
+        )
+    )

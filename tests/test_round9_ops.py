@@ -569,3 +569,46 @@ def test_st15_stream_equals_batch_fence(spark):
     )
     want = {(r["w"], r["event_type"]): r["n"] for r in batch.collect()}
     assert got == want and len(got) > 0
+
+
+# --- x41: state durations (state_agg) ----------------------------------------
+
+
+def test_state_durations_semantics(spark):
+    """x41: holds-until-next semantics per user, (ts, event_id) tiebreak,
+    open final interval excluded."""
+    import datetime as dt
+
+    import era_parser_spark.queries.extended as X
+    from era_parser_spark.queries import load_all
+
+    QUERIES, _ = load_all()
+    t0 = dt.datetime(2024, 5, 1)
+    mk = lambda s: t0 + dt.timedelta(seconds=s)  # noqa: E731
+    rows = [
+        # user 1: view holds 10 s, click holds 20 s, purchase open-ended
+        (1, 1, "view", mk(0)),
+        (2, 1, "click", mk(10)),
+        (3, 1, "purchase", mk(30)),
+        # user 2: two simultaneous events — event_id breaks the tie, so
+        # the id-2 view holds 0 s and the id-5 click holds 5 s
+        (4, 2, "view", mk(0)),
+        (5, 2, "click", mk(0)),
+        (6, 2, "view", mk(5)),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    orig = X.table
+    try:
+        X.table = lambda spark, sf_dir, name: ev
+        out = {
+            r["state"]: (r["n_intervals"], r["total_us"])
+            for r in QUERIES["x41_state_durations"](spark, "ignored").collect()
+        }
+    finally:
+        X.table = orig
+    assert out == {
+        "view": (2, 10_000_000),   # u1 10 s + u2 0 s
+        "click": (2, 25_000_000),  # u1 20 s + u2 5 s
+    }
