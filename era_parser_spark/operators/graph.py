@@ -509,13 +509,122 @@ def kcore(
         n_prev = n
     else:
         if rounds is None:
-            raise RuntimeError(
-                f"kcore: no fixpoint after max_iter={max_iter} waves — "
-                "pathologically deep peel structure; raise max_iter or "
-                "run bounded rounds= explicitly"
+            # The loop detects stability one wave AFTER it is reached (it
+            # compares post-prune counts across waves), so a peel that
+            # converges on exactly the last allowed wave would be rejected
+            # here despite being the true fixpoint.  One extra degree
+            # check settles it: if no node is below k now, cur IS the
+            # k-core and the guard must not fire.
+            n_below = (
+                cur.groupBy("src")
+                .agg(F.count(F.lit(1)).alias("deg"))
+                .filter(F.col("deg") < int(k))
+                .count()
             )
+            if n_below > 0:
+                raise RuntimeError(
+                    f"kcore: no fixpoint after max_iter={max_iter} waves — "
+                    "pathologically deep peel structure; raise max_iter or "
+                    "run bounded rounds= explicitly"
+                )
     return (
         cur.groupBy("src")
         .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
         .select(F.col("src").alias("node"), "core_degree")
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: list[str],
+    src_col: str = "src",
+    dst_col: str = "dst",
+    rounds: int | None = None,
+    max_iter: int = 50,
+) -> DataFrame:
+    """Multi-source BFS over an undirected simple graph: exact shortest
+    hop-distance from each landmark in ``sources`` to every node it can
+    reach — the landmark-distance primitive behind graph feature columns
+    (distance-to-seed-host quality priors on crawl graphs) and the
+    unweighted special case of SSSP.  Completes the graph tier's signal
+    set: PageRank (x25) scores flow, LPA (x26) splits communities,
+    triangles (x32) score local density, k-core (x39) cuts the global
+    periphery — BFS measures PROXIMITY to chosen anchors.
+
+    Frontier algorithm (Pregel-shaped, the x25/x26/x39 conventions):
+    per wave the NEW frontier is frontier-join-edges minus already
+    settled nodes (left-anti on (landmark, node)); every shuffle carries
+    (landmark, node, dist) rows only, work per wave is O(frontier
+    edges), and both frames are localCheckpoint'ed per wave (lineage
+    truncation).  BFS level = min distance, order-independent, so the
+    result is structurally deterministic and oracle-EXACT.
+
+    ``rounds`` runs a FIXED number of waves (the unrolled-oracle
+    convention: distances are then exact for every node within
+    ``rounds`` hops, and nodes farther than that are absent — matching a
+    depth-bounded recursive-CTE twin); ``rounds=None`` runs to the
+    fixpoint (empty frontier) under ``max_iter``.  Wave count is the
+    graph's eccentricity from the landmarks — O(log n) on web-shaped
+    graphs, O(n) adversarially (a path), same guard story as kcore.
+
+    Returns (landmark, node, dist): dist = exact hop count, landmarks
+    include themselves at dist 0 (only landmarks present in the graph
+    emit rows — a landmark with no edges has no node set to measure).
+    """
+    e = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+        .distinct()
+    )
+    adj = (
+        e.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionByName(e.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    lm = spark.createDataFrame([(s,) for s in sources], ["landmark"])
+    nodes = adj.select(F.col("src").alias("node")).distinct()
+    frontier = (
+        lm.join(nodes, lm["landmark"] == nodes["node"], "inner")
+        .select("landmark", "node", F.lit(0).cast("long").alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    settled = frontier
+    limit = max_iter if rounds is None else rounds
+    for _ in range(limit):
+        nxt = (
+            frontier.join(adj, frontier["node"] == adj["src"])
+            .select(
+                "landmark",
+                F.col("dst").alias("node"),
+                (F.col("dist") + 1).alias("dist"),
+            )
+            .groupBy("landmark", "node")
+            .agg(F.min("dist").alias("dist"))
+            .join(settled, ["landmark", "node"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        settled = settled.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    else:
+        if rounds is None:
+            # The loop exhausted with a non-empty frontier — but that
+            # frontier may already have settled the last reachable nodes
+            # (the kcore one-wave-late detection lesson, round-9 advice):
+            # only an expansion that still discovers NEW nodes means the
+            # fixpoint was genuinely not reached.
+            probe = (
+                frontier.join(adj, frontier["node"] == adj["src"])
+                .select("landmark", F.col("dst").alias("node"))
+                .join(settled, ["landmark", "node"], "left_anti")
+            )
+            if not probe.isEmpty():
+                raise RuntimeError(
+                    f"bfs_distances: frontier still expanding after "
+                    f"max_iter={max_iter} waves — raise max_iter or run "
+                    "bounded rounds= explicitly"
+                )
+    return settled.select("landmark", "node", F.col("dist").cast("long").alias("dist"))

@@ -79,6 +79,8 @@ def suffix_ranks(
     max_len = cur.agg(F.max("__n")).first()[0] or 1
     history = [(1, cur)]
     off = 1
+    comp_k = max_len + 2  # composite base: per-doc dense ranks <= doc length
+    fuse_ok = comp_k * comp_k < (1 << 63) - 1
     while off < max_len:
         # early stop: when every document's ranks are already distinct
         # (dense-rank max == n), the suffix order is fully determined and
@@ -95,23 +97,70 @@ def suffix_ranks(
         )
         if all_distinct == 1:
             break
+        if not fuse_ok or 2 * off >= max_len:
+            # classic one-level round (the final level, and the absurd
+            # >3e9-token-document overflow fallback)
+            paired = cur.select(
+                id_col,
+                "pos",
+                "r",
+                F.coalesce(
+                    F.lead("r", off).over(w.orderBy("pos")), F.lit(-1)
+                ).alias("r2"),
+                "__n",
+            )
+            cur = paired.select(
+                id_col,
+                "pos",
+                F.dense_rank().over(w.orderBy("r", "r2")).alias("r"),
+                "__n",
+            ).localCheckpoint(eager=True)
+            history.append((off * 2, cur))
+            off *= 2
+            continue
+        # fused super-round — two levels off ONE lead window pass (the
+        # global_suffix_ranks round-10 fusion, per-doc flavor): ranks
+        # need order/equality only, so the 2*off level is a COMPOSITE
+        # int64 r*K + (r2+1) (a lazy projection over the checkpointed
+        # lead frame; the LCP walk tests equality only) and the 4*off
+        # level is one dense_rank over the 4-tuple (r, r2, r3, r4) —
+        # halves the per-level window sorts and all_distinct actions.
         paired = cur.select(
             id_col,
             "pos",
             "r",
+            F.coalesce(F.lead("r", off).over(w.orderBy("pos")), F.lit(-1)).alias(
+                "r2"
+            ),
             F.coalesce(
-                F.lead("r", off).over(w.orderBy("pos")), F.lit(-1)
-            ).alias("r2"),
+                F.lead("r", 2 * off).over(w.orderBy("pos")), F.lit(-1)
+            ).alias("r3"),
+            F.coalesce(
+                F.lead("r", 3 * off).over(w.orderBy("pos")), F.lit(-1)
+            ).alias("r4"),
             "__n",
+        ).localCheckpoint(eager=True)
+        history.append(
+            (
+                2 * off,
+                paired.select(
+                    id_col,
+                    "pos",
+                    (F.col("r") * F.lit(comp_k) + F.col("r2") + F.lit(1)).alias(
+                        "r"
+                    ),
+                    "__n",
+                ),
+            )
         )
         cur = paired.select(
             id_col,
             "pos",
-            F.dense_rank().over(w.orderBy("r", "r2")).alias("r"),
+            F.dense_rank().over(w.orderBy("r", "r2", "r3", "r4")).alias("r"),
             "__n",
         ).localCheckpoint(eager=True)
-        history.append((off * 2, cur))
-        off *= 2
+        history.append((4 * off, cur))
+        off *= 4
     out = cur.select(
         F.col(id_col),
         F.col("pos").cast("long").alias("pos"),
@@ -410,6 +459,25 @@ def global_suffix_ranks(
     no later level can split one either (rank refinement is monotone),
     and at the fixed point rank-equal <=> suffixes identical — which is
     what `longest_cross_doc_span`'s equal-rank shortcut relies on.
+
+    Fused super-rounds (round 10): ranks only need ORDER and EQUALITY,
+    not density — density is only what keeps values bounded.  So two
+    levels run off ONE doc-window pass: leads at off, 2*off, 3*off give
+    rank_2off = (r, r2) and rank_4off = (r, r2, r3, r4) (two nested
+    applications of the pairing identity, -1 sentinels compose — a
+    shorter suffix's (-1, -1) tail orders before any continuation
+    exactly like the scalar sentinel).  The 2*off level enters the
+    history as a COMPOSITE int64 `r*K + (r2+1)` (K = n_rows + 2; the
+    LCP walk tests only equality, and composite equality <=> (r, r2)
+    equality), a free lazy projection over the checkpointed lead frame;
+    the 4*off level is ONE `global_dense_rank` over the 4-tuple.  Per
+    two levels this halves the range shuffles, offset collects, and
+    checkpoint materializations — and checkpointing the lead frame
+    before the range shuffle stops the RangePartitioner's sampling pass
+    from re-executing the window subtree.  The composite fits int64
+    only while (n_rows + 2)^2 < 2^63 (~3e9 positions per job); beyond
+    that the loop falls back to the classic one-level round, so the
+    100 TB path degrades to round-9 behavior instead of overflowing.
     """
     toks = (
         df.filter(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
@@ -431,23 +499,61 @@ def global_suffix_ranks(
     history = [(1, cur)]
     w = Window.partitionBy(id_col).orderBy("pos")
     off = 1
+    comp_k = n_rows + 2  # composite base: dense ranks are <= n_rows
+    fuse_ok = comp_k * comp_k < (1 << 63) - 1
     while off < max_len and n_classes < n_rows:
+        if not fuse_ok or 2 * off >= max_len:
+            # classic one-level round: the final level (no point ranking
+            # past max_len) and the > ~3e9-positions overflow fallback
+            paired = cur.select(
+                id_col,
+                "pos",
+                "__n",
+                "r",
+                F.coalesce(F.lead("r", off).over(w), F.lit(-1)).alias("r2"),
+            )
+            ranked, new_classes = global_dense_rank(paired, ["r", "r2"], n_parts)
+            if new_classes == n_classes:
+                # class fixed point: (r, r2) split nothing, so no later
+                # level can split anything — and the new dense ranks equal
+                # the old (classes ordered by r alone); keep the old frame.
+                break
+            cur = ranked.select(id_col, "pos", "__n", F.col("__gr").alias("r"))
+            n_classes = new_classes
+            off *= 2
+            history.append((off, cur))
+            continue
+        # fused super-round: levels 2*off and 4*off off ONE window pass
         paired = cur.select(
             id_col,
             "pos",
             "__n",
             "r",
             F.coalesce(F.lead("r", off).over(w), F.lit(-1)).alias("r2"),
+            F.coalesce(F.lead("r", 2 * off).over(w), F.lit(-1)).alias("r3"),
+            F.coalesce(F.lead("r", 3 * off).over(w), F.lit(-1)).alias("r4"),
+        ).localCheckpoint(eager=True)
+        # the 2*off level: composite int64, equality <=> (r, r2) equality —
+        # a lazy projection over the checkpoint, no materialization of its own
+        comp = paired.select(
+            id_col,
+            "pos",
+            "__n",
+            (F.col("r") * F.lit(comp_k) + F.col("r2") + F.lit(1)).alias("r"),
         )
-        ranked, new_classes = global_dense_rank(paired, ["r", "r2"], n_parts)
+        history.append((2 * off, comp))
+        ranked, new_classes = global_dense_rank(
+            paired, ["r", "r2", "r3", "r4"], n_parts
+        )
         if new_classes == n_classes:
-            # class fixed point: (r, r2) split nothing, so no later level
-            # can split anything — and the new dense ranks equal the old
-            # (classes ordered by r alone); keep the old frame.
+            # fixed point two levels out implies it at 2*off too (class
+            # refinement is monotone) — drop the no-op composite entry and
+            # keep the old frame, exactly the classic-path semantics
+            history.pop()
             break
         cur = ranked.select(id_col, "pos", "__n", F.col("__gr").alias("r"))
         n_classes = new_classes
-        off *= 2
+        off *= 4
         history.append((off, cur))
     out = cur
     if return_history:

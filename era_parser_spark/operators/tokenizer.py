@@ -608,3 +608,57 @@ def wordpiece_merges_distributed(
     if return_vocab:
         return merges_df, cur
     return merges_df
+
+
+def wordpiece_greedy_counts(words_df, pieces: list[str]):
+    """Greedy longest-match WordPiece INFERENCE over a distinct-word
+    frame — the rule BERT's tokenizer actually applies at encode time
+    (Schuster & Nakajima 2012 §3; reference implementation
+    `WordpieceTokenizer.tokenize` in BERT's public tokenization.py),
+    which t37's trainer-segmentation counts explicitly do NOT claim:
+    at each cursor take the LONGEST vocabulary piece matching the
+    remaining word, else consume one character (single characters pass
+    through — the repo's no-##-marker convention makes every char a
+    valid piece, so there is no [UNK] state to model).
+
+    ``pieces`` is the trained merge vocabulary (the `merged` column of
+    `wordpiece_merges_distributed`, a tiny driver artifact — O(n_merges)
+    strings riding the task closure).  Two distinct pieces of equal
+    length can never match the same cursor (they would be the same
+    string), so longest-first scanning is deterministic without a tie
+    rule.  The kernel is Arrow-batched over the DISTINCT-word table, so
+    the work is volume-independent like the trainer (t31/t36): the
+    corpus is never re-encoded — per-doc counts come from a word join
+    downstream (the t32/t37 shape).
+
+    Returns ``words_df`` + ``n_greedy`` (long): greedy piece count per
+    word.
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    by_len = sorted(set(pieces), key=lambda p: (-len(p), p))
+
+    def fn(it):
+        for pdf in it:
+            counts = []
+            for w in pdf["w"]:
+                n = 0
+                i = 0
+                end = len(w)
+                while i < end:
+                    step = 1
+                    for p in by_len:
+                        if w.startswith(p, i):
+                            step = len(p)
+                            break
+                    n += 1
+                    i += step
+                counts.append(n)
+            out = pdf.copy()
+            out["n_greedy"] = counts
+            yield out
+
+    schema = StructType(
+        words_df.schema.fields + [StructField("n_greedy", LongType(), False)]
+    )
+    return words_df.mapInPandas(fn, schema)

@@ -2105,7 +2105,7 @@ def mad_medians(e):
       SELECT user_id, event_type, epoch_us(ts) AS us,
              lead(epoch_us(ts)) OVER (PARTITION BY user_id
                                       ORDER BY epoch_us(ts), event_id) AS nxt
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     )
     SELECT event_type AS state,
            CAST(count(*) AS BIGINT) AS n_intervals,
@@ -2124,7 +2124,11 @@ def x41_state_durations(spark, sf_dir):
     from pyspark.sql import Window as W
 
     ev = table(spark, sf_dir, "events")
-    o = ev.select(
+    # NULL timestamps are excluded on BOTH sides: Spark's window default
+    # is ASC NULLS FIRST, DuckDB's is NULLS LAST — an unfiltered NULL ts
+    # would silently reorder the lead chain between engine and oracle
+    # (and a NULL-held interval has no duration anyway).
+    o = ev.filter(F.col("ts").isNotNull()).select(
         "user_id",
         "event_type",
         "event_id",

@@ -857,12 +857,12 @@ def st15_stream_mad_outlier_counts(spark, sf_dir):
     for t, (m_, d_) in sorted(fence.items()):
         med_c = F.when(F.col("event_type") == t, F.lit(m_)).otherwise(med_c)
         mad_c = F.when(F.col("event_type") == t, F.lit(d_)).otherwise(mad_c)
+    # The stream-side projection IS mad_quantized (it works on a streaming
+    # DataFrame) — one quantization definition across x40 training and
+    # st15 serving, so the fence can never drift from the batch model.
     flagged = (
-        s.select(
-            "ts",
-            "event_type",
-            F.floor(F.col("value") * F.lit(1000000.0)).cast("long").alias("v_us"),
-        )
+        mad_quantized(s, keep_cols=("ts",))
+        .select("ts", "event_type", "v_us")
         .withColumn("med", med_c)
         .withColumn("mad", mad_c)
         # types unseen at train time have no fence: pass-through, never

@@ -1903,3 +1903,83 @@ def t37_wordpiece_token_counts(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.sum("__n").cast("long").alias("wp_tokens"))
     )
+
+
+def _t38_oracle(k: int, min_count: int) -> str:
+    """Per-doc counts under greedy longest-match WordPiece INFERENCE —
+    the rule t37 documents but does not claim.  The vocabulary is the
+    union of the k trained merge strings (bestw{r} rows; empty rounds
+    contribute nothing, matching the trainer's loop break); the greedy
+    scan is a recursive CTE over (word, cursor): at each cursor consume
+    the LONGEST matching piece, else one character (single chars pass
+    through, the no-##-marker convention — no [UNK] state).  Aggregation
+    inside the recursive term (max matching piece length per cursor) is
+    supported by DuckDB and keeps the recursion linear in word length —
+    one row per (word, cursor) ever exists."""
+    vocab_union = "\n      UNION ".join(
+        f"SELECT l || r AS m FROM bestw{r}" for r in range(k)
+    )
+    return _wp_ctes(k, min_count).replace("WITH", "WITH RECURSIVE", 1) + f""",
+    vocabg AS MATERIALIZED (
+      {vocab_union}
+    ),
+    wordsg AS MATERIALIZED (SELECT DISTINCT w FROM wp0),
+    recg AS (
+      SELECT w, 1 AS cur, CAST(0 AS BIGINT) AS n FROM wordsg
+      UNION ALL
+      SELECT w, cur + l, n + 1 FROM (
+        SELECT s.w AS w, s.cur AS cur, s.n AS n,
+               coalesce(max(length(v.m)), 1) AS l
+        FROM recg s LEFT JOIN vocabg v
+          ON substr(s.w, CAST(s.cur AS INTEGER), length(v.m)) = v.m
+        WHERE s.cur <= length(s.w)
+        GROUP BY s.w, s.cur, s.n
+      )
+    ),
+    doneg AS (SELECT w, CAST(n AS BIGINT) AS n FROM recg WHERE cur = length(w) + 1),
+    docwg AS (
+      SELECT doc_id, unnest({_TOK}) AS w FROM documents
+      WHERE text IS NOT NULL AND trim(text) != ''
+    )
+    SELECT d.doc_id, CAST(sum(g.n) AS BIGINT) AS wp_greedy_tokens
+    FROM docwg d JOIN doneg g ON g.w = d.w
+    WHERE length(d.w) > 0
+    GROUP BY d.doc_id
+    """
+
+
+@register("t38_wordpiece_greedy_counts", oracle=_t38_oracle(8, 3))
+def t38_wordpiece_greedy_counts(spark, sf_dir):
+    """Per-document token counts under greedy longest-match WordPiece
+    INFERENCE with the corpus's own t36-trained vocabulary — closing the
+    documented seam in t37 (whose counts use the TRAINER's word-table
+    segmentation; BERT's tokenizer applies greedy longest-match at
+    encode time, a genuinely different rule — the two disagree whenever
+    a longer piece greedily spans a trainer merge boundary, pinned
+    differentially in tests/test_round10_ops.py).  The trained merge
+    strings are a tiny driver artifact (O(n_merges)); greedy scanning
+    runs Arrow-batched over the DISTINCT-word table (volume-independent,
+    the t31/t36 property) and per-doc counts are a word join + sum (the
+    t32/t37 shape) — the corpus is never re-encoded in Python."""
+    from era_parser_spark.operators.dedup import tokens_col
+    from era_parser_spark.operators.tokenizer import (
+        wordpiece_greedy_counts,
+        wordpiece_merges_distributed,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    merges = wordpiece_merges_distributed(
+        docs, "text", n_merges=8, min_pair_count=3
+    )
+    pieces = [r["merged"] for r in merges.select("merged").collect()]
+    words = (
+        docs.filter(F.col("text").isNotNull() & (F.trim("text") != ""))
+        .select("doc_id", F.explode(tokens_col(F.col("text"))).alias("w"))
+        .filter(F.length("w") > 0)
+    )
+    counts = wordpiece_greedy_counts(words.select("w").distinct(), pieces)
+    return (
+        words.join(counts, "w")
+        .groupBy("doc_id")
+        .agg(F.sum("n_greedy").cast("long").alias("wp_greedy_tokens"))
+    )

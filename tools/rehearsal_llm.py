@@ -103,28 +103,32 @@ def main() -> int:
         "--dd9-only", action="store_true",
         help="run only the dd9 phases (skip dd10/t11/t9/p7)",
     )
-    ap.add_argument(
+    # Exactly one tier runs per invocation — the blocks below are
+    # if/elif-shaped, so two flags would silently run only the first and
+    # misattribute the artifact.  argparse enforces it instead.
+    tier = ap.add_mutually_exclusive_group()
+    tier.add_argument(
         "--sim", action="store_true",
         help="run the similarity/pair-join tier (s6 SRP-LSH, dd8 SemDeDup, "
         "dd13 TF-IDF pairs) at 8x instead of the text phases",
     )
-    ap.add_argument(
+    tier.add_argument(
         "--retrieval", action="store_true",
         help="run the retrieval tier (t22 BM25, s14 SQ8 ANN, x26 label "
         "propagation) at 8x instead of the text phases",
     )
-    ap.add_argument(
+    tier.add_argument(
         "--select", action="store_true",
         help="run the session-4 data-selection tier (s16 exact k-means, "
         "dd18 SemDeDup-kmeans, s17 k-center, p16 DSIR, p17 drift, t30 "
         "RAKE) at 8x instead of the text phases",
     )
-    ap.add_argument(
+    tier.add_argument(
         "--cut", action="store_true",
         help="run the session-3 tier (dd16 span cut, t26 hash embed, s15 "
         "hashed pairs, x32 triangles) at 8x instead of the text phases",
     )
-    ap.add_argument(
+    tier.add_argument(
         "--suffix", action="store_true",
         help="run the suffix/BPE tier (t33 per-doc suffix ranks, t34 "
         "longest repeat, t35 cross-doc span, t31 distributed BPE "
