@@ -2145,3 +2145,70 @@ def x41_state_durations(spark, sf_dir):
             F.sum(F.col("nxt") - F.col("us")).cast("long").alias("total_us"),
         )
     )
+
+
+def _x42_oracle(rounds: int) -> str:
+    """Depth-bounded multi-source BFS as a recursive CTE: paths extend
+    while dist < rounds, UNION dedup keeps (landmark, node, dist) rows
+    finite on cycles, min(dist) per (landmark, node) IS the BFS distance
+    for every node within `rounds` hops (a shortest path is itself a
+    bounded path) — exactly the engine's fixed-wave frontier semantics.
+    Graph: circulant host graph on Z_97 with steps +1/+7 (sparser than
+    the x25/x39 graph so distances are non-trivial; eccentricity from
+    the landmarks is 9 at full residue coverage — rounds=12 is pinned >=
+    the fixpoint depth in tests/test_round10_ops.py)."""
+    return f"""
+    WITH RECURSIVE rawbf AS (
+      SELECT 'h' || CAST(doc_id % 97 AS VARCHAR) AS src,
+             'h' || CAST((doc_id + 1) % 97 AS VARCHAR) AS dst
+      FROM documents
+      UNION ALL
+      SELECT 'h' || CAST(doc_id % 97 AS VARCHAR),
+             'h' || CAST((doc_id + 7) % 97 AS VARCHAR)
+      FROM documents
+    ),
+    undbf AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+              FROM rawbf WHERE src <> dst),
+    adjbf AS MATERIALIZED (
+      SELECT u AS src, v AS dst FROM undbf
+      UNION ALL
+      SELECT v, u FROM undbf
+    ),
+    lmbf AS (
+      SELECT DISTINCT src AS landmark FROM adjbf
+      WHERE src IN ('h0', 'h1', 'h2')
+    ),
+    recbf AS (
+      SELECT landmark, landmark AS node, 0 AS dist FROM lmbf
+      UNION
+      SELECT r.landmark, a.dst, r.dist + 1
+      FROM recbf r JOIN adjbf a ON a.src = r.node
+      WHERE r.dist < {rounds}
+    )
+    SELECT landmark, node, CAST(min(dist) AS BIGINT) AS dist
+    FROM recbf GROUP BY 1, 2
+    """
+
+
+@register("x42_bfs_distances", oracle=_x42_oracle(12))
+def x42_bfs_distances(spark, sf_dir):
+    """Multi-source BFS landmark distances over a circulant host graph
+    (steps +1/+7 on Z_97 — sparse enough that shortest paths take up to
+    9 hops, unlike the dense x39 graph): exact hop distance from each of
+    three landmark hosts to every reachable node.  Completes the graph
+    tier's signal set (x25 flow, x26 communities, x32 density, x39
+    periphery) with PROXIMITY — the distance-to-seed-host feature behind
+    crawl-frontier quality priors.  Frontier waves shuffle (landmark,
+    node, dist) rows only; rounds=12 is pinned >= the true fixpoint
+    depth (9) in pytest, so the bounded run IS the exact BFS."""
+    from era_parser_spark.operators.graph import bfs_distances
+
+    docs = table(spark, sf_dir, "documents")
+    mk = lambda add, mod: F.concat(  # noqa: E731
+        F.lit("h"), ((F.col("doc_id") + add) % mod).cast("string")
+    )
+    e1 = docs.select(mk(0, 97).alias("src"), mk(1, 97).alias("dst"))
+    e2 = docs.select(mk(0, 97).alias("src"), mk(7, 97).alias("dst"))
+    return bfs_distances(
+        e1.unionByName(e2), ["h0", "h1", "h2"], rounds=12
+    )

@@ -159,3 +159,203 @@ def test_rehearsal_llm_tier_flags_mutually_exclusive():
     )
     assert p.returncode == 2
     assert "not allowed with" in p.stderr
+
+
+# --- t38: greedy longest-match WordPiece inference ----------------------------
+
+
+def _greedy_twin(word, pieces):
+    by_len = sorted(set(pieces), key=lambda p: (-len(p), p))
+    n = 0
+    i = 0
+    while i < len(word):
+        step = 1
+        for p in by_len:
+            if word.startswith(p, i):
+                step = len(p)
+                break
+        n += 1
+        i += step
+    return n
+
+
+def _trainer_twin(word, merges):
+    syms = list(word)
+    for pair in merges:
+        out = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and (syms[i], syms[i + 1]) == pair:
+                out.append(syms[i] + syms[i + 1])
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return len(syms)
+
+
+def test_wordpiece_greedy_counts_matches_python_twin(spark):
+    import random
+
+    from era_parser_spark.operators.tokenizer import wordpiece_greedy_counts
+
+    pieces = ["aa", "bc", "bbc", "aab", "aaab"]
+    rng = random.Random(7)
+    words = [
+        "".join(rng.choice("abc") for _ in range(rng.randint(1, 12)))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame([(w,) for w in sorted(set(words))], ["w"])
+    got = {r["w"]: r["n_greedy"] for r in wordpiece_greedy_counts(df, pieces).collect()}
+    want = {w: _greedy_twin(w, pieces) for w in set(words)}
+    assert got == want
+
+
+def test_greedy_inference_differs_from_trainer_segmentation(spark):
+    """The rule difference t37 documents and t38 claims: greedy
+    longest-match can span a trainer merge boundary and fragment the
+    remainder differently.  merges (a,a),(b,c),(b,bc),(aa,b),(a,aab)
+    segment 'cacbaaab' into 7 trainer pieces, greedy into 5."""
+    from era_parser_spark.operators.tokenizer import wordpiece_greedy_counts
+
+    merges = [("a", "a"), ("b", "c"), ("b", "bc"), ("aa", "b"), ("a", "aab")]
+    pieces = [l + r for l, r in merges]
+    w = "cacbaaab"
+    assert _trainer_twin(w, merges) == 7
+    df = spark.createDataFrame([(w,)], ["w"])
+    got = wordpiece_greedy_counts(df, pieces).collect()[0]["n_greedy"]
+    assert got == 5
+
+
+def test_wordpiece_greedy_unknown_chars_pass_through(spark):
+    from era_parser_spark.operators.tokenizer import wordpiece_greedy_counts
+
+    df = spark.createDataFrame([("xyzzy",), ("aaxaa",)], ["w"])
+    got = {r["w"]: r["n_greedy"] for r in wordpiece_greedy_counts(df, ["aa"]).collect()}
+    # no piece matches anything in xyzzy -> 5 single chars;
+    # aaxaa -> aa|x|aa = 3
+    assert got == {"xyzzy": 5, "aaxaa": 3}
+
+
+# --- x42 / bfs_distances ------------------------------------------------------
+
+
+def _bfs_twin(edges, sources, rounds):
+    from collections import deque
+
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    out = {}
+    for s in sources:
+        if s not in adj:
+            continue
+        d = {s: 0}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            if d[u] >= rounds:
+                continue
+            for v in adj[u]:
+                if v not in d:
+                    d[v] = d[u] + 1
+                    q.append(v)
+        for node, dist in d.items():
+            out[(s, node)] = dist
+    return out
+
+
+def test_bfs_distances_hand_graph(spark):
+    from era_parser_spark.operators.graph import bfs_distances
+
+    # path a-b-c-d plus triangle d-e-f-d; landmark 'a' and absent 'z'
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f"), ("f", "d")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        (r["landmark"], r["node"]): r["dist"]
+        for r in bfs_distances(df, ["a", "z"]).collect()
+    }
+    assert got == {
+        ("a", "a"): 0,
+        ("a", "b"): 1,
+        ("a", "c"): 2,
+        ("a", "d"): 3,
+        ("a", "e"): 4,
+        ("a", "f"): 4,
+    }
+
+
+def test_bfs_distances_matches_twin_random_graph(spark):
+    import random
+
+    from era_parser_spark.operators.graph import bfs_distances
+
+    rng = random.Random(11)
+    edges = [
+        (f"n{rng.randrange(30)}", f"n{rng.randrange(30)}") for _ in range(60)
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    for rounds in (2, 50):
+        got = {
+            (r["landmark"], r["node"]): r["dist"]
+            for r in bfs_distances(df, ["n0", "n1"], rounds=rounds).collect()
+        }
+        assert got == _bfs_twin(edges, ["n0", "n1"], rounds)
+
+
+def test_bfs_fixpoint_on_last_wave_is_accepted(spark):
+    """Path of length 3 from the landmark: settled after exactly 3 waves;
+    max_iter=3 exhausts the loop with a non-empty frontier whose next
+    expansion is empty — must NOT raise (the kcore advice lesson)."""
+    from era_parser_spark.operators.graph import bfs_distances
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], ["src", "dst"]
+    )
+    got = bfs_distances(df, ["a"], max_iter=3).count()
+    assert got == 4
+
+
+def test_bfs_genuinely_unconverged_raises(spark):
+    from era_parser_spark.operators.graph import bfs_distances
+
+    df = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(6)], ["src", "dst"]
+    )
+    with pytest.raises(RuntimeError, match="still expanding"):
+        bfs_distances(df, ["n0"], max_iter=2)
+
+
+def test_x42_rounds_covers_fixpoint_depth(spark):
+    """rounds=12 in the registry entry must be >= the circulant graph's
+    true eccentricity from the landmarks (9 at full residue coverage) —
+    bounded waves == exact BFS.  Checked structurally: unbounded
+    fixpoint == rounds=12 run on the sf0.01 graph."""
+    from era_parser_spark.queries import QUERIES, load_all
+
+    load_all()
+    from era_parser_spark.operators.graph import bfs_distances
+    from era_parser_spark.queries.registry import table
+    from pyspark.sql import functions as F2
+
+    docs = table(spark, "/root/testdata/sf0.01", "documents")
+    mk = lambda add: F2.concat(  # noqa: E731
+        F2.lit("h"), ((F2.col("doc_id") + add) % 97).cast("string")
+    )
+    e = docs.select(mk(0).alias("src"), mk(1).alias("dst")).unionByName(
+        docs.select(mk(0).alias("src"), mk(7).alias("dst"))
+    )
+    bounded = {
+        (r["landmark"], r["node"]): r["dist"]
+        for r in bfs_distances(e, ["h0", "h1", "h2"], rounds=12).collect()
+    }
+    fixpoint = {
+        (r["landmark"], r["node"]): r["dist"]
+        for r in bfs_distances(e, ["h0", "h1", "h2"], max_iter=50).collect()
+    }
+    assert bounded == fixpoint
+    assert max(bounded.values()) == 9
