@@ -888,3 +888,69 @@ def st15_stream_mad_outlier_counts(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.sql(f"SELECT * FROM {name}")
+
+
+@register(
+    "st16_stream_asof_enrich",
+    # x1's as-of derivation restricted to what the stream emits: each
+    # purchase picks up the latest strictly-prior-ROW click WITH a value
+    # (IGNORE NULLS on the update side), under the (us, event_id) total
+    # order; purchases with no prior valued click are absent.  NULL
+    # timestamps filtered on both sides (the x41 NULLS FIRST/LAST
+    # window-default divergence).
+    oracle="""
+    WITH e16 AS (
+      SELECT event_id, user_id, epoch_us(ts) AS us, value, event_type
+      FROM events WHERE ts IS NOT NULL
+    ),
+    w16 AS (
+      SELECT event_id, user_id, us, event_type,
+             last_value(CASE WHEN event_type = 'click' AND value IS NOT NULL
+                             THEN value END IGNORE NULLS)
+               OVER wv AS last_click_value,
+             last_value(CASE WHEN event_type = 'click' AND value IS NOT NULL
+                             THEN us END IGNORE NULLS)
+               OVER wv AS last_click_us
+      FROM e16
+      WINDOW wv AS (PARTITION BY user_id ORDER BY us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, CAST(us AS BIGINT) AS purchase_us,
+           CAST(last_click_us AS BIGINT) AS last_click_us, last_click_value
+    FROM w16 WHERE event_type = 'purchase' AND last_click_us IS NOT NULL
+    """,
+)
+def st16_stream_asof_enrich(spark, sf_dir):
+    """Streaming as-of enrichment join driven to completion — the ninth
+    custom stateful operator and the live twin of x1's batch as-of join:
+    per-user O(1) state (latest prior click's µs + value, the locf
+    dimension state), each purchase emitted once with that state
+    attached.  The carried double is never touched by arithmetic, so the
+    streaming result carries a full VALUE oracle; one AvailableNow batch
+    equals the batch window formulation exactly.  Cross-micro-batch
+    forward-only semantics (a later click never retroactively enriches
+    an earlier purchase) pinned in tests/test_round10_ops.py."""
+    from era_parser_spark.streaming.incremental import (
+        asof_enrich_monitor,
+        run_stream_once,
+    )
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream_dir = _stream_src_dir("st16", sf_dir)
+    s = spark.readStream.schema(raw_schema).parquet(stream_dir)
+    if dict(s.dtypes).get("ts") == "bigint":
+        s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = (
+        s.withColumn("ts", F.col("ts").cast("timestamp"))
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "value",
+            F.unix_micros(F.col("ts")).alias("us"),
+        )
+    )
+    return run_stream_once(
+        asof_enrich_monitor(stream), f"st16_{uuid.uuid4().hex[:8]}"
+    )

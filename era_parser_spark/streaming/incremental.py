@@ -772,3 +772,78 @@ def sequence_count_monitor(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+_ASOF_OUT_SCHEMA = (
+    "event_id long, user_id long, purchase_us long,"
+    " last_click_us long, last_click_value double"
+)
+_ASOF_STATE_SCHEMA = "last_us long, last_val double"
+
+
+def _asof_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user,) = key
+    if state.exists:
+        last_us, last_val = state.get
+    else:
+        last_us, last_val = -1, 0.0
+    evs: list[tuple[int, int, str, float | None]] = []
+    for pdf in pdfs:
+        for eid, et, us, val in zip(
+            pdf["event_id"], pdf["event_type"], pdf["us"], pdf["value"]
+        ):
+            evs.append(
+                (int(us), int(eid), str(et), None if pd.isna(val) else float(val))
+            )
+    cols = [
+        "event_id",
+        "user_id",
+        "purchase_us",
+        "last_click_us",
+        "last_click_value",
+    ]
+    out: list[tuple] = []
+    # replay in the (us, event_id) total order — the same strictly-prior-ROW
+    # semantics as x1's UNBOUNDED PRECEDING..1 PRECEDING window frame, within
+    # and across micro-batches
+    for us, eid, et, val in sorted(evs, key=lambda t: (t[0], t[1])):
+        if et == "purchase" and last_us >= 0:
+            out.append((eid, int(user), us, last_us, last_val))
+        if et == "click" and val is not None:
+            last_us, last_val = us, val
+    state.update((int(last_us), float(last_val)))
+    yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame([], columns=cols)
+
+
+def asof_enrich_monitor(stream: DataFrame) -> DataFrame:
+    """Streaming AS-OF enrichment join (the NINTH custom stateful
+    operator; the live twin of x1's batch as-of join): per-user state is
+    TWO scalars — the latest prior click's (event-time µs, value) — the
+    locf dimension state a streaming enrichment join actually needs.
+    Each purchase is emitted once, enriched with that state; purchases
+    with no prior click emit nothing (the strictly-prior contract), and
+    a click arriving in a LATER micro-batch never retroactively enriches
+    an earlier purchase — state flows forward only, the streaming
+    semantics of every locf system.
+
+    Clicks with a NULL value are not dimension updates (x1's IGNORE
+    NULLS convention applied to the update side), so last_click_us and
+    last_click_value always move together.  The carried value is the raw
+    binary64 double, untouched by arithmetic — bit-exact against the SQL
+    oracle.  Over one AvailableNow batch the output equals the batch
+    window formulation exactly (st16's oracle); state is O(1) per user
+    forever (a production deployment adds a GroupStateTimeout TTL — kept
+    NoTimeout to preserve the batch-equality contract)."""
+    return (
+        stream.select("user_id", "event_id", "event_type", "us", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _asof_fn,
+            outputStructType=_ASOF_OUT_SCHEMA,
+            stateStructType=_ASOF_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

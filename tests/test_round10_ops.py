@@ -359,3 +359,92 @@ def test_x42_rounds_covers_fixpoint_depth(spark):
     }
     assert bounded == fixpoint
     assert max(bounded.values()) == 9
+
+
+# --- st16: streaming as-of enrichment, cross-batch semantics ------------------
+
+
+def test_asof_enrich_state_across_microbatches(spark, tmp_path_factory):
+    """Forward-only locf semantics across micro-batch boundaries: a click
+    in batch 1 enriches a purchase in batch 2 (state carries), a purchase
+    BEFORE any click emits nothing, and a click arriving in a LATER batch
+    never retroactively enriches an earlier purchase — behavior no
+    single-batch oracle can check."""
+    import uuid as _uuid
+
+    from era_parser_spark.streaming.incremental import (
+        asof_enrich_monitor,
+        run_stream_once,
+    )
+
+    src = tmp_path_factory.mktemp("st16_src")
+    sch = "user_id long, event_id long, event_type string, value double, us long"
+    # batch 1: u1 purchase-before-click (no emit), then a click;
+    #          u2 click only
+    spark.createDataFrame(
+        [
+            (1, 10, "purchase", 9.9, 1_000_000),
+            (1, 11, "click", 1.5, 2_000_000),
+            (2, 20, "click", 2.5, 3_000_000),
+        ],
+        sch,
+    ).coalesce(1).write.parquet(str(src / "a_batch1"))
+    # batch 2: u1 purchase (enriched by batch-1 click), u2 purchase at an
+    # EARLIER event time than a same-batch later click — replay order is
+    # (us, event_id) within the batch, so the purchase sees the batch-1
+    # click, not the later one; then a final u2 purchase sees the new click
+    spark.createDataFrame(
+        [
+            (1, 12, "purchase", 0.0, 5_000_000),
+            (2, 21, "purchase", 0.0, 6_000_000),
+            (2, 22, "click", 7.5, 7_000_000),
+            (2, 23, "purchase", 0.0, 8_000_000),
+        ],
+        sch,
+    ).coalesce(1).write.parquet(str(src / "b_batch2"))
+
+    stream = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    out = run_stream_once(
+        asof_enrich_monitor(stream), f"asof_{_uuid.uuid4().hex[:8]}"
+    )
+    rows = {
+        r["event_id"]: (r["purchase_us"], r["last_click_us"], r["last_click_value"])
+        for r in out.collect()
+    }
+    assert 10 not in rows  # purchase before any click: nothing emitted
+    assert rows[12] == (5_000_000, 2_000_000, 1.5)  # enriched across batches
+    assert rows[21] == (6_000_000, 3_000_000, 2.5)  # later same-batch click ignored
+    assert rows[23] == (8_000_000, 7_000_000, 7.5)  # new click state applied
+    assert len(rows) == 3
+
+
+def test_asof_enrich_null_value_clicks_not_updates(spark, tmp_path_factory):
+    """A click with NULL value is not a dimension update (IGNORE NULLS on
+    the update side): the purchase keeps the older valued click."""
+    import uuid as _uuid
+
+    from era_parser_spark.streaming.incremental import (
+        asof_enrich_monitor,
+        run_stream_once,
+    )
+
+    src = tmp_path_factory.mktemp("st16_null_src")
+    sch = "user_id long, event_id long, event_type string, value double, us long"
+    spark.createDataFrame(
+        [
+            (1, 1, "click", 4.25, 1_000_000),
+            (1, 2, "click", None, 2_000_000),
+            (1, 3, "purchase", 0.0, 3_000_000),
+        ],
+        sch,
+    ).coalesce(1).write.parquet(str(src / "a"))
+    stream = spark.readStream.schema(sch).parquet(f"{src}/*")
+    out = run_stream_once(
+        asof_enrich_monitor(stream), f"asofn_{_uuid.uuid4().hex[:8]}"
+    )
+    rows = [tuple(r) for r in out.collect()]
+    assert rows == [(3, 1, 3_000_000, 1_000_000, 4.25)]
