@@ -41,6 +41,7 @@ def suffix_ranks(
     text_col: str,
     return_history: bool = False,
     max_doc_tokens: int | None = None,
+    fuse: bool = True,
 ):
     """(id, pos, suffix_rank): rank of the token-level suffix starting at
     1-based position pos within its document, 1 = lexicographically
@@ -70,17 +71,22 @@ def suffix_ranks(
         F.posexplode("__t").alias("__i0", "__tok"),
     ).select(id_col, (F.col("__i0") + 1).alias("pos"), "__tok")
     w = Window.partitionBy(id_col)
+    # __n rides NO loop frame (round 10): it was pure dead weight in every
+    # per-round shuffle — max_len comes from a tiny doc-length aggregate
+    # instead, and the early stop compares max(r) to max(pos) directly.
     cur = pos.select(
         id_col,
         "pos",
         F.dense_rank().over(w.orderBy("__tok")).alias("r"),
-        F.max("pos").over(w).alias("__n"),
     ).localCheckpoint(eager=True)
-    max_len = cur.agg(F.max("__n")).first()[0] or 1
+    max_len = int(
+        toks.agg(F.max(F.size("__t"))).first()[0] or 1
+    )
     history = [(1, cur)]
     off = 1
     comp_k = max_len + 2  # composite base: per-doc dense ranks <= doc length
-    fuse_ok = comp_k * comp_k < (1 << 63) - 1
+    # fuse=False forces the round-9 one-level loop (differential/debug)
+    fuse_ok = fuse and comp_k * comp_k < (1 << 63) - 1
     while off < max_len:
         # early stop: when every document's ranks are already distinct
         # (dense-rank max == n), the suffix order is fully determined and
@@ -107,13 +113,11 @@ def suffix_ranks(
                 F.coalesce(
                     F.lead("r", off).over(w.orderBy("pos")), F.lit(-1)
                 ).alias("r2"),
-                "__n",
             )
             cur = paired.select(
                 id_col,
                 "pos",
                 F.dense_rank().over(w.orderBy("r", "r2")).alias("r"),
-                "__n",
             ).localCheckpoint(eager=True)
             history.append((off * 2, cur))
             off *= 2
@@ -138,7 +142,6 @@ def suffix_ranks(
             F.coalesce(
                 F.lead("r", 3 * off).over(w.orderBy("pos")), F.lit(-1)
             ).alias("r4"),
-            "__n",
         ).localCheckpoint(eager=True)
         history.append(
             (
@@ -149,7 +152,6 @@ def suffix_ranks(
                     (F.col("r") * F.lit(comp_k) + F.col("r2") + F.lit(1)).alias(
                         "r"
                     ),
-                    "__n",
                 ),
             )
         )
@@ -157,7 +159,6 @@ def suffix_ranks(
             id_col,
             "pos",
             F.dense_rank().over(w.orderBy("r", "r2", "r3", "r4")).alias("r"),
-            "__n",
         ).localCheckpoint(eager=True)
         history.append((4 * off, cur))
         off *= 4
@@ -441,6 +442,7 @@ def global_suffix_ranks(
     n_parts: int | None = None,
     max_doc_tokens: int | None = None,
     return_history: bool = False,
+    fuse: bool = True,
 ):
     """(id, pos, r, __n): GLOBAL suffix ranks over the whole corpus — the
     rank compares token suffixes ACROSS documents (each document's suffix
@@ -486,21 +488,27 @@ def global_suffix_ranks(
     )
     if max_doc_tokens is not None:
         toks = toks.filter(F.size("__t") <= max_doc_tokens)
+    # __n rides NO loop frame (round 10): doc lengths re-attach at the end
+    # via a join (AQE broadcasts the tiny per-doc frame when it fits) —
+    # carrying the constant column through every per-round shuffle was
+    # pure dead weight.
+    doc_lens = toks.select(
+        F.col(id_col), F.size("__t").cast("long").alias("__n")
+    )
     pos = toks.select(
         F.col(id_col),
-        F.size("__t").cast("long").alias("__n"),
         F.posexplode("__t").alias("__i0", "__tok"),
-    ).select(id_col, "__n", (F.col("__i0") + 1).cast("long").alias("pos"), "__tok")
+    ).select(id_col, (F.col("__i0") + 1).cast("long").alias("pos"), "__tok")
     ranked, n_classes = global_dense_rank(pos, ["__tok"], n_parts)
-    cur = ranked.select(id_col, "pos", "__n", F.col("__gr").alias("r"))
+    cur = ranked.select(id_col, "pos", F.col("__gr").alias("r"))
     n_rows = cur.count()
-    stats = cur.agg(F.max("__n")).first()
-    max_len = int(stats[0] or 1)
+    max_len = int(doc_lens.agg(F.max("__n")).first()[0] or 1)
     history = [(1, cur)]
     w = Window.partitionBy(id_col).orderBy("pos")
     off = 1
     comp_k = n_rows + 2  # composite base: dense ranks are <= n_rows
-    fuse_ok = comp_k * comp_k < (1 << 63) - 1
+    # fuse=False forces the round-9 one-level loop (differential/debug)
+    fuse_ok = fuse and comp_k * comp_k < (1 << 63) - 1
     while off < max_len and n_classes < n_rows:
         if not fuse_ok or 2 * off >= max_len:
             # classic one-level round: the final level (no point ranking
@@ -508,7 +516,6 @@ def global_suffix_ranks(
             paired = cur.select(
                 id_col,
                 "pos",
-                "__n",
                 "r",
                 F.coalesce(F.lead("r", off).over(w), F.lit(-1)).alias("r2"),
             )
@@ -518,7 +525,7 @@ def global_suffix_ranks(
                 # level can split anything — and the new dense ranks equal
                 # the old (classes ordered by r alone); keep the old frame.
                 break
-            cur = ranked.select(id_col, "pos", "__n", F.col("__gr").alias("r"))
+            cur = ranked.select(id_col, "pos", F.col("__gr").alias("r"))
             n_classes = new_classes
             off *= 2
             history.append((off, cur))
@@ -527,7 +534,6 @@ def global_suffix_ranks(
         paired = cur.select(
             id_col,
             "pos",
-            "__n",
             "r",
             F.coalesce(F.lead("r", off).over(w), F.lit(-1)).alias("r2"),
             F.coalesce(F.lead("r", 2 * off).over(w), F.lit(-1)).alias("r3"),
@@ -538,7 +544,6 @@ def global_suffix_ranks(
         comp = paired.select(
             id_col,
             "pos",
-            "__n",
             (F.col("r") * F.lit(comp_k) + F.col("r2") + F.lit(1)).alias("r"),
         )
         history.append((2 * off, comp))
@@ -551,11 +556,11 @@ def global_suffix_ranks(
             # keep the old frame, exactly the classic-path semantics
             history.pop()
             break
-        cur = ranked.select(id_col, "pos", "__n", F.col("__gr").alias("r"))
+        cur = ranked.select(id_col, "pos", F.col("__gr").alias("r"))
         n_classes = new_classes
         off *= 4
         history.append((off, cur))
-    out = cur
+    out = cur.join(doc_lens, id_col)
     if return_history:
         return out, history
     return out.select(
@@ -572,6 +577,7 @@ def longest_cross_doc_span(
     text_col: str,
     n_parts: int | None = None,
     max_doc_tokens: int | None = None,
+    fuse: bool = True,
 ) -> DataFrame:
     """EXACT longest token span each document shares VERBATIM with any
     OTHER document — the quantity dd10/dd16's fixed-l grams approximate
@@ -608,6 +614,7 @@ def longest_cross_doc_span(
         n_parts=n_parts,
         max_doc_tokens=max_doc_tokens,
         return_history=True,
+        fuse=fuse,
     )
     a_id, b_id = f"a_{id_col}", f"b_{id_col}"
     pairs = _adjacent_pairs(ranks, ["r", id_col, "pos"], n_parts)

@@ -2212,3 +2212,77 @@ def x42_bfs_distances(spark, sf_dir):
     return bfs_distances(
         e1.unionByName(e2), ["h0", "h1", "h2"], rounds=12
     )
+
+
+@register(
+    "x43_gapfill_locf",
+    # Exactness: each grid point's held value IS its owning sample
+    # interval's quantized value — no arithmetic beyond x17's micro-unit
+    # quantization and integer hour alignment, so the fill is trivially
+    # bit-identical.  Grid definition shared with x29: hour multiples in
+    # [ceil_hour(first sample), last sample] per user; the last sample
+    # emits its own hour-aligned points (the locf right edge).
+    oracle="""
+    WITH s43 AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             min(CAST(floor(value * 1000000) AS BIGINT)) AS qv
+      FROM events WHERE value IS NOT NULL
+      GROUP BY user_id, epoch_us(ts)
+    ),
+    ann43 AS (
+      SELECT user_id, us, qv,
+             lead(us) OVER (PARTITION BY user_id ORDER BY us) AS nus
+      FROM s43
+    )
+    SELECT user_id, CAST(g AS BIGINT) AS grid_us,
+           CAST(qv AS BIGINT) AS v_micro,
+           CAST(qv AS BIGINT) / 1000000.0 AS v
+    FROM ann43,
+         unnest(range(((us + 3599999999) // 3600000000) * 3600000000,
+                      CASE WHEN nus IS NULL THEN us + 1 ELSE nus END,
+                      3600000000)) AS u(g)
+    """,
+)
+def x43_gapfill_locf(spark, sf_dir):
+    """Regular-grid gap-fill with last-observation-carried-forward
+    (TimescaleDB's `locf` under `time_bucket_gapfill` — x29's simpler
+    sibling: the held value is the bracketing PREVIOUS sample's, no
+    interpolation).  Same one-exchange plan as x29: an explicit
+    repartition(user_id) shared by the (user, µs) collapse and the
+    lead() window, each sample row exploding exactly the hour-aligned
+    grid points its interval owns — only sample rows ever sort, grid
+    points are emitted with their held value already attached (no
+    joins, no second pass).  All integer µs; the fill copies the
+    quantized value verbatim, so the entry is trivially oracle-exact."""
+    from pyspark.sql import Window as W
+
+    hour = 3_600_000_000
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    s = (
+        ev.select(
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+            F.floor(F.col("value") * 1000000).cast("long").alias("qv"),
+        )
+        .repartition("user_id")
+        .groupBy("user_id", "us")
+        .agg(F.min("qv").alias("qv"))
+    )
+    w = W.partitionBy("user_id").orderBy("us")
+    ann = s.select(
+        "user_id", "us", "qv", F.lead("us").over(w).alias("nus")
+    )
+    first_g = f"((us + {hour - 1}) div {hour}) * {hour}"
+    last_g = f"CASE WHEN nus IS NULL THEN (us div {hour}) * {hour} ELSE ((nus - 1) div {hour}) * {hour} END"
+    return ann.select(
+        "user_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN {first_g} <= {last_g}"
+                f" THEN sequence({first_g}, {last_g}, {hour})"
+                f" ELSE array() END"
+            )
+        ).alias("grid_us"),
+        F.col("qv").cast("long").alias("v_micro"),
+        (F.col("qv").cast("long") / F.lit(1000000.0)).alias("v"),
+    )

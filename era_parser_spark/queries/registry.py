@@ -128,10 +128,12 @@ _FIRST_50 = [
     "p15_curation_v3",
     "p19_curation_v4",
     "p20_curation_v5",
-    # sequence / interval analytics
+    # sequence / interval analytics + graph (round 10: x35 rotated out for
+    # x42 — the sequence family keeps x30's external gate, and the graph
+    # tier (x25/x26/x32/x39/x42) had never had a driver-gated member)
     "x29_grid_interpolate",
     "x30_window_funnel",
-    "x35_sequence_match",
+    "x42_bfs_distances",
     "x38_peak_concurrency",
     # streaming: custom stateful, stream-stream join, batch-trained serving
     "st2_stateful_gap_monitor",

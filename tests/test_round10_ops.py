@@ -448,3 +448,49 @@ def test_asof_enrich_null_value_clicks_not_updates(spark, tmp_path_factory):
     )
     rows = [tuple(r) for r in out.collect()]
     assert rows == [(3, 1, 3_000_000, 1_000_000, 4.25)]
+
+
+# --- x43: gap-fill locf -------------------------------------------------------
+
+
+def test_x43_locf_semantics(spark, duck, tmp_path):
+    """Hand fixture: samples at 10:30 (v=1.5) and 12:15 (v=2.5) hold
+    their value on the hourly grid — 11:00 and 12:00 carry 1.5; the last
+    sample emits nothing until an aligned hour lands on it.  A second
+    user with one hour-ALIGNED sample emits exactly itself (the locf
+    right edge).  Engine vs oracle compared on the same parquet."""
+    import pandas as _pd
+
+    from era_parser_spark.queries import ORACLES, QUERIES, load_all
+
+    load_all()
+    base = datetime.datetime(2024, 1, 1, 10, 30, 0)
+    aligned = datetime.datetime(2024, 1, 1, 14, 0, 0)
+    rows = [
+        (1, 1, "view", base, 1.5),
+        (2, 1, "view", base + datetime.timedelta(minutes=105), 2.5),  # 12:15
+        (3, 2, "view", aligned, 7.25),
+        (4, 3, "view", base, None),  # NULL value: no samples, no grid
+    ]
+    pdf = _pd.DataFrame(
+        rows, columns=["event_id", "user_id", "event_type", "ts", "value"]
+    )
+    pdf["ts"] = _pd.to_datetime(pdf["ts"])
+    sf = str(tmp_path)
+    pdf.to_parquet(f"{sf}/events.parquet", index=False)
+
+    got = sorted(
+        tuple(r) for r in QUERIES["x43_gapfill_locf"](spark, sf).collect()
+    )
+    duck.execute(
+        f"CREATE OR REPLACE VIEW events AS SELECT * FROM '{sf}/events.parquet'"
+    )
+    want = sorted(tuple(r) for r in duck.execute(ORACLES["x43_gapfill_locf"]).fetchall())
+    assert got == want
+    h = 3_600_000_000
+    us_11 = int(_pd.Timestamp("2024-01-01 11:00:00").value // 1000)
+    assert (1, us_11, 1_500_000, 1.5) in got
+    assert (1, us_11 + h, 1_500_000, 1.5) in got  # 12:00 still holds 1.5
+    assert (2, us_11 + 3 * h, 7_250_000, 7.25) in got  # aligned sample emits itself
+    users = {g[0] for g in got}
+    assert users == {1, 2}
