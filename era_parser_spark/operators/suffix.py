@@ -442,7 +442,7 @@ def global_suffix_ranks(
     n_parts: int | None = None,
     max_doc_tokens: int | None = None,
     return_history: bool = False,
-    fuse: bool = True,
+    fuse: bool | None = None,
 ):
     """(id, pos, r, __n): GLOBAL suffix ranks over the whole corpus — the
     rank compares token suffixes ACROSS documents (each document's suffix
@@ -507,7 +507,16 @@ def global_suffix_ranks(
     w = Window.partitionBy(id_col).orderBy("pos")
     off = 1
     comp_k = n_rows + 2  # composite base: dense ranks are <= n_rows
-    # fuse=False forces the round-9 one-level loop (differential/debug)
+    # fuse=None (default) is AUTO: fused super-rounds win where fixed
+    # per-round overhead dominates (sampling jobs, offset collects, stage
+    # scheduling — measured 31 -> 13 s at 270k positions) and LOSE where
+    # byte volume dominates (the 4-lead frames are two longs/row wider —
+    # measured 75.1 s classic vs 89.2 s fused on the 2.4M-position 8x
+    # clone corpus, same session).  The threshold picks the overhead
+    # regime; large jobs — including everything near the int64 composite
+    # bound — take the classic one-level loop.  fuse=True/False forces.
+    if fuse is None:
+        fuse = n_rows <= 1_500_000
     fuse_ok = fuse and comp_k * comp_k < (1 << 63) - 1
     while off < max_len and n_classes < n_rows:
         if not fuse_ok or 2 * off >= max_len:
@@ -577,7 +586,7 @@ def longest_cross_doc_span(
     text_col: str,
     n_parts: int | None = None,
     max_doc_tokens: int | None = None,
-    fuse: bool = True,
+    fuse: bool | None = None,
 ) -> DataFrame:
     """EXACT longest token span each document shares VERBATIM with any
     OTHER document — the quantity dd10/dd16's fixed-l grams approximate
