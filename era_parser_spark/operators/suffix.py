@@ -204,14 +204,43 @@ def longest_repeated_span(
         df, id_col, text_col, return_history=True, max_doc_tokens=max_doc_tokens
     )
     w = Window.partitionBy(id_col)
-    # rank-adjacent pairs: (start_i, start_j) of consecutive suffixes
+    # rank-adjacent pairs: (start_i, start_j) of consecutive suffixes;
+    # per-pair remaining lengths ride along (max pos over the same
+    # partition shares the lead's exchange) so each walk level can skip
+    # pairs that provably can't match it — see the cross-doc walk's
+    # level-skip note (same-doc suffixes have distinct lengths, so the
+    # both-short equality case is impossible outright)
     pairs = ranks.select(
         id_col,
         F.col("pos").alias("i"),
         F.lead("pos").over(w.orderBy("suffix_rank")).alias("j"),
+        F.max("pos").over(w).alias("__n"),
         F.lit(0).cast("long").alias("lcp"),
     ).filter(F.col("j").isNotNull())
+    pairs = pairs.select(
+        id_col,
+        "i",
+        "j",
+        (F.col("__n") - F.col("i") + 1).alias("rem_a"),
+        (F.col("__n") - F.col("j") + 1).alias("rem_b"),
+        "lcp",
+    )
+    pair_cols = [id_col, "i", "j", "rem_a", "rem_b", "lcp"]
+    # same walk-strategy split as longest_cross_doc_span (pair count ~
+    # position count; ranks projects a checkpointed frame, the count is
+    # one cheap job): lazy single-job chain small, level-skip +
+    # per-level checkpoint large
+    big_walk = ranks.count() > 1_000_000
     for L, rk in sorted(history, key=lambda t: -t[0]):
+        if big_walk:
+            can = F.col("lcp") + F.lit(L) <= F.least(
+                F.col("rem_a"), F.col("rem_b")
+            )
+            probe = pairs.filter(can)
+            rest = pairs.filter(~can).select(*pair_cols)
+        else:
+            probe = pairs
+            rest = None
         ra = rk.select(
             F.col(id_col).alias("__ida"),
             F.col("pos").alias("__pa"),
@@ -222,8 +251,8 @@ def longest_repeated_span(
             F.col("pos").alias("__pb"),
             F.col("r").alias("__rb"),
         )
-        pairs = (
-            pairs.join(
+        probed = (
+            probe.join(
                 ra,
                 (F.col(id_col) == F.col("__ida"))
                 & (F.col("__pa") == F.col("i") + F.col("lcp")),
@@ -239,6 +268,8 @@ def longest_repeated_span(
                 id_col,
                 "i",
                 "j",
+                "rem_a",
+                "rem_b",
                 F.when(
                     F.col("__ra").isNotNull() & (F.col("__ra") == F.col("__rb")),
                     F.col("lcp") + L,
@@ -255,6 +286,13 @@ def longest_repeated_span(
             # no early stop: 49.6 -> 31.2 s — same host window,
             # identical results)
         )
+        # big walk: checkpoint the re-united frame (the probe/rest split
+        # references `pairs` twice — without materialization the lazy
+        # plan tree doubles per level, the multi-branch trap)
+        if big_walk:
+            pairs = probed.unionByName(rest).localCheckpoint(eager=True)
+        else:
+            pairs = probed
     per_doc = pairs.groupBy(id_col).agg(F.max("lcp").alias("longest_repeat"))
     # single-token docs have no adjacent pair; they still report 0.
     # Docs skipped by the max_doc_tokens guard aren't in `ranks` at all —
@@ -507,16 +545,18 @@ def global_suffix_ranks(
     w = Window.partitionBy(id_col).orderBy("pos")
     off = 1
     comp_k = n_rows + 2  # composite base: dense ranks are <= n_rows
-    # fuse=None (default) is AUTO: fused super-rounds win where fixed
-    # per-round overhead dominates (sampling jobs, offset collects, stage
-    # scheduling — measured 31 -> 13 s at 270k positions) and LOSE where
-    # byte volume dominates (the 4-lead frames are two longs/row wider —
-    # measured 75.1 s classic vs 89.2 s fused on the 2.4M-position 8x
-    # clone corpus, same session).  The threshold picks the overhead
-    # regime; large jobs — including everything near the int64 composite
-    # bound — take the classic one-level loop.  fuse=True/False forces.
+    # fuse=None (default) fuses: the REST shuffle counters show fused
+    # construction strictly cheaper at both measured scales — 313 vs
+    # 457 MB and 15.8 vs 23.5 s on the 2.4M-position 8x clone corpus
+    # (same session, level-skip walk), 13 vs 31 s at 270k positions —
+    # halving the range-shuffle rounds outweighs the wider 4-lead rows.
+    # (An earlier single-window A/B read classic as faster; the stable
+    # byte counters and a clean re-measure showed that was host noise —
+    # docs/PLANS.md round 10.)  The only hard fallback is the int64
+    # composite bound (~3e9 positions per job); fuse=False forces the
+    # one-level loop for differentials.
     if fuse is None:
-        fuse = n_rows <= 1_500_000
+        fuse = True
     fuse_ok = fuse and comp_k * comp_k < (1 << 63) - 1
     while off < max_len and n_classes < n_rows:
         if not fuse_ok or 2 * off >= max_len:
@@ -644,7 +684,34 @@ def longest_cross_doc_span(
         rem_b.alias("rem_b"),
         F.lit(0).cast("long").alias("lcp"),
     )
+    ne_cols = [a_id, "i", b_id, "j", "rem_a", "rem_b", "lcp"]
+    # Walk strategy (round 10), picked by pair count off the already-
+    # checkpointed cross frame (the count is one cheap job):
+    # * SMALL (bench-scale) corpora: the round-9 lazy single-job chain —
+    #   per-level materializations are pure fixed overhead there
+    #   (measured 13 vs 25 s at sf0.1).
+    # * LARGE corpora: per-level LEVEL SKIP + checkpoint.  For RANK-
+    #   DISTINCT pairs, level-L equality is impossible unless
+    #   lcp + L <= min(remaining lengths) — an asymmetric-length pair
+    #   mismatches on the -1 sentinel components, and a both-short equal
+    #   pair would mean identical full suffixes, contradicting distinct
+    #   final ranks.  Pairs that can't match skip the probe (lcp
+    #   unchanged); the checkpoint both bounds the probe/rest two-branch
+    #   plan (2^levels subtree explosion otherwise — it OOMed the driver)
+    #   and lets AQE see the true shrunken probe sizes and broadcast
+    #   them instead of shuffling the full rank table: total t35 shuffle
+    #   measured 2261 -> 1064 MB on the 2.4M-position 8x clone corpus.
+    big_walk = cross.count() > 1_000_000
     for L, rk in sorted(history, key=lambda t: -t[0]):
+        if big_walk:
+            can = F.col("lcp") + F.lit(L) <= F.least(
+                F.col("rem_a"), F.col("rem_b")
+            )
+            probe = ne.filter(can)
+            rest = ne.filter(~can).select(*ne_cols)
+        else:
+            probe = ne
+            rest = None
         ra = rk.select(
             F.col(id_col).alias("__ida"),
             F.col("pos").alias("__pa"),
@@ -655,8 +722,8 @@ def longest_cross_doc_span(
             F.col("pos").alias("__pb"),
             F.col("r").alias("__rb"),
         )
-        ne = (
-            ne.join(
+        probed = (
+            probe.join(
                 ra,
                 (F.col(a_id) == F.col("__ida"))
                 & (F.col("__pa") == F.col("i") + F.col("lcp")),
@@ -686,6 +753,13 @@ def longest_cross_doc_span(
             # history frames are materialized, single consumer — one job
             # for the whole walk instead of one per level
         )
+        # the probe/rest split references ne twice, so the big walk MUST
+        # materialize per level (multi-branch plan-explosion trap); the
+        # small walk stays the round-9 lazy single-consumer chain
+        if big_walk:
+            ne = probed.unionByName(rest).localCheckpoint(eager=True)
+        else:
+            ne = probed
     ne_final = ne.select(
         a_id,
         b_id,

@@ -1224,3 +1224,116 @@ def p20_curation_v5(spark, sf_dir):
         "doc_id", "text", F.length("text").cast("long").alias("__q")
     )
     return fuzzy_dedup(surv, "doc_id", "text", threshold=0.5, keeper=("__q", "max"))
+
+
+def _p21_oracle(budget: int) -> str:
+    # Gopher relaxed-rules gate (p20's proven SQL block + source carried
+    # through) -> t31's 8 BPE merge rounds TRAINED ON THE GATED CORPUS
+    # (_bpe_ctes parameterized: prefix = the gate CTEs, src = gsurv21) ->
+    # t32's relational per-doc count -> p10's per-source budget cumsum.
+    from era_parser_spark.queries.text import _TOK, _bpe_ctes
+
+    gate = f"""m21 AS (
+      SELECT doc_id, source, text, coalesce(text, '') AS t,
+             regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+') AS tok,
+             string_split(coalesce(text, ''), chr(10)) AS ln
+      FROM documents
+    ),
+    g21 AS (
+      SELECT doc_id, source, text,
+        CAST(len(tok) AS BIGINT) AS n_words,
+        CAST(list_sum(list_transform(tok, x -> length(x))) AS DOUBLE)
+          / len(tok) AS mean_word_len,
+        CAST((length(t) - length(replace(t, '#', '')))
+             + (length(t) - length(replace(t, '...', ''))) // 3
+             + (length(t) - length(replace(t, '…', ''))) AS DOUBLE)
+          / len(tok) AS symbol_word_ratio,
+        CAST(len(list_filter(ln,
+               l -> substr(ltrim(l), 1, 1) IN ('-', '*', '•'))) AS DOUBLE)
+          / len(ln) AS bullet_line_frac,
+        CAST(len(list_filter(ln,
+               l -> ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…')))
+             AS DOUBLE) / len(ln) AS ellipsis_line_frac,
+        CAST(len(list_filter(tok, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+          / len(tok) AS alpha_word_frac,
+        CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+               w -> list_contains(tok, w))) AS BIGINT) AS n_req
+      FROM m21
+    ),
+    gsurv21 AS MATERIALIZED (
+      SELECT doc_id, source, text FROM g21
+      WHERE n_words >= 40 AND n_words <= 100000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND symbol_word_ratio <= 0.1
+        AND bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3
+        AND alpha_word_frac >= 0.8 AND n_req >= 1
+    ),
+    """
+    return _bpe_ctes(8, src="gsurv21", prefix=gate) + f""",
+    docw21 AS MATERIALIZED (
+      SELECT doc_id, unnest({_TOK}) AS w FROM gsurv21
+      WHERE text IS NOT NULL AND trim(text) != ''
+    ),
+    cnt21 AS (
+      SELECT d.doc_id, CAST(sum(len(b.syms)) AS BIGINT) AS bpe_tokens
+      FROM docw21 d JOIN bw8 b ON b.w = d.w
+      WHERE length(d.w) > 0
+      GROUP BY d.doc_id
+    ),
+    j21 AS (
+      SELECT g.source, g.doc_id, c.bpe_tokens
+      FROM gsurv21 g JOIN cnt21 c USING (doc_id)
+    )
+    SELECT source, doc_id, bpe_tokens,
+           CAST(sum(bpe_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_tokens,
+           sum(bpe_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) <= {budget} AS kept
+    FROM j21
+    """
+
+
+@register("p21_curation_v6", oracle=_p21_oracle(3000))
+def p21_curation_v6(spark, sf_dir):
+    """Curation v6 — budget the training mix in REAL tokenizer tokens:
+    Gopher relaxed-rules gate (zero-shuffle codegen) -> distributed BPE
+    training ON THE GATED CORPUS (t31's 8 exact merge rounds — the
+    tokenizer a pipeline would actually fit on its cleaned data) ->
+    relational per-doc token counts under that learned table (t32's
+    word-join, the corpus is never re-encoded in Python) -> per-source
+    token-budget cap on THOSE counts (p10's two-phase bucketed prefix
+    sum).  A mix spec says "N billion tokens per source" in model
+    tokens, not whitespace tokens — this is the end-to-end recipe that
+    delivers it, every trained artifact exact, whole program one chained
+    SQL.  Output: (source, doc_id, bpe_tokens, cum_tokens, kept)."""
+    from era_parser_spark.operators.curation import token_budget_cap
+    from era_parser_spark.operators.dedup import tokens_col
+    from era_parser_spark.operators.text import gopher_quality_flags
+    from era_parser_spark.operators.tokenizer import bpe_merges_distributed
+
+    docs = table(spark, sf_dir, "documents")
+    flags = gopher_quality_flags(
+        docs, "doc_id", "text",
+        min_words=40, min_required_stopwords=1,
+        keep_cols=("text", "source"),
+    )
+    surv = flags.filter(F.col("gopher_keep")).select("doc_id", "source", "text")
+    _, vocab = bpe_merges_distributed(surv, "text", n_merges=8, return_vocab=True)
+    words = (
+        surv.filter(F.col("text").isNotNull() & (F.trim("text") != ""))
+        .select("doc_id", F.explode(tokens_col(F.col("text"))).alias("w"))
+        .filter(F.length("w") > 0)
+    )
+    counts = (
+        words.join(vocab.select("w", F.size("syms").alias("__n")), "w")
+        .groupBy("doc_id")
+        .agg(F.sum("__n").cast("long").alias("bpe_tokens"))
+    )
+    counted = surv.select("source", "doc_id").join(counts, "doc_id")
+    return token_budget_cap(
+        counted, "source", "doc_id", "bpe_tokens", budget=3000
+    ).withColumnRenamed("n_tokens", "bpe_tokens")

@@ -1472,7 +1472,7 @@ def t30_rake_keywords(spark, sf_dir):
     return rake_keywords(docs, "doc_id", "text", top_n=3)
 
 
-def _bpe_ctes(k: int) -> str:
+def _bpe_ctes(k: int, src: str = "documents", prefix: str = "") -> str:
     """Unrolled-per-round BPE training CTEs (the x25 unrolled-PageRank
     pattern), shared by the t31 (merge table) and t32 (token count)
     oracles.  Every CTE is AS MATERIALIZED: DuckDB inlines plain CTE
@@ -1487,10 +1487,13 @@ def _bpe_ctes(k: int) -> str:
     run of the same symbol), and a position is consumed when its
     predecessor was kept.  Matches operators/tokenizer.py's python
     kernel bit-for-bit (pinned differentially in tests/test_round8_ops)."""
+    # src/prefix (round 10): p21 trains the tokenizer on a FILTERED
+    # corpus — `prefix` CTEs (e.g. the Gopher gate) go first, `src` names
+    # the relation the word table reads.  Defaults reproduce t31/t32.
     parts = [f"""
     WITH
-    tk31 AS MATERIALIZED (
-      SELECT unnest({_TOK}) AS w FROM documents
+    {prefix}tk31 AS MATERIALIZED (
+      SELECT unnest({_TOK}) AS w FROM {src}
       WHERE text IS NOT NULL AND trim(text) != ''
     ),
     bw0 AS MATERIALIZED (

@@ -494,3 +494,51 @@ def test_x43_locf_semantics(spark, duck, tmp_path):
     assert (2, us_11 + 3 * h, 7_250_000, 7.25) in got  # aligned sample emits itself
     users = {g[0] for g in got}
     assert users == {1, 2}
+
+
+# --- p21: curation v6 (budget in learned-BPE tokens) ---------------------------
+
+
+def test_p21_composition_semantics(spark):
+    """Composition pins the sweep can't see: the Gopher gate binds (gated
+    docs are absent from the audit frame), the budget binds (some rows
+    have kept=False), and a surviving doc's bpe_tokens equals the count
+    from encoding it with the TRAINED merge table (the t32 relational
+    count == bpe_encode_word differential, here through the composed
+    pipeline)."""
+    from era_parser_spark.operators.dedup import tokens_col
+    from era_parser_spark.operators.text import gopher_quality_flags
+    from era_parser_spark.operators.tokenizer import (
+        bpe_encode_word,
+        bpe_merges_distributed,
+    )
+    from era_parser_spark.queries import QUERIES, load_all
+    from era_parser_spark.queries.registry import table as _table
+
+    load_all()
+    sf = "/root/testdata/sf0.01"
+    out = QUERIES["p21_curation_v6"](spark, sf).collect()
+    assert len(out) > 0
+    kept_flags = {bool(r["kept"]) for r in out}
+    assert kept_flags == {True, False}  # the budget binds
+
+    docs = _table(spark, sf, "documents")
+    n_docs = docs.count()
+    assert len(out) < n_docs  # the gate binds
+
+    # independent count for one surviving doc: train the same merges on
+    # the same gated corpus, encode the doc's words with the python kernel
+    flags = gopher_quality_flags(
+        docs, "doc_id", "text",
+        min_words=40, min_required_stopwords=1, keep_cols=("text", "source"),
+    )
+    surv = flags.filter(F.col("gopher_keep")).select("doc_id", "text")
+    merges_df = bpe_merges_distributed(surv, "text", n_merges=8)
+    ranks = {
+        (r["left"], r["right"]): r["rank"] for r in merges_df.collect()
+    }
+    pick = sorted(out, key=lambda r: r["doc_id"])[0]
+    text = surv.filter(F.col("doc_id") == pick["doc_id"]).first()["text"]
+    words = [w for w in text.strip().lower().split() if w]
+    want = sum(len(bpe_encode_word(w, ranks)) for w in words)
+    assert pick["bpe_tokens"] == want
