@@ -132,6 +132,13 @@ HEADLINE = [
     "x40_mad_outliers",
     "st15_stream_mad_outlier_counts",
     "x41_state_durations",
+    # round-10 additions (t35 itself re-planned this round: fused
+    # construction + pair-count-adaptive LCP walk, 31 -> ~14 s solo)
+    "t38_wordpiece_greedy_counts",
+    "x42_bfs_distances",
+    "st16_stream_asof_enrich",
+    "x43_gapfill_locf",
+    "p21_curation_v6",
 ]
 
 
