@@ -34,6 +34,13 @@ from pyspark.sql.types import LongType, StructField, StructType
 
 from era_parser_spark.operators.dedup import tokens_col
 
+# Pair count above which the LCP walks switch from the lazy single-job
+# chain to the level-skip + per-level-checkpoint strategy (see
+# `longest_cross_doc_span`'s walk note).  Module-level so tests can
+# force the big walk on a small fixture and pin strategy equivalence
+# (tests/test_round11_ops.py monkeypatches it to 0).
+BIG_WALK_PAIR_THRESHOLD = 1_000_000
+
 
 def suffix_ranks(
     df: DataFrame,
@@ -230,7 +237,7 @@ def longest_repeated_span(
     # position count; ranks projects a checkpointed frame, the count is
     # one cheap job): lazy single-job chain small, level-skip +
     # per-level checkpoint large
-    big_walk = ranks.count() > 1_000_000
+    big_walk = ranks.count() > BIG_WALK_PAIR_THRESHOLD
     for L, rk in sorted(history, key=lambda t: -t[0]):
         if big_walk:
             can = F.col("lcp") + F.lit(L) <= F.least(
@@ -654,8 +661,64 @@ def longest_cross_doc_span(
 
     Output: (id, longest_shared) for every tokenizable document, 0 when
     nothing is shared (incl. a single-document corpus), NULL for docs
-    skipped by ``max_doc_tokens``.
+    skipped by ``max_doc_tokens`` (route those through
+    `longest_cross_doc_span_chunked` to keep them in the tier).
     """
+    per_doc = _cross_group_spans(
+        df,
+        id_col,
+        text_col,
+        n_parts=n_parts,
+        max_doc_tokens=max_doc_tokens,
+        fuse=fuse,
+    )
+    all_docs = (
+        df.filter(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
+        .select(id_col, F.size(tokens_col(F.col(text_col))).alias("__sz"))
+        .filter(F.col("__sz") >= 1)
+    )
+    skipped = (
+        F.col("__sz") > max_doc_tokens if max_doc_tokens is not None else F.lit(False)
+    )
+    return all_docs.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.when(skipped, F.lit(None))
+        .otherwise(F.coalesce("longest_shared", F.lit(0)))
+        .cast("long")
+        .alias("longest_shared"),
+    )
+
+
+def _cross_group_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_parts: int | None = None,
+    max_doc_tokens: int | None = None,
+    fuse: bool | None = None,
+    group_expr=None,
+) -> DataFrame:
+    """Core of the cross-doc span machinery: per-GROUP max LCP over
+    adjacent cross-group suffix pairs.  With ``group_expr=None`` every
+    row of df is its own group (the classic per-document semantics);
+    with a ``group_expr`` Column (derived from the unit id — the chunked
+    routing path) rows are UNITS and "cross-doc" means different group
+    values: same-group adjacent pairs (e.g. the identical suffixes two
+    overlapping chunks of one document share) are excluded, and the
+    output is keyed by group.
+
+    The suffix-adjacency exactness argument survives grouping verbatim:
+    between any cross-GROUP pair (p, q) take the last suffix of p's
+    group before q — its successor belongs to another group, the
+    adjacent LCP is >= LCP(p, q), and it involves p's group, so the
+    per-group max over adjacent cross-group pairs equals the max over
+    all cross-group pairs.  Equal-final-rank suffixes are identical
+    token sequences (same length), so any one adjacent cross-group pair
+    inside an equal-rank run carries the run's full shared length.
+
+    Returns (group_key, longest_shared) for groups with at least one
+    cross-group pair; the group key column is named ``__g`` when
+    group_expr is given, else ``id_col``."""
     ranks, history = global_suffix_ranks(
         df,
         id_col,
@@ -665,16 +728,24 @@ def longest_cross_doc_span(
         return_history=True,
         fuse=fuse,
     )
+    grouped = group_expr is not None
+    if grouped:
+        # derived lazily from the unit id (no join): one extra column
+        # riding the adjacent-pairs shuffle, only on the routed path
+        ranks = ranks.withColumn("__g", group_expr)
     a_id, b_id = f"a_{id_col}", f"b_{id_col}"
+    a_g, b_g = ("a___g", "b___g") if grouped else (a_id, b_id)
+    out_key = "__g" if grouped else id_col
     pairs = _adjacent_pairs(ranks, ["r", id_col, "pos"], n_parts)
-    cross = pairs.filter(F.col(a_id) != F.col(b_id)).localCheckpoint(eager=True)
+    cross = pairs.filter(F.col(a_g) != F.col(b_g)).localCheckpoint(eager=True)
     rem_a = F.col("a___n") - F.col("a_pos") + 1
     rem_b = F.col("b___n") - F.col("b_pos") + 1
     eq = cross.filter(F.col("a_r") == F.col("b_r")).select(
-        F.col(a_id),
-        F.col(b_id),
+        F.col(a_g),
+        F.col(b_g),
         F.least(rem_a, rem_b).cast("long").alias("lcp"),
     )
+    grp_extra = [a_g, b_g] if grouped else []
     ne = cross.filter(F.col("a_r") != F.col("b_r")).select(
         F.col(a_id),
         F.col("a_pos").alias("i"),
@@ -683,8 +754,9 @@ def longest_cross_doc_span(
         rem_a.alias("rem_a"),
         rem_b.alias("rem_b"),
         F.lit(0).cast("long").alias("lcp"),
+        *[F.col(c) for c in grp_extra],
     )
-    ne_cols = [a_id, "i", b_id, "j", "rem_a", "rem_b", "lcp"]
+    ne_cols = [a_id, "i", b_id, "j", "rem_a", "rem_b", "lcp", *grp_extra]
     # Walk strategy (round 10), picked by pair count off the already-
     # checkpointed cross frame (the count is one cheap job):
     # * SMALL (bench-scale) corpora: the round-9 lazy single-job chain —
@@ -701,7 +773,7 @@ def longest_cross_doc_span(
     #   and lets AQE see the true shrunken probe sizes and broadcast
     #   them instead of shuffling the full rank table: total t35 shuffle
     #   measured 2261 -> 1064 MB on the 2.4M-position 8x clone corpus.
-    big_walk = cross.count() > 1_000_000
+    big_walk = cross.count() > BIG_WALK_PAIR_THRESHOLD
     for L, rk in sorted(history, key=lambda t: -t[0]):
         if big_walk:
             can = F.col("lcp") + F.lit(L) <= F.least(
@@ -748,6 +820,7 @@ def longest_cross_doc_span(
                 )
                 .otherwise(F.col("lcp"))
                 .alias("lcp"),
+                *[F.col(c) for c in grp_extra],
             )
             # lazy chain, same argument as longest_repeated_span's walk:
             # history frames are materialized, single consumer — one job
@@ -761,29 +834,126 @@ def longest_cross_doc_span(
         else:
             ne = probed
     ne_final = ne.select(
-        a_id,
-        b_id,
+        a_g,
+        b_g,
         F.least("lcp", "rem_a", "rem_b").cast("long").alias("lcp"),
     )
     contrib = (
-        eq.select(F.col(a_id).alias(id_col), "lcp")
-        .unionByName(eq.select(F.col(b_id).alias(id_col), "lcp"))
-        .unionByName(ne_final.select(F.col(a_id).alias(id_col), "lcp"))
-        .unionByName(ne_final.select(F.col(b_id).alias(id_col), "lcp"))
+        eq.select(F.col(a_g).alias(out_key), "lcp")
+        .unionByName(eq.select(F.col(b_g).alias(out_key), "lcp"))
+        .unionByName(ne_final.select(F.col(a_g).alias(out_key), "lcp"))
+        .unionByName(ne_final.select(F.col(b_g).alias(out_key), "lcp"))
     )
-    per_doc = contrib.groupBy(id_col).agg(F.max("lcp").alias("longest_shared"))
+    return contrib.groupBy(out_key).agg(F.max("lcp").alias("longest_shared"))
+
+
+def longest_cross_doc_span_chunked(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_doc_tokens: int,
+    chunk_overlap: int | None = None,
+    n_parts: int | None = None,
+    fuse: bool | None = None,
+) -> DataFrame:
+    """`longest_cross_doc_span` with CHUNKED ROUTING for oversized
+    documents — the scale path where `max_doc_tokens` alone would SKIP a
+    document (the per-doc lead window puts each unit in one task, so a
+    pathological 5M-token document stalls the stage): documents over the
+    cap are split into overlapping token chunks of size C =
+    ``max_doc_tokens`` with overlap V = ``chunk_overlap`` (default C//2,
+    stride S = C - V), every chunk becomes a suffix UNIT, and
+    "cross-doc" is evaluated on the ORIGINAL document id (derived from
+    the unit key, so two overlapping chunks of one document never count
+    as sharing with each other).  Parallelism is now bounded by the
+    CHUNK size, never the document size — the longest document in the
+    corpus costs one C-token task per chunk.
+
+    Correctness contract (the chunk-boundary argument, also in
+    docs/PLANS.md round 11):
+
+    * any token window of length L <= V is fully contained in some
+      chunk (chunks start every S = C - V positions, so a start exists
+      in [p+L-C, p] whenever C - L >= S), hence every true shared span
+      of length <= V is detected EXACTLY — reported values below V are
+      exact;
+    * a true span longer than V still has its length-V prefix contained
+      in chunks on both sides, so the report is >= V — values >= V are
+      LOWER BOUNDS (read them as "at least V");
+    * every reported span is a real substring of both documents (chunks
+      are verbatim document substrings), so values never over-report.
+
+    For threshold-style ExactSubstr dedup ("remove docs sharing >= T
+    tokens", Lee et al. 2021) choose V >= T and the routed decision is
+    EXACT.  Tail chunks that a predecessor already covers to end-of-doc
+    are dropped (start == 0 or start + V < n_tokens keeps every
+    containment witness: a dropped chunk's predecessor reaches the
+    document end).
+
+    Unit keys are ``<id>#<chunk>`` strings (ids must not contain '#';
+    the testdata's are integers).  Output: (id, longest_shared, routed)
+    for every tokenizable document — routed marks documents that went
+    through chunking; a routed 0/low value still means "nothing shared
+    up to V"."""
+    if chunk_overlap is None:
+        chunk_overlap = max_doc_tokens // 2
+    if not (1 <= chunk_overlap < max_doc_tokens):
+        raise ValueError("need 1 <= chunk_overlap < max_doc_tokens")
+    c_sz, v_sz = max_doc_tokens, chunk_overlap
+    stride = c_sz - v_sz
+    base = (
+        df.filter(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
+        .select(
+            F.col(id_col).cast("string").alias("__ids"),
+            tokens_col(F.col(text_col)).alias("__t"),
+        )
+        .filter(F.size("__t") >= 1)
+        .select("__ids", "__t", F.size("__t").alias("__sz"))
+    )
+    small = base.filter(F.col("__sz") <= c_sz).select(
+        F.col("__ids").alias("__unit"),
+        F.array_join("__t", " ").alias("__text"),
+    )
+    big = (
+        base.filter(F.col("__sz") > c_sz)
+        .select(
+            "__ids",
+            "__t",
+            "__sz",
+            F.posexplode(
+                F.sequence(F.lit(0), F.col("__sz") - 1, F.lit(stride))
+            ).alias("__k", "__start"),
+        )
+        .filter((F.col("__start") == 0) | (F.col("__start") + v_sz < F.col("__sz")))
+        .select(
+            F.concat(
+                F.col("__ids"), F.lit("#"), F.col("__k").cast("string")
+            ).alias("__unit"),
+            F.array_join(
+                F.slice("__t", F.col("__start") + 1, F.lit(c_sz)), " "
+            ).alias("__text"),
+        )
+    )
+    units = small.unionByName(big)
+    per_grp = _cross_group_spans(
+        units,
+        "__unit",
+        "__text",
+        n_parts=n_parts,
+        fuse=fuse,
+        group_expr=F.substring_index(F.col("__unit"), "#", 1),
+    )
+    id_type = df.schema[id_col].dataType
+    per_doc = per_grp.select(
+        F.col("__g").cast(id_type).alias(id_col), "longest_shared"
+    )
     all_docs = (
         df.filter(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
         .select(id_col, F.size(tokens_col(F.col(text_col))).alias("__sz"))
         .filter(F.col("__sz") >= 1)
     )
-    skipped = (
-        F.col("__sz") > max_doc_tokens if max_doc_tokens is not None else F.lit(False)
-    )
     return all_docs.join(per_doc, id_col, "left").select(
         F.col(id_col),
-        F.when(skipped, F.lit(None))
-        .otherwise(F.coalesce("longest_shared", F.lit(0)))
-        .cast("long")
-        .alias("longest_shared"),
+        F.coalesce("longest_shared", F.lit(0)).cast("long").alias("longest_shared"),
+        (F.col("__sz") > c_sz).alias("routed"),
     )

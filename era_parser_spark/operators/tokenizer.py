@@ -631,12 +631,22 @@ def wordpiece_greedy_counts(words_df, pieces: list[str]):
     corpus is never re-encoded — per-doc counts come from a word join
     downstream (the t32/t37 shape).
 
+    The per-cursor scan is bucketed by FIRST CHARACTER (a piece can only
+    match a cursor whose character it starts with), so the inner loop is
+    O(pieces sharing w[i]'s first char) — with a realistic 30k-piece
+    BERT-style vocabulary that is a few-hundred-entry bucket, not the
+    whole vocab; within a bucket longest-first order preserves the
+    greedy longest-match rule exactly (equal-length distinct pieces can
+    never both match one cursor).
+
     Returns ``words_df`` + ``n_greedy`` (long): greedy piece count per
     word.
     """
     from pyspark.sql.types import LongType, StructField, StructType
 
-    by_len = sorted(set(pieces), key=lambda p: (-len(p), p))
+    by_first: dict[str, list[str]] = {}
+    for p in sorted(set(pieces), key=lambda p: (-len(p), p)):
+        by_first.setdefault(p[0], []).append(p)
 
     def fn(it):
         for pdf in it:
@@ -647,7 +657,7 @@ def wordpiece_greedy_counts(words_df, pieces: list[str]):
                 end = len(w)
                 while i < end:
                     step = 1
-                    for p in by_len:
+                    for p in by_first.get(w[i], ()):
                         if w.startswith(p, i):
                             step = len(p)
                             break

@@ -1206,12 +1206,15 @@ def p20_curation_v5(spark, sf_dir):
     filtering kept gives the curated corpus.
 
     Cost note: fuzzy_dedup consumes its input from several plan branches
-    (digest mapping, shingles, passthrough, keeper score), so the gopher
-    codegen scan re-runs per branch (~6x at sf0.1; all-JVM, no shuffle).
-    A production run at batch scale stages the filtered corpus to parquet
-    between the gate and the dedup (the process_eras_batch staging
-    pattern, docs/PLANS.md) — deliberately NOT done here so the registry
-    entry stays a pure two-operator composition."""
+    (digest mapping, shingles, passthrough, keeper score), so the gated
+    survivor projection is STAGED (localCheckpoint) between the gate and
+    the dedup — the gopher codegen gate runs ONCE instead of once per
+    branch (~6x at sf0.1; pinned by test_plan_audit's single-FileScan
+    check).  This is the in-session twin of the production recipe (stage
+    the filtered corpus to parquet between the two operators, the
+    process_eras_batch staging pattern, docs/PLANS.md); at true batch
+    scale prefer the parquet stage — a checkpoint pins executor storage
+    for the corpus' lifetime."""
     from era_parser_spark.operators.dedup import fuzzy_dedup
     from era_parser_spark.operators.text import gopher_quality_flags
 
@@ -1220,8 +1223,10 @@ def p20_curation_v5(spark, sf_dir):
         docs, "doc_id", "text",
         min_words=40, min_required_stopwords=1, keep_cols=("text",),
     )
-    surv = flags.filter(F.col("gopher_keep")).select(
-        "doc_id", "text", F.length("text").cast("long").alias("__q")
+    surv = (
+        flags.filter(F.col("gopher_keep"))
+        .select("doc_id", "text", F.length("text").cast("long").alias("__q"))
+        .localCheckpoint(eager=True)
     )
     return fuzzy_dedup(surv, "doc_id", "text", threshold=0.5, keeper=("__q", "max"))
 
@@ -1309,7 +1314,11 @@ def p21_curation_v6(spark, sf_dir):
     sum).  A mix spec says "N billion tokens per source" in model
     tokens, not whitespace tokens — this is the end-to-end recipe that
     delivers it, every trained artifact exact, whole program one chained
-    SQL.  Output: (source, doc_id, bpe_tokens, cum_tokens, kept)."""
+    SQL.  Output: (source, doc_id, bpe_tokens, cum_tokens, kept).
+
+    The gated survivors are STAGED (localCheckpoint) before the three
+    consumers (BPE trainer, word explode, source map) — same rationale
+    and production-parquet caveat as p20."""
     from era_parser_spark.operators.curation import token_budget_cap
     from era_parser_spark.operators.dedup import tokens_col
     from era_parser_spark.operators.text import gopher_quality_flags
@@ -1321,7 +1330,11 @@ def p21_curation_v6(spark, sf_dir):
         min_words=40, min_required_stopwords=1,
         keep_cols=("text", "source"),
     )
-    surv = flags.filter(F.col("gopher_keep")).select("doc_id", "source", "text")
+    surv = (
+        flags.filter(F.col("gopher_keep"))
+        .select("doc_id", "source", "text")
+        .localCheckpoint(eager=True)
+    )
     _, vocab = bpe_merges_distributed(surv, "text", n_merges=8, return_vocab=True)
     words = (
         surv.filter(F.col("text").isNotNull() & (F.trim("text") != ""))

@@ -1986,3 +1986,77 @@ def t38_wordpiece_greedy_counts(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.sum("n_greedy").cast("long").alias("wp_greedy_tokens"))
     )
+
+
+@register(
+    "t39_cross_doc_span_chunked",
+    # t35's exact cross-doc span, through the CHUNKED ROUTING path: docs
+    # over max_doc_tokens=96 split into overlapping 96-token chunks
+    # (overlap 94), cross-doc evaluated on the ORIGINAL id.  The oracle
+    # is t35's exact global-suffix SQL + a routed flag — sound because
+    # chunked detection is EXACT for spans <= overlap, and this corpus's
+    # max cross-doc span (93, re-derivable from the oracle itself) is
+    # below the 94-token overlap, so the routed answers equal the exact
+    # ones.  10 sf0.01 docs actually route (len > 96), so the chunk
+    # units, the same-doc-pair exclusion, and the group walk are all
+    # exercised against the exact oracle.
+    oracle=f"""
+    WITH d39 AS (
+      SELECT doc_id, {_TOK} AS tok FROM documents
+      WHERE text IS NOT NULL AND trim(text) != ''
+    ),
+    p39 AS (
+      SELECT doc_id, tok, CAST(i AS BIGINT) AS pos
+      FROM d39, unnest(generate_series(1, len(tok))) AS t(i)
+      WHERE len(tok) >= 1
+    ),
+    a39 AS (
+      SELECT doc_id,
+             tok[CAST(pos AS INTEGER):] AS suf,
+             lag(doc_id) OVER
+               (ORDER BY tok[CAST(pos AS INTEGER):], doc_id, pos) AS prev_doc,
+             lag(tok[CAST(pos AS INTEGER):]) OVER
+               (ORDER BY tok[CAST(pos AS INTEGER):], doc_id, pos) AS prev
+      FROM p39
+    ),
+    l39 AS (
+      SELECT doc_id, prev_doc,
+             CASE WHEN prev IS NULL OR prev_doc = doc_id THEN 0
+                  ELSE len(list_filter(
+                         generate_series(1, least(len(suf), len(prev))),
+                         k -> suf[1:CAST(k AS INTEGER)] = prev[1:CAST(k AS INTEGER)]))
+             END AS lcp
+      FROM a39
+    ),
+    c39 AS (
+      SELECT doc_id, lcp FROM l39
+      UNION ALL
+      SELECT prev_doc AS doc_id, lcp FROM l39
+      WHERE prev_doc IS NOT NULL AND prev_doc != doc_id
+    )
+    SELECT p.doc_id, CAST(COALESCE(max(c.lcp), 0) AS BIGINT) AS longest_shared,
+           (max(p.n) > 96) AS routed
+    FROM (SELECT doc_id, len(tok) AS n FROM d39 WHERE len(tok) >= 1) p
+    LEFT JOIN c39 c ON c.doc_id = p.doc_id
+    GROUP BY p.doc_id
+    """,
+)
+def t39_cross_doc_span_chunked(spark, sf_dir):
+    """Exact cross-document shared span through the CHUNKED ROUTING path
+    (round-11 scale fix: `max_doc_tokens` used to SKIP oversized docs —
+    the per-doc lead window serializes each unit into one task — so at
+    web scale the exact-substring tier silently dropped its LONGEST
+    documents, exactly the ones ExactSubstr dedup most needs).  Docs
+    over the cap are split into overlapping token chunks; each chunk is
+    a suffix unit; cross-doc is judged on the original id so a doc's own
+    overlapping chunks never match each other.  Exact for spans up to
+    the overlap, a >=overlap lower bound past it — decision-exact for
+    any dedup threshold <= overlap (docs/PLANS.md round 11 has the
+    containment argument; cross-chunk plants pinned in
+    tests/test_round11_ops.py)."""
+    from era_parser_spark.operators.suffix import longest_cross_doc_span_chunked
+
+    docs = table(spark, sf_dir, "documents")
+    return longest_cross_doc_span_chunked(
+        docs, "doc_id", "text", max_doc_tokens=96, chunk_overlap=94
+    )

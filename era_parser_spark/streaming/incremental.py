@@ -785,10 +785,15 @@ def _asof_fn(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     (user,) = key
+    # no-prior-click is modeled by NOT having state at all (state.update
+    # only ever runs after a valued click), never by a sentinel value —
+    # a negative-µs click (pre-1970 event time) is a perfectly valid
+    # dimension update and must enrich later purchases like any other
+    # (the SQL oracle has no epoch restriction).
     if state.exists:
         last_us, last_val = state.get
     else:
-        last_us, last_val = -1, 0.0
+        last_us, last_val = None, None
     evs: list[tuple[int, int, str, float | None]] = []
     for pdf in pdfs:
         for eid, et, us, val in zip(
@@ -809,11 +814,12 @@ def _asof_fn(
     # semantics as x1's UNBOUNDED PRECEDING..1 PRECEDING window frame, within
     # and across micro-batches
     for us, eid, et, val in sorted(evs, key=lambda t: (t[0], t[1])):
-        if et == "purchase" and last_us >= 0:
+        if et == "purchase" and last_us is not None:
             out.append((eid, int(user), us, last_us, last_val))
         if et == "click" and val is not None:
             last_us, last_val = us, val
-    state.update((int(last_us), float(last_val)))
+    if last_us is not None:
+        state.update((int(last_us), float(last_val)))
     yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame([], columns=cols)
 
 

@@ -741,3 +741,21 @@ def test_registry_plan_lint(spark):
 
     problems = lint(spark, m.queries(), "/root/testdata/sf0.001")
     assert problems == [], "\n".join(problems)
+
+
+def test_curation_v5_v6_gate_staged_once(spark, queries):
+    """p20/p21 (round 11): the gated survivor projection is STAGED
+    (localCheckpoint) between the gopher gate and the downstream
+    consumers, so the gate's codegen scan runs ONCE — the returned plan
+    reads the checkpoint (Scan ExistingRDD) and never re-plans the
+    documents parquet scan (it used to re-run ~6x, once per fuzzy_dedup
+    branch)."""
+    for name in ("p20_curation_v5", "p21_curation_v6"):
+        plan = (
+            queries[name](spark, SF_MED)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "ExistingRDD" in plan, name
+        assert plan.count("FileScan parquet") == 0, name

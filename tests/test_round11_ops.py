@@ -1,0 +1,312 @@
+"""Round-11 pins: the round-10 advice items + the chunked suffix routing.
+
+- suffix fuse differential: fuse=True vs fuse=False must be result-identical
+  (the classic one-level loop is the silent >3e9-position overflow fallback;
+  it had no automated differential).
+- big-walk strategy equivalence: BIG_WALK_PAIR_THRESHOLD is a module
+  constant so the level-skip + per-level-checkpoint walk — behaviorally a
+  different code path — is forceable on a small fixture.
+- st16: a pre-1970 (negative µs) click is a valid dimension update; the old
+  last_us = -1 sentinel silently dropped every purchase after it.
+- wordpiece greedy: the first-char piece bucketing must be scan-equivalent
+  to the full longest-first vocabulary scan.
+- chunked cross-doc span routing (the round-10 verdict's #1): oversized docs
+  are chunked, not skipped; spans <= overlap are exact, same-doc chunk
+  overlaps never self-match, and values past the overlap are lower bounds.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _spans(df) -> dict:
+    return {r["doc_id"]: r["longest_shared"] for r in df.collect()}
+
+
+# --- fuse=True vs fuse=False differential -------------------------------------
+
+
+def test_suffix_fuse_differential_per_doc(spark):
+    from era_parser_spark.operators.suffix import suffix_ranks
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").limit(40)
+    fused = {
+        (r["doc_id"], r["pos"]): r["suffix_rank"]
+        for r in suffix_ranks(docs, "doc_id", "text", fuse=True).collect()
+    }
+    classic = {
+        (r["doc_id"], r["pos"]): r["suffix_rank"]
+        for r in suffix_ranks(docs, "doc_id", "text", fuse=False).collect()
+    }
+    assert fused == classic and len(fused) > 0
+
+
+def test_suffix_fuse_differential_global_and_cross_doc(spark):
+    from era_parser_spark.operators.suffix import (
+        global_suffix_ranks,
+        longest_cross_doc_span,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "a quick brown fox ran far away from the dog"),
+        (3, "the quick brown fox jumps over the lazy dog again and again"),
+        (4, "zeta eta theta iota kappa"),
+        (5, "single"),
+    ]
+    docs = _docs(spark, rows)
+    g_fused = {
+        (r["doc_id"], r["pos"]): r["suffix_rank"]
+        for r in global_suffix_ranks(docs, "doc_id", "text", fuse=True).collect()
+    }
+    g_classic = {
+        (r["doc_id"], r["pos"]): r["suffix_rank"]
+        for r in global_suffix_ranks(docs, "doc_id", "text", fuse=False).collect()
+    }
+    assert g_fused == g_classic and len(g_fused) > 0
+    assert _spans(longest_cross_doc_span(docs, "doc_id", "text", fuse=True)) == _spans(
+        longest_cross_doc_span(docs, "doc_id", "text", fuse=False)
+    )
+
+
+# --- big-walk strategy equivalence on a small fixture -------------------------
+
+
+def test_big_walk_strategy_equivalence(spark, monkeypatch):
+    import era_parser_spark.operators.suffix as sfx
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta beta gamma delta"),
+        (2, "omega beta gamma delta epsilon psi chi"),
+        (3, "unrelated tokens entirely here now"),
+        (4, "alpha beta gamma delta epsilon zeta"),
+    ]
+    docs = _docs(spark, rows)
+    lazy_cross = _spans(sfx.longest_cross_doc_span(docs, "doc_id", "text"))
+    lazy_rep = {
+        r["doc_id"]: r["longest_repeat"]
+        for r in sfx.longest_repeated_span(docs, "doc_id", "text").collect()
+    }
+    monkeypatch.setattr(sfx, "BIG_WALK_PAIR_THRESHOLD", 0)
+    big_cross = _spans(sfx.longest_cross_doc_span(docs, "doc_id", "text"))
+    big_rep = {
+        r["doc_id"]: r["longest_repeat"]
+        for r in sfx.longest_repeated_span(docs, "doc_id", "text").collect()
+    }
+    assert big_cross == lazy_cross
+    assert big_rep == lazy_rep
+    # sanity on the fixture itself: docs 1/2 share "beta gamma delta
+    # epsilon" (4), docs 1/4 share 6, doc 1 self-repeats 3
+    assert lazy_cross[1] == 6 and lazy_cross[2] == 4 and lazy_cross[3] == 0
+    assert lazy_rep[1] == 3
+
+
+# --- st16: pre-1970 clicks are valid state ------------------------------------
+
+
+def test_asof_enrich_negative_us_click(spark, tmp_path_factory):
+    """A click with a pre-1970 event time (negative unix µs) must enrich
+    later purchases — the SQL oracle has no epoch restriction, and the
+    old -1 'no prior click' sentinel silently swallowed this state."""
+    import uuid as _uuid
+
+    from era_parser_spark.streaming.incremental import (
+        asof_enrich_monitor,
+        run_stream_once,
+    )
+
+    src = tmp_path_factory.mktemp("st16_neg_src")
+    sch = "user_id long, event_id long, event_type string, value double, us long"
+    spark.createDataFrame(
+        [
+            (1, 1, "click", 3.5, -5_000_000),  # 1969-12-31T23:59:55
+            (1, 2, "purchase", 0.0, -1_000_000),  # still pre-1970
+            (1, 3, "purchase", 0.0, 4_000_000),
+        ],
+        sch,
+    ).coalesce(1).write.parquet(str(src / "a"))
+    stream = spark.readStream.schema(sch).parquet(f"{src}/*")
+    out = run_stream_once(
+        asof_enrich_monitor(stream), f"asofneg_{_uuid.uuid4().hex[:8]}"
+    )
+    rows = {r["event_id"]: (r["last_click_us"], r["last_click_value"]) for r in out.collect()}
+    assert rows == {2: (-5_000_000, 3.5), 3: (-5_000_000, 3.5)}
+
+
+def test_asof_enrich_negative_us_state_carries(spark, tmp_path_factory):
+    """Negative-µs click state survives a micro-batch boundary (the
+    sentinel bug also dropped carried state, not just same-batch)."""
+    import uuid as _uuid
+
+    from era_parser_spark.streaming.incremental import (
+        asof_enrich_monitor,
+        run_stream_once,
+    )
+
+    src = tmp_path_factory.mktemp("st16_neg2_src")
+    sch = "user_id long, event_id long, event_type string, value double, us long"
+    spark.createDataFrame(
+        [(7, 1, "click", 9.0, -2_000_000)], sch
+    ).coalesce(1).write.parquet(str(src / "a_b1"))
+    spark.createDataFrame(
+        [(7, 2, "purchase", 0.0, 1_000_000)], sch
+    ).coalesce(1).write.parquet(str(src / "b_b2"))
+    stream = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    out = run_stream_once(
+        asof_enrich_monitor(stream), f"asofneg2_{_uuid.uuid4().hex[:8]}"
+    )
+    rows = [tuple(r) for r in out.collect()]
+    assert rows == [(2, 7, 1_000_000, -2_000_000, 9.0)]
+
+
+# --- wordpiece greedy: first-char bucketing is scan-equivalent ----------------
+
+
+def test_wordpiece_greedy_bucket_equivalence(spark):
+    from era_parser_spark.operators.tokenizer import wordpiece_greedy_counts
+
+    pieces = ["ab", "abc", "bcd", "cd", "a", "xyz", "yz"]
+
+    def brute(w: str) -> int:
+        by_len = sorted(set(pieces), key=lambda p: (-len(p), p))
+        n = i = 0
+        while i < len(w):
+            step = 1
+            for p in by_len:
+                if w.startswith(p, i):
+                    step = len(p)
+                    break
+            n += 1
+            i += step
+        return n
+
+    words = ["abcd", "aabcd", "xbcdyz", "xyzzy", "q", "abcabc", "bcda"]
+    wdf = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {
+        r["w"]: r["n_greedy"]
+        for r in wordpiece_greedy_counts(wdf, pieces).collect()
+    }
+    assert got == {w: brute(w) for w in words}
+
+
+# --- chunked cross-doc span routing -------------------------------------------
+
+
+def _filler(prefix: str, n: int) -> list[str]:
+    return [f"{prefix}{i}" for i in range(n)]
+
+
+def test_chunked_span_matches_exact_when_nothing_routes(spark):
+    from era_parser_spark.operators.suffix import (
+        longest_cross_doc_span,
+        longest_cross_doc_span_chunked,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "a quick brown fox ran away"),
+        (3, "totally different words in here"),
+    ]
+    docs = _docs(spark, rows)
+    exact = _spans(longest_cross_doc_span(docs, "doc_id", "text"))
+    routed = longest_cross_doc_span_chunked(
+        docs, "doc_id", "text", max_doc_tokens=100, chunk_overlap=50
+    )
+    assert _spans(routed) == exact
+    assert all(not r["routed"] for r in routed.collect())
+
+
+def test_chunked_span_cross_chunk_plant(spark):
+    """The mechanism pin for the round-10 verdict's #1: an oversized doc
+    (6000 tokens, cap 2000, overlap 1000 — disjoint tiling would cut at
+    2000) carries a 50-token phrase straddling position 2000; a small doc
+    shares it.  Routed output must still find the full 50-token span on
+    BOTH docs, a doc with no cross-doc content reports 0 despite its
+    chunks overlapping each other, and the oversized doc is flagged
+    routed."""
+    from era_parser_spark.operators.suffix import longest_cross_doc_span_chunked
+
+    plant = _filler("shared", 50)
+    big = _filler("a", 1990) + plant + _filler("b", 3960)  # 6000 tokens
+    assert len(big) == 6000
+    small = _filler("c", 20) + plant + _filler("d", 20)
+    lonely = _filler("e", 5000)  # oversized, nothing cross-doc
+    docs = _docs(
+        spark,
+        [(1, " ".join(big)), (2, " ".join(small)), (3, " ".join(lonely))],
+    )
+    out = longest_cross_doc_span_chunked(
+        docs, "doc_id", "text", max_doc_tokens=2000, chunk_overlap=1000
+    )
+    got = {r["doc_id"]: (r["longest_shared"], r["routed"]) for r in out.collect()}
+    assert got[1] == (50, True)
+    assert got[2] == (50, False)
+    assert got[3] == (0, True)
+
+
+def test_chunked_span_long_span_is_lower_bound(spark):
+    """A true shared span LONGER than the overlap reports at least the
+    overlap and never more than the truth (the documented contract)."""
+    from era_parser_spark.operators.suffix import longest_cross_doc_span_chunked
+
+    plant = _filler("p", 700)
+    big = _filler("a", 777) + plant + _filler("b", 1523)  # 3000 tokens
+    small = plant  # 700 tokens, the whole doc
+    docs = _docs(spark, [(1, " ".join(big)), (2, " ".join(small))])
+    out = longest_cross_doc_span_chunked(
+        docs, "doc_id", "text", max_doc_tokens=1000, chunk_overlap=500
+    )
+    got = {r["doc_id"]: (r["longest_shared"], r["routed"]) for r in out.collect()}
+    for doc_id in (1, 2):
+        val, routed = got[doc_id]
+        assert 500 <= val <= 700, got
+    assert got[1][1] is True and got[2][1] is False
+
+
+def test_chunked_span_validates_overlap(spark):
+    from era_parser_spark.operators.suffix import longest_cross_doc_span_chunked
+
+    docs = _docs(spark, [(1, "a b c")])
+    with pytest.raises(ValueError):
+        longest_cross_doc_span_chunked(
+            docs, "doc_id", "text", max_doc_tokens=10, chunk_overlap=10
+        )
+
+
+def test_chunked_registry_entry_routes_and_matches_exact(spark):
+    """t39 at sf0.001: chunked-routed values equal the exact operator's
+    (this corpus's max span < the 94-token overlap), and the routed flag
+    marks exactly the docs over the 96-token cap."""
+    from era_parser_spark.operators.suffix import longest_cross_doc_span
+    from era_parser_spark.queries import QUERIES, load_all
+
+    load_all()
+    out = QUERIES["t39_cross_doc_span_chunked"](spark, SF_SMALL)
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    exact = _spans(longest_cross_doc_span(docs, "doc_id", "text"))
+    got = {r["doc_id"]: r["longest_shared"] for r in out.collect()}
+    assert got == exact
+    from era_parser_spark.operators.dedup import tokens_col
+
+    sizes = {
+        r["doc_id"]: r["n"]
+        for r in docs.filter(
+            F.col("text").isNotNull() & (F.trim("text") != "")
+        )
+        .select("doc_id", F.size(tokens_col(F.col("text"))).alias("n"))
+        .collect()
+    }
+    routed = {r["doc_id"]: r["routed"] for r in out.collect()}
+    assert routed == {d: n > 96 for d, n in sizes.items() if n >= 1}
