@@ -99,46 +99,49 @@ _FIRST_50 = [
     "e18_string_cast",
     "e19_empty_guard",
     "e20_health_union",
-    # dedup flagship: exact, LSH, full pipeline w/ quality keeper,
-    # ExactSubstr cut, learned-cluster SemDeDup
-    "dd1_exact_dedup",
-    "dd3_minhash_lsh",
+    # ROTATION POLICY (round 11, verdict #3): each round swaps ~10 of the
+    # 30 non-e slots for flagships the external gate has never sampled,
+    # keeping every family represented — cycling the whole registry
+    # through the driver's 50-entry gate over ~15 rounds.  Round 11 out:
+    # dd1, dd3, s2, s16, t20, t29, t33, p12, x29, x30, st2 (all gated in
+    # r9/r10 or the r1-8 module-order prefix).  In: dd10, dd17, s13, s17,
+    # t32, t38, t39, p16, x32, x43, st14 (none ever driver-gated).
+    # dedup flagship: full pipeline w/ quality keeper, ExactSubstr cut,
+    # learned-cluster SemDeDup, shared-span detect, decontamination
     "dd9c_fuzzy_dedup_quality_keeper",
+    "dd10_shared_spans",
     "dd16_remove_shared_spans",
+    "dd17_semantic_decontaminate",
     "dd18_semdedup_kmeans",
-    # similarity / selection: IVF ANN, IVF-PQ rerank, Lloyd's, k-center init
-    "s2_ann_ivf_topk",
+    # similarity / selection: IVF-PQ rerank, ANN kNN-join, k-center, init
     "s11c_ivf_pq_rerank",
-    "s16_kmeans_lloyd",
+    "s13_ann_knn_join",
+    "s17_kcenter_greedy",
     "s18_kmeans_kcenter_init",
-    # text: Gopher gates, distributed BPE + WordPiece, suffix family
-    # (round 9: t1/t32 swapped out for the newest flagships — t1 is the
-    # simplest text op and t32 shares t31's CTE family; t35/t36 get the
-    # external gate instead)
-    "t20_gopher_rules",
-    "t29_gopher_repetition",
+    # text: distributed BPE train+count, WordPiece train + greedy
+    # inference, suffix family incl. the round-11 chunked routing
     "t31_bpe_merges",
-    "t33_suffix_ranks",
+    "t32_bpe_token_counts",
     "t34_longest_repeat",
     "t35_cross_doc_span",
     "t36_wordpiece_merges",
-    # curation pipelines: packing, v2, v3, v4, v5
+    "t38_wordpiece_greedy_counts",
+    "t39_cross_doc_span_chunked",
+    # curation pipelines: packing, v3, v4, v5, DSIR importance
     "p2_sequence_packing",
-    "p12_curation_v2",
     "p15_curation_v3",
+    "p16_dsir_importance",
     "p19_curation_v4",
     "p20_curation_v5",
-    # sequence / interval analytics + graph (round 10: x35 rotated out for
-    # x42 — the sequence family keeps x30's external gate, and the graph
-    # tier (x25/x26/x32/x39/x42) had never had a driver-gated member)
-    "x29_grid_interpolate",
-    "x30_window_funnel",
-    "x42_bfs_distances",
+    # sequence / interval / graph analytics
+    "x32_triangle_count",
     "x38_peak_concurrency",
-    # streaming: custom stateful, stream-stream join, batch-trained serving
-    "st2_stateful_gap_monitor",
+    "x42_bfs_distances",
+    "x43_gapfill_locf",
+    # streaming: stream-stream join, batch-trained serving, custom stateful
     "st8_stream_stream_join",
     "st13_stream_cluster_counts",
+    "st14_stream_sequence_count",
     # state management + TPC-H
     "d2_latest_state",
     "q1_pricing_summary",

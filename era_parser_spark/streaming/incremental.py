@@ -781,49 +781,64 @@ _ASOF_OUT_SCHEMA = (
 _ASOF_STATE_SCHEMA = "last_us long, last_val double"
 
 
-def _asof_fn(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    (user,) = key
-    # no-prior-click is modeled by NOT having state at all (state.update
-    # only ever runs after a valued click), never by a sentinel value —
-    # a negative-µs click (pre-1970 event time) is a perfectly valid
-    # dimension update and must enrich later purchases like any other
-    # (the SQL oracle has no epoch restriction).
-    if state.exists:
-        last_us, last_val = state.get
-    else:
-        last_us, last_val = None, None
-    evs: list[tuple[int, int, str, float | None]] = []
-    for pdf in pdfs:
-        for eid, et, us, val in zip(
-            pdf["event_id"], pdf["event_type"], pdf["us"], pdf["value"]
-        ):
-            evs.append(
-                (int(us), int(eid), str(et), None if pd.isna(val) else float(val))
-            )
-    cols = [
-        "event_id",
-        "user_id",
-        "purchase_us",
-        "last_click_us",
-        "last_click_value",
-    ]
-    out: list[tuple] = []
-    # replay in the (us, event_id) total order — the same strictly-prior-ROW
-    # semantics as x1's UNBOUNDED PRECEDING..1 PRECEDING window frame, within
-    # and across micro-batches
-    for us, eid, et, val in sorted(evs, key=lambda t: (t[0], t[1])):
-        if et == "purchase" and last_us is not None:
-            out.append((eid, int(user), us, last_us, last_val))
-        if et == "click" and val is not None:
-            last_us, last_val = us, val
-    if last_us is not None:
-        state.update((int(last_us), float(last_val)))
-    yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame([], columns=cols)
+def _make_asof_fn(ttl_ms: int | None):
+    def _asof_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        cols = [
+            "event_id",
+            "user_id",
+            "purchase_us",
+            "last_click_us",
+            "last_click_value",
+        ]
+        if ttl_ms is not None and state.hasTimedOut:
+            # TTL expiry: drop the stored click — the user re-enriches as
+            # no-prior-click (hasTimedOut invocations carry no data)
+            state.remove()
+            yield pd.DataFrame([], columns=cols)
+            return
+        (user,) = key
+        # no-prior-click is modeled by NOT having state at all (state.update
+        # only ever runs after a valued click), never by a sentinel value —
+        # a negative-µs click (pre-1970 event time) is a perfectly valid
+        # dimension update and must enrich later purchases like any other
+        # (the SQL oracle has no epoch restriction).
+        if state.exists:
+            last_us, last_val = state.get
+        else:
+            last_us, last_val = None, None
+        evs: list[tuple[int, int, str, float | None]] = []
+        for pdf in pdfs:
+            for eid, et, us, val in zip(
+                pdf["event_id"], pdf["event_type"], pdf["us"], pdf["value"]
+            ):
+                evs.append(
+                    (int(us), int(eid), str(et), None if pd.isna(val) else float(val))
+                )
+        out: list[tuple] = []
+        # replay in the (us, event_id) total order — the same strictly-prior-
+        # ROW semantics as x1's UNBOUNDED PRECEDING..1 PRECEDING window frame,
+        # within and across micro-batches
+        for us, eid, et, val in sorted(evs, key=lambda t: (t[0], t[1])):
+            if et == "purchase" and last_us is not None:
+                out.append((eid, int(user), us, last_us, last_val))
+            if et == "click" and val is not None:
+                last_us, last_val = us, val
+        if last_us is not None:
+            state.update((int(last_us), float(last_val)))
+            if ttl_ms is not None:
+                # ProcessingTimeTimeout clears on every invocation — re-arm
+                state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame([], columns=cols)
+
+    return _asof_fn
 
 
-def asof_enrich_monitor(stream: DataFrame) -> DataFrame:
+_asof_fn = _make_asof_fn(None)  # the oracle-path kernel (NoTimeout)
+
+
+def asof_enrich_monitor(stream: DataFrame, ttl_ms: int | None = None) -> DataFrame:
     """Streaming AS-OF enrichment join (the NINTH custom stateful
     operator; the live twin of x1's batch as-of join): per-user state is
     TWO scalars — the latest prior click's (event-time µs, value) — the
@@ -839,17 +854,31 @@ def asof_enrich_monitor(stream: DataFrame) -> DataFrame:
     last_click_value always move together.  The carried value is the raw
     binary64 double, untouched by arithmetic — bit-exact against the SQL
     oracle.  Over one AvailableNow batch the output equals the batch
-    window formulation exactly (st16's oracle); state is O(1) per user
-    forever (a production deployment adds a GroupStateTimeout TTL — kept
-    NoTimeout to preserve the batch-equality contract)."""
+    window formulation exactly (st16's oracle); with the default
+    ``ttl_ms=None`` state is O(1) per user forever (NoTimeout — the
+    batch-equality contract the registry oracle gates).
+
+    ``ttl_ms`` is the PRODUCTION bound for unbounded key spaces: a
+    ProcessingTimeTimeout of that many ms, re-armed on every invocation
+    that stores a click.  A user idle past the TTL has their stored
+    click dropped (the timeout invocation carries no data and emits
+    nothing), so their next purchase re-enriches as no-prior-click —
+    pinned in tests/test_round11_ops.py.  The oracle path stays
+    NoTimeout; TTL output is deliberately wall-clock-dependent and has
+    no batch twin."""
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return (
         stream.select("user_id", "event_id", "event_type", "us", "value")
         .groupBy("user_id")
         .applyInPandasWithState(
-            _asof_fn,
+            _make_asof_fn(ttl_ms),
             outputStructType=_ASOF_OUT_SCHEMA,
             stateStructType=_ASOF_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=timeout,
         )
     )

@@ -310,3 +310,137 @@ def test_chunked_registry_entry_routes_and_matches_exact(spark):
     }
     routed = {r["doc_id"]: r["routed"] for r in out.collect()}
     assert routed == {d: n > 96 for d, n in sizes.items() if n >= 1}
+
+
+# --- st16 production TTL ------------------------------------------------------
+
+
+def test_asof_enrich_ttl_expires_idle_state(spark, tmp_path_factory):
+    """Production TTL contract (opt-in ttl_ms): a user idle past the TTL
+    has their stored click dropped (the ProcessingTimeTimeout fires in an
+    empty micro-batch), so their next purchase re-enriches as
+    no-prior-click; a purchase arriving within the TTL enriches normally.
+    One continuous 500 ms-trigger query fed over wall-clock time —
+    availableNow is deliberately NOT used here: with timeouts armed its
+    end-of-input state-cleanup loop spins (observed StackOverflow in the
+    stream thread), which is itself why the ORACLE path stays NoTimeout.
+    Oracle path (ttl_ms=None) is untouched by this feature."""
+    import time
+    import uuid as _uuid
+
+    from era_parser_spark.streaming.incremental import asof_enrich_monitor
+
+    root = tmp_path_factory.mktemp("st16_ttl")
+    src = root / "src"
+    src.mkdir()
+    sch = "user_id long, event_id long, event_type string, value double, us long"
+    collected: list[tuple] = []
+    stream = spark.readStream.schema(sch).parquet(f"{src}/*")
+    q = (
+        asof_enrich_monitor(stream, ttl_ms=4000)
+        .writeStream.foreachBatch(
+            lambda bdf, _bid: collected.extend(tuple(r) for r in bdf.collect())
+        )
+        .queryName(f"ttl_{_uuid.uuid4().hex[:8]}")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    def wait_for(eid: int):
+        deadline = time.time() + 60
+        while time.time() < deadline and all(r[0] != eid for r in collected):
+            time.sleep(0.5)
+        assert any(r[0] == eid for r in collected), (eid, collected)
+
+    try:
+        # one file: u1 click (state armed), u2 click+purchase (enriched
+        # same-batch — proves the TTL path still enriches live traffic)
+        spark.createDataFrame(
+            [
+                (1, 1, "click", 5.0, 1_000_000),
+                (2, 2, "click", 6.0, 1_000_000),
+                (2, 20, "purchase", 0.0, 2_000_000),
+            ],
+            sch,
+        ).coalesce(1).write.parquet(str(src / "a"))
+        wait_for(20)  # state for u1/u2 now armed, TTL clock started
+        time.sleep(6)  # idle > TTL: timeouts fire in empty batches
+        # u1's late purchase finds no state; u3's same-file click+purchase
+        # pair proves this file WAS processed (non-vacuous absence check)
+        spark.createDataFrame(
+            [
+                (1, 10, "purchase", 0.0, 3_000_000),
+                (3, 30, "click", 7.0, 1_000_000),
+                (3, 31, "purchase", 0.0, 2_000_000),
+            ],
+            sch,
+        ).coalesce(1).write.parquet(str(src / "c"))
+        wait_for(31)
+    finally:
+        q.stop()
+    assert (20, 2, 2_000_000, 1_000_000, 6.0) in collected
+    assert (31, 3, 2_000_000, 1_000_000, 7.0) in collected
+    assert all(r[0] != 10 for r in collected), collected
+
+
+# --- t38 greedy WordPiece through the byte-level pre-tokenizer seam -----------
+
+
+def test_wordpiece_greedy_byte_level_pattern_differential(spark):
+    """Train WordPiece with the GPT-2-style byte-level pre-tokenizer
+    (pattern=BPE_PATTERN), then apply greedy longest-match inference over
+    the SAME pre-tokens — the production encode seam t38's whitespace
+    registry entry documents.  Differential against a local pure-Python
+    greedy scan over re.findall pre-tokens (the t32-style parity shape)."""
+    import re
+
+    from era_parser_spark.operators.text import BPE_PATTERN
+    from era_parser_spark.operators.tokenizer import (
+        wordpiece_greedy_counts,
+        wordpiece_merges_distributed,
+    )
+
+    rows = [
+        (1, "Hello, world! The lower-case world says hello."),
+        (2, "hello hello world... the world, lowercased?"),
+        (3, "Punctuation-heavy: (hello); [world] {the} end."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    merges = wordpiece_merges_distributed(
+        df, "text", n_merges=10, pattern=BPE_PATTERN
+    )
+    pieces = [r["merged"] for r in merges.select("merged").collect()]
+    assert pieces, "trainer produced no merges on this corpus"
+    words = df.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0)
+        ).alias("w"),
+    ).filter(F.length("w") > 0)
+    counts = wordpiece_greedy_counts(words.select("w").distinct(), pieces)
+    got = {
+        r["doc_id"]: r["n"]
+        for r in words.join(counts, "w")
+        .groupBy("doc_id")
+        .agg(F.sum("n_greedy").alias("n"))
+        .collect()
+    }
+
+    by_len = sorted(set(pieces), key=lambda p: (-len(p), p))
+
+    def greedy(w: str) -> int:
+        n = i = 0
+        while i < len(w):
+            step = 1
+            for p in by_len:
+                if w.startswith(p, i):
+                    step = len(p)
+                    break
+            n += 1
+            i += step
+        return n
+
+    want = {
+        doc_id: sum(greedy(w) for w in re.findall(BPE_PATTERN, text) if w)
+        for doc_id, text in rows
+    }
+    assert got == want
