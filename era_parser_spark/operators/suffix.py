@@ -696,16 +696,19 @@ def _cross_group_spans(
     n_parts: int | None = None,
     max_doc_tokens: int | None = None,
     fuse: bool | None = None,
-    group_expr=None,
+    group_map: DataFrame | None = None,
 ) -> DataFrame:
     """Core of the cross-doc span machinery: per-GROUP max LCP over
-    adjacent cross-group suffix pairs.  With ``group_expr=None`` every
+    adjacent cross-group suffix pairs.  With ``group_map=None`` every
     row of df is its own group (the classic per-document semantics);
-    with a ``group_expr`` Column (derived from the unit id — the chunked
-    routing path) rows are UNITS and "cross-doc" means different group
-    values: same-group adjacent pairs (e.g. the identical suffixes two
-    overlapping chunks of one document share) are excluded, and the
-    output is keyed by group.
+    with a ``group_map`` frame (id_col -> ``__g``, one row per unit —
+    the chunked routing path) rows are UNITS and "cross-doc" means
+    different group values: same-group adjacent pairs (e.g. the
+    identical suffixes two overlapping chunks of one document share)
+    are excluded, and the output is keyed by group.  The group attaches
+    to the rank frame via ONE equi-join on the unit id (AQE broadcasts
+    the unit map when it fits) so only the group column — the original
+    doc id — rides the walk shuffles, never a composite key.
 
     The suffix-adjacency exactness argument survives grouping verbatim:
     between any cross-GROUP pair (p, q) take the last suffix of p's
@@ -718,7 +721,7 @@ def _cross_group_spans(
 
     Returns (group_key, longest_shared) for groups with at least one
     cross-group pair; the group key column is named ``__g`` when
-    group_expr is given, else ``id_col``."""
+    group_map is given, else ``id_col``."""
     ranks, history = global_suffix_ranks(
         df,
         id_col,
@@ -728,11 +731,9 @@ def _cross_group_spans(
         return_history=True,
         fuse=fuse,
     )
-    grouped = group_expr is not None
+    grouped = group_map is not None
     if grouped:
-        # derived lazily from the unit id (no join): one extra column
-        # riding the adjacent-pairs shuffle, only on the routed path
-        ranks = ranks.withColumn("__g", group_expr)
+        ranks = ranks.join(group_map, id_col)
     a_id, b_id = f"a_{id_col}", f"b_{id_col}"
     a_g, b_g = ("a___g", "b___g") if grouped else (a_id, b_id)
     out_key = "__g" if grouped else id_col
@@ -890,11 +891,15 @@ def longest_cross_doc_span_chunked(
     containment witness: a dropped chunk's predecessor reaches the
     document end).
 
-    Unit keys are ``<id>#<chunk>`` strings (ids must not contain '#';
-    the testdata's are integers).  Output: (id, longest_shared, routed)
-    for every tokenizable document — routed marks documents that went
-    through chunking; a routed 0/low value still means "nothing shared
-    up to V"."""
+    Unit identity is a fresh LONG id minted on the materialized unit
+    frame (monotonically_increasing_id over a localCheckpoint — stable
+    for every downstream consumer), with a (unit -> original id) map
+    joined back for the cross-group filter — so the walk shuffles stay
+    longs-only, the construction invariant the whole suffix family is
+    built on, and the original id type is never restricted.  Output:
+    (id, longest_shared, routed) for every tokenizable document —
+    routed marks documents that went through chunking; a routed 0/low
+    value still means "nothing shared up to V"."""
     if chunk_overlap is None:
         chunk_overlap = max_doc_tokens // 2
     if not (1 <= chunk_overlap < max_doc_tokens):
@@ -903,21 +908,18 @@ def longest_cross_doc_span_chunked(
     stride = c_sz - v_sz
     base = (
         df.filter(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
-        .select(
-            F.col(id_col).cast("string").alias("__ids"),
-            tokens_col(F.col(text_col)).alias("__t"),
-        )
+        .select(F.col(id_col), tokens_col(F.col(text_col)).alias("__t"))
         .filter(F.size("__t") >= 1)
-        .select("__ids", "__t", F.size("__t").alias("__sz"))
+        .select(id_col, "__t", F.size("__t").alias("__sz"))
     )
     small = base.filter(F.col("__sz") <= c_sz).select(
-        F.col("__ids").alias("__unit"),
+        F.col(id_col).alias("__g"),
         F.array_join("__t", " ").alias("__text"),
     )
     big = (
         base.filter(F.col("__sz") > c_sz)
         .select(
-            "__ids",
+            F.col(id_col).alias("__g"),
             "__t",
             "__sz",
             F.posexplode(
@@ -926,27 +928,26 @@ def longest_cross_doc_span_chunked(
         )
         .filter((F.col("__start") == 0) | (F.col("__start") + v_sz < F.col("__sz")))
         .select(
-            F.concat(
-                F.col("__ids"), F.lit("#"), F.col("__k").cast("string")
-            ).alias("__unit"),
+            "__g",
             F.array_join(
                 F.slice("__t", F.col("__start") + 1, F.lit(c_sz)), " "
             ).alias("__text"),
         )
     )
-    units = small.unionByName(big)
+    units = (
+        small.unionByName(big)
+        .withColumn("__uid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=True)
+    )
     per_grp = _cross_group_spans(
-        units,
-        "__unit",
+        units.select("__uid", "__text"),
+        "__uid",
         "__text",
         n_parts=n_parts,
         fuse=fuse,
-        group_expr=F.substring_index(F.col("__unit"), "#", 1),
+        group_map=units.select("__uid", "__g"),
     )
-    id_type = df.schema[id_col].dataType
-    per_doc = per_grp.select(
-        F.col("__g").cast(id_type).alias(id_col), "longest_shared"
-    )
+    per_doc = per_grp.select(F.col("__g").alias(id_col), "longest_shared")
     all_docs = (
         df.filter(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
         .select(id_col, F.size(tokens_col(F.col(text_col))).alias("__sz"))

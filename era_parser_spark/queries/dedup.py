@@ -1393,6 +1393,78 @@ def dd18_semdedup_kmeans(spark, sf_dir):
     )
 
 
+@register(
+    "dd19_exactsubstr_drop_routed",
+    # ExactSubstr doc-drop policy (Lee et al. 2021: drop documents that
+    # share >= T verbatim tokens with another document) computed through
+    # the round-11 CHUNKED ROUTING path, so no document is ever too big
+    # for the exact tier.  Decision-exact because T=20 <= overlap=94
+    # (chunked spans are exact below the overlap and >= overlap-bounded
+    # past it — either way the `>= 20` predicate is decided correctly);
+    # the oracle is the exact global-suffix SQL with the same predicate.
+    oracle="""
+    WITH dd19 AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+') AS tok
+      FROM documents
+      WHERE text IS NOT NULL AND trim(text) != ''
+    ),
+    pd19 AS (
+      SELECT doc_id, tok, CAST(i AS BIGINT) AS pos
+      FROM dd19, unnest(generate_series(1, len(tok))) AS t(i)
+      WHERE len(tok) >= 1
+    ),
+    ad19 AS (
+      SELECT doc_id,
+             tok[CAST(pos AS INTEGER):] AS suf,
+             lag(doc_id) OVER
+               (ORDER BY tok[CAST(pos AS INTEGER):], doc_id, pos) AS prev_doc,
+             lag(tok[CAST(pos AS INTEGER):]) OVER
+               (ORDER BY tok[CAST(pos AS INTEGER):], doc_id, pos) AS prev
+      FROM pd19
+    ),
+    ld19 AS (
+      SELECT doc_id, prev_doc,
+             CASE WHEN prev IS NULL OR prev_doc = doc_id THEN 0
+                  ELSE len(list_filter(
+                         generate_series(1, least(len(suf), len(prev))),
+                         k -> suf[1:CAST(k AS INTEGER)] = prev[1:CAST(k AS INTEGER)]))
+             END AS lcp
+      FROM ad19
+    ),
+    cd19 AS (
+      SELECT doc_id, lcp FROM ld19
+      UNION ALL
+      SELECT prev_doc AS doc_id, lcp FROM ld19
+      WHERE prev_doc IS NOT NULL AND prev_doc != doc_id
+    )
+    SELECT p.doc_id,
+           CAST(COALESCE(max(c.lcp), 0) AS BIGINT) AS longest_shared,
+           COALESCE(max(c.lcp), 0) < 20 AS kept
+    FROM (SELECT DISTINCT doc_id FROM pd19) p
+    LEFT JOIN cd19 c ON c.doc_id = p.doc_id
+    GROUP BY p.doc_id
+    """,
+)
+def dd19_exactsubstr_drop_routed(spark, sf_dir):
+    """ExactSubstr document-drop policy over the chunked-routing exact
+    spans: drop any document sharing >= 20 verbatim tokens with another
+    document.  The threshold is <= the chunk overlap, so the routed
+    decision equals the unchunked exact one even for documents the
+    `max_doc_tokens` guard would otherwise have SKIPPED (flagged NULL) —
+    the web-scale shape where the longest documents are precisely the
+    ones ExactSubstr most needs to see.  Output: (doc_id,
+    longest_shared, kept)."""
+    from era_parser_spark.operators.suffix import longest_cross_doc_span_chunked
+
+    docs = table(spark, sf_dir, "documents")
+    spans = longest_cross_doc_span_chunked(
+        docs, "doc_id", "text", max_doc_tokens=96, chunk_overlap=94
+    )
+    return spans.select(
+        "doc_id", "longest_shared", (F.col("longest_shared") < 20).alias("kept")
+    )
+
+
 def _mm9_oracle() -> str:
     from era_parser_spark.operators.multimodal import phash_dct_rows
 
