@@ -463,6 +463,26 @@ def main() -> int:
         r["shuffle_bytes_per_token"] = round(
             r["shuffle_write_mb"] * 1e6 / n_tokens, 1
         )
+        # chunked routing (round 11) with a cap that forces ~every doc
+        # through chunking (cap 64 / overlap 32 on ~99-token docs -> 3
+        # chunks each): the price of routing is the position multiplier
+        # ~ C/(C-V) (~1.9x here) plus the unit-map join; bytes are
+        # reported per ORIGINAL token so the multiplier is visible
+        from era_parser_spark.operators.suffix import (
+            longest_cross_doc_span_chunked,
+        )
+
+        r = phase(
+            "t39_chunked_c64_v32",
+            lambda: _noop(
+                longest_cross_doc_span_chunked(
+                    docs, "doc_id", "text", max_doc_tokens=64, chunk_overlap=32
+                )
+            ),
+        )
+        r["shuffle_bytes_per_token"] = round(
+            r["shuffle_write_mb"] * 1e6 / n_tokens, 1
+        )
         r = phase(
             "t31_bpe_merges_8rounds",
             lambda: bpe_merges_distributed(docs, "text", n_merges=8).count(),
