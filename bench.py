@@ -141,6 +141,7 @@ HEADLINE = [
     "p21_curation_v6",
     # round-11 additions: chunked suffix routing for oversized docs
     "t39_cross_doc_span_chunked",
+    "t40_longest_repeat_chunked",
 ]
 
 

@@ -689,6 +689,105 @@ def longest_cross_doc_span(
     )
 
 
+def _lcp_walk(
+    ne: DataFrame,
+    ne_cols: list[str],
+    history,
+    rank_id_col: str,
+    a_id: str,
+    b_id: str,
+    pair_count: int,
+) -> DataFrame:
+    """Binary-decomposition LCP walk over rank-DISTINCT suffix pairs,
+    shared by the cross-group (t35/t39) and chunked-repeat (t40) paths.
+
+    ``ne`` carries (a_id, i, b_id, j, rem_a, rem_b, lcp=0, *extras) with
+    (a_id, i) / (b_id, j) the unit-local (rank-table id, position) of
+    each suffix; extras ride untouched.  ``history`` is the
+    prefix-doubling rank-table list [(L, (rank_id_col, pos, r))].
+
+    Walk strategy (round 10), picked by pair count (callers count an
+    already-checkpointed frame — one cheap job):
+    * SMALL (bench-scale) corpora: the round-9 lazy single-job chain —
+      per-level materializations are pure fixed overhead there
+      (measured 13 vs 25 s at sf0.1).
+    * LARGE corpora: per-level LEVEL SKIP + checkpoint.  For RANK-
+      DISTINCT pairs, level-L equality is impossible unless
+      lcp + L <= min(remaining lengths) — an asymmetric-length pair
+      mismatches on the -1 sentinel components, and a both-short equal
+      pair would mean identical full suffixes, contradicting distinct
+      final ranks.  Pairs that can't match skip the probe (lcp
+      unchanged); the checkpoint both bounds the probe/rest two-branch
+      plan (2^levels subtree explosion otherwise — it OOMed the driver)
+      and lets AQE see the true shrunken probe sizes and broadcast
+      them instead of shuffling the full rank table: total t35 shuffle
+      measured 2261 -> 1064 MB on the 2.4M-position 8x clone corpus.
+    """
+    fixed = {a_id, "i", b_id, "j", "rem_a", "rem_b", "lcp"}
+    extras = [c for c in ne_cols if c not in fixed]
+    big_walk = pair_count > BIG_WALK_PAIR_THRESHOLD
+    for L, rk in sorted(history, key=lambda t: -t[0]):
+        if big_walk:
+            can = F.col("lcp") + F.lit(L) <= F.least(
+                F.col("rem_a"), F.col("rem_b")
+            )
+            probe = ne.filter(can)
+            rest = ne.filter(~can).select(*ne_cols)
+        else:
+            probe = ne
+            rest = None
+        ra = rk.select(
+            F.col(rank_id_col).alias("__ida"),
+            F.col("pos").alias("__pa"),
+            F.col("r").alias("__ra"),
+        )
+        rb = rk.select(
+            F.col(rank_id_col).alias("__idb"),
+            F.col("pos").alias("__pb"),
+            F.col("r").alias("__rb"),
+        )
+        probed = (
+            probe.join(
+                ra,
+                (F.col(a_id) == F.col("__ida"))
+                & (F.col("__pa") == F.col("i") + F.col("lcp")),
+                "left",
+            )
+            .join(
+                rb,
+                (F.col(b_id) == F.col("__idb"))
+                & (F.col("__pb") == F.col("j") + F.col("lcp")),
+                "left",
+            )
+            .select(
+                a_id,
+                "i",
+                b_id,
+                "j",
+                "rem_a",
+                "rem_b",
+                F.when(
+                    F.col("__ra").isNotNull() & (F.col("__ra") == F.col("__rb")),
+                    F.col("lcp") + L,
+                )
+                .otherwise(F.col("lcp"))
+                .alias("lcp"),
+                *[F.col(c) for c in extras],
+            )
+            # lazy chain, same argument as longest_repeated_span's walk:
+            # history frames are materialized, single consumer — one job
+            # for the whole walk instead of one per level
+        )
+        # the probe/rest split references ne twice, so the big walk MUST
+        # materialize per level (multi-branch plan-explosion trap); the
+        # small walk stays the round-9 lazy single-consumer chain
+        if big_walk:
+            ne = probed.unionByName(rest).localCheckpoint(eager=True)
+        else:
+            ne = probed
+    return ne
+
+
 def _cross_group_spans(
     df: DataFrame,
     id_col: str,
@@ -758,82 +857,7 @@ def _cross_group_spans(
         *[F.col(c) for c in grp_extra],
     )
     ne_cols = [a_id, "i", b_id, "j", "rem_a", "rem_b", "lcp", *grp_extra]
-    # Walk strategy (round 10), picked by pair count off the already-
-    # checkpointed cross frame (the count is one cheap job):
-    # * SMALL (bench-scale) corpora: the round-9 lazy single-job chain —
-    #   per-level materializations are pure fixed overhead there
-    #   (measured 13 vs 25 s at sf0.1).
-    # * LARGE corpora: per-level LEVEL SKIP + checkpoint.  For RANK-
-    #   DISTINCT pairs, level-L equality is impossible unless
-    #   lcp + L <= min(remaining lengths) — an asymmetric-length pair
-    #   mismatches on the -1 sentinel components, and a both-short equal
-    #   pair would mean identical full suffixes, contradicting distinct
-    #   final ranks.  Pairs that can't match skip the probe (lcp
-    #   unchanged); the checkpoint both bounds the probe/rest two-branch
-    #   plan (2^levels subtree explosion otherwise — it OOMed the driver)
-    #   and lets AQE see the true shrunken probe sizes and broadcast
-    #   them instead of shuffling the full rank table: total t35 shuffle
-    #   measured 2261 -> 1064 MB on the 2.4M-position 8x clone corpus.
-    big_walk = cross.count() > BIG_WALK_PAIR_THRESHOLD
-    for L, rk in sorted(history, key=lambda t: -t[0]):
-        if big_walk:
-            can = F.col("lcp") + F.lit(L) <= F.least(
-                F.col("rem_a"), F.col("rem_b")
-            )
-            probe = ne.filter(can)
-            rest = ne.filter(~can).select(*ne_cols)
-        else:
-            probe = ne
-            rest = None
-        ra = rk.select(
-            F.col(id_col).alias("__ida"),
-            F.col("pos").alias("__pa"),
-            F.col("r").alias("__ra"),
-        )
-        rb = rk.select(
-            F.col(id_col).alias("__idb"),
-            F.col("pos").alias("__pb"),
-            F.col("r").alias("__rb"),
-        )
-        probed = (
-            probe.join(
-                ra,
-                (F.col(a_id) == F.col("__ida"))
-                & (F.col("__pa") == F.col("i") + F.col("lcp")),
-                "left",
-            )
-            .join(
-                rb,
-                (F.col(b_id) == F.col("__idb"))
-                & (F.col("__pb") == F.col("j") + F.col("lcp")),
-                "left",
-            )
-            .select(
-                a_id,
-                "i",
-                b_id,
-                "j",
-                "rem_a",
-                "rem_b",
-                F.when(
-                    F.col("__ra").isNotNull() & (F.col("__ra") == F.col("__rb")),
-                    F.col("lcp") + L,
-                )
-                .otherwise(F.col("lcp"))
-                .alias("lcp"),
-                *[F.col(c) for c in grp_extra],
-            )
-            # lazy chain, same argument as longest_repeated_span's walk:
-            # history frames are materialized, single consumer — one job
-            # for the whole walk instead of one per level
-        )
-        # the probe/rest split references ne twice, so the big walk MUST
-        # materialize per level (multi-branch plan-explosion trap); the
-        # small walk stays the round-9 lazy single-consumer chain
-        if big_walk:
-            ne = probed.unionByName(rest).localCheckpoint(eager=True)
-        else:
-            ne = probed
+    ne = _lcp_walk(ne, ne_cols, history, id_col, a_id, b_id, cross.count())
     ne_final = ne.select(
         a_g,
         b_g,
@@ -900,45 +924,7 @@ def longest_cross_doc_span_chunked(
     (id, longest_shared, routed) for every tokenizable document —
     routed marks documents that went through chunking; a routed 0/low
     value still means "nothing shared up to V"."""
-    if chunk_overlap is None:
-        chunk_overlap = max_doc_tokens // 2
-    if not (1 <= chunk_overlap < max_doc_tokens):
-        raise ValueError("need 1 <= chunk_overlap < max_doc_tokens")
-    c_sz, v_sz = max_doc_tokens, chunk_overlap
-    stride = c_sz - v_sz
-    base = (
-        df.filter(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
-        .select(F.col(id_col), tokens_col(F.col(text_col)).alias("__t"))
-        .filter(F.size("__t") >= 1)
-        .select(id_col, "__t", F.size("__t").alias("__sz"))
-    )
-    small = base.filter(F.col("__sz") <= c_sz).select(
-        F.col(id_col).alias("__g"),
-        F.array_join("__t", " ").alias("__text"),
-    )
-    big = (
-        base.filter(F.col("__sz") > c_sz)
-        .select(
-            F.col(id_col).alias("__g"),
-            "__t",
-            "__sz",
-            F.posexplode(
-                F.sequence(F.lit(0), F.col("__sz") - 1, F.lit(stride))
-            ).alias("__k", "__start"),
-        )
-        .filter((F.col("__start") == 0) | (F.col("__start") + v_sz < F.col("__sz")))
-        .select(
-            "__g",
-            F.array_join(
-                F.slice("__t", F.col("__start") + 1, F.lit(c_sz)), " "
-            ).alias("__text"),
-        )
-    )
-    units = (
-        small.unionByName(big)
-        .withColumn("__uid", F.monotonically_increasing_id())
-        .localCheckpoint(eager=True)
-    )
+    units = _chunk_units(df, id_col, text_col, max_doc_tokens, chunk_overlap)
     per_grp = _cross_group_spans(
         units.select("__uid", "__text"),
         "__uid",
@@ -956,5 +942,179 @@ def longest_cross_doc_span_chunked(
     return all_docs.join(per_doc, id_col, "left").select(
         F.col(id_col),
         F.coalesce("longest_shared", F.lit(0)).cast("long").alias("longest_shared"),
-        (F.col("__sz") > c_sz).alias("routed"),
+        (F.col("__sz") > max_doc_tokens).alias("routed"),
+    )
+
+
+def _chunk_units(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_doc_tokens: int,
+    chunk_overlap: int | None,
+) -> DataFrame:
+    """Materialized unit frame for the chunked-routing paths: one row per
+    SUFFIX UNIT — small documents verbatim, oversized ones as
+    overlapping token chunks of size C = max_doc_tokens, overlap V =
+    chunk_overlap (default C//2), stride S = C - V.  Columns:
+    ``__uid`` (fresh long id, minted AFTER the checkpoint materializes
+    partition identity — stable for every consumer), ``__g`` (original
+    id), ``__start`` (0-based token offset of the unit in its document —
+    0 for unchunked docs; unit-local pos + __start = original doc
+    position), ``__text`` (space-rejoined lowercase tokens; tokens_col
+    round-trips exactly).  Tail chunks a predecessor already covers to
+    end-of-doc are pruned (keep start == 0 or start + V < n) — safe by
+    induction, the predecessor reaches the document end."""
+    if chunk_overlap is None:
+        chunk_overlap = max_doc_tokens // 2
+    if not (1 <= chunk_overlap < max_doc_tokens):
+        raise ValueError("need 1 <= chunk_overlap < max_doc_tokens")
+    c_sz, v_sz = max_doc_tokens, chunk_overlap
+    stride = c_sz - v_sz
+    base = (
+        df.filter(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
+        .select(F.col(id_col), tokens_col(F.col(text_col)).alias("__t"))
+        .filter(F.size("__t") >= 1)
+        .select(id_col, "__t", F.size("__t").alias("__sz"))
+    )
+    small = base.filter(F.col("__sz") <= c_sz).select(
+        F.col(id_col).alias("__g"),
+        F.lit(0).cast("long").alias("__start"),
+        F.array_join("__t", " ").alias("__text"),
+    )
+    big = (
+        base.filter(F.col("__sz") > c_sz)
+        .select(
+            F.col(id_col).alias("__g"),
+            "__t",
+            "__sz",
+            F.posexplode(
+                F.sequence(F.lit(0), F.col("__sz") - 1, F.lit(stride))
+            ).alias("__k", "__start"),
+        )
+        .filter((F.col("__start") == 0) | (F.col("__start") + v_sz < F.col("__sz")))
+        .select(
+            "__g",
+            F.col("__start").cast("long").alias("__start"),
+            F.array_join(
+                F.slice("__t", F.col("__start") + 1, F.lit(c_sz)), " "
+            ).alias("__text"),
+        )
+    )
+    return (
+        small.unionByName(big)
+        .withColumn("__uid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=True)
+    )
+
+
+def longest_repeated_span_chunked(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_doc_tokens: int,
+    chunk_overlap: int | None = None,
+    n_parts: int | None = None,
+    fuse: bool | None = None,
+) -> DataFrame:
+    """`longest_repeated_span` with CHUNKED ROUTING — the within-doc twin
+    of `longest_cross_doc_span_chunked`, closing the suffix family's
+    last per-document serialization: `suffix_ranks`' per-doc window sorts
+    each document's TOKEN STRINGS in one task, so `max_doc_tokens` used
+    to SKIP oversized docs from the repeat detector too.  Here every
+    document's chunks are suffix UNITS in ONE global prefix-doubling
+    computation (range-partitioned, longs-only after the first token
+    shuffle), and a repeat is any pair of suffixes from the SAME
+    original document at DIFFERENT original positions (unit-local pos +
+    chunk start).
+
+    Pair generation is the orig-restricted adjacency: lead over
+    Window.partitionBy(orig).orderBy(rank, uid, pos).  Exactness (up to
+    the overlap V): a true repeat of length L <= V has both occurrences
+    whole inside chunks, so two unit suffixes share an L-prefix; every
+    adjacent pair between them in the orig-restricted order also shares
+    >= L (LCP is the min over adjacent LCPs, restriction preserves
+    this); and between two suffixes at distinct original positions the
+    position must CHANGE at some adjacent step — that adjacent pair has
+    distinct positions and LCP >= L.  Overlap-duplicate pairs (same
+    original position seen through two chunks — identical content, or
+    truncated prefixes of each other, either way NOT a repeat) are
+    excluded by the ``orig_pos_a != orig_pos_b`` filter, and dropping
+    them never loses the witness above.  Values > V are lower bounds
+    (">= V"), values <= V exact, never over-reported — every reported
+    match is a verbatim repeat at two distinct document positions.
+
+    Scale note: the orig-restricted lead window puts each document's
+    POSITIONS in one task, but rows are (rank, uid, pos, start) longs —
+    ~32 B/position (a 100M-token document is ~3 GB in one sort task,
+    heavy but feasible), vs the unchunked path's per-task sort of the
+    document's full token STRINGS plus every doubling round.  The
+    construction itself — the expensive part — is fully
+    range-partitioned.
+
+    Output: (id, longest_repeat, routed) for every tokenizable doc."""
+    units = _chunk_units(df, id_col, text_col, max_doc_tokens, chunk_overlap)
+    ranks, history = global_suffix_ranks(
+        units.select("__uid", "__text"),
+        "__uid",
+        "__text",
+        n_parts=n_parts,
+        return_history=True,
+        fuse=fuse,
+    )
+    rk = ranks.join(units.select("__uid", "__g", "__start"), "__uid").select(
+        "__uid",
+        "__g",
+        "pos",
+        "r",
+        "__n",
+        (F.col("__start") + F.col("pos")).alias("__opos"),
+    )
+    w = Window.partitionBy("__g").orderBy("r", "__uid", "pos")
+    pairs = rk.select(
+        "__g",
+        F.col("__uid").alias("__ua"),
+        F.col("pos").alias("i"),
+        F.col("r").alias("a_r"),
+        F.col("__opos").alias("__oa"),
+        (F.col("__n") - F.col("pos") + 1).alias("rem_a"),
+        F.lead("__uid").over(w).alias("__ub"),
+        F.lead("pos").over(w).alias("j"),
+        F.lead("r").over(w).alias("b_r"),
+        F.lead("__opos").over(w).alias("__ob"),
+        (F.lead("__n").over(w) - F.lead("pos").over(w) + 1).alias("rem_b"),
+    ).filter(
+        F.col("__ub").isNotNull() & (F.col("__oa") != F.col("__ob"))
+    ).localCheckpoint(eager=True)
+    eq = pairs.filter(F.col("a_r") == F.col("b_r")).select(
+        "__g", F.least("rem_a", "rem_b").cast("long").alias("lcp")
+    )
+    ne = pairs.filter(F.col("a_r") != F.col("b_r")).select(
+        "__ua",
+        "i",
+        "__ub",
+        "j",
+        "rem_a",
+        "rem_b",
+        F.lit(0).cast("long").alias("lcp"),
+        "__g",
+    )
+    ne_cols = ["__ua", "i", "__ub", "j", "rem_a", "rem_b", "lcp", "__g"]
+    ne = _lcp_walk(ne, ne_cols, history, "__uid", "__ua", "__ub", pairs.count())
+    contrib = eq.unionByName(
+        ne.select(
+            "__g", F.least("lcp", "rem_a", "rem_b").cast("long").alias("lcp")
+        )
+    )
+    per_doc = contrib.groupBy("__g").agg(F.max("lcp").alias("longest_repeat"))
+    per_doc = per_doc.select(F.col("__g").alias(id_col), "longest_repeat")
+    all_docs = (
+        df.filter(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
+        .select(id_col, F.size(tokens_col(F.col(text_col))).alias("__sz"))
+        .filter(F.col("__sz") >= 1)
+    )
+    return all_docs.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("longest_repeat", F.lit(0)).cast("long").alias("longest_repeat"),
+        (F.col("__sz") > max_doc_tokens).alias("routed"),
     )

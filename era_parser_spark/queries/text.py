@@ -2060,3 +2060,67 @@ def t39_cross_doc_span_chunked(spark, sf_dir):
     return longest_cross_doc_span_chunked(
         docs, "doc_id", "text", max_doc_tokens=96, chunk_overlap=94
     )
+
+
+def _t40_oracle() -> str:
+    # t34's exact per-doc suffix-sort SQL + routed flag.  Sound for the
+    # chunked engine path because the corpus max within-doc repeat (4,
+    # re-derivable from this oracle) is far below the 32-token overlap —
+    # chunked detection is exact up to the overlap.  Cap 64 routes ~200
+    # sf0.01 docs, so multi-chunk units, the orig-position artifact
+    # filter, and the orig-restricted adjacency all face the exact
+    # oracle.
+    return f"""
+    WITH d40 AS (
+      SELECT doc_id, {_TOK} AS tok FROM documents
+      WHERE text IS NOT NULL AND trim(text) != ''
+    ),
+    p40 AS (
+      SELECT doc_id, tok, CAST(i AS BIGINT) AS pos
+      FROM d40, unnest(generate_series(1, len(tok))) AS t(i)
+    ),
+    s40 AS (
+      SELECT doc_id, tok[CAST(pos AS INTEGER):] AS suf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tok[CAST(pos AS INTEGER):]) AS rk
+      FROM p40
+    ),
+    a40 AS (
+      SELECT doc_id, suf, lag(suf) OVER (PARTITION BY doc_id ORDER BY rk) AS prev
+      FROM s40
+    ),
+    l40 AS (
+      SELECT doc_id,
+             CASE WHEN prev IS NULL THEN 0
+                  ELSE len(list_filter(
+                         generate_series(1, least(len(suf), len(prev))),
+                         k -> suf[1:CAST(k AS INTEGER)] = prev[1:CAST(k AS INTEGER)]))
+             END AS lcp
+      FROM a40
+    )
+    SELECT l.doc_id, CAST(max(l.lcp) AS BIGINT) AS longest_repeat,
+           (max(len(d.tok)) > 64) AS routed
+    FROM l40 l JOIN d40 d ON d.doc_id = l.doc_id
+    GROUP BY l.doc_id
+    """
+
+
+@register("t40_longest_repeat_chunked", oracle=_t40_oracle())
+def t40_longest_repeat_chunked(spark, sf_dir):
+    """Exact longest repeated span through the CHUNKED ROUTING path —
+    the within-doc twin of t39, closing the suffix family's last
+    per-document serialization (t34's per-doc window sorts each doc's
+    token strings in ONE task; this runs every doc's chunks through the
+    range-partitioned global construction and finds repeats as
+    same-original-doc, different-original-position suffix pairs in the
+    orig-restricted adjacency — overlap-duplicate pairs filtered by
+    original position).  Exact up to the 32-token overlap (corpus max
+    repeat is 4), lower bound past it; cap 64 routes ~200 docs at
+    sf0.01.  Cross-chunk plants and artifact-exclusion pinned in
+    tests/test_round11_ops.py."""
+    from era_parser_spark.operators.suffix import longest_repeated_span_chunked
+
+    docs = table(spark, sf_dir, "documents")
+    return longest_repeated_span_chunked(
+        docs, "doc_id", "text", max_doc_tokens=64, chunk_overlap=32
+    )

@@ -444,3 +444,100 @@ def test_wordpiece_greedy_byte_level_pattern_differential(spark):
         for doc_id, text in rows
     }
     assert got == want
+
+
+# --- t40: chunked routing for the within-doc repeat detector ------------------
+
+
+def test_chunked_repeat_matches_exact_when_nothing_routes(spark):
+    from era_parser_spark.operators.suffix import (
+        longest_repeated_span,
+        longest_repeated_span_chunked,
+    )
+
+    rows = [
+        (1, "alpha beta gamma alpha beta delta"),
+        (2, "no repeats in this one at all"),
+        (3, "x x x x"),
+    ]
+    docs = _docs(spark, rows)
+    exact = {
+        r["doc_id"]: r["longest_repeat"]
+        for r in longest_repeated_span(docs, "doc_id", "text").collect()
+    }
+    out = longest_repeated_span_chunked(
+        docs, "doc_id", "text", max_doc_tokens=50, chunk_overlap=25
+    )
+    got = {r["doc_id"]: r["longest_repeat"] for r in out.collect()}
+    assert got == exact
+    assert all(not r["routed"] for r in out.collect())
+    assert exact == {1: 2, 2: 0, 3: 3}
+
+
+def test_chunked_repeat_cross_chunk_plant_and_artifact_exclusion(spark):
+    """An oversized doc with a 10-token repeat whose two occurrences live
+    in DIFFERENT chunks is found exactly; an oversized doc with no
+    repeats reports 0 even though its overlapping chunks duplicate every
+    overlap position (the orig-position artifact filter); a repeat
+    entirely inside one chunk is found via same-unit adjacency."""
+    from era_parser_spark.operators.suffix import longest_repeated_span_chunked
+
+    plant = _filler("rep", 10)
+    big = _filler("a", 30) + plant + _filler("b", 90) + plant + _filler("c", 60)
+    assert len(big) == 200  # occurrences at 30 and 130: chunks differ at C=80
+    lonely = _filler("e", 150)
+    inchunk = _filler("p", 5) + plant + plant + _filler("q", 175)  # both at <80
+    docs = _docs(
+        spark,
+        [(1, " ".join(big)), (2, " ".join(lonely)), (3, " ".join(inchunk))],
+    )
+    out = longest_repeated_span_chunked(
+        docs, "doc_id", "text", max_doc_tokens=80, chunk_overlap=40
+    )
+    got = {r["doc_id"]: (r["longest_repeat"], r["routed"]) for r in out.collect()}
+    assert got == {1: (10, True), 2: (0, True), 3: (10, True)}
+
+
+def test_chunked_repeat_long_repeat_is_lower_bound(spark):
+    """A true repeat LONGER than the overlap reports at least the overlap
+    and never more than the truth."""
+    from era_parser_spark.operators.suffix import longest_repeated_span_chunked
+
+    plant = _filler("r", 60)
+    big = plant + _filler("m", 40) + plant + _filler("z", 40)  # 200 tokens
+    docs = _docs(spark, [(1, " ".join(big))])
+    out = longest_repeated_span_chunked(
+        docs, "doc_id", "text", max_doc_tokens=80, chunk_overlap=40
+    )
+    (row,) = out.collect()
+    assert 40 <= row["longest_repeat"] <= 60 and row["routed"]
+
+
+def test_chunked_repeat_registry_entry_sf_small(spark):
+    """t40 at sf0.001: chunked-routed values equal the exact operator's
+    (corpus max repeat << the 32-token overlap) and routed marks exactly
+    the docs over the 64-token cap."""
+    from era_parser_spark.operators.dedup import tokens_col
+    from era_parser_spark.operators.suffix import longest_repeated_span
+    from era_parser_spark.queries import QUERIES, load_all
+
+    load_all()
+    out = QUERIES["t40_longest_repeat_chunked"](spark, SF_SMALL)
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    exact = {
+        r["doc_id"]: r["longest_repeat"]
+        for r in longest_repeated_span(docs, "doc_id", "text").collect()
+    }
+    rows = out.collect()
+    assert {r["doc_id"]: r["longest_repeat"] for r in rows} == exact
+    sizes = {
+        r["doc_id"]: r["n"]
+        for r in docs.filter(F.col("text").isNotNull() & (F.trim("text") != ""))
+        .select("doc_id", F.size(tokens_col(F.col("text"))).alias("n"))
+        .filter(F.col("n") >= 1)
+        .collect()
+    }
+    assert {r["doc_id"]: r["routed"] for r in rows} == {
+        d: n > 64 for d, n in sizes.items()
+    }
+    assert any(r["routed"] for r in rows)  # the cap actually routes docs

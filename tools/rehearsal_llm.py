@@ -483,6 +483,21 @@ def main() -> int:
         r["shuffle_bytes_per_token"] = round(
             r["shuffle_write_mb"] * 1e6 / n_tokens, 1
         )
+        from era_parser_spark.operators.suffix import (
+            longest_repeated_span_chunked,
+        )
+
+        r = phase(
+            "t40_repeat_chunked_c64_v32",
+            lambda: _noop(
+                longest_repeated_span_chunked(
+                    docs, "doc_id", "text", max_doc_tokens=64, chunk_overlap=32
+                )
+            ),
+        )
+        r["shuffle_bytes_per_token"] = round(
+            r["shuffle_write_mb"] * 1e6 / n_tokens, 1
+        )
         r = phase(
             "t31_bpe_merges_8rounds",
             lambda: bpe_merges_distributed(docs, "text", n_merges=8).count(),
