@@ -830,7 +830,7 @@ def curation_v4(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    k: int = 8,
+    k: int | str = 8,
     iters: int = 1,
     min_cos: float = 0.9,
     max_cell: int | None = None,

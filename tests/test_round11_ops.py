@@ -541,3 +541,28 @@ def test_chunked_repeat_registry_entry_sf_small(spark):
         d: n > 64 for d, n in sizes.items()
     }
     assert any(r["routed"] for r in rows)  # the cap actually routes docs
+
+
+# --- auto-k sizing for the kmeans family ---------------------------------------
+
+
+def test_kmeans_auto_k_sizes_to_corpus(spark):
+    """k='auto' resolves to ceil(n / target_cell) and trains the identical
+    model to the explicit k — the k-sizing rule (per-cluster Gram kernels
+    are O((n/k)^2)) applied mechanically instead of by docstring."""
+    import numpy as np
+
+    from era_parser_spark.operators.similarity import kmeans_fit
+
+    rows = [(i, [float(i % 7), float((3 * i) % 5)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cids_a, C_a, dim_a = kmeans_fit(
+        df, "vec_id", "embedding", k="auto", iters=1, quant=512, target_cell=10
+    )
+    cids_e, C_e, dim_e = kmeans_fit(
+        df, "vec_id", "embedding", k=5, iters=1, quant=512
+    )
+    assert dim_a == dim_e == 2
+    assert np.array_equal(cids_a, cids_e) and np.array_equal(C_a, C_e)
+    with pytest.raises(ValueError):
+        kmeans_fit(df, "vec_id", "embedding", k="five")
