@@ -142,6 +142,7 @@ HEADLINE = [
     # round-11 additions: chunked suffix routing for oversized docs
     "t39_cross_doc_span_chunked",
     "t40_longest_repeat_chunked",
+    "st17_stream_token_budget",
 ]
 
 

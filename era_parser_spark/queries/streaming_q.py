@@ -954,3 +954,52 @@ def st16_stream_asof_enrich(spark, sf_dir):
     return run_stream_once(
         asof_enrich_monitor(stream), f"st16_{uuid.uuid4().hex[:8]}"
     )
+
+
+@register(
+    "st17_stream_token_budget",
+    # p10's exact per-source id-order prefix sum: one AvailableNow batch of
+    # the documents stream reproduces the batch budget cap bit-for-bit
+    # (integer token counts, doc_id replay order inside the kernel).
+    oracle="""
+    WITH tc17 AS (
+      SELECT source, doc_id,
+             CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    )
+    SELECT source, doc_id, n_tokens,
+           CAST(sum(n_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_tokens,
+           sum(n_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) <= 3000 AS kept
+    FROM tc17
+    """,
+)
+def st17_stream_token_budget(spark, sf_dir):
+    """Streaming per-source token-budget admission control driven to
+    completion — the TENTH custom stateful operator, the live twin of
+    p10's batch budget cap: per-source O(1) state (one long, the running
+    token total), each document admitted once with kept = fits-entirely.
+    One AvailableNow batch equals p10's batch prefix sum exactly;
+    cross-batch forward-only admission pinned in
+    tests/test_round11_ops.py."""
+    from era_parser_spark.operators.text import token_count_col
+    from era_parser_spark.streaming.incremental import (
+        run_stream_once,
+        token_budget_monitor,
+    )
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream_dir = _stream_src_dir("st17", sf_dir, table_file="documents.parquet")
+    s = spark.readStream.schema(raw_schema).parquet(stream_dir)
+    stream = s.select(
+        "source", "doc_id", token_count_col("text").cast("long").alias("n_tokens")
+    ).filter(F.col("n_tokens").isNotNull())
+    return run_stream_once(
+        token_budget_monitor(stream, budget=3000), f"st17_{uuid.uuid4().hex[:8]}"
+    )

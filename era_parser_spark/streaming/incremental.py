@@ -838,6 +838,69 @@ def _make_asof_fn(ttl_ms: int | None):
 _asof_fn = _make_asof_fn(None)  # the oracle-path kernel (NoTimeout)
 
 
+_BUDGET_OUT_SCHEMA = (
+    "source string, doc_id long, n_tokens long, cum_tokens long, kept boolean"
+)
+_BUDGET_STATE_SCHEMA = "cum long"
+
+
+def _make_budget_fn(budget: int):
+    def _budget_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (source,) = key
+        cum = int(state.get[0]) if state.exists else 0
+        docs: list[tuple[int, int]] = []
+        for pdf in pdfs:
+            for did, n in zip(pdf["doc_id"], pdf["n_tokens"]):
+                docs.append((int(did), int(n)))
+        cols = ["source", "doc_id", "n_tokens", "cum_tokens", "kept"]
+        out: list[tuple] = []
+        # replay in doc_id order within the batch — the deterministic
+        # replay convention (st16), matching the batch oracle's id-order
+        # prefix sum over one AvailableNow batch
+        for did, n in sorted(docs):
+            cum += n
+            out.append((str(source), did, n, cum, cum <= budget))
+        state.update((cum,))
+        yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame([], columns=cols)
+
+    return _budget_fn
+
+
+def token_budget_monitor(stream: DataFrame, budget: int) -> DataFrame:
+    """Streaming per-source token-budget admission control (the TENTH
+    custom stateful operator; the live twin of p10's batch budget cap):
+    per-source state is ONE long — the running token total — because a
+    budget decision needs nothing else.  Each arriving document is
+    emitted once with the total at admission and ``kept = cum <=
+    budget`` (a doc is kept only if it fits ENTIRELY, p10's rule; docs
+    past the cut still advance the total, exactly the batch semantics
+    where one huge doc blocks everything after it).
+
+    Within a micro-batch documents replay in doc_id order; across
+    batches the total flows FORWARD ONLY — a late-arriving lower doc_id
+    appends at the current total rather than re-opening past decisions
+    (admission control never retroactively revokes) — so one
+    AvailableNow batch reproduces p10's batch prefix sum exactly (the
+    st17 oracle), and the cross-batch behavior is the operational
+    semantics a live ingest gate actually wants.  State is O(1) per
+    source forever (the st4/st12/st16 keep-forever class; production
+    adds a GroupStateTimeout TTL).  NULL token counts must be filtered
+    upstream (the registry entry's projection has none)."""
+    return (
+        stream.select("source", "doc_id", "n_tokens")
+        .groupBy("source")
+        .applyInPandasWithState(
+            _make_budget_fn(budget),
+            outputStructType=_BUDGET_OUT_SCHEMA,
+            stateStructType=_BUDGET_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def asof_enrich_monitor(stream: DataFrame, ttl_ms: int | None = None) -> DataFrame:
     """Streaming AS-OF enrichment join (the NINTH custom stateful
     operator; the live twin of x1's batch as-of join): per-user state is

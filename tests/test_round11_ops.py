@@ -566,3 +566,56 @@ def test_kmeans_auto_k_sizes_to_corpus(spark):
     assert np.array_equal(cids_a, cids_e) and np.array_equal(C_a, C_e)
     with pytest.raises(ValueError):
         kmeans_fit(df, "vec_id", "embedding", k="five")
+
+
+# --- st17: streaming token-budget admission control ----------------------------
+
+
+def test_token_budget_monitor_cross_batch_forward_only(spark, tmp_path_factory):
+    """Budget consumed in batch 1 gates batch 2 (state carries), and a
+    LATE-arriving lower doc_id appends at the current total instead of
+    re-opening past admissions — forward-only semantics no single-batch
+    oracle can check."""
+    import uuid as _uuid
+
+    from era_parser_spark.streaming.incremental import (
+        run_stream_once,
+        token_budget_monitor,
+    )
+
+    src = tmp_path_factory.mktemp("st17_src")
+    sch = "source string, doc_id long, n_tokens long"
+    # batch 1: source A consumes 8 of its 10-token budget (ids 2 then 5 —
+    # the kernel replays in id order: cum 3 then 8)
+    spark.createDataFrame(
+        [("A", 5, 5), ("A", 2, 3), ("B", 1, 4)], sch
+    ).coalesce(1).write.parquet(str(src / "a_b1"))
+    # batch 2: A's id 9 (3 tokens) busts the budget (8+3=11 > 10); the
+    # LATE id 1 (1 token) lands AFTER it in arrival terms but replays
+    # first within ITS batch — here both are in batch 2, so id order in
+    # batch is 1 then 9: cum 9 (kept) then 12 (cut).  A third batch's
+    # late id 3 appends at 12 — never re-opened.
+    spark.createDataFrame(
+        [("A", 9, 3), ("A", 1, 1)], sch
+    ).coalesce(1).write.parquet(str(src / "b_b2"))
+    spark.createDataFrame(
+        [("A", 3, 1)], sch
+    ).coalesce(1).write.parquet(str(src / "c_b3"))
+    stream = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    out = run_stream_once(
+        token_budget_monitor(stream, budget=10), f"st17_{_uuid.uuid4().hex[:8]}"
+    )
+    rows = {
+        (r["source"], r["doc_id"]): (r["cum_tokens"], r["kept"])
+        for r in out.collect()
+    }
+    assert rows[("A", 2)] == (3, True) and rows[("A", 5)] == (8, True)
+    assert rows[("B", 1)] == (4, True)
+    assert rows[("A", 1)] == (9, True)  # batch-2 replay: id 1 before id 9
+    assert rows[("A", 9)] == (12, False)  # busts the budget
+    assert rows[("A", 3)] == (13, False)  # late arrival appends, no re-open
+    assert len(rows) == 6
