@@ -1542,6 +1542,73 @@ def _mm9_oracle() -> str:
     """
 
 
+def _mm10_oracle() -> str:
+    # mm9's full pHash CTE chain (verbatim) + dd5's recursive min-label
+    # connected components over the hamming<=8 pair list, + the min-id
+    # keeper.  The edge CTE is MATERIALIZED: the recursion re-references
+    # it per iteration and DuckDB inlines plain CTEs (the t31 lesson) —
+    # without it the whole DCT subtree re-expands every round.
+    base = _mm9_oracle()
+    head, _tail = base.rsplit("SELECT media_a, media_b", 1)
+    return head.replace("WITH", "WITH RECURSIVE", 1).rstrip().rstrip(")") + """),
+    e10 AS MATERIALIZED (
+      SELECT media_a AS src, media_b AS dst FROM pr WHERE hamming <= 8
+      UNION ALL
+      SELECT media_b, media_a FROM pr WHERE hamming <= 8
+    ),
+    reach10(node, label) AS (
+      SELECT media_id, media_id FROM m
+      UNION
+      SELECT e.dst, r.label FROM reach10 r JOIN e10 e ON e.src = r.node
+    ),
+    labels10 AS (SELECT node AS media_id, min(label) AS cluster_id
+                 FROM reach10 GROUP BY node),
+    csz10 AS (SELECT cluster_id, count(*) AS cluster_sz
+              FROM labels10 GROUP BY cluster_id)
+    SELECT l.media_id, l.cluster_id, cluster_sz,
+           l.media_id = l.cluster_id AS kept
+    FROM labels10 l JOIN csz10 ON l.cluster_id = csz10.cluster_id
+    """
+
+
+@register("mm10_phash_dup_clusters", oracle=_mm10_oracle())
+def mm10_phash_dup_clusters(spark, sf_dir):
+    """Image near-dup CLUSTERS with a keeper policy — mm9's pHash banded
+    pairs promoted to the full dedup decision (the dd5 shape on the
+    multimodal tier): transitive clusters via distributed hash-min
+    connected components over the hamming<=8 edges, cluster sizes, and
+    kept = the min-media-id member of each cluster (the deterministic
+    survivor rule; singletons keep themselves).  Same augmented corpus
+    as mm9 (every 10th doc gets a one-char twin), so real multi-member
+    clusters exist.  Output: (media_id, cluster_id, cluster_sz, kept)."""
+    from era_parser_spark.operators.graph import cluster_sizes, connected_components
+    from era_parser_spark.operators.multimodal import (
+        documents_as_media,
+        phash_near_pairs,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    twins = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 50), F.lit("x"), F.expr("substr(text, 52)")
+        ).alias("text"),
+    )
+    aug = docs.select("doc_id", "text").unionByName(twins)
+    media = documents_as_media(aug)
+    pairs = phash_near_pairs(media, max_hamming=8)
+    comps = connected_components(
+        media.select("media_id"),
+        pairs.select("media_a", "media_b"),
+        id_col="media_id",
+        src_col="media_a",
+        dst_col="media_b",
+    )
+    return cluster_sizes(comps, id_col="media_id").withColumn(
+        "kept", F.col("media_id") == F.col("cluster_id")
+    )
+
+
 @register("mm9_image_phash_pairs", oracle=_mm9_oracle())
 def mm9_image_phash_pairs(spark, sf_dir):
     """Image near-dup via pHash (DCT perceptual hash) banding — the

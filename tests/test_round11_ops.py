@@ -619,3 +619,37 @@ def test_token_budget_monitor_cross_batch_forward_only(spark, tmp_path_factory):
     assert rows[("A", 9)] == (12, False)  # busts the budget
     assert rows[("A", 3)] == (13, False)  # late arrival appends, no re-open
     assert len(rows) == 6
+
+
+# --- mm10: phash dup clusters with keeper --------------------------------------
+
+
+def test_mm10_keeper_is_min_id_and_twins_cluster(spark):
+    """Keeper invariants: kept is exactly the min media_id of every
+    cluster, cluster sizes are consistent, and at least one synthetic
+    twin actually clusters with its base doc (a one-char substitution
+    usually — not provably always — stays within hamming 8, so the
+    per-twin assertion is existential, the invariant ones universal)."""
+    from collections import Counter
+
+    from era_parser_spark.queries import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["mm10_phash_dup_clusters"](spark, SF_SMALL).collect()
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        assert cid == min(m["media_id"] for m in members)
+        assert all(m["cluster_sz"] == len(members) for m in members)
+        kept = [m["media_id"] for m in members if m["kept"]]
+        assert kept == [cid]
+    paired_twins = [
+        r
+        for r in rows
+        if r["media_id"] >= 1_000_000
+        and r["cluster_id"] == r["media_id"] - 1_000_000
+    ]
+    assert paired_twins, "no twin clustered with its base"
+    sizes = Counter(r["cluster_sz"] for r in rows)
+    assert sizes.get(1) and sizes.get(2)  # singletons AND real dup clusters
