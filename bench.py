@@ -143,6 +143,7 @@ HEADLINE = [
     "t39_cross_doc_span_chunked",
     "t40_longest_repeat_chunked",
     "st17_stream_token_budget",
+    "mm10_phash_dup_clusters",
 ]
 
 
