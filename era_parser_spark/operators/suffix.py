@@ -946,6 +946,98 @@ def longest_cross_doc_span_chunked(
     )
 
 
+def longest_cross_doc_span_refined(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_doc_tokens: int,
+    chunk_overlap: int | None = None,
+    n_parts: int | None = None,
+    fuse: bool | None = None,
+    max_rounds: int = 40,
+) -> DataFrame:
+    """FULLY EXACT cross-doc spans at ANY span length through the chunked
+    tier — `longest_cross_doc_span_chunked` + iterative-doubling
+    refinement of the docs that hit the overlap clamp (round-12 verdict
+    #2): a chunked value >= V is only a lower bound, so those documents
+    re-route with DOUBLED chunk size and overlap until their value drops
+    below the current overlap (exact by the containment argument) or
+    nothing in the refine set needs chunking at all (then the pass IS the
+    unchunked exact computation on the subset).  Work is bounded by the
+    clamped set, which only ever shrinks:
+
+    * soundness of the refine set: values never over-report, so a
+      reported value >= V implies the TRUE value >= V — and then the
+      span's partner document also reports >= V (its length-V prefix is
+      chunk-contained on both sides), so every clamped doc's best
+      partner stays in the refine set at every round and the subset max
+      equals the global max for those docs;
+    * exit exactness: a doc leaving the set at overlap V' has reported
+      < V', hence true < V' (true >= V' would force reported >= V'),
+      hence reported == true (below-overlap spans are exact);
+    * merge by GREATEST(old, new): both are lower bounds of the same
+      true value (a subset re-route can legitimately report LESS than a
+      lucky chunk alignment did), and at the exit round new == true.
+
+    Each round is one driver-side loop iteration collecting one count —
+    the kmeans/kcenter artifact convention; the heavy work stays fully
+    distributed and shrinks with the clamped set.  Values below the
+    FINAL overlap are exact; with the default doubling this terminates
+    once 2^r * V exceeds the longest clamped doc (every unit unchunked),
+    so the output is exact at every length.  Output: (id,
+    longest_shared) — the `longest_cross_doc_span` contract, now
+    computed scalably for any document size.  Thresholded dedup on top
+    (dd20) is decision-exact for ANY threshold, not just <= overlap."""
+    res = longest_cross_doc_span_chunked(
+        df,
+        id_col,
+        text_col,
+        max_doc_tokens=max_doc_tokens,
+        chunk_overlap=chunk_overlap,
+        n_parts=n_parts,
+        fuse=fuse,
+    ).localCheckpoint(eager=True)
+    c_sz = max_doc_tokens
+    v_sz = chunk_overlap if chunk_overlap is not None else max_doc_tokens // 2
+    for _ in range(max_rounds):
+        clamped = res.filter(F.col("longest_shared") >= v_sz)
+        if clamped.isEmpty():
+            break
+        sub = df.join(clamped.select(id_col), id_col, "semi")
+        c_sz, v_sz = 2 * c_sz, 2 * v_sz
+        sub_res = longest_cross_doc_span_chunked(
+            sub,
+            id_col,
+            text_col,
+            max_doc_tokens=c_sz,
+            chunk_overlap=v_sz,
+            n_parts=n_parts,
+            fuse=fuse,
+        ).localCheckpoint(eager=True)
+        new = sub_res.select(
+            F.col(id_col),
+            F.col("longest_shared").alias("__new"),
+            F.col("routed").alias("__routed"),
+        )
+        res = (
+            res.drop("routed")
+            .join(new, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.greatest(
+                    "longest_shared", F.coalesce("__new", F.lit(0))
+                ).alias("longest_shared"),
+                F.coalesce("__routed", F.lit(False)).alias("routed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if sub_res.filter(F.col("routed")).isEmpty():
+            # nothing in the refine set was chunked: that pass was the
+            # unchunked exact computation on the subset — done
+            break
+    return res.select(id_col, "longest_shared")
+
+
 def _chunk_units(
     df: DataFrame,
     id_col: str,
@@ -1028,29 +1120,37 @@ def longest_repeated_span_chunked(
     original document at DIFFERENT original positions (unit-local pos +
     chunk start).
 
-    Pair generation is the orig-restricted adjacency: lead over
-    Window.partitionBy(orig).orderBy(rank, uid, pos).  Exactness (up to
-    the overlap V): a true repeat of length L <= V has both occurrences
-    whole inside chunks, so two unit suffixes share an L-prefix; every
-    adjacent pair between them in the orig-restricted order also shares
-    >= L (LCP is the min over adjacent LCPs, restriction preserves
-    this); and between two suffixes at distinct original positions the
-    position must CHANGE at some adjacent step — that adjacent pair has
-    distinct positions and LCP >= L.  Overlap-duplicate pairs (same
-    original position seen through two chunks — identical content, or
-    truncated prefixes of each other, either way NOT a repeat) are
-    excluded by the ``orig_pos_a != orig_pos_b`` filter, and dropping
-    them never loses the witness above.  Values > V are lower bounds
-    (">= V"), values <= V exact, never over-reported — every reported
-    match is a verbatim repeat at two distinct document positions.
+    Pair generation is the orig-restricted adjacency — consecutive pairs
+    in (orig, rank, uid, pos) order restricted to equal orig.  Exactness
+    (up to the overlap V): a true repeat of length L <= V has both
+    occurrences whole inside chunks, so two unit suffixes share an
+    L-prefix; every adjacent pair between them in the orig-restricted
+    order also shares >= L (LCP is the min over adjacent LCPs,
+    restriction preserves this); and between two suffixes at distinct
+    original positions the position must CHANGE at some adjacent step —
+    that adjacent pair has distinct positions and LCP >= L.
+    Overlap-duplicate pairs (same original position seen through two
+    chunks — identical content, or truncated prefixes of each other,
+    either way NOT a repeat) are excluded by the ``orig_pos_a !=
+    orig_pos_b`` filter, and dropping them never loses the witness
+    above.  Values > V are lower bounds (">= V"), values <= V exact,
+    never over-reported — every reported match is a verbatim repeat at
+    two distinct document positions.
 
-    Scale note: the orig-restricted lead window puts each document's
-    POSITIONS in one task, but rows are (rank, uid, pos, start) longs —
-    ~32 B/position (a 100M-token document is ~3 GB in one sort task,
-    heavy but feasible), vs the unchunked path's per-task sort of the
-    document's full token STRINGS plus every doubling round.  The
-    construction itself — the expensive part — is fully
-    range-partitioned.
+    Scale note (two-phase since round 12): the orig-restricted adjacency
+    is `_adjacent_pairs` on keys (orig, rank, uid, pos) — range
+    partitioning keeps each document's positions CONTIGUOUS across the
+    partition order, so within-group consecutive pairs restricted to
+    equal orig ARE the per-document adjacency, group boundaries fall out
+    of the same-orig filter, and cross-partition boundary pairs stitch
+    from the collected per-partition first/last artifact.  NO stage
+    anywhere scales with single-document size any more (the round-11
+    formulation's per-orig lead window sorted each document's positions
+    in one task — the last such stage in the suffix tier); a document
+    larger than a range partition simply spans several partitions.
+    Plan-pinned (no Window in the pair frame) in
+    tests/test_plan_audit.py; a repeat straddling the partition boundary
+    is pinned at n_parts=2..4 in tests/test_round12_ops.py.
 
     Output: (id, longest_repeat, routed) for every tokenizable doc."""
     units = _chunk_units(df, id_col, text_col, max_doc_tokens, chunk_overlap)
@@ -1070,22 +1170,25 @@ def longest_repeated_span_chunked(
         "__n",
         (F.col("__start") + F.col("pos")).alias("__opos"),
     )
-    w = Window.partitionBy("__g").orderBy("r", "__uid", "pos")
-    pairs = rk.select(
-        "__g",
-        F.col("__uid").alias("__ua"),
-        F.col("pos").alias("i"),
-        F.col("r").alias("a_r"),
-        F.col("__opos").alias("__oa"),
-        (F.col("__n") - F.col("pos") + 1).alias("rem_a"),
-        F.lead("__uid").over(w).alias("__ub"),
-        F.lead("pos").over(w).alias("j"),
-        F.lead("r").over(w).alias("b_r"),
-        F.lead("__opos").over(w).alias("__ob"),
-        (F.lead("__n").over(w) - F.lead("pos").over(w) + 1).alias("rem_b"),
-    ).filter(
-        F.col("__ub").isNotNull() & (F.col("__oa") != F.col("__ob"))
-    ).localCheckpoint(eager=True)
+    adj = _adjacent_pairs(rk, ["__g", "r", "__uid", "pos"], n_parts)
+    pairs = (
+        adj.filter(
+            (F.col("a___g") == F.col("b___g"))
+            & (F.col("a___opos") != F.col("b___opos"))
+        )
+        .select(
+            F.col("a___g").alias("__g"),
+            F.col("a___uid").alias("__ua"),
+            F.col("a_pos").alias("i"),
+            F.col("a_r"),
+            (F.col("a___n") - F.col("a_pos") + 1).alias("rem_a"),
+            F.col("b___uid").alias("__ub"),
+            F.col("b_pos").alias("j"),
+            F.col("b_r"),
+            (F.col("b___n") - F.col("b_pos") + 1).alias("rem_b"),
+        )
+        .localCheckpoint(eager=True)
+    )
     eq = pairs.filter(F.col("a_r") == F.col("b_r")).select(
         "__g", F.least("rem_a", "rem_b").cast("long").alias("lcp")
     )

@@ -1465,7 +1465,13 @@ def dd19_exactsubstr_drop_routed(spark, sf_dir):
     )
 
 
-def _mm9_oracle() -> str:
+def _phash_pair_ctes() -> str:
+    """The pHash CTE chain shared VERBATIM by mm9 and mm10 — augmented
+    corpus through the banded near-pair list ``pr`` — as a WITH-body
+    fragment (no leading WITH, no final SELECT).  Both oracles compose
+    this structurally; the previous rsplit+rstrip(')') surgery on mm9's
+    finished SQL would have silently corrupted mm10 had mm9's last CTE
+    ever ended in '))' (round-12 advice)."""
     from era_parser_spark.operators.multimodal import phash_dct_rows
 
     tt = ", ".join(
@@ -1473,8 +1479,7 @@ def _mm9_oracle() -> str:
         for k, row in enumerate(phash_dct_rows())
         for j, t in enumerate(row)
     )
-    return f"""
-    WITH aug AS (
+    return f"""aug AS (
       -- every 10th doc gets a one-char-substituted twin (the t16
       -- augmentation convention): a single tiled-grid cell moves, so the
       -- DCT hash lands within a couple of bits — real near-dup pairs on
@@ -1536,21 +1541,28 @@ def _mm9_oracle() -> str:
              bit_count(CAST(xor(a.phash, b.phash) AS BIGINT)) AS hamming
       FROM bk a JOIN bk b
         ON a.k = b.k AND a.bv = b.bv AND a.media_id < b.media_id
-    )
+    )"""
+
+
+def _mm9_oracle() -> str:
+    return (
+        "WITH "
+        + _phash_pair_ctes()
+        + """
     SELECT media_a, media_b, CAST(hamming AS INTEGER) AS hamming
     FROM pr WHERE hamming <= 8
     """
+    )
 
 
 def _mm10_oracle() -> str:
-    # mm9's full pHash CTE chain (verbatim) + dd5's recursive min-label
-    # connected components over the hamming<=8 pair list, + the min-id
-    # keeper.  The edge CTE is MATERIALIZED: the recursion re-references
-    # it per iteration and DuckDB inlines plain CTEs (the t31 lesson) —
-    # without it the whole DCT subtree re-expands every round.
-    base = _mm9_oracle()
-    head, _tail = base.rsplit("SELECT media_a, media_b", 1)
-    return head.replace("WITH", "WITH RECURSIVE", 1).rstrip().rstrip(")") + """),
+    # mm9's full pHash CTE chain (shared builder, verbatim) + dd5's
+    # recursive min-label connected components over the hamming<=8 pair
+    # list, + the min-id keeper.  The edge CTE is MATERIALIZED: the
+    # recursion re-references it per iteration and DuckDB inlines plain
+    # CTEs (the t31 lesson) — without it the whole DCT subtree re-expands
+    # every round.
+    return "WITH RECURSIVE " + _phash_pair_ctes() + """,
     e10 AS MATERIALIZED (
       SELECT media_a AS src, media_b AS dst FROM pr WHERE hamming <= 8
       UNION ALL
@@ -1629,3 +1641,73 @@ def mm9_image_phash_pairs(spark, sf_dir):
     )
     aug = docs.select("doc_id", "text").unionByName(twins)
     return phash_near_pairs(documents_as_media(aug), max_hamming=8)
+
+
+@register(
+    "dd20_exactsubstr_drop_refined",
+    # ExactSubstr doc-drop with the threshold BEYOND the chunk overlap:
+    # T=50 > overlap=32, the case dd19 cannot decide from one chunked
+    # pass (values >= 32 are only lower bounds there).  The refinement
+    # loop makes every value exact, so the decision is exact for ANY
+    # threshold; the oracle is the same exact global-suffix SQL with the
+    # 50-token predicate (21 sf0.01 docs drop).
+    oracle="""
+    WITH dd20 AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+') AS tok
+      FROM documents
+      WHERE text IS NOT NULL AND trim(text) != ''
+    ),
+    pd20 AS (
+      SELECT doc_id, tok, CAST(i AS BIGINT) AS pos
+      FROM dd20, unnest(generate_series(1, len(tok))) AS t(i)
+      WHERE len(tok) >= 1
+    ),
+    ad20 AS (
+      SELECT doc_id,
+             tok[CAST(pos AS INTEGER):] AS suf,
+             lag(doc_id) OVER
+               (ORDER BY tok[CAST(pos AS INTEGER):], doc_id, pos) AS prev_doc,
+             lag(tok[CAST(pos AS INTEGER):]) OVER
+               (ORDER BY tok[CAST(pos AS INTEGER):], doc_id, pos) AS prev
+      FROM pd20
+    ),
+    ld20 AS (
+      SELECT doc_id, prev_doc,
+             CASE WHEN prev IS NULL OR prev_doc = doc_id THEN 0
+                  ELSE len(list_filter(
+                         generate_series(1, least(len(suf), len(prev))),
+                         k -> suf[1:CAST(k AS INTEGER)] = prev[1:CAST(k AS INTEGER)]))
+             END AS lcp
+      FROM ad20
+    ),
+    cd20 AS (
+      SELECT doc_id, lcp FROM ld20
+      UNION ALL
+      SELECT prev_doc AS doc_id, lcp FROM ld20
+      WHERE prev_doc IS NOT NULL AND prev_doc != doc_id
+    )
+    SELECT p.doc_id,
+           CAST(COALESCE(max(c.lcp), 0) AS BIGINT) AS longest_shared,
+           COALESCE(max(c.lcp), 0) < 50 AS kept
+    FROM (SELECT DISTINCT doc_id FROM pd20) p
+    LEFT JOIN cd20 c ON c.doc_id = p.doc_id
+    GROUP BY p.doc_id
+    """,
+)
+def dd20_exactsubstr_drop_refined(spark, sf_dir):
+    """ExactSubstr document-drop with threshold > chunk overlap — the
+    decision dd19's single chunked pass cannot make (it is decision-
+    exact only for T <= overlap).  The iterative-doubling refinement
+    (operators/suffix.py longest_cross_doc_span_refined) re-routes only
+    the clamped documents until every span value is exact, so ANY
+    threshold works over the chunked tier.  Output: (doc_id,
+    longest_shared, kept) with kept = longest_shared < 50."""
+    from era_parser_spark.operators.suffix import longest_cross_doc_span_refined
+
+    docs = table(spark, sf_dir, "documents")
+    spans = longest_cross_doc_span_refined(
+        docs, "doc_id", "text", max_doc_tokens=64, chunk_overlap=32
+    )
+    return spans.select(
+        "doc_id", "longest_shared", (F.col("longest_shared") < 50).alias("kept")
+    )

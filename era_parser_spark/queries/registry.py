@@ -102,46 +102,49 @@ _FIRST_50 = [
     # ROTATION POLICY (round 11, verdict #3): each round swaps ~10 of the
     # 30 non-e slots for flagships the external gate has never sampled,
     # keeping every family represented — cycling the whole registry
-    # through the driver's 50-entry gate over ~15 rounds.  Round 11 out:
-    # dd1, dd3, s2, s16, t20, t29, t33, p12, x29, x30, st2 (all gated in
-    # r9/r10 or the r1-8 module-order prefix).  In: dd10, dd17, s13, s17,
-    # t32, t38, t39, p16, x32, x43, st14 (none ever driver-gated).
-    # dedup flagship: full pipeline w/ quality keeper, ExactSubstr cut,
-    # learned-cluster SemDeDup, shared-span detect, decontamination
+    # through the driver's 50-entry gate over ~15 rounds.  Round 12 out:
+    # dd10, dd16, dd17, s13, s17, t32, t36, t38, t39, p16, x32, x43, st14
+    # (all gated in r11 or earlier).  In: dd19, dd20, mm10, s11, s12, t28,
+    # t40, t41, st16, st17, p21, x39, x40 (dd20/t41 are new this round;
+    # none ever driver-gated; 90 never-gated remained after r11 — this
+    # puts the round-11/12 additions and long-ungated flagships through
+    # the external gate).
+    # dedup flagship: full pipeline w/ quality keeper, ExactSubstr cut +
+    # routed drop, learned-cluster SemDeDup, multimodal pHash clusters
     "dd9c_fuzzy_dedup_quality_keeper",
-    "dd10_shared_spans",
-    "dd16_remove_shared_spans",
-    "dd17_semantic_decontaminate",
     "dd18_semdedup_kmeans",
-    # similarity / selection: IVF-PQ rerank, ANN kNN-join, k-center, init
+    "dd19_exactsubstr_drop_routed",
+    "dd20_exactsubstr_drop_refined",
+    "mm10_phash_dup_clusters",
+    # similarity / selection: IVF-PQ search + rerank, MMR, k-center init
+    "s11_ivf_pq_search",
     "s11c_ivf_pq_rerank",
-    "s13_ann_knn_join",
-    "s17_kcenter_greedy",
+    "s12_mmr_diversify",
     "s18_kmeans_kcenter_init",
-    # text: distributed BPE train+count, WordPiece train + greedy
-    # inference, suffix family incl. the round-11 chunked routing
+    # text: distributed BPE train, WordPiece train, suffix family incl.
+    # the round-11 chunked repeat routing, C4 gate
+    "t28_c4_rules",
     "t31_bpe_merges",
-    "t32_bpe_token_counts",
     "t34_longest_repeat",
     "t35_cross_doc_span",
-    "t36_wordpiece_merges",
-    "t38_wordpiece_greedy_counts",
-    "t39_cross_doc_span_chunked",
-    # curation pipelines: packing, v3, v4, v5, DSIR importance
+    "t40_longest_repeat_chunked",
+    "t41_cross_doc_span_refined",
+    # curation pipelines: packing, v3, v4, v5, v6 (learned-BPE budget)
     "p2_sequence_packing",
     "p15_curation_v3",
-    "p16_dsir_importance",
     "p19_curation_v4",
     "p20_curation_v5",
+    "p21_curation_v6",
     # sequence / interval / graph analytics
-    "x32_triangle_count",
     "x38_peak_concurrency",
+    "x39_kcore",
+    "x40_mad_outliers",
     "x42_bfs_distances",
-    "x43_gapfill_locf",
     # streaming: stream-stream join, batch-trained serving, custom stateful
     "st8_stream_stream_join",
     "st13_stream_cluster_counts",
-    "st14_stream_sequence_count",
+    "st16_stream_asof_enrich",
+    "st17_stream_token_budget",
     # state management + TPC-H
     "d2_latest_state",
     "q1_pricing_summary",

@@ -967,6 +967,10 @@ def st16_stream_asof_enrich(spark, sf_dir):
              CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT)
                AS n_tokens
       FROM documents
+      -- defensive NULL filter matching the engine's n_tokens.isNotNull()
+      -- projection: sf0.01 has no NULL texts, but the contract must hold
+      -- on any corpus (round-12 advice)
+      WHERE text IS NOT NULL
     )
     SELECT source, doc_id, n_tokens,
            CAST(sum(n_tokens) OVER (

@@ -2124,3 +2124,72 @@ def t40_longest_repeat_chunked(spark, sf_dir):
     return longest_repeated_span_chunked(
         docs, "doc_id", "text", max_doc_tokens=64, chunk_overlap=32
     )
+
+
+@register(
+    "t41_cross_doc_span_refined",
+    # FULLY EXACT cross-doc span values through the chunked tier at ANY
+    # span length (round-12): pass 1 runs tiny chunks (cap 64, overlap
+    # 32 — ~170 sf0.01 docs route and 33 docs hit the >=32 clamp), then
+    # iterative doubling re-routes ONLY the clamped set (33 -> 15 -> 0
+    # here) until nothing needs chunking — so the oracle is t35's exact
+    # global-suffix SQL with NO clamp caveat: unlike t39, value equality
+    # holds for spans past the overlap too (corpus max span 93 >> 32).
+    oracle=f"""
+    WITH d41 AS (
+      SELECT doc_id, {_TOK} AS tok FROM documents
+      WHERE text IS NOT NULL AND trim(text) != ''
+    ),
+    p41 AS (
+      SELECT doc_id, tok, CAST(i AS BIGINT) AS pos
+      FROM d41, unnest(generate_series(1, len(tok))) AS t(i)
+      WHERE len(tok) >= 1
+    ),
+    a41 AS (
+      SELECT doc_id,
+             tok[CAST(pos AS INTEGER):] AS suf,
+             lag(doc_id) OVER
+               (ORDER BY tok[CAST(pos AS INTEGER):], doc_id, pos) AS prev_doc,
+             lag(tok[CAST(pos AS INTEGER):]) OVER
+               (ORDER BY tok[CAST(pos AS INTEGER):], doc_id, pos) AS prev
+      FROM p41
+    ),
+    l41 AS (
+      SELECT doc_id, prev_doc,
+             CASE WHEN prev IS NULL OR prev_doc = doc_id THEN 0
+                  ELSE len(list_filter(
+                         generate_series(1, least(len(suf), len(prev))),
+                         k -> suf[1:CAST(k AS INTEGER)] = prev[1:CAST(k AS INTEGER)]))
+             END AS lcp
+      FROM a41
+    ),
+    c41 AS (
+      SELECT doc_id, lcp FROM l41
+      UNION ALL
+      SELECT prev_doc AS doc_id, lcp FROM l41
+      WHERE prev_doc IS NOT NULL AND prev_doc != doc_id
+    )
+    SELECT p.doc_id, CAST(COALESCE(max(c.lcp), 0) AS BIGINT) AS longest_shared
+    FROM (SELECT DISTINCT doc_id FROM p41) p
+    LEFT JOIN c41 c ON c.doc_id = p.doc_id
+    GROUP BY p.doc_id
+    """,
+)
+def t41_cross_doc_span_refined(spark, sf_dir):
+    """Exact cross-document shared span via chunked routing + iterative-
+    doubling refinement (round-12 verdict #2): the chunked tier's values
+    >= overlap are lower bounds, so the clamped documents — and provably
+    their span partners with them — re-route with doubled chunk size and
+    overlap until every value is below the current overlap (exact) or
+    the refine set needs no chunking (the pass is the unchunked exact
+    computation).  Same exact answers as t35 at every span length, but
+    no stage ever scales with single-document size — the chunked tier's
+    scale contract now extends to exact VALUES, not just threshold
+    decisions.  Clamp-boundary and 3V-span plants pinned in
+    tests/test_round12_ops.py."""
+    from era_parser_spark.operators.suffix import longest_cross_doc_span_refined
+
+    docs = table(spark, sf_dir, "documents")
+    return longest_cross_doc_span_refined(
+        docs, "doc_id", "text", max_doc_tokens=64, chunk_overlap=32
+    )

@@ -367,28 +367,44 @@ _DEDUP_OUT_SCHEMA = "digest string, doc_id long, n_copies long"
 _DEDUP_STATE_SCHEMA = "keeper long, n long"
 
 
-def _digest_dedup_fn(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    (digest,) = key
-    ids: list[int] = []
-    for pdf in pdfs:
-        ids.extend(int(i) for i in pdf["doc_id"])
-    if state.exists:
-        keeper, n = (int(v) for v in state.get)
-    else:
-        keeper, n = min(ids), 0
-    n += len(ids)
-    state.update((keeper, n))
-    # snapshot semantics (like the sessionizer): over one AvailableNow
-    # batch the emitted set IS the batch dedup answer; across batches the
-    # digest re-emits with an updated copy count under the same keeper
-    # (last-write-wins downstream) — the keeper never changes once set,
-    # so late duplicates are dropped, not re-kept
-    yield pd.DataFrame({"digest": [digest], "doc_id": [keeper], "n_copies": [n]})
+def _make_digest_dedup_fn(ttl_ms: int | None):
+    def _digest_dedup_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (digest,) = key
+        if ttl_ms is not None and state.hasTimedOut:
+            # TTL expiry: forget the digest — a duplicate arriving after
+            # the window re-keeps under a fresh min-id keeper (timeout
+            # invocations carry no data and emit nothing)
+            state.remove()
+            yield pd.DataFrame([], columns=["digest", "doc_id", "n_copies"])
+            return
+        ids: list[int] = []
+        for pdf in pdfs:
+            ids.extend(int(i) for i in pdf["doc_id"])
+        if state.exists:
+            keeper, n = (int(v) for v in state.get)
+        else:
+            keeper, n = min(ids), 0
+        n += len(ids)
+        state.update((keeper, n))
+        if ttl_ms is not None:
+            # ProcessingTimeTimeout clears on every invocation — re-arm
+            state.setTimeoutDuration(ttl_ms)
+        # snapshot semantics (like the sessionizer): over one AvailableNow
+        # batch the emitted set IS the batch dedup answer; across batches the
+        # digest re-emits with an updated copy count under the same keeper
+        # (last-write-wins downstream) — the keeper never changes once set,
+        # so late duplicates are dropped, not re-kept
+        yield pd.DataFrame({"digest": [digest], "doc_id": [keeper], "n_copies": [n]})
+
+    return _digest_dedup_fn
 
 
-def digest_dedup_monitor(stream: DataFrame) -> DataFrame:
+_digest_dedup_fn = _make_digest_dedup_fn(None)  # oracle-path kernel (NoTimeout)
+
+
+def digest_dedup_monitor(stream: DataFrame, ttl_ms: int | None = None) -> DataFrame:
     """Custom stateful streaming operator #3: exact dedup across
     micro-batches (the streaming twin of dd1).  Per-digest state carries
     (keeper_id, copies_seen); the first-seen batch's min id wins and every
@@ -396,16 +412,31 @@ def digest_dedup_monitor(stream: DataFrame) -> DataFrame:
     needs `digest` (compute it JVM-side — md5/xxhash of the content) and
     `doc_id`.  State shards by digest, the same key dd1 shuffles on, so
     the operator scales exactly like the batch op plus O(distinct) state.
-    """
+
+    Unlike the O(1)-per-key monitors (st16/st17), per-digest state GROWS
+    with the corpus' distinct-content count, so the production TTL matters
+    most here: ``ttl_ms`` arms a ProcessingTimeTimeout per digest,
+    re-armed on every arrival (the st16 pattern,
+    tests/test_round11_ops.py) — a digest idle past the TTL is forgotten
+    and a later duplicate re-keeps under a fresh keeper, the standard
+    windowed-dedup tradeoff.  The oracle path stays NoTimeout (batch
+    equality needs keep-forever state); NEVER combine an armed timeout
+    with an availableNow trigger (end-of-input state-cleanup spin — use a
+    processingTime trigger, see CLAUDE.md)."""
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return (
         stream.select("digest", "doc_id")
         .groupBy("digest")
         .applyInPandasWithState(
-            _digest_dedup_fn,
+            _make_digest_dedup_fn(ttl_ms),
             outputStructType=_DEDUP_OUT_SCHEMA,
             stateStructType=_DEDUP_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=timeout,
         )
     )
 
