@@ -258,6 +258,11 @@ def longest_repeated_span(
             F.col("pos").alias("__pb"),
             F.col("r").alias("__rb"),
         )
+        if not big_walk:
+            # same small-walk broadcast as _lcp_walk — and here the gate
+            # (ranks.count(), i.e. total positions) IS the rank-table row
+            # count, so small walk directly implies broadcast-safe tables
+            ra, rb = F.broadcast(ra), F.broadcast(rb)
         probed = (
             probe.join(
                 ra,
@@ -618,7 +623,12 @@ def global_suffix_ranks(
         history.append((off, cur))
     out = cur.join(doc_lens, id_col)
     if return_history:
-        return out, history
+        # n_rows (total positions == rank-table rows) rides along so the
+        # LCP walks can decide whether the history frames are broadcast-
+        # safe WITHOUT re-counting (and without conflating pair count
+        # with rank-table size — a corpus can have few cross-doc pairs
+        # but arbitrarily many positions).
+        return out, history, n_rows
     return out.select(
         F.col(id_col),
         F.col("pos"),
@@ -697,6 +707,7 @@ def _lcp_walk(
     a_id: str,
     b_id: str,
     pair_count: int,
+    rank_rows: int,
 ) -> DataFrame:
     """Binary-decomposition LCP walk over rank-DISTINCT suffix pairs,
     shared by the cross-group (t35/t39) and chunked-repeat (t40) paths.
@@ -726,6 +737,13 @@ def _lcp_walk(
     fixed = {a_id, "i", b_id, "j", "rem_a", "rem_b", "lcp"}
     extras = [c for c in ne_cols if c not in fixed]
     big_walk = pair_count > BIG_WALK_PAIR_THRESHOLD
+    # Broadcast eligibility is a SEPARATE decision from walk strategy:
+    # pair count bounds the probe frame, but the build sides are the
+    # history rank tables — one row per corpus POSITION (rank_rows),
+    # which can far exceed the pair count (many positions, few cross-doc
+    # adjacencies).  Only hint broadcast when the rank tables themselves
+    # are small; ~1M (id, pos, r) long rows is a few MB serialized.
+    bcast_ranks = not big_walk and rank_rows <= BIG_WALK_PAIR_THRESHOLD
     for L, rk in sorted(history, key=lambda t: -t[0]):
         if big_walk:
             can = F.col("lcp") + F.lit(L) <= F.least(
@@ -746,6 +764,18 @@ def _lcp_walk(
             F.col("pos").alias("__pb"),
             F.col("r").alias("__rb"),
         )
+        if bcast_ranks:
+            # Small walk over small rank tables: broadcast the build
+            # sides.  Size estimates on the lazy history projections run
+            # past the 10 MB auto threshold, so without the hint each
+            # level plans TWO shuffle joins of the pair frame — 2 x
+            # levels exchanges for a walk whose build sides are a few
+            # MB.  With it the whole lazy walk chain compiles to
+            # broadcast-hash probes of the (never re-shuffled) pair
+            # frame.  The big walk keeps AQE's choice: its level-skip
+            # checkpoints give AQE true sizes, and its rank tables can
+            # be arbitrarily large.
+            ra, rb = F.broadcast(ra), F.broadcast(rb)
         probed = (
             probe.join(
                 ra,
@@ -821,7 +851,7 @@ def _cross_group_spans(
     Returns (group_key, longest_shared) for groups with at least one
     cross-group pair; the group key column is named ``__g`` when
     group_map is given, else ``id_col``."""
-    ranks, history = global_suffix_ranks(
+    ranks, history, rank_rows = global_suffix_ranks(
         df,
         id_col,
         text_col,
@@ -857,7 +887,9 @@ def _cross_group_spans(
         *[F.col(c) for c in grp_extra],
     )
     ne_cols = [a_id, "i", b_id, "j", "rem_a", "rem_b", "lcp", *grp_extra]
-    ne = _lcp_walk(ne, ne_cols, history, id_col, a_id, b_id, cross.count())
+    ne = _lcp_walk(
+        ne, ne_cols, history, id_col, a_id, b_id, cross.count(), rank_rows
+    )
     ne_final = ne.select(
         a_g,
         b_g,
@@ -1154,7 +1186,7 @@ def longest_repeated_span_chunked(
 
     Output: (id, longest_repeat, routed) for every tokenizable doc."""
     units = _chunk_units(df, id_col, text_col, max_doc_tokens, chunk_overlap)
-    ranks, history = global_suffix_ranks(
+    ranks, history, rank_rows = global_suffix_ranks(
         units.select("__uid", "__text"),
         "__uid",
         "__text",
@@ -1203,7 +1235,9 @@ def longest_repeated_span_chunked(
         "__g",
     )
     ne_cols = ["__ua", "i", "__ub", "j", "rem_a", "rem_b", "lcp", "__g"]
-    ne = _lcp_walk(ne, ne_cols, history, "__uid", "__ua", "__ub", pairs.count())
+    ne = _lcp_walk(
+        ne, ne_cols, history, "__uid", "__ua", "__ub", pairs.count(), rank_rows
+    )
     contrib = eq.unionByName(
         ne.select(
             "__g", F.least("lcp", "rem_a", "rem_b").cast("long").alias("lcp")

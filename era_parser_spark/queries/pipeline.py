@@ -809,7 +809,16 @@ def p15_curation_v3(spark, sf_dir):
         min_required_stopwords=1,
         keep_cols=("text", "n_removed"),
     )
-    surv = flags.filter(F.col("gopher_keep")).select("doc_id", "n_removed", "text")
+    # STAGE the survivors (p20's localCheckpoint pattern): `surv` feeds
+    # TWO plan branches (the decontaminate screen and the survivor
+    # re-join below) and its subtree contains the whole dd16 ExactSubstr
+    # cut + Gopher gate — uncached, Catalyst recomputes that ~5 s
+    # subtree per branch (the multi-branch trap, CLAUDE.md).
+    surv = (
+        flags.filter(F.col("gopher_keep"))
+        .select("doc_id", "n_removed", "text")
+        .localCheckpoint(eager=True)
+    )
     bench = docs.filter(F.col("doc_id") % 17 == 0)
     dec = semantic_decontaminate(surv, bench, "doc_id", "text", dim=64, min_cos=0.9)
     clean = surv.join(
