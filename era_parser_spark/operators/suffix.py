@@ -49,6 +49,7 @@ def suffix_ranks(
     return_history: bool = False,
     max_doc_tokens: int | None = None,
     fuse: bool = True,
+    final_dense: bool = True,
 ):
     """(id, pos, suffix_rank): rank of the token-level suffix starting at
     1-based position pos within its document, 1 = lexicographically
@@ -109,6 +110,31 @@ def suffix_ranks(
             .first()[0]
         )
         if all_distinct == 1:
+            break
+        if fuse_ok and not final_dense and 2 * off >= max_len:
+            # terminal composite round — the global_suffix_ranks round-12
+            # optimization in per-doc form: r*K + (r2+1) is order-
+            # preserving (K = max_len + 2 bounds per-doc dense ranks), so
+            # when the caller needs order + equality only (the LCP walk,
+            # final_dense=False) the last dense_rank window sort is
+            # replaced by a lazy projection over the checkpointed lead
+            # frame.  The default keeps the 1..n dense suffix_rank
+            # contract (t33's oracle pins it).
+            paired = cur.select(
+                id_col,
+                "pos",
+                "r",
+                F.coalesce(
+                    F.lead("r", off).over(w.orderBy("pos")), F.lit(-1)
+                ).alias("r2"),
+            ).localCheckpoint(eager=True)
+            cur = paired.select(
+                id_col,
+                "pos",
+                (F.col("r") * F.lit(comp_k) + F.col("r2") + F.lit(1)).alias("r"),
+            )
+            history.append((off * 2, cur))
+            off *= 2
             break
         if not fuse_ok or 2 * off >= max_len:
             # classic one-level round (the final level, and the absurd
@@ -208,7 +234,15 @@ def longest_repeated_span(
     l-gram approximations instead).
     """
     ranks, history = suffix_ranks(
-        df, id_col, text_col, return_history=True, max_doc_tokens=max_doc_tokens
+        df,
+        id_col,
+        text_col,
+        return_history=True,
+        max_doc_tokens=max_doc_tokens,
+        # order + equality suffice for the pair window and the walk —
+        # take the terminal-composite construction (one window sort and
+        # one materialization fewer; see suffix_ranks)
+        final_dense=False,
     )
     w = Window.partitionBy(id_col)
     # rank-adjacent pairs: (start_i, start_j) of consecutive suffixes;
@@ -238,7 +272,13 @@ def longest_repeated_span(
     # one cheap job): lazy single-job chain small, level-skip +
     # per-level checkpoint large
     big_walk = ranks.count() > BIG_WALK_PAIR_THRESHOLD
-    for L, rk in sorted(history, key=lambda t: -t[0]):
+    # Top-level skip (round 12), the _lcp_walk argument in per-doc form:
+    # the top history table is the exit-round `cur` whose per-doc ranks
+    # are the FINAL suffix ranks; rank-adjacent pairs have distinct
+    # final ranks (per-doc ranks are a permutation), so the first
+    # (highest) level's probe at lcp == 0 compares those very ranks and
+    # never updates — two joins saved, identical results.
+    for L, rk in sorted(history, key=lambda t: -t[0])[1:]:
         if big_walk:
             can = F.col("lcp") + F.lit(L) <= F.least(
                 F.col("rem_a"), F.col("rem_b")
@@ -377,7 +417,10 @@ def _local_dense_rank_fn(key_cols: list[str]):
 
 
 def global_dense_rank(
-    df: DataFrame, key_cols: list[str], n_parts: int | None = None
+    df: DataFrame,
+    key_cols: list[str],
+    n_parts: int | None = None,
+    input_materialized: bool = False,
 ) -> tuple[DataFrame, int]:
     """(df + '__gr' long, n_classes): global dense_rank over key_cols with
     NO single-partition stage.  Range-partition by the keys (equal keys
@@ -386,18 +429,24 @@ def global_dense_rank(
     for spark_partition_id AND feeds the two branches below once), one
     Arrow pass for local dense ranks, then global = local + cumulative
     per-partition class-count offset (a collected n_parts-row artifact,
-    applied via a broadcast join)."""
+    applied via a broadcast join).
+
+    ``input_materialized=True`` (round 12): when the CALLER's df is
+    already an eager checkpoint (the fused construction rounds hand in
+    the materialized lead frame), the post-shuffle checkpoint here is a
+    redundant materialize+read round trip — the RangePartitioner's
+    sampling pass scans the caller's checkpoint cheaply either way, and
+    the Arrow pass fuses into the shuffle's single job (partition
+    identity is stable within that one job; `loc` is checkpointed
+    before the offsets collect and the join branch consume it).  With a
+    LAZY input the round-9 measurement stands (sampling re-executes the
+    window subtree; t35 31.2 -> ~39 s) — keep the default."""
     n_parts = _shuffle_parts(df, n_parts)
-    # The eager checkpoint here is deliberate and MEASURED: dropping it
-    # (fusing the range shuffle into the Arrow pass's one action) was
-    # tried in round 9 and t35 regressed 31.2 -> ~39 s at sf0.1 — keep
-    # the materialization boundary.  It also freezes partition identity
-    # for spark_partition_id.
-    part = (
-        df.repartitionByRange(n_parts, *key_cols)
-        .sortWithinPartitions(*key_cols)
-        .localCheckpoint(eager=True)
+    part = df.repartitionByRange(n_parts, *key_cols).sortWithinPartitions(
+        *key_cols
     )
+    if not input_materialized:
+        part = part.localCheckpoint(eager=True)
     pidd = part.withColumn("__pid", F.spark_partition_id())
     out_schema = StructType(
         pidd.schema.fields + [StructField("__lr", LongType(), False)]
@@ -549,10 +598,17 @@ def global_suffix_ranks(
         F.col(id_col),
         F.posexplode("__t").alias("__i0", "__tok"),
     ).select(id_col, (F.col("__i0") + 1).cast("long").alias("pos"), "__tok")
+    # ONE action for both loop bounds (round 12): total positions ==
+    # sum of doc lengths (what cur.count() measured) and max_len off the
+    # same tiny aggregate — was two separate jobs (a count over the
+    # ranked frame + a max over doc_lens).
+    agg = doc_lens.agg(
+        F.sum("__n").alias("__s"), F.max("__n").alias("__m")
+    ).first()
+    n_rows = int(agg["__s"] or 0)
+    max_len = int(agg["__m"] or 1)
     ranked, n_classes = global_dense_rank(pos, ["__tok"], n_parts)
     cur = ranked.select(id_col, "pos", F.col("__gr").alias("r"))
-    n_rows = cur.count()
-    max_len = int(doc_lens.agg(F.max("__n")).first()[0] or 1)
     history = [(1, cur)]
     w = Window.partitionBy(id_col).orderBy("pos")
     off = 1
@@ -571,6 +627,36 @@ def global_suffix_ranks(
         fuse = True
     fuse_ok = fuse and comp_k * comp_k < (1 << 63) - 1
     while off < max_len and n_classes < n_rows:
+        if fuse_ok and return_history and 2 * off >= max_len:
+            # TERMINAL COMPOSITE round (round 12): the last round only
+            # exists to refine ranks past max_len, and the composite
+            # r*K + (r2+1) is not merely equality-exact but ORDER-
+            # PRESERVING ((r, r2) lexicographic: r2+1 in [0, K)), so the
+            # final rank table can be this lazy projection over the one
+            # checkpointed lead frame — the whole terminal
+            # global_dense_rank (sampling + shuffle/sort/Arrow
+            # materialization + offsets collect) disappears.  Sound for
+            # every history-mode consumer: the walks and the adjacency
+            # need order + equality only, and composite equality at
+            # level 2*off >= max_len <=> identical suffixes (both
+            # suffixes are shorter than the refined prefix), which is
+            # exactly the eq-pair contract.  The non-history path keeps
+            # the dense terminal round — its suffix_rank output contract
+            # IS dense ranks (pinned in tests/test_round9_ops.py).
+            paired = cur.select(
+                id_col,
+                "pos",
+                "r",
+                F.coalesce(F.lead("r", off).over(w), F.lit(-1)).alias("r2"),
+            ).localCheckpoint(eager=True)
+            cur = paired.select(
+                id_col,
+                "pos",
+                (F.col("r") * F.lit(comp_k) + F.col("r2") + F.lit(1)).alias("r"),
+            )
+            off *= 2
+            history.append((off, cur))
+            break
         if not fuse_ok or 2 * off >= max_len:
             # classic one-level round: the final level (no point ranking
             # past max_len) and the > ~3e9-positions overflow fallback
@@ -609,7 +695,7 @@ def global_suffix_ranks(
         )
         history.append((2 * off, comp))
         ranked, new_classes = global_dense_rank(
-            paired, ["r", "r2", "r3", "r4"], n_parts
+            paired, ["r", "r2", "r3", "r4"], n_parts, input_materialized=True
         )
         if new_classes == n_classes:
             # fixed point two levels out implies it at 2*off too (class
@@ -744,7 +830,18 @@ def _lcp_walk(
     # adjacencies).  Only hint broadcast when the rank tables themselves
     # are small; ~1M (id, pos, r) long rows is a few MB serialized.
     bcast_ranks = not big_walk and rank_rows <= BIG_WALK_PAIR_THRESHOLD
-    for L, rk in sorted(history, key=lambda t: -t[0]):
+    # The TOP history level is a GUARANTEED no-op for rank-distinct
+    # pairs and is skipped outright (round 12): its rank table is the
+    # FINAL table (every construction path's last history entry is the
+    # exit-round `cur`), the walk runs levels in descending order so
+    # lcp == 0 when the top level would probe, and the probe at
+    # (i + 0, j + 0) then compares the pair's own final ranks — unequal
+    # by the very definition of the `ne` frame (a_r != b_r).  Lower
+    # levels still reach any true LCP: for an ne pair lcp is at most
+    # min(rem) - [shorter-is-prefix] < top L, and the remaining levels
+    # sum to top L - 1.  Saves two joins + two broadcast builds per
+    # walk at identical results.
+    for L, rk in sorted(history, key=lambda t: -t[0])[1:]:
         if big_walk:
             can = F.col("lcp") + F.lit(L) <= F.least(
                 F.col("rem_a"), F.col("rem_b")
