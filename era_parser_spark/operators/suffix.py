@@ -155,46 +155,47 @@ def suffix_ranks(
             history.append((off * 2, cur))
             off *= 2
             continue
-        # fused super-round — two levels off ONE lead window pass (the
-        # global_suffix_ranks round-10 fusion, per-doc flavor): ranks
-        # need order/equality only, so the 2*off level is a COMPOSITE
-        # int64 r*K + (r2+1) (a lazy projection over the checkpointed
-        # lead frame; the LCP walk tests equality only) and the 4*off
-        # level is one dense_rank over the 4-tuple (r, r2, r3, r4) —
-        # halves the per-level window sorts and all_distinct actions.
+        # WIDE fused super-round — three levels off ONE lead window pass
+        # (the global_suffix_ranks round-12 fusion, per-doc flavor):
+        # ranks need order/equality only, so the 2*off level is the
+        # COMPOSITE int64 r*K + (r2+1), the 4*off level a STRUCT of two
+        # composites (the LCP walk tests equality only; K^4 overflows a
+        # single int64), and the 8*off level one dense_rank over the
+        # 8-tuple — a third of the per-level window sorts and
+        # all_distinct actions.
         paired = cur.select(
             id_col,
             "pos",
             "r",
-            F.coalesce(F.lead("r", off).over(w.orderBy("pos")), F.lit(-1)).alias(
-                "r2"
-            ),
-            F.coalesce(
-                F.lead("r", 2 * off).over(w.orderBy("pos")), F.lit(-1)
-            ).alias("r3"),
-            F.coalesce(
-                F.lead("r", 3 * off).over(w.orderBy("pos")), F.lit(-1)
-            ).alias("r4"),
+            *[
+                F.coalesce(
+                    F.lead("r", k * off).over(w.orderBy("pos")), F.lit(-1)
+                ).alias(f"r{k + 1}")
+                for k in range(1, 8)
+            ],
         ).localCheckpoint(eager=True)
+        c12 = F.col("r") * F.lit(comp_k) + F.col("r2") + F.lit(1)
+        c34 = F.col("r3") * F.lit(comp_k) + F.col("r4") + F.lit(1)
+        history.append((2 * off, paired.select(id_col, "pos", c12.alias("r"))))
         history.append(
             (
-                2 * off,
+                4 * off,
                 paired.select(
                     id_col,
                     "pos",
-                    (F.col("r") * F.lit(comp_k) + F.col("r2") + F.lit(1)).alias(
-                        "r"
-                    ),
+                    F.struct(c12.alias("a"), c34.alias("b")).alias("r"),
                 ),
             )
         )
         cur = paired.select(
             id_col,
             "pos",
-            F.dense_rank().over(w.orderBy("r", "r2", "r3", "r4")).alias("r"),
+            F.dense_rank()
+            .over(w.orderBy("r", "r2", "r3", "r4", "r5", "r6", "r7", "r8"))
+            .alias("r"),
         ).localCheckpoint(eager=True)
-        history.append((4 * off, cur))
-        off *= 4
+        history.append((8 * off, cur))
+        off *= 8
     out = cur.select(
         F.col(id_col),
         F.col("pos").cast("long").alias("pos"),
@@ -677,35 +678,57 @@ def global_suffix_ranks(
             off *= 2
             history.append((off, cur))
             continue
-        # fused super-round: levels 2*off and 4*off off ONE window pass
+        # WIDE fused super-round (round 12): THREE levels off ONE window
+        # pass — leads at off..7*off give rank_2off = (r, r2) as the
+        # int64 composite, rank_4off = ((r, r2), (r3, r4)) as a STRUCT
+        # of two composites (the walk tests equality only, and struct
+        # equality <=> 4-tuple equality; a single int64 can't hold a
+        # 4-tuple — K^4 overflows — but two can), and rank_8off as ONE
+        # global_dense_rank over the 8-tuple.  Per three levels this is
+        # one range shuffle + one offsets collect + two checkpoint
+        # materializations, vs three of each in the classic loop and
+        # 1.5x each in the round-10 two-level fusion.
         paired = cur.select(
             id_col,
             "pos",
             "r",
-            F.coalesce(F.lead("r", off).over(w), F.lit(-1)).alias("r2"),
-            F.coalesce(F.lead("r", 2 * off).over(w), F.lit(-1)).alias("r3"),
-            F.coalesce(F.lead("r", 3 * off).over(w), F.lit(-1)).alias("r4"),
+            *[
+                F.coalesce(F.lead("r", k * off).over(w), F.lit(-1)).alias(
+                    f"r{k + 1}"
+                )
+                for k in range(1, 8)
+            ],
         ).localCheckpoint(eager=True)
-        # the 2*off level: composite int64, equality <=> (r, r2) equality —
-        # a lazy projection over the checkpoint, no materialization of its own
-        comp = paired.select(
-            id_col,
-            "pos",
-            (F.col("r") * F.lit(comp_k) + F.col("r2") + F.lit(1)).alias("r"),
+        c12 = F.col("r") * F.lit(comp_k) + F.col("r2") + F.lit(1)
+        c34 = F.col("r3") * F.lit(comp_k) + F.col("r4") + F.lit(1)
+        history.append((2 * off, paired.select(id_col, "pos", c12.alias("r"))))
+        history.append(
+            (
+                4 * off,
+                paired.select(
+                    id_col,
+                    "pos",
+                    F.struct(c12.alias("a"), c34.alias("b")).alias("r"),
+                ),
+            )
         )
-        history.append((2 * off, comp))
         ranked, new_classes = global_dense_rank(
-            paired, ["r", "r2", "r3", "r4"], n_parts, input_materialized=True
+            paired,
+            ["r", "r2", "r3", "r4", "r5", "r6", "r7", "r8"],
+            n_parts,
+            input_materialized=True,
         )
         if new_classes == n_classes:
-            # fixed point two levels out implies it at 2*off too (class
-            # refinement is monotone) — drop the no-op composite entry and
-            # keep the old frame, exactly the classic-path semantics
+            # fixed point three levels out implies it at 2*off and 4*off
+            # too (class refinement is monotone) — drop the no-op
+            # composite entries and keep the old frame, exactly the
+            # classic-path semantics
+            history.pop()
             history.pop()
             break
         cur = ranked.select(id_col, "pos", F.col("__gr").alias("r"))
         n_classes = new_classes
-        off *= 4
+        off *= 8
         history.append((off, cur))
     out = cur.join(doc_lens, id_col)
     if return_history:
@@ -984,8 +1007,13 @@ def _cross_group_spans(
         *[F.col(c) for c in grp_extra],
     )
     ne_cols = [a_id, "i", b_id, "j", "rem_a", "rem_b", "lcp", *grp_extra]
+    # rank_rows bounds the pair count (adjacent pairs over n positions
+    # are < n + n_parts), so the walk-strategy gate keys on it directly
+    # — the cross.count() action this replaces was one more job per
+    # query for a number the bound already decides (round 12); both
+    # walk gates now key on the same size measure.
     ne = _lcp_walk(
-        ne, ne_cols, history, id_col, a_id, b_id, cross.count(), rank_rows
+        ne, ne_cols, history, id_col, a_id, b_id, rank_rows, rank_rows
     )
     ne_final = ne.select(
         a_g,
@@ -1332,8 +1360,10 @@ def longest_repeated_span_chunked(
         "__g",
     )
     ne_cols = ["__ua", "i", "__ub", "j", "rem_a", "rem_b", "lcp", "__g"]
+    # rank_rows bounds the pair count — same one-job saving as
+    # _cross_group_spans (round 12)
     ne = _lcp_walk(
-        ne, ne_cols, history, "__uid", "__ua", "__ub", pairs.count(), rank_rows
+        ne, ne_cols, history, "__uid", "__ua", "__ub", rank_rows, rank_rows
     )
     contrib = eq.unionByName(
         ne.select(
