@@ -30,6 +30,57 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Edge lists at or below this row count take the exact driver union-find
+# fast path instead of the iterative distributed rounds (round 12): a
+# near-dup graph of a few hundred pairs was paying 6-10 Spark jobs
+# (per-round shuffles + checkpoints + convergence checks) for work a
+# driver does in microseconds, with identical labels.  Same adaptive
+# convention as suffix.BIG_WALK_PAIR_THRESHOLD: the gate is the COUNT of
+# an already-checkpointed pair frame — the quantity the LSH designs
+# budget — never a core count, so cluster runs with big graphs take the
+# distributed rounds unchanged.  1M (src, dst) rows is ~16 MB collected.
+SMALL_GRAPH_EDGE_THRESHOLD = 1_000_000
+
+
+def _smallgraph_labels(
+    nodes: DataFrame, base: DataFrame, id_col: str
+) -> DataFrame:
+    """Exact min-id component labels for a SMALL (already materialized)
+    edge frame: collect, union-find with min tracking on the driver, and
+    broadcast the (node, label) table back — the same (id_col,
+    cluster_id = min reachable id) contract as the distributed rounds,
+    pinned differentially in tests/test_round12_ops.py."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in base.collect():
+        a, b = row[0], row[1]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    label_rows = [(x, find(x)) for x in parent]
+    t = base.schema.fields[0].dataType.simpleString()
+    labels = nodes.sparkSession.createDataFrame(
+        label_rows, f"__node {t}, __label {t}"
+    )
+    return nodes.select(F.col(id_col)).join(
+        F.broadcast(labels.withColumnRenamed("__node", id_col)), id_col, "left"
+    ).select(
+        F.col(id_col),
+        F.coalesce("__label", F.col(id_col)).alias("cluster_id"),
+    )
+
 
 def connected_components(
     nodes: DataFrame,
@@ -51,6 +102,8 @@ def connected_components(
     base = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).localCheckpoint(eager=True)
+    if base.count() <= SMALL_GRAPH_EDGE_THRESHOLD:
+        return _smallgraph_labels(nodes, base, id_col)
     sym = (
         base.unionByName(base.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
@@ -128,6 +181,11 @@ def connected_components_alternating(
     base = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).localCheckpoint(eager=True)  # see connected_components: one derivation
+    if base.count() <= SMALL_GRAPH_EDGE_THRESHOLD:
+        # identical labels, driver-side (see SMALL_GRAPH_EDGE_THRESHOLD);
+        # the star rounds below remain the path for big graphs — the
+        # O(log n) chain-contraction argument is about THOSE.
+        return _smallgraph_labels(nodes, base, id_col)
     sym = (
         base.unionByName(base.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .filter(F.col("src") != F.col("dst"))

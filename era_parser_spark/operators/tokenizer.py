@@ -299,6 +299,105 @@ def learn_wordpiece_merges(
     return merges
 
 
+# Word tables at or below this row count take the exact driver merge
+# loop inside the distributed trainers (round 12): 8 merge rounds were
+# paying 2 Spark jobs each (argmax collect + Arrow rewrite checkpoint)
+# for a table the driver folds in milliseconds, with bit-identical
+# results — the driver-loop twins (learn_bpe_merges /
+# learn_wordpiece_merges) are already differentially pinned against the
+# distributed rounds (tests/test_round9_ops.py).  Same adaptive
+# convention as graph.SMALL_GRAPH_EDGE_THRESHOLD: the gate is the count
+# of the already-checkpointed word table — the quantity whose
+# corpus-sublinearity (Heaps' law) the trainer design itself argues —
+# never a core count; byte-noise corpora past the gate keep the
+# distributed rounds unchanged.  50k (word, freq) rows keeps the Python
+# pair-count fold well under a second per round.
+SMALL_VOCAB_THRESHOLD = 50_000
+
+
+def _driver_merge_loop(
+    spark,
+    words_ckpt,
+    n_merges: int,
+    return_vocab: bool,
+    wordpiece: bool,
+    min_pair_count: int = 1,
+):
+    """The distributed trainers' small-vocab fast path: collect the
+    (w, freq) table once, run the merge loop on the driver with EXACTLY
+    the distributed argmax semantics (BPE: max pair count, ties on
+    UTF-8 bytes of (left, right) ASC; WordPiece: the exact fixed-point
+    likelihood argmax of `_wp_best_pair`), and rebuild the same output
+    frames — including the re-minted-token ValueError the distributed
+    rounds raise."""
+    rows = words_ckpt.select("w", "freq").collect()
+    vocab: dict[tuple[str, ...], int] = {
+        tuple(str(r["w"])): int(r["freq"]) for r in rows
+    }
+    out_rows: list[tuple] = []
+    seen_merged: set[str] = set()
+    for rank in range(1, n_merges + 1):
+        if wordpiece:
+            info = _wp_best_pair(vocab, min_pair_count)
+            if info is None:
+                break
+            a, b, c, lu, ru, q = info
+        else:
+            counts: dict[tuple[str, str], int] = {}
+            for syms, fq in vocab.items():
+                for i in range(len(syms) - 1):
+                    p = (syms[i], syms[i + 1])
+                    counts[p] = counts.get(p, 0) + fq
+            if not counts:
+                break
+            (a, b), c = min(
+                counts.items(),
+                key=lambda kv: (
+                    -kv[1],
+                    kv[0][0].encode("utf-8"),
+                    kv[0][1].encode("utf-8"),
+                ),
+            )
+        if a + b in seen_merged:
+            raise ValueError(
+                f"{'WordPiece' if wordpiece else 'BPE'} merge round {rank} "
+                f"re-mints merged token {a + b!r} (two distinct merges "
+                "produce the same string); the word-table segmentation "
+                "would diverge from bpe_encode_word on this corpus — "
+                "reduce n_merges or encode with the vocab table "
+                "(return_vocab=True) instead"
+            )
+        seen_merged.add(a + b)
+        if wordpiece:
+            out_rows.append((rank, a, b, a + b, c, lu, ru, q))
+        else:
+            out_rows.append((rank, a, b, a + b, c))
+        # greedy left-to-right rewrite, the _merge_word semantics
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, fq in vocab.items():
+            m = _merge_word(syms, (a, b))
+            new_vocab[m] = new_vocab.get(m, 0) + fq
+        vocab = new_vocab
+    schema = (
+        "rank int, left string, right string, merged string,"
+        " pair_count long, left_count long, right_count long, score_q long"
+        if wordpiece
+        else "rank int, left string, right string, merged string,"
+        " pair_count long"
+    )
+    merges_df = spark.createDataFrame(out_rows, schema)
+    if return_vocab:
+        # the final per-word segmentation, same (w, freq, syms) shape as
+        # the distributed word table after all merges.  Words are
+        # distinct, so the syms key maps back to exactly one word.
+        vocab_df = spark.createDataFrame(
+            [("".join(syms), fq, list(syms)) for syms, fq in vocab.items()],
+            "w string, freq long, syms array<string>",
+        )
+        return merges_df, vocab_df
+    return merges_df
+
+
 def _apply_merge_kernel(a: str, b: str):
     """Arrow-batched greedy left-to-right merge pass for (a, b) — the
     exact `_merge_word` semantics applied to a syms array column."""
@@ -397,6 +496,13 @@ def bpe_merges_distributed(
         )
     )
     cur = words.localCheckpoint(eager=True)
+    if cur.count() <= SMALL_VOCAB_THRESHOLD:
+        # small-vocab fast path: identical merges/vocab off the driver
+        # loop (see SMALL_VOCAB_THRESHOLD); the distributed rounds below
+        # remain the byte-noise-corpus path the 100 TB argument is about
+        return _driver_merge_loop(
+            spark, cur, n_merges, return_vocab, wordpiece=False
+        )
     out_rows: list[tuple] = []
     seen_merged: set[str] = set()
     for rank in range(1, n_merges + 1):
@@ -532,6 +638,18 @@ def wordpiece_merges_distributed(
         )
     )
     cur = words.localCheckpoint(eager=True)
+    if cur.count() <= SMALL_VOCAB_THRESHOLD:
+        # small-vocab fast path, WordPiece flavor — the exact integer
+        # likelihood argmax of _wp_best_pair IS the distributed round's
+        # (same fixed-point score, same count-then-UTF-8-bytes ties)
+        return _driver_merge_loop(
+            spark,
+            cur,
+            n_merges,
+            return_vocab,
+            wordpiece=True,
+            min_pair_count=min_pair_count,
+        )
     out_rows: list[tuple] = []
     seen_merged: set[str] = set()
     for rank in range(1, n_merges + 1):

@@ -310,3 +310,85 @@ def test_digest_dedup_ttl_forgets_idle_digest(spark, tmp_path_factory):
     # expired digest re-keeps fresh: keeper 9 count 1, NOT (5, 2)
     assert ("d1", 9, 1) in collected
     assert all(not (r[0] == "d1" and r[1] == 5 and r[2] == 2) for r in collected)
+
+
+# --- small-graph CC fast path --------------------------------------------------
+
+
+def test_smallgraph_cc_matches_distributed_rounds(spark, monkeypatch):
+    """The driver union-find fast path must produce EXACTLY the labels of
+    the distributed rounds (min reachable id), including chain shapes,
+    merged stars, isolated nodes, and string ids."""
+    import era_parser_spark.operators.graph as gr
+
+    edges = [
+        (1, 2), (2, 3), (3, 4),          # chain -> min 1
+        (10, 11), (11, 10), (12, 10),    # star with a reverse duplicate
+        (20, 21), (22, 21), (23, 22), (5, 4),  # chain joins cluster 1
+    ]
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 5, 10, 11, 12, 20, 21, 22, 23, 99]],
+        "id long",
+    )
+    e = spark.createDataFrame(edges, "src long, dst long")
+
+    def labels(fn):
+        return {
+            (r["id"], r["cluster_id"]) for r in fn(nodes, e, id_col="id").collect()
+        }
+
+    fast_alt = labels(gr.connected_components_alternating)
+    fast_hashmin = labels(gr.connected_components)
+    monkeypatch.setattr(gr, "SMALL_GRAPH_EDGE_THRESHOLD", 0)
+    slow_alt = labels(gr.connected_components_alternating)
+    slow_hashmin = labels(gr.connected_components)
+    want = {
+        (1, 1), (2, 1), (3, 1), (4, 1), (5, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20), (22, 20), (23, 20),
+        (99, 99),
+    }
+    assert fast_alt == slow_alt == fast_hashmin == slow_hashmin == want
+
+    # string ids: UTF-8 binary min must match Python's code-point min
+    se = spark.createDataFrame([("b", "a"), ("b", "c")], "src string, dst string")
+    sn = spark.createDataFrame([("a",), ("b",), ("c",)], "id string")
+    monkeypatch.setattr(gr, "SMALL_GRAPH_EDGE_THRESHOLD", 1_000_000)
+    fast = {
+        (r["id"], r["cluster_id"])
+        for r in gr.connected_components(sn, se, id_col="id").collect()
+    }
+    assert fast == {("a", "a"), ("b", "a"), ("c", "a")}
+
+
+# --- small-vocab trainer fast path ---------------------------------------------
+
+
+def test_small_vocab_trainer_matches_distributed_rounds(spark, monkeypatch):
+    """The driver merge-loop fast path must reproduce the distributed
+    rounds bit-for-bit: merges rows, final vocab segmentation, and the
+    WordPiece fixed-point scores."""
+    import era_parser_spark.operators.tokenizer as tk
+
+    rows = [
+        (1, "low lower lowest newest newer new wide wider widest"),
+        (2, "low low lower newest newest wide wide wide"),
+        (3, "the newest lowest widest new low"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def snap(trainer, **kw):
+        m, v = trainer(df, "text", n_merges=6, return_vocab=True, **kw)
+        return (
+            sorted(tuple(r) for r in m.collect()),
+            sorted((r["w"], r["freq"], tuple(r["syms"])) for r in v.collect()),
+        )
+
+    fast_bpe = snap(tk.bpe_merges_distributed)
+    fast_wp = snap(tk.wordpiece_merges_distributed, min_pair_count=2)
+    monkeypatch.setattr(tk, "SMALL_VOCAB_THRESHOLD", -1)
+    slow_bpe = snap(tk.bpe_merges_distributed)
+    slow_wp = snap(tk.wordpiece_merges_distributed, min_pair_count=2)
+    assert fast_bpe == slow_bpe
+    assert fast_wp == slow_wp
+    assert len(fast_bpe[0]) == 6 and len(fast_wp[0]) > 0
