@@ -716,7 +716,9 @@ def lsh_exact_pairs_bounded(
     aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("__sh"))).alias(f"h{i}") for i in range(num_perm)
     ]
-    sigs = hashed.groupBy(id_col).agg(*aggs)
+    # cached: the banding self-join reads signatures on both sides
+    # (round 12, same bound as fuzzy_dedup's signature cache)
+    sigs = hashed.groupBy(id_col).agg(*aggs).cache()
     cands = lsh_candidate_pairs(sigs, id_col, bands, num_perm // bands)
     return verify_candidate_pairs(hashed, cands, id_col, threshold)
 
@@ -751,10 +753,15 @@ def verify_candidate_pairs(
         .unionByName(cands.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
+    # cached: `sets` feeds BOTH join sides below (sa and sb) — uncached,
+    # each side re-runs the semi-join + collect_set aggregate over the
+    # shingle frame (round 12).  One row per CANDIDATE doc with its
+    # sorted hash array — pair-bounded by design, cacheable at any scale.
     sets = (
         hashed.join(F.broadcast(cand_docs), id_col, "left_semi")
         .groupBy(id_col)
         .agg(F.sort_array(F.collect_set("__sh")).alias("__shs"))
+        .cache()
     )
     sa = sets.select(F.col(id_col).alias("doc_a"), F.col("__shs").alias("__sa"))
     sb = sets.select(F.col(id_col).alias("doc_b"), F.col("__shs").alias("__sb"))
@@ -990,9 +997,12 @@ def fuzzy_dedup(
             F.min(F.xxhash64(F.lit(i), F.col("__sh"))).alias(f"h{i}")
             for i in range(num_perm)
         ]
-        sigs_d = hashed_d.groupBy("__dig").agg(*aggs)
-        if verify == "estimate":
-            sigs_d = sigs_d.cache()
+        # cached in BOTH verify modes (round 12): the banding self-join
+        # reads the signature frame on both sides, so uncached the
+        # 32-perm aggregate over the shingle frame ran twice.  One row
+        # per distinct digest, 32 longs — bounded like the estimate
+        # path's existing cache.
+        sigs_d = hashed_d.groupBy("__dig").agg(*aggs).cache()
         cands_d = lsh_candidate_pairs(sigs_d, "__dig", bands, num_perm // bands)
         if verify == "exact":
             pairs_d = verify_candidate_pairs(hashed_d, cands_d, "__dig", threshold)
