@@ -79,7 +79,13 @@ def test_cluster_sizes(spark):
     assert rows == {1: (1, 3), 2: (1, 3), 3: (1, 3), 9: (9, 1)}
 
 
-def test_nonconvergence_raises(spark):
+def test_nonconvergence_raises(spark, monkeypatch):
+    # force the distributed rounds (the property under test): the round-12
+    # small-graph driver fast path would otherwise label this 5-edge chain
+    # exactly without iterating
+    from era_parser_spark.operators import graph as graph_mod
+
+    monkeypatch.setattr(graph_mod, "SMALL_GRAPH_EDGE_THRESHOLD", -1)
     ndf = spark.createDataFrame([(v,) for v in range(6)], "id long")
     edf = spark.createDataFrame([(i, i + 1) for i in range(5)], "src long, dst long")
     with pytest.raises(RuntimeError, match="did not converge"):
@@ -106,12 +112,16 @@ def test_alternating_matches_union_find_random(spark):
     assert got == _union_find(nodes, edges)
 
 
-def test_alternating_long_chain_logarithmic_rounds(spark):
+def test_alternating_long_chain_logarithmic_rounds(spark, monkeypatch):
     """The case hash-min can't do: a 300-link chain (diameter 300) must
     finish inside the 60-round cap — star contraction is O(log n), and
-    hash-min at max_iter=60 provably fails on it."""
+    hash-min at max_iter=60 provably fails on it.  Forces the distributed
+    rounds: the round-12 driver fast path would otherwise absorb a 300-edge
+    graph, and the O(log n) argument is about the star rounds."""
+    from era_parser_spark.operators import graph as graph_mod
     from era_parser_spark.operators.graph import connected_components_alternating
 
+    monkeypatch.setattr(graph_mod, "SMALL_GRAPH_EDGE_THRESHOLD", -1)
     n = 300
     nodes = list(range(n))
     edges = [(i, i + 1) for i in range(n - 1)]
