@@ -148,22 +148,18 @@ def centroid_table(
     )
 
 
-def ivf_assign(
+def _ivf_assign_expr(
     df: DataFrame,
     vec_col: str,
     id_col: str,
     centroids: DataFrame,
     extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Assign each vector to its nearest centroid (squared-L2 argmin).
-
-    The centroid table collapses to ONE row holding an array of structs and
-    broadcast-joins onto the corpus — the argmin is an array_min over a
-    transform, fully codegen'd, with no shuffle of the big side and no
-    driver-side centroid literals; ties break on centroid id.
-    ``extra_cols`` passes additional df columns through (still
-    zero-shuffle) — semantic_dedup's quality-keeper score rides here.
-    """
+    """Expression-tree assignment (the pre-round-12 plan): one-row struct
+    array broadcast + array_min over a transform.  Kept as the semantics
+    reference — the numpy fast path routes malformed rows (null / wrong
+    dim vectors, degenerate centroid tables) through THIS code so its
+    null/ordering behavior stays the single source of truth."""
     cents = centroids.agg(
         F.collect_list(F.struct("centroid_id", "cvec")).alias("cents")
     )
@@ -184,6 +180,140 @@ def ivf_assign(
         best.getField("dist").alias("centroid_dist"),
         *[F.col(c) for c in extra_cols],
     )
+
+
+def ivf_assign(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: DataFrame,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (squared-L2 argmin).
+
+    Round-12 kernel (guide §4, the srp_signatures precedent): the
+    transform/array_min expression tree is INTERPRETED per row — k
+    centroids x dim element evals each, measured 1.6 s single-task for a
+    2000 x 64c x 64d assignment — so well-formed rows take an
+    Arrow-batched numpy kernel instead: one (rows, k) accumulator updated
+    sequentially per dimension (acc += (x_i - c_i)^2), which reproduces
+    sq_l2_expr's left fold BIT-IDENTICALLY in IEEE float64, then argmin
+    over centroid-id-sorted columns (first-min == the (dist, id) struct
+    tie).  Rows whose distance picks up a NaN re-run through an exact
+    Python replica of the fold + Spark's NaN-greatest struct ordering.
+    Null / wrong-dimension vectors and degenerate centroid tables
+    (ragged / empty) keep the expression path (`_ivf_assign_expr`), so
+    every edge case inherits the original semantics verbatim
+    (differential pin: tests/test_round12_ops.py).
+
+    The centroid table is materialized on the driver (k x dim doubles —
+    the same "tiny model artifact" contract as the kmeans trainer) and
+    ships in the kernel closure.  ``extra_cols`` passes additional df
+    columns through — semantic_dedup's quality-keeper score rides here.
+    """
+    cent_rows = centroids.select("centroid_id", "cvec").collect()
+    cvecs = [r["cvec"] for r in cent_rows]
+    if (
+        not cent_rows
+        or any(v is None for v in cvecs)
+        or len({len(v) for v in cvecs}) != 1
+    ):
+        return _ivf_assign_expr(df, vec_col, id_col, centroids, extra_cols)
+    cent_rows.sort(key=lambda r: r["centroid_id"])
+    cmat = np.array([list(r["cvec"]) for r in cent_rows], dtype=np.float64)
+    cids = np.array([r["centroid_id"] for r in cent_rows], dtype=np.int64)
+    dim = cmat.shape[1]
+
+    import pyspark.sql.types as T
+
+    in_fields = {f.name: f for f in df.schema.fields}
+    out_schema = T.StructType(
+        [
+            in_fields[id_col],
+            in_fields[vec_col],
+            T.StructField("centroid_id", T.LongType()),
+            T.StructField("centroid_dist", T.DoubleType()),
+        ]
+        + [in_fields[c] for c in extra_cols]
+    )
+
+    def _fold_row(x: list[float]) -> tuple[int, float]:
+        # exact replica of sq_l2_expr's fold + array_min's struct order
+        # (NaN greater than every double, ties on centroid id) for the
+        # rare NaN/Inf rows the vectorized argmin cannot order
+        import math
+
+        best_key, best = None, None
+        for ci in range(len(cids)):
+            acc = 0.0
+            for i in range(dim):
+                d = x[i] - cmat[ci, i]
+                acc += d * d
+            key = (math.isnan(acc), acc if not math.isnan(acc) else 0.0, cids[ci])
+            if best_key is None or key < best_key:
+                best_key, best = key, (int(cids[ci]), acc)
+        return best
+
+    def assign_batches(it):
+        # mapInArrow, not mapInPandas: a pandas round-trip re-reads float64
+        # NaN as MISSING (Arrow from_pandas semantics), silently turning a
+        # NaN distance into SQL NULL — arrow batches keep NaN as NaN, skip
+        # the pandas materialization entirely, and let the vector column
+        # pass through zero-copy.
+        import pyarrow as pa
+
+        for batch in it:
+            n = batch.num_rows
+            if not n:
+                continue
+            vc = batch.column(1)
+            # well_formed guarantees every list has exactly `dim` non-null
+            # items, so the flattened child is dense
+            x = (
+                vc.flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64, copy=False)
+                .reshape(n, dim)
+            )
+            acc = np.zeros((n, len(cids)), dtype=np.float64)
+            for i in range(dim):
+                diff = x[:, i : i + 1] - cmat[:, i][None, :]
+                acc += diff * diff
+            nan_rows = np.isnan(acc).any(axis=1)
+            best = np.argmin(acc, axis=1)
+            cid_out = cids[best]
+            dist_out = acc[np.arange(n), best]
+            if nan_rows.any():
+                for ri in np.flatnonzero(nan_rows):
+                    cid_out[ri], dist_out[ri] = _fold_row(list(x[ri]))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    vc,
+                    pa.array(cid_out, type=pa.int64()),
+                    pa.array(dist_out, type=pa.float64()),
+                ]
+                + [batch.column(2 + j) for j in range(len(extra_cols))],
+                names=[id_col, vec_col, "centroid_id", "centroid_dist", *extra_cols],
+            )
+
+    # null elements INSIDE a vector take the expression path too (they
+    # produce SQL-null distances there); array_compact is a native array
+    # pass, so this stays a cheap codegen filter
+    well_formed = (
+        F.col(vec_col).isNotNull()
+        & (F.size(vec_col) == dim)
+        & (F.size(F.array_compact(vec_col)) == dim)
+    )
+    fast = (
+        df.where(well_formed)
+        .select(id_col, vec_col, *extra_cols)
+        .mapInArrow(assign_batches, out_schema)
+    )
+    slow = _ivf_assign_expr(
+        df.where(~well_formed), vec_col, id_col, centroids, extra_cols
+    )
+    return fast.unionByName(slow)
 
 
 def ivf_topk(

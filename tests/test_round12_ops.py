@@ -361,6 +361,74 @@ def test_smallgraph_cc_matches_distributed_rounds(spark, monkeypatch):
     assert fast == {("a", "a"), ("b", "a"), ("c", "a")}
 
 
+# --- ivf_assign Arrow/numpy kernel ---------------------------------------------
+
+
+def test_ivf_assign_numpy_kernel_matches_expression_path(spark):
+    """The round-12 Arrow-batched assignment kernel must equal the
+    expression path bit-for-bit: well-formed rows (the numpy matmul-free
+    sequential-dim accumulation), NaN/Inf components (the in-kernel fold
+    replica with Spark's NaN-greatest ordering), null / wrong-dim /
+    null-element vectors (routed through the expression path verbatim),
+    ties (first-min == (dist, id) struct order), extra_cols passthrough,
+    and the ragged-centroid fallback."""
+    import math
+    import random
+
+    import era_parser_spark.operators.similarity as S
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(300)]
+    rows += [
+        (1000, None),
+        (1001, [1.0] * 5),
+        (1002, [float("nan")] + [0.0] * 7),
+        (1003, [float("inf")] + [0.0] * 7),
+        (1004, [0.0] * 8),
+        (1005, [0.0] * 8),
+        (1006, [None] + [0.5] * 7),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    df = df.withColumn("q", (F.col("vec_id") % 7).cast("double"))
+    cents = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(6)]
+        + [(6, [0.0] * 8), (7, [0.0] * 8)],  # exact tie for vec 1004/1005
+        "centroid_id long, cvec array<double>",
+    )
+
+    def key(r):
+        d = r["centroid_dist"]
+        return (
+            r["vec_id"],
+            r["centroid_id"],
+            None if d is None else (math.isnan(d), d if not math.isnan(d) else 0.0),
+            r["q"],
+        )
+
+    fast = sorted(
+        map(key, S.ivf_assign(df, "embedding", "vec_id", cents,
+                              extra_cols=("q",)).collect())
+    )
+    expr = sorted(
+        map(key, S._ivf_assign_expr(df, "embedding", "vec_id", cents,
+                                    extra_cols=("q",)).collect())
+    )
+    assert fast == expr
+    # ties resolved to the LOWEST centroid id
+    zero_rows = [k for k in fast if k[0] in (1004, 1005)]
+    assert all(k[1] == 6 for k in zero_rows)
+
+    # ragged centroid table: full fallback, still identical
+    ragged = spark.createDataFrame(
+        [(0, [0.0] * 8), (1, [0.0] * 4)], "centroid_id long, cvec array<double>"
+    )
+    f2 = sorted(map(key, S.ivf_assign(df, "embedding", "vec_id", ragged,
+                                      extra_cols=("q",)).collect()))
+    e2 = sorted(map(key, S._ivf_assign_expr(df, "embedding", "vec_id", ragged,
+                                            extra_cols=("q",)).collect()))
+    assert f2 == e2
+
+
 # --- small-vocab trainer fast path ---------------------------------------------
 
 
