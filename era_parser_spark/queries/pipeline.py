@@ -55,7 +55,7 @@ _TOK = "regexp_split_to_array(trim(lower(text)), '\\s+')"
 def p1_curation_pipeline(spark, sf_dir):
     # quality filter -> language filter -> fingerprint dedup (min-id
     # survivor, copy count kept) in one declarative plan.
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", fan_out=True)
     enriched = docs.select(
         "doc_id",
         token_count_col("text").alias("n_tokens"),
@@ -514,7 +514,7 @@ def p12_curation_v2(spark, sf_dir):
     from era_parser_spark.operators.dedup import bloom_decontaminate
     from era_parser_spark.operators.text import gopher_quality_flags
 
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", fan_out=True)
     flags = gopher_quality_flags(
         docs.filter(F.col("doc_id") % 17 != 0),
         "doc_id",

@@ -57,7 +57,25 @@ def register(name: str, oracle: str | None = None):
 _NANOS_TS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
-def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def table(
+    spark: SparkSession, sf_dir: str, name: str, fan_out: bool = False
+) -> DataFrame:
+    """Read one benchmark table.
+
+    ``fan_out=True`` (round 12, guide §2.3): round-robin-repartition the
+    scan to the session's parallelism WHEN its planned split count is
+    lower.  A small single-row-group parquet file plans as ONE split
+    (file splitting can't cross row groups), so a CPU-heavy narrow
+    pipeline over it — tokenize / shingle / hash / gate per row —
+    serializes on one core.  Scale-adaptive by construction: any corpus
+    big enough to split past the cluster's core count is untouched, so
+    the one bounded round-robin pass (<= corpus bytes) fires exactly
+    when the scan undersubscribes the cluster.  Opt-in per call site
+    because it trades one exchange for parallelism: right for the
+    composite curation/dedup pipelines whose scan feeds seconds of
+    per-row CPU, wrong for the zero-shuffle projection operators (their
+    plan-audit pins keep them exchange-free) and for fact tables whose
+    consumers re-exchange on join/group keys immediately anyway."""
     if name in _NANOS_TS:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
@@ -65,6 +83,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         field = df.schema[col]
         if field.dataType.simpleString() == "bigint":
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    if fan_out:
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
     return df
 
 
