@@ -641,6 +641,62 @@ def bfs_distances(
         .localCheckpoint(eager=True)
     )
     spark = edges.sparkSession
+    # Small-graph driver fast path (round 12, the SMALL_GRAPH_EDGE_THRESHOLD
+    # convention): each distributed wave costs ~6 jobs (join + group +
+    # anti-join + two checkpoints + the emptiness probe), pure fixed
+    # overhead on a graph whose symmetrized edge list fits the driver.
+    # Level-synchronous Python BFS reproduces the wave semantics exactly —
+    # min-hop distances, the bounded-`rounds` cut, and the
+    # still-expanding-past-max_iter raise.  Duplicate landmarks keep the
+    # distributed path (its wave aggregation half-collapses them; not a
+    # shape worth replicating).
+    if len(set(sources)) == len(sources) and adj.count() <= SMALL_GRAPH_EDGE_THRESHOLD:
+        neigh: dict = {}
+        for row in adj.collect():
+            neigh.setdefault(row["src"], []).append(row["dst"])
+        limit_d = max_iter if rounds is None else rounds
+        out_rows: list[tuple] = []
+        expanding = False
+        for s in sources:
+            if s not in neigh:
+                continue
+            dist = {s: 0}
+            frontier_n = [s]
+            for _ in range(limit_d):
+                nxt_n = []
+                for u in frontier_n:
+                    for v in neigh[u]:
+                        if v not in dist:
+                            dist[v] = dist[u] + 1
+                            nxt_n.append(v)
+                if not nxt_n:
+                    break
+                frontier_n = nxt_n
+            else:
+                if rounds is None and any(
+                    v not in dist for u in frontier_n for v in neigh[u]
+                ):
+                    expanding = True
+            out_rows.extend((s, n, d) for n, d in dist.items())
+        if expanding:
+            raise RuntimeError(
+                f"bfs_distances: frontier still expanding after "
+                f"max_iter={max_iter} waves — raise max_iter or run "
+                "bounded rounds= explicitly"
+            )
+        from pyspark.sql import types as T
+
+        lm_type = spark.createDataFrame(
+            [(s,) for s in sources], ["landmark"]
+        ).schema["landmark"].dataType
+        schema = T.StructType(
+            [
+                T.StructField("landmark", lm_type),
+                T.StructField("node", adj.schema["dst"].dataType),
+                T.StructField("dist", T.LongType()),
+            ]
+        )
+        return spark.createDataFrame(out_rows, schema)
     lm = spark.createDataFrame([(s,) for s in sources], ["landmark"])
     nodes = adj.select(F.col("src").alias("node")).distinct()
     frontier = (

@@ -361,6 +361,58 @@ def test_smallgraph_cc_matches_distributed_rounds(spark, monkeypatch):
     assert fast == {("a", "a"), ("b", "a"), ("c", "a")}
 
 
+# --- bfs_distances small-graph fast path ----------------------------------------
+
+
+def test_bfs_smallgraph_matches_distributed_waves(spark, monkeypatch):
+    """The driver BFS fast path must equal the distributed waves exactly:
+    min-hop distances, multi-landmark overlap, unreachable components,
+    absent landmarks, the bounded-rounds cut, and the
+    still-expanding-past-max_iter raise."""
+    import era_parser_spark.operators.graph as gr
+
+    edges = [
+        (1, 2), (2, 3), (3, 4), (4, 5),      # path
+        (3, 6), (6, 7),                      # branch
+        (100, 101),                          # separate component
+    ]
+    e = spark.createDataFrame(edges, "src long, dst long")
+
+    def run(fn_kwargs):
+        return sorted(
+            tuple(r)
+            for r in gr.bfs_distances(e, **fn_kwargs).collect()
+        )
+
+    for kwargs in (
+        {"sources": [1, 100]},
+        {"sources": [1, 6, 999]},            # 999 absent from the graph
+        {"sources": [1], "rounds": 2},       # bounded: only dist <= 2
+        {"sources": [1], "rounds": 0},       # just the landmark itself
+    ):
+        fast = run(kwargs)
+        monkeypatch.setattr(gr, "SMALL_GRAPH_EDGE_THRESHOLD", -1)
+        slow = run(kwargs)
+        monkeypatch.setattr(gr, "SMALL_GRAPH_EDGE_THRESHOLD", 1_000_000)
+        assert fast == slow, kwargs
+    assert ([r for r in run({"sources": [1], "rounds": 2}) if r[2] > 2] == [])
+
+    # the max_iter guard: a 6-hop path with max_iter=3 must raise on BOTH
+    # paths (the driver replica mirrors the still-expanding probe)
+    import pytest as _pytest
+
+    for thr in (1_000_000, -1):
+        monkeypatch.setattr(gr, "SMALL_GRAPH_EDGE_THRESHOLD", thr)
+        with _pytest.raises(RuntimeError, match="still expanding"):
+            gr.bfs_distances(e, sources=[1], max_iter=3)
+
+    # string node ids through the fast path
+    monkeypatch.setattr(gr, "SMALL_GRAPH_EDGE_THRESHOLD", 1_000_000)
+    se = spark.createDataFrame([("a", "b"), ("b", "c")], "src string, dst string")
+    got = sorted(tuple(r) for r in gr.bfs_distances(se, sources=["a"]).collect())
+    assert got == [("a", "a", 0), ("a", "b", 1), ("a", "c", 2)]
+
+
 # --- ivf_assign Arrow/numpy kernel ---------------------------------------------
 
 
